@@ -1,0 +1,669 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Scd, ScdMerge, SimilaritySearch}
+
+/** The engine's query inventory: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (types and values must hash-match
+  * across engines):
+  *   - aggregate sums of doubles go through DECIMAL(18,2) (exact,
+  *     order-independent) and back to double;
+  *   - counts stay BIGINT on both sides; Spark int-typed outputs
+  *     (row_number, size) are cast to long or mirrored with INTEGER
+  *     casts in SQL;
+  *   - every hash is sha2-256-based (DuckDB sha256), including the
+  *     minhash base hash (first 8 hex chars as int64), so fuzzy-dedup
+  *     signatures are bit-identical across engines;
+  *   - floating-point folds (vector dot products) run in double with a
+  *     fixed fold order on both sides, and similarity outputs are rounded
+  *     to 6 dp.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The events fixture stores TIMESTAMP(NANOS), which Spark reads only
+    // as a long (spark.sql.legacy.parquet.nanosAsLong=true — set in every
+    // session this engine builds). Convert to a microsecond timestamp
+    // with exact integer division (ns-since-epoch exceeds 2^53, so a
+    // double division would corrupt low bits); the oracle casts its
+    // TIMESTAMP_NS to TIMESTAMP, which truncates identically.
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case None => df
+    }
+  }
+
+  // ---------------------------------------------------------------- core
+
+  /** P1/P5/P8/P9: projection + predicate, pushed into the parquet scan. */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  val scanFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30.0""".stripMargin
+
+  /** P7: multi-branch when/otherwise chain. */
+  def whenCase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 50000.0, "small")
+        .when(col("o_totalprice") < 150000.0, "medium")
+        .when(col("o_totalprice") < 300000.0, "large")
+        .otherwise("jumbo").as("price_band"),
+      col("o_orderstatus"))
+
+  val whenCaseSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 50000.0 THEN 'small'
+      |       WHEN o_totalprice < 150000.0 THEN 'medium'
+      |       WHEN o_totalprice < 300000.0 THEN 'large'
+      |       ELSE 'jumbo' END AS price_band,
+      |  o_orderstatus
+      |FROM orders""".stripMargin
+
+  /** U1/D1/W1: positional union + window dedup (the reference's upsert).
+    * Doubling the table and deduping must reproduce the original.
+    */
+  def unionDedup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_orderkey").orderBy(col("o_orderkey").desc)
+    o.union(o)
+      .withColumn("row_number", row_number().over(w))
+      .filter(col("row_number") === 1)
+      .drop("row_number")
+  }
+
+  val unionDedupSql: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders"
+
+  /** A1/A2/P6: hash-aggregate + having — the duplicate-key quality gate. */
+  def dupGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  val dupGateSql: String =
+    "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1"
+
+  /** Aggregations with exact decimal sums (TPC-H Q1 shape). */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** W8: top-1-per-group (latest order per customer) via window. */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin
+
+  /** W2 analytics: lag/lead over per-user event streams. */
+  def windowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      lag("event_id", 1).over(w).as("prev_event_id"),
+      lead("event_id", 1).over(w).as("next_event_id"))
+  }
+
+  val windowLagLeadSql: String =
+    """SELECT event_id, user_id,
+      |  lag(event_id) OVER w AS prev_event_id,
+      |  lead(event_id) OVER w AS next_event_id
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** W2 running aggregates with an explicit ROWS frame. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      min("value").over(w).as("run_min"),
+      max("value").over(w).as("run_max"),
+      count(lit(1)).over(w).as("run_cnt"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT event_id, user_id,
+      |  min(value) OVER w AS run_min,
+      |  max(value) OVER w AS run_max,
+      |  count(*) OVER w AS run_cnt
+      |FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** W4/W5/W6: gaps-and-islands — start timestamp of each run of equal
+    * event_type per user.
+    */
+  def gapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val rn1 = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val rn2 = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val isl = Window.partitionBy("user_id", "event_type", "gap_grp")
+    t(s, dir, "events")
+      .withColumn("gap_grp", row_number().over(rn1) - row_number().over(rn2))
+      .withColumn("island_start", min("ts").over(isl))
+      .select("event_id", "user_id", "event_type", "island_start")
+  }
+
+  val gapsIslandsSql: String =
+    """SELECT event_id, user_id, event_type, min(ts) OVER
+      |  (PARTITION BY user_id, event_type, gap_grp) AS island_start
+      |FROM (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) -
+      |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)
+      |    AS gap_grp FROM (SELECT event_id, user_id, event_type,
+      |      CAST(ts AS TIMESTAMP) AS ts FROM events))""".stripMargin
+
+  /** W3/W7 scale path: global-max scalar via agg + broadcast cross join
+    * instead of a single-partition window.
+    */
+  def globalMaxStamp(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val gmax = o.agg(max("o_orderdate").as("latest_known_date"))
+    latest.crossJoin(broadcast(gmax)).select("o_custkey", "o_orderkey", "latest_known_date")
+  }
+
+  val globalMaxStampSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  (SELECT max(o_orderdate) FROM orders) AS latest_known_date
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin
+
+  /** F1/F2: sha2-256 row fingerprint over concat_ws('||', ...). */
+  def rowFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      sha2(concat_ws("||",
+        col("c_name"), col("c_mktsegment"), col("c_nationkey").cast("string")), 256)
+        .as("row_hash"))
+
+  val rowFingerprintSql: String =
+    """SELECT c_custkey, sha256(concat_ws('||', c_name, c_mktsegment,
+      |  CAST(c_nationkey AS VARCHAR))) AS row_hash FROM customer""".stripMargin
+
+  /** Broadcast-join + aggregation (no-join is a reference quirk, not an
+    * engine limit): revenue per nation, dims broadcast.
+    */
+  def joinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  val joinRevenueSql: String =
+    """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Set operation: distinct. */
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  val distinctFlagsSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  // ------------------------------------------------------------- SCD
+
+  /** The flagship: full SCD change classification over snapshot-ified
+    * orders (entity = customer, snapshot = order date, attributes =
+    * status/priority), reusing the [[graft.operators.Scd]] operator chain
+    * in corrected-islands mode with the broadcast global max.
+    */
+  def scdStatus(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy("snapshot_date", "o_custkey")
+      .orderBy(col("o_orderkey").desc)
+    val snap = t(s, dir, "orders")
+      .withColumn("snapshot_date", col("o_orderdate").cast("date"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select("snapshot_date", "o_custkey", "o_orderstatus", "o_orderpriority")
+    snap
+      .transform(Scd.addRowHash(exclude = Seq("snapshot_date")))
+      .transform(Scd.changeStatus(entityCols = Seq("o_custkey")))
+      .select("o_custkey", "snapshot_date", "change_status", "changed_status_date")
+  }
+
+  val scdStatusSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS snapshot_date, o_custkey,
+      |         o_orderstatus, o_orderpriority,
+      |         row_number() OVER (PARTITION BY CAST(o_orderdate AS DATE), o_custkey
+      |           ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |snap AS (
+      |  SELECT snapshot_date, o_custkey, o_orderstatus, o_orderpriority,
+      |         sha256(concat_ws('||', CAST(o_custkey AS VARCHAR), o_orderstatus,
+      |           o_orderpriority)) AS row_hash
+      |  FROM base WHERE rn = 1),
+      |cls AS (
+      |  SELECT *,
+      |    min(snapshot_date) OVER (PARTITION BY o_custkey) AS min_snap,
+      |    max(snapshot_date) OVER (PARTITION BY o_custkey) AS max_snap,
+      |    lag(row_hash) OVER (PARTITION BY o_custkey ORDER BY snapshot_date) AS prev_hash,
+      |    lead(row_hash) OVER (PARTITION BY o_custkey ORDER BY snapshot_date) AS next_hash,
+      |    max(snapshot_date) OVER () AS global_max
+      |  FROM snap),
+      |st AS (
+      |  SELECT *,
+      |    CASE WHEN snapshot_date = min_snap THEN 'New'
+      |         WHEN next_hash IS NULL AND max_snap <> global_max THEN 'Deleted'
+      |         WHEN prev_hash <> row_hash THEN 'Changed'
+      |         WHEN prev_hash = row_hash THEN 'No Change'
+      |         ELSE 'Unknown' END AS change_status,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY snapshot_date DESC) -
+      |    row_number() OVER (PARTITION BY o_custkey, row_hash ORDER BY snapshot_date DESC)
+      |      AS gap_grp
+      |  FROM cls)
+      |SELECT o_custkey, snapshot_date, change_status,
+      |  CASE WHEN change_status = 'Deleted' THEN snapshot_date
+      |       ELSE min(snapshot_date) OVER (PARTITION BY o_custkey, row_hash, gap_grp)
+      |  END AS changed_status_date
+      |FROM st""".stripMargin
+
+  /** Join-based incremental merge of a current view ([[ScdMerge]]):
+    * split orders at a date boundary, merge the halves, expect the
+    * global latest row per customer.
+    */
+  def scdMergeCurrent(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val boundary = lit("2000-01-01").cast("timestamp")
+    val current = o.filter(col("o_orderdate") < boundary)
+    val incoming = o.filter(col("o_orderdate") >= boundary)
+    ScdMerge.mergeCurrent(current, incoming, Seq("o_custkey"), "o_orderdate",
+      tieBreakCols = Seq("o_orderkey"))
+  }
+
+  val scdMergeCurrentSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin
+
+  // ----------------------------------------------------- dedup extensions
+
+  /** Documents corpus + deterministic mutated copies, so dedup operators
+    * have real duplicates to find (the raw corpus has none). Exact-dup
+    * variants differ only in case; near-dup variants lose a tail chunk.
+    */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val exactDups = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text"))
+    d.union(exactDups)
+  }
+
+  private val corpusWithDupsSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Exact dedup by normalized-text sha2 fingerprint. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(corpusWithDups(s, dir), "text", "doc_id")
+      .select("doc_id", "representative", "cluster_size", "is_duplicate")
+
+  val dedupExactSql: String =
+    s"""WITH corpus AS ($corpusWithDupsSql),
+       |fp AS (SELECT doc_id,
+       |  sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus)
+       |SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY fp) AS representative,
+       |  count(*) OVER (PARTITION BY fp) AS cluster_size,
+       |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+       |FROM fp""".stripMargin
+
+  /** Near-dup corpus: tail-truncated variants (high shingle overlap). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val nearDups = d.filter(col("doc_id") % 7 === 0)
+      .select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1), greatest(length(col("text")) - 15, lit(20))).as("text"))
+    d.union(nearDups)
+      .filter(size(split(TextFunctions.normalizeText(col("text")), " ")) >= 3)
+  }
+
+  private val nearDupCorpusSql: String =
+    """SELECT doc_id, text FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 20)) AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 3""".stripMargin
+
+  private val MinHashNumHashes = 32
+  private val MinHashShingle = 3
+  private val MinHashBands = 8
+
+  /** MinHash + LSH candidate pairs. Signatures are bit-identical across
+    * engines (sha2-based base hash + explicit universal-hash params), so
+    * the oracle reproduces the exact pair set.
+    */
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = Dedup.minHashCandidates(
+      nearDupCorpus(s, dir), "text", "doc_id",
+      numHashes = MinHashNumHashes, shingleSize = MinHashShingle, bands = MinHashBands)
+    pairs
+  }
+
+  val dedupMinHashSql: String = {
+    val rows = MinHashNumHashes / MinHashBands
+    val params = Dedup.minHashParams(MinHashNumHashes)
+    val sigExprs = params.map { case (a, b) =>
+      s"list_min(list_transform(hashes, h -> (${a}*h + ${b}) % ${Dedup.MinHashPrime}))"
+    }.mkString("[", ", ", "]")
+    val bandExprs = (0 until MinHashBands).map { bnd =>
+      val lo = bnd * rows + 1
+      val hi = bnd * rows + rows
+      s"sha256('${bnd}' || ',' || array_to_string(sig[${lo}:${hi}], ','))"
+    }.mkString("[", ", ", "]")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |words AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(1, len(w) - ${MinHashShingle - 2}),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM words),
+       |hs AS (SELECT doc_id,
+       |  list_transform(shingles, s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)) AS hashes
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM hs),
+       |bands AS (SELECT doc_id, unnest($bandExprs) AS band FROM sig)
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over the known (original, variant) pairs. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = t(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000).as("id_b"))
+    Dedup.ngramJaccard(corpus, pairs, "text", "doc_id", MinHashShingle)
+      .select(
+        col("id_a"), col("id_b"),
+        col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    range(1, len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 1),
+       |    i -> string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i]
+       |      || ' ' || string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i+1]
+       |      || ' ' || string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i+2]))
+       |  AS sh FROM corpus),
+       |pairs AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+       |  FROM documents WHERE doc_id % 7 = 0)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+       |FROM pairs JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id""".stripMargin
+
+  /** SimHash signatures (32-bit) per document. */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimHash(t(s, dir, "documents"), "text", "simhash")
+      .select("doc_id", "simhash")
+
+  val dedupSimHashSql: String =
+    """SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
+      |  CASE WHEN list_sum(list_transform(
+      |    list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |      s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)),
+      |    h -> CASE WHEN CAST(floor(h / power(2, i)) AS BIGINT) % 2 = 1
+      |              THEN 1 ELSE -1 END)) > 0
+      |  THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- similarity search
+
+  /** Brute-force exact cosine top-k (query set broadcast). */
+  def simsearchTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val simsearchTopKSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, nv AS cv FROM n),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  round(list_dot_product(qv, cv), 6) AS cos_sim
+      |  FROM q, c WHERE query_id <> neighbor_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** Embedding-cosine near-duplicate counts (exact all-pairs at this
+    * scale; LSH-bucketed path is [[simsearchLsh]]).
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosineNearDupCounts(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.8)
+      .withColumnRenamed("id", "vec_id")
+
+  val embeddingNearDupSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS ve
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_id,
+      |  count(CASE WHEN round(list_dot_product(a.ve, b.ve), 6) >= 0.8
+      |    THEN 1 END) AS n_near_dups
+      |FROM v a LEFT JOIN v b ON a.vec_id <> b.vec_id
+      |GROUP BY a.vec_id""".stripMargin
+
+  /** LSH-bucketed approximate top-k — the 100 TB scale path. Uses
+    * Spark-internal xxhash64 hyperplanes; verified by rows-only check +
+    * recall assertions in the test suite (no SQL oracle).
+    */
+  def simsearchLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.lshTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  /** Token counting, length stats, quality score, fingerprint. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nTokens = TextFunctions.tokenCount(col("text"))
+    d.select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      round(length(col("text")).cast("double") /
+        when(nTokens > 0, nTokens.cast("double")).otherwise(lit(null)), 4)
+        .as("avg_word_len"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |  round(CAST(length(text) AS DOUBLE) / CASE
+      |    WHEN len(regexp_extract_all(text, '\S+')) > 0
+      |    THEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END, 4) AS avg_word_len,
+      |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |    (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+      |            BETWEEN 3 AND 10 THEN 1.0
+      |          WHEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) > 0
+      |            THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score,
+      |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Marker-word language identification. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scoreCols = TextFunctions.langMarkers.map { case (lang, _) =>
+      TextFunctions.langScore(col("text"), lang).cast("long").as(s"score_$lang")
+    }
+    d.select(
+      (col("doc_id") +: TextFunctions.langId(col("text")).as("predicted_lang") +: scoreCols): _*)
+  }
+
+  val langIdSql: String = {
+    val scoreDefs = TextFunctions.langMarkers.map { case (lang, words) =>
+      val sum = words
+        .map(wd => s"len(regexp_extract_all(lower(text), '\\b$wd\\b'))")
+        .mkString(" + ")
+      s"CAST($sum AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString("\n    ")
+    s"""WITH scores AS (SELECT doc_id, text,
+       |  $scoreDefs
+       |FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN $best = 0 THEN 'und'
+       |    $cases
+       |  END AS predicted_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scores""".stripMargin
+  }
+
+  // ------------------------------------------------------- multimodal
+
+  /** Binary-payload plumbing: documents as opaque binary media, with
+    * expression-level feature extraction (deterministic fake decode —
+    * real codec path is [[graft.operators.Multimodal.decodeFeatures]],
+    * exercised in tests).
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val h = TextFunctions.portableHash32(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+      sha2(encode(col("text"), "UTF-8"), 256).as("checksum"),
+      (lit(16) + pmod(h, lit(4080L))).cast("long").as("width"),
+      (lit(16) + pmod(floor(h / lit(4096.0)).cast("long"), lit(2144L))).cast("long").as("height"))
+  }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS checksum,
+      |  CAST(16 + CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 4080 AS BIGINT) AS width,
+      |  CAST(16 + CAST(floor(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) / 4096.0) AS BIGINT) % 2144 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  /** name -> (spark, sfDir) -> result. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter_project" -> (scanFilterProject _),
+    "q_when_case" -> (whenCase _),
+    "q_union_dedup" -> (unionDedup _),
+    "q_dup_gate" -> (dupGate _),
+    "q_agg_pricing" -> (aggPricing _),
+    "q_topk_per_group" -> (topkPerGroup _),
+    "q_window_lag_lead" -> (windowLagLead _),
+    "q_window_running" -> (windowRunning _),
+    "q_gaps_islands" -> (gapsIslands _),
+    "q_global_max_stamp" -> (globalMaxStamp _),
+    "q_row_fingerprint" -> (rowFingerprint _),
+    "q_join_revenue" -> (joinRevenue _),
+    "q_distinct_flags" -> (distinctFlags _),
+    "q_scd_status" -> (scdStatus _),
+    "q_scd_merge_current" -> (scdMergeCurrent _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinHash _),
+    "q_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_dedup_simhash" -> (dedupSimHash _),
+    "q_simsearch_topk" -> (simsearchTopK _),
+    "q_simsearch_lsh" -> (simsearchLsh _),
+    "q_embedding_neardup" -> (embeddingNearDup _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_multimodal_features" -> (multimodalFeatures _))
+
+  /** name -> DuckDB oracle SQL (queries absent here get the driver's
+    * weaker rows-only check — currently only the xxhash64-based LSH).
+    */
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project" -> scanFilterProjectSql,
+    "q_when_case" -> whenCaseSql,
+    "q_union_dedup" -> unionDedupSql,
+    "q_dup_gate" -> dupGateSql,
+    "q_agg_pricing" -> aggPricingSql,
+    "q_topk_per_group" -> topkPerGroupSql,
+    "q_window_lag_lead" -> windowLagLeadSql,
+    "q_window_running" -> windowRunningSql,
+    "q_gaps_islands" -> gapsIslandsSql,
+    "q_global_max_stamp" -> globalMaxStampSql,
+    "q_row_fingerprint" -> rowFingerprintSql,
+    "q_join_revenue" -> joinRevenueSql,
+    "q_distinct_flags" -> distinctFlagsSql,
+    "q_scd_status" -> scdStatusSql,
+    "q_scd_merge_current" -> scdMergeCurrentSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinHashSql,
+    "q_ngram_jaccard" -> ngramJaccardPairsSql,
+    "q_dedup_simhash" -> dedupSimHashSql,
+    "q_simsearch_topk" -> simsearchTopKSql,
+    "q_embedding_neardup" -> embeddingNearDupSql,
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_multimodal_features" -> multimodalFeaturesSql)
+}

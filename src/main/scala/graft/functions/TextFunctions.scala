@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * normalization, fingerprinting, token statistics, shingling, a
+  * portable 32-bit hash, and an n-gram/marker-word language heuristic.
+  *
+  * Everything here is built-in Catalyst expressions (no UDFs) so it
+  * stays inside whole-stage codegen and is embarrassingly parallel —
+  * per-row work only, no shuffle. The portable hash is defined via
+  * sha2 so an external SQL engine (the DuckDB oracle) can reproduce it
+  * bit-for-bit; hot paths that don't need cross-engine parity should
+  * prefer `xxhash64` (cheaper).
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse runs of whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Stable document fingerprint: sha2-256 of the normalized text. */
+  def fingerprint(c: Column): Column = sha2(normalizeText(c), 256)
+
+  /** Whitespace token count (codegen'd regexp, no split allocation). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** Portable 32-bit non-negative hash: first 8 hex chars of sha2-256,
+    * as a long in [0, 2^32). Reproducible in any engine with sha256 +
+    * hex parsing; used for minhash/simhash so the oracle can verify.
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles of the normalized text, as an array column.
+    * Pure higher-order functions — per-row, no explode, no shuffle.
+    * Texts shorter than n words yield an empty array (guarded: Spark's
+    * `sequence(1, 0)` would count DOWN, not produce an empty sequence).
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val words = split(normalizeText(c), " ")
+    val cnt = size(words) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Marker words per language for the language-ID heuristic. A real
+    * deployment would plug a trained n-gram model in behind the same
+    * column signature; the heuristic keeps the whole thing inside
+    * codegen'd expressions.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "de", "la"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("shi", "de", "zhong"))
+
+  /** Count of whole-word occurrences of `word` in the text. */
+  def markerCount(c: Column, word: String): Column =
+    regexp_count(lower(c), lit("\\b" + word + "\\b"))
+
+  /** Total marker hits for one language. */
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(markerCount(c, _))
+      .reduce(_ + _)
+
+  /** Predicted language: argmax of [[langScore]] over [[langMarkers]],
+    * first-listed language winning ties ('und' if no marker hits at all).
+    */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, _) => lang -> langScore(c, lang) }
+    val best = scores
+      .map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: penalizes very short / very long
+    * documents, rewards moderate average word length. All-integer inputs
+    * and fixed-order arithmetic → bit-stable across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nTokens = tokenCount(c).cast("double")
+    val avgWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val lengthScore = least(nChars / lit(200.0), lit(1.0))
+    val wordLenScore = when(avgWordLen >= 3 && avgWordLen <= 10, lit(1.0))
+      .when(avgWordLen > 0, lit(0.5))
+      .otherwise(lit(0.0))
+    round(lengthScore * lit(0.5) + wordLenScore * lit(0.5), 6)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` / `array<double>`
+  * embedding columns, built from Catalyst higher-order functions
+  * (`zip_with` / `aggregate`) — codegen-friendly, per-row, no UDFs.
+  *
+  * All math is done in double after an explicit cast, with a fixed
+  * left-to-right fold order, so results are bit-stable and reproducible
+  * by external engines (the DuckDB oracle computes the same fold).
+  */
+object VectorFunctions {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Dot product: sequential fold over zip_with products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe for zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(null).cast("double"))
+  }
+
+  /** Squared L2 distance. */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Random-hyperplane (sign) LSH signature of `numBits` bits packed into
+    * a long. Hyperplane components are deterministic pseudo-random values
+    * in [-1, 1) derived from xxhash64(bitIndex, dimIndex, seed) — every
+    * executor computes identical planes with zero driver-side state or
+    * broadcast. Cosine-similar vectors collide with high probability.
+    */
+  def hyperplaneSignature(vec: Column, numBits: Int, seed: Long = 42L): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until numBits).map { b =>
+      // plane(b, j) in [-1, 1): hash to [0, 2^20) then scale.
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => {
+          val h = pmod(xxhash64(lit(b), j, lit(seed)), lit(1048576L))
+          x * (h.cast("double") / lit(524288.0) - lit(1.0))
+        }),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

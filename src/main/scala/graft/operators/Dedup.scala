@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for training-data pipelines, from
+  * exact through fuzzy:
+  *
+  *   - exact: hash-groupBy on a normalized fingerprint (one shuffle on a
+  *     high-cardinality key — scales linearly);
+  *   - MinHash + LSH: shingle → minhash signature (per-row HOFs, no
+  *     shuffle) → band buckets → candidate pairs via bucket self-join
+  *     (shuffle on band hash; only colliding docs ever meet, so the
+  *     quadratic blow-up is confined to buckets);
+  *   - SimHash: 32-bit per-document signature, Hamming-adjacent buckets;
+  *   - n-gram Jaccard: exact pairwise similarity, restricted to LSH (or
+  *     caller-provided) candidate pairs — never all-pairs at scale;
+  *   - embedding cosine near-dup: see [[SimilaritySearch]].
+  *
+  * MinHash params follow the classic (a*h + b) mod p universal-hash
+  * family over a portable 32-bit base hash, so an external SQL engine
+  * can reproduce signatures exactly.
+  */
+object Dedup {
+
+  /** Large prime > 2^32 for the universal hash family. */
+  val MinHashPrime: Long = 4294967311L
+
+  /** Deterministic (a_i, b_i) parameters for `numHashes` hash functions,
+    * derived from splitmix64-style mixing of the index — stable across
+    * runs and engines (no RNG state).
+    */
+  def minHashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      def mix(x: Long): Long = {
+        var z = x + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      // a, b < 2^31 so a*h + b stays under 2^63 for 32-bit base hashes
+      // (identical arithmetic is then reproducible in any int64 engine).
+      val a = java.lang.Math.floorMod(mix(i.toLong * 2 + 1), 2147483646L) + 1
+      val b = java.lang.Math.floorMod(mix(i.toLong * 2 + 2), 2147483647L)
+      (a, b)
+    }
+
+  /** Exact dedup: group documents by normalized-text fingerprint.
+    * Output: one row per document with its cluster fingerprint, the
+    * cluster's representative (min id), cluster size, and whether the
+    * row is the representative.
+    *
+    * Single hash-shuffle on the fingerprint; at 100 TB this is the
+    * cheapest possible exact formulation (partial aggregation does not
+    * apply to the window, but the fingerprint key is near-unique so
+    * partitions stay balanced).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("representative", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("representative"))
+  }
+
+  /** Shingle-hash array for one document: word n-gram shingles, each
+    * hashed with the portable 32-bit hash. MATERIALIZE THIS AS ITS OWN
+    * COLUMN before fanning out into signatures: the signature/band
+    * expressions reference it many times, and Catalyst duplicates (not
+    * CSEs) expensive subtrees — inlining this into 32 signature branches
+    * recomputes every sha256 32 times per row.
+    */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    transform(wordShingles(textCol, shingleSize), portableHash32 _)
+
+  /** MinHash signature as an array<long> column over a PRE-MATERIALIZED
+    * shingle-hash column: for each hash function i, min over shingle
+    * hashes of (a_i * h + b_i) mod p. Pure per-row HOFs — zero shuffle.
+    */
+  def minHashSignature(hashesCol: Column, numHashes: Int): Column = {
+    val params = minHashParams(numHashes)
+    val sig = params.map { case (a, b) =>
+      array_min(transform(hashesCol, h => pmod(lit(a) * h + lit(b), lit(MinHashPrime))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band hashes from a minhash signature: split into `bands` bands
+    * of `rows` values each; band key = sha2 of the joined slice.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      sha2(concat_ws(",", lit(b), concat_ws(",", slice(sig, b * rows + 1, rows))), 256)
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * @return (id_a, id_b) with id_a < id_b, distinct — documents sharing
+    *         at least one LSH band bucket — plus a second DataFrame of
+    *         over-limit buckets that were dropped (logged, not silent).
+    *
+    * Scale shape: one pass computes shingle hashes → signature → band
+    * keys (each in its own Project — Catalyst duplicates, not CSEs,
+    * expensive subtrees referenced more than once, so inlining these
+    * would recompute every sha256 32x per row). Then ONE shuffle groups
+    * ids per band bucket and pairs are enumerated bucket-locally — a
+    * self-join on the band key would re-execute the whole hash lineage
+    * for the second side. `maxBucket` bounds per-bucket memory and the
+    * quadratic pair blow-up of degenerate corpora.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    import graft.plans.NativeText
+    NativeText.register(df.sparkSession, Seq(numHashes))
+    val rows = numHashes / bands
+    // CPU-bound per-row stage: make sure it parallelizes even when the
+    // input is one small parquet row-group (common for side tables; at
+    // real scale inputs arrive already partitioned and this is a no-op).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val input = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val buckets = input
+      .select(col(idCol).as("id"),
+        NativeText.shingleHash32(
+          split(normalizeText(col(textCol)), " "), shingleSize).as("__hashes"))
+      .select(col("id"),
+        NativeText.minHashSig(col("__hashes"), numHashes).as("__sig"))
+      .select(col("id"), explode(lshBandHashes(col("__sig"), bands, rows)).as("band"))
+    val grouped = buckets
+      .groupBy("band")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val dropped = grouped.filter(size(col("ids")) > maxBucket)
+      .select(col("band"), size(col("ids")).cast("long").as("bucket_n"))
+    val pairs = grouped
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    (pairs, dropped)
+  }
+
+  /** Exact word-n-gram Jaccard similarity for given candidate pairs.
+    * `pairs` must have columns (id_a, id_b); shingle sets are computed
+    * once per document and joined in — never recomputed per pair.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn(
+        "jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+  }
+
+  /** 32-bit SimHash over a PRE-MATERIALIZED word-hash column: per bit
+    * position, majority vote of word-hash bits weighted +1/-1. Pure
+    * per-row HOFs, no shuffle. Near-duplicates differ in few bits
+    * (compare via Hamming distance / bucket on the signature).
+    */
+  def simHashFromHashes(hashesCol: Column): Column = {
+    // Bit ops via exact power-of-two arithmetic (doubles are exact for
+    // 2^i, i<32, and for h < 2^32) because the shift DSL functions take
+    // literal ints, not lambda-bound columns.
+    val bits = transform(
+      sequence(lit(0), lit(31)),
+      i => {
+        val bitOf = (h: Column) =>
+          pmod(floor(h / pow(lit(2.0), i)).cast("long"), lit(2L))
+        val vote = aggregate(
+          hashesCol,
+          lit(0L),
+          (acc, h) => acc + when(bitOf(h) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))
+      })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DataFrame-level simhash: materializes the word-hash array in its
+    * own Project (see [[shingleHashes]] — the signature references it
+    * 32x, once per bit) before computing the signature. Word hashing
+    * uses the native expression (a 1-gram shingle is the word itself).
+    */
+  def withSimHash(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import graft.plans.NativeText
+    NativeText.register(df.sparkSession)
+    df.withColumn("__simhash_words",
+        NativeText.shingleHash32(split(normalizeText(col(textCol)), " "), 1))
+      .withColumn(outCol, simHashFromHashes(col("__simhash_words")))
+      .drop("__simhash_words")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.plans.NativeVector
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Performance shape (this is the part that must survive 100 TB):
+  *   - vectors are L2-NORMALIZED ONCE per row before any join, so the
+  *     per-pair kernel is a single dot product — never recompute norms
+  *     inside the pair loop;
+  *   - the dot product is a native codegen'd Catalyst expression
+  *     ([[graft.plans.DotProduct]]), not an interpreted higher-order
+  *     function — the all-pairs kernel stays inside whole-stage codegen;
+  *   - [[bruteForceTopK]] broadcasts the (small) query side: one
+  *     parallel scan of candidates, no candidate-side shuffle until the
+  *     final per-query top-k;
+  *   - [[lshTopK]] is the approximate scale path: random-hyperplane
+  *     signatures bucket both sides and only same-bucket pairs are
+  *     scored.
+  */
+object SimilaritySearch {
+
+  /** Project to (idAlias, normalized-vector) — unit-L2, double. */
+  private def normalizedSide(
+      df: DataFrame, idCol: String, idAlias: String,
+      vecCol: String, vecAlias: String): DataFrame = {
+    NativeVector.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(idAlias), v.as("__v"))
+      .withColumn("__norm", sqrt(NativeVector.dot(col("__v"), col("__v"))))
+      .withColumn(vecAlias,
+        when(col("__norm") > 0, transform(col("__v"), x => x / col("__norm"))))
+      .select(idAlias, vecAlias)
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` most similar
+    * rows of `candidates` (self-matches excluded when ids collide).
+    * Output: query_id, neighbor_id, cos_sim (rounded to 6 dp for stable
+    * cross-engine comparison), rank.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = normalizedSide(queries, idCol, "query_id", vecCol, "q_vec")
+    val c = normalizedSide(candidates, idCol, "neighbor_id", vecCol, "c_vec")
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(NativeVector.dot(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: candidates and queries
+    * are bucketed by an `numBits`-bit signature; cosine is evaluated only
+    * within matching buckets. Recall < 1; increase `numTables` to probe
+    * more independent signatures.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 12,
+      numTables: Int = 2): DataFrame = {
+    // Each table probes an independent signature: the table seed is
+    // folded into the hyperplane hash, not just the bucket label.
+    def sigs(df: DataFrame, id: String, vec: String) = {
+      val n = normalizedSide(df, idCol, id, vecCol, vec)
+      n.select(col(id), col(vec),
+        explode(array((0 until numTables).map { t =>
+          concat_ws(":", lit(t), hyperplaneSignature(col(vec), numBits, seed = 42L + t * 7919L))
+        }: _*)).as("bucket"))
+    }
+    val q = sigs(queries, "query_id", "q_vec")
+    val c = sigs(candidates, "neighbor_id", "c_vec")
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(NativeVector.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-based near-duplicate detection: per row, how many OTHER
+    * vectors exceed `threshold` cosine similarity (0 for unique rows).
+    * Exact all-pairs within the provided frame — restrict/partition the
+    * input (or use [[lshTopK]] buckets) before calling at scale.
+    */
+  def cosineNearDupCounts(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = normalizedSide(df, idCol, "id", vecCol, "va")
+    val b = normalizedSide(df, idCol, "id_b", vecCol, "vb")
+    a.join(b, col("id") =!= col("id_b"), "left")
+      .groupBy("id")
+      .agg(
+        count(when(round(NativeVector.dot(col("va"), col("vb")), 6) >= threshold, 1))
+          .as("n_near_dups"))
+  }
+}

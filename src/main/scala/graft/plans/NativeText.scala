@@ -1,0 +1,168 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot path.
+  *
+  * The higher-order-function formulation (transform + sha2/conv per
+  * shingle, then 32 x array_min(transform(...)) for the signature) pays
+  * per-element interpreted-lambda plumbing and string allocation for
+  * every shingle — and the generated wrapper code is large enough that
+  * janino compilation alone costs seconds per query. These expressions
+  * do the same per-row work in one plain-JVM loop each.
+  *
+  * Hash compatibility is exact: shingle hash = first 4 bytes of
+  * sha256(shingle utf8) as an unsigned 32-bit value — identical to
+  * `conv(substring(sha2(s,256),1,8),16,10)` and to the DuckDB oracle's
+  * `('0x' || substr(sha256(s),1,8))::BIGINT`.
+  */
+object NativeText {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
+  /** sha256(utf8) -> first 4 bytes as unsigned int in a long. */
+  def hash32(bytes: Array[Byte]): Long = {
+    val d = digests.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  val ShingleHashName = "graft_shingle_hash32"
+  val MinHashSigPrefix = "graft_minhash_sig"
+
+  /** Register the native text functions on a session (idempotent). */
+  def register(spark: SparkSession, minHashCounts: Seq[Int] = Seq(32)): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      ShingleHashName,
+      exprs => WordShingleHash32(exprs(0), exprs(1)),
+      "built-in")
+    minHashCounts.foreach { n =>
+      reg.createOrReplaceTempFunction(
+        s"$MinHashSigPrefix$n",
+        exprs => MinHashSig(exprs.head, n),
+        "built-in")
+    }
+  }
+
+  /** Column API (requires [[register]] on the owning session). */
+  def shingleHash32(words: Column, n: Int): Column =
+    call_function(ShingleHashName, words, org.apache.spark.sql.functions.lit(n))
+
+  def minHashSig(hashes: Column, numHashes: Int): Column =
+    call_function(s"$MinHashSigPrefix$numHashes", hashes)
+}
+
+/** words array + shingle size n -> array of portable 32-bit hashes of
+  * the word n-gram shingles (space-joined). n must be a foldable int.
+  */
+case class WordShingleHash32(words: Expression, nExpr: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(words, nExpr)
+  override def nullable: Boolean = words.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = words.dataType match {
+    case ArrayType(StringType, _) if nExpr.foldable && nExpr.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_shingle_hash32 requires (array<string>, foldable int)")
+  }
+
+  private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = words.eval(input)
+    if (arr == null) return null
+    val a = arr.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    val count = math.max(len - (n - 1), 0)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        // null words render as empty (matches concat_ws skipping nulls
+        // only BETWEEN separators is not an issue here: split() never
+        // produces null elements)
+        val w = a.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      out(i) = NativeText.hash32(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(words = c(0), nExpr = c(1))
+}
+
+/** Pre-computed shingle-hash array -> minhash signature of `numHashes`
+  * values using the deterministic universal-hash family from
+  * [[graft.operators.Dedup.minHashParams]]. One tight primitive loop.
+  */
+case class MinHashSig(hashes: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = hashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("minhash_sig requires array<long>")
+  }
+
+  // (a_i, b_i) as primitive arrays for the hot loop
+  private lazy val (as, bs) = {
+    val ps = graft.operators.Dedup.minHashParams(numHashes)
+    (ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
+  private val prime = graft.operators.Dedup.MinHashPrime
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData]
+    val len = h.numElements()
+    val out = new Array[Any](numHashes)
+    if (len == 0) {
+      // empty shingle set -> null signature values (array_min of empty)
+      java.util.Arrays.fill(out, null)
+      return new GenericArrayData(out)
+    }
+    var i = 0
+    while (i < numHashes) {
+      val a = as(i)
+      val b = bs(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < len) {
+        val v = (a * h.getLong(j) + b) % prime
+        if (v < min) min = v
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(hashes = c)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+import graft.functions.VectorFunctions
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("bruteForceTopK returns k ranked neighbors per query, self excluded") {
+    val out = SimilaritySearch.bruteForceTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = 3)
+    val perQuery = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.size == 5 && perQuery.values.forall(_ == 3))
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are 1..k and ordered by descending similarity
+    val rows = out.filter($"query_id" === 0).orderBy("rank")
+      .select("rank", "cos_sim").as[(Int, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("cosine agrees with a locally computed dot product") {
+    val row = emb.filter($"vec_id" === 0)
+      .select(VectorFunctions.cosine($"embedding", $"embedding").as("c"))
+      .as[Double].head()
+    assert(math.abs(row - 1.0) < 1e-12)
+  }
+
+  test("lshTopK candidates are biased toward genuinely similar vectors") {
+    // The fixture embeddings are near-random (no strong near-dup
+    // structure), so absolute precision is meaningless; the property an
+    // SRP-LSH must satisfy is that same-bucket pairs have systematically
+    // higher cosine than random pairs (collision prob rises with cosine).
+    val approx = SimilaritySearch.lshTopK(
+      emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", k = 5,
+      numBits = 8, numTables = 4)
+    val got = approx.select("cos_sim").as[Double].collect()
+    assert(got.nonEmpty, "LSH returned no candidates at 8 bits / 4 tables")
+    val all = SimilaritySearch.bruteForceTopK(
+      emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", k = 499)
+      .select("cos_sim").as[Double].collect()
+    val lshMean = got.sum / got.length
+    val allMean = all.sum / all.length
+    assert(lshMean > allMean,
+      s"LSH candidates not similarity-biased: lsh=$lshMean vs all=$allMean")
+  }
+
+  test("cosineNearDupCounts is symmetric and self-free") {
+    val out = SimilaritySearch.cosineNearDupCounts(
+      emb.limit(100), "vec_id", "embedding", threshold = 0.8)
+    assert(out.count() == 100)
+    assert(out.agg(min("n_near_dups")).head().getLong(0) >= 0)
+  }
+}
