@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/scan/codegen infrastructure (JIT, parquet
+    // footer cache, janino) otherwise lands entirely on the first query.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter("l_quantity > 0").groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

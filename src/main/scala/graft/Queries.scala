@@ -166,6 +166,63 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 minutes; events carry their session sequence number. Windows
+    * only — the per-user cumulative sum pattern every event pipeline
+    * needs.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(run))
+      .select("event_id", "user_id", "session_seq")
+  }
+
+  val sessionizeSql: String =
+    """SELECT event_id, user_id,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)))""".stripMargin
+
+  /** Rollup aggregation (subtotals + grand total). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Distinct-count aggregation. */
+  def countDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_suppliers"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+
+  val countDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** W4/W5/W6: gaps-and-islands — start timestamp of each run of equal
     * event_type per user.
     */
@@ -256,14 +313,21 @@ object Queries {
   def scdStatus(s: SparkSession, dir: String): DataFrame = {
     val dedupW = Window.partitionBy("snapshot_date", "o_custkey")
       .orderBy(col("o_orderkey").desc)
-    val snap = t(s, dir, "orders")
+    val orders = t(s, dir, "orders")
+    val snap = orders
       .withColumn("snapshot_date", col("o_orderdate").cast("date"))
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
       .select("snapshot_date", "o_custkey", "o_orderstatus", "o_orderpriority")
+    // global max date is dedup-invariant: computing it from the raw
+    // orders scan avoids re-executing the dedup window lineage just for
+    // one scalar (verified via explain: the max branch becomes a bare
+    // scan + partial/final agg).
+    val rawDates = orders.select(col("o_orderdate").cast("date").as("snapshot_date"))
     snap
       .transform(Scd.addRowHash(exclude = Seq("snapshot_date")))
-      .transform(Scd.changeStatus(entityCols = Seq("o_custkey")))
+      .transform(Scd.changeStatus(
+        entityCols = Seq("o_custkey"), globalMaxOf = Some(rawDates)))
       .select("o_custkey", "snapshot_date", "change_status", "changed_status_date")
   }
 
@@ -529,6 +593,10 @@ object Queries {
     d.select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
+      // BPE-ish subword proxy: letter runs, single digits, and isolated
+      // punctuation each count as one token
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+        .cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_measured"),
       round(length(col("text")).cast("double") /
         when(nTokens > 0, nTokens.cast("double")).otherwise(lit(null)), 4)
@@ -540,6 +608,8 @@ object Queries {
   val textStatsSql: String =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT)
+      |    AS n_bpe_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_measured,
       |  round(CAST(length(text) AS DOUBLE) / CASE
       |    WHEN len(regexp_extract_all(text, '\S+')) > 0
@@ -620,6 +690,9 @@ object Queries {
     "q_topk_per_group" -> (topkPerGroup _),
     "q_window_lag_lead" -> (windowLagLead _),
     "q_window_running" -> (windowRunning _),
+    "q_sessionize" -> (sessionize _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_count_distinct" -> (countDistinct _),
     "q_gaps_islands" -> (gapsIslands _),
     "q_global_max_stamp" -> (globalMaxStamp _),
     "q_row_fingerprint" -> (rowFingerprint _),
@@ -650,6 +723,9 @@ object Queries {
     "q_topk_per_group" -> topkPerGroupSql,
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_window_running" -> windowRunningSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_count_distinct" -> countDistinctSql,
     "q_gaps_islands" -> gapsIslandsSql,
     "q_global_max_stamp" -> globalMaxStampSql,
     "q_row_fingerprint" -> rowFingerprintSql,

@@ -132,7 +132,8 @@ object Dedup {
           split(normalizeText(col(textCol)), " "), shingleSize).as("__hashes"))
       .select(col("id"),
         NativeText.minHashSig(col("__hashes"), numHashes).as("__sig"))
-      .select(col("id"), explode(lshBandHashes(col("__sig"), bands, rows)).as("band"))
+      .select(col("id"),
+        explode(NativeText.bandHashes(col("__sig"), bands, rows)).as("band"))
     val grouped = buckets
       .groupBy("band")
       .agg(sort_array(collect_list(col("id"))).as("ids"))

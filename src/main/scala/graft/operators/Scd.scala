@@ -105,12 +105,19 @@ object Scd {
     * @param useSinglePartitionWindow reproduce the reference's
     *   `partitionBy(lit(1))` global-max window (W3); default computes the
     *   scalar with agg + broadcast cross join instead.
+    * @param globalMaxOf compute the broadcast global-max date from THIS
+    *   frame instead of the input. The default re-executes the input's
+    *   lineage (dedup windows included) for a single max; when the input
+    *   is derived from a raw source by transforms that cannot change
+    *   max(dateCol) — dedup, projection — passing the raw source here
+    *   turns that branch into a bare scan + partial/final max.
     */
   def changeStatus(
       entityCols: Seq[String],
       dateCol: String = "snapshot_date",
       legacyChangedStatusDate: Boolean = false,
-      useSinglePartitionWindow: Boolean = false)(df: DataFrame): DataFrame = {
+      useSinglePartitionWindow: Boolean = false,
+      globalMaxOf: Option[DataFrame] = None)(df: DataFrame): DataFrame = {
 
     val entityW = Window.partitionBy(cols(entityCols): _*).orderBy(col(dateCol))
 
@@ -130,7 +137,8 @@ object Scd {
         val constW = Window.partitionBy(lit(1)).orderBy(col(dateCol).desc)
         withHelpers.withColumn("global_max_snapshot", max(dateCol).over(constW))
       } else {
-        val maxDf = df.agg(max(dateCol).as("global_max_snapshot"))
+        val maxDf = globalMaxOf.getOrElse(df)
+          .agg(max(dateCol).as("global_max_snapshot"))
         withHelpers.crossJoin(broadcast(maxDf))
       }
 

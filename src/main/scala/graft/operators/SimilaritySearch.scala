@@ -80,7 +80,8 @@ object SimilaritySearch {
       val n = normalizedSide(df, idCol, id, vecCol, vec)
       n.select(col(id), col(vec),
         explode(array((0 until numTables).map { t =>
-          concat_ws(":", lit(t), hyperplaneSignature(col(vec), numBits, seed = 42L + t * 7919L))
+          concat_ws(":", lit(t),
+            NativeVector.hyperplaneSig(col(vec), numBits, seed = 42L + t * 7919L))
         }: _*)).as("bucket"))
     }
     val q = sigs(queries, "query_id", "q_vec")

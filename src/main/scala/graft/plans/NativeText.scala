@@ -40,6 +40,7 @@ object NativeText {
 
   val ShingleHashName = "graft_shingle_hash32"
   val MinHashSigPrefix = "graft_minhash_sig"
+  val BandHashName = "graft_band_hashes"
 
   /** Register the native text functions on a session (idempotent). */
   def register(spark: SparkSession, minHashCounts: Seq[Int] = Seq(32)): Unit = {
@@ -54,6 +55,13 @@ object NativeText {
         exprs => MinHashSig(exprs.head, n),
         "built-in")
     }
+    reg.createOrReplaceTempFunction(
+      BandHashName,
+      exprs => LshBandHashes(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Column API (requires [[register]] on the owning session). */
@@ -62,6 +70,80 @@ object NativeText {
 
   def minHashSig(hashes: Column, numHashes: Int): Column =
     call_function(s"$MinHashSigPrefix$numHashes", hashes)
+
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(BandHashName, sig, lit(bands), lit(rows))
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def sha256Hex(s: String): UTF8String = {
+    val d = digests.get()
+    d.reset()
+    UTF8String.fromString(
+      toHex(d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+  }
+}
+
+/** minhash signature -> LSH band-key strings: band b's key is
+  * sha256-hex of "b,v1,...,vr" over its signature slice — identical
+  * strings to the composed sha2/concat_ws/slice formulation and the
+  * DuckDB oracle.
+  */
+case class LshBandHashes(sig: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = sig
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = sig.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("band_hashes requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder()
+    var b = 0
+    while (b < bands) {
+      // exact concat_ws composition: outer join is "b" + "," + inner,
+      // where inner joins the NON-NULL slice values with "," (an
+      // all-null slice yields the empty string, so the key is "b,").
+      sb.setLength(0)
+      sb.append(b)
+      sb.append(',')
+      var j = 0
+      var first = true
+      while (j < rows) {
+        val idx = b * rows + j
+        if (idx < s.numElements() && !s.isNullAt(idx)) {
+          if (!first) sb.append(',')
+          sb.append(s.getLong(idx))
+          first = false
+        }
+        j += 1
+      }
+      out(b) = NativeText.sha256Hex(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(sig = c)
 }
 
 /** words array + shingle size n -> array of portable 32-bit hashes of

@@ -72,23 +72,106 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** vec (array<double>) -> packed `numBits`-bit random-hyperplane (SRP)
+  * sign signature as a long. Bit-compatible with
+  * [[graft.functions.VectorFunctions.hyperplaneSignature]] — plane
+  * component (b, j) is derived from the same xxhash64 fold
+  * (default seed 42 → b → j → seed), scaled to [-1, 1) — but computed
+  * in one plain-JVM loop with the plane matrix cached per dimension
+  * instead of per-element interpreted lambdas re-hashing every row.
+  */
+case class HyperplaneSig(vec: Expression, numBits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def child: Expression = vec
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("hyperplane_sig requires array<double>")
+  }
+
+  // plane(b, j) in [-1, 1): xxhash64(b:int, j:int, seed:long) folded as
+  // Spark's XxHash64 expression does, then mod 2^20 scaled. Cached per
+  // observed dimension; idempotent write, so the benign race under
+  // local-mode thread sharing is safe.
+  @transient private var planesCache: Array[Array[Double]] = _
+
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val c = planesCache
+    if (c != null && c.length == numBits && c(0).length == dim) return c
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val p = Array.tabulate(numBits, dim) { (b, j) =>
+      var h = 42L
+      h = XxHash64Function.hash(b, IntegerType, h)
+      h = XxHash64Function.hash(j, IntegerType, h)
+      h = XxHash64Function.hash(seed, LongType, h)
+      val m = java.lang.Math.floorMod(h, 1048576L)
+      m.toDouble / 524288.0 - 1.0
+    }
+    planesCache = p
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val p = planes(dim)
+    var sig = 0L
+    var b = 0
+    while (b < numBits) {
+      val row = p(b)
+      var proj = 0.0
+      var j = 0
+      while (j < dim) {
+        proj += v.getDouble(j) * row(j)
+        j += 1
+      }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
 /** Session registration + Column API for the native expressions. */
 object NativeVector {
 
   val DotName = "graft_dot"
+  val HyperplaneName = "graft_hyperplane_sig"
 
   /** Idempotently register the native functions on a session (temp
     * functions are per-session state; safe to call before every use).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { exprs => DotProduct(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HyperplaneName,
+      { exprs =>
+        val bits = exprs(1).eval(null).asInstanceOf[Int]
+        val seed = exprs(2).eval(null).asInstanceOf[Long]
+        HyperplaneSig(exprs(0), bits, seed)
+      },
+      "built-in")
+  }
 
   /** Native dot product; cast inputs to array<double> first. Requires
     * [[register]] on the owning session.
     */
   def dot(a: Column, b: Column): Column =
     call_function(DotName, a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Native packed SRP signature. Requires [[register]]. */
+  def hyperplaneSig(vec: Column, numBits: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(HyperplaneName, vec.cast("array<double>"), lit(numBits), lit(seed))
+  }
 }

@@ -84,6 +84,14 @@ class DedupSpec extends SparkSpec {
     val a = hof.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
     val b = native.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
     assert(a == b)
+
+    val hofBands = hof.select($"doc_id",
+      Dedup.lshBandHashes($"sig", 8, 4).as("b"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val nativeBands = native.select($"doc_id",
+      graft.plans.NativeText.bandHashes($"sig", 8, 4).as("b"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(hofBands == nativeBands)
   }
 
   test("wordShingles handles short texts (no descending-sequence bug)") {

@@ -23,6 +23,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("native hyperplane signature matches the HOF reference formulation") {
+    graft.plans.NativeVector.register(spark)
+    val v = emb.limit(200).select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val hof = v.select($"vec_id",
+      VectorFunctions.hyperplaneSignature($"v", 12, seed = 7L).as("s"))
+    val native = v.select($"vec_id",
+      graft.plans.NativeVector.hyperplaneSig($"v", 12, seed = 7L).as("s"))
+    val a = hof.orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val b = native.orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("cosine agrees with a locally computed dot product") {
     val row = emb.filter($"vec_id" === 0)
       .select(VectorFunctions.cosine($"embedding", $"embedding").as("c"))
