@@ -38,10 +38,27 @@ object SimilaritySearch {
       .select(idAlias, vecAlias)
   }
 
+  private def scoredPairs(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val q = normalizedSide(queries, idCol, "query_id", vecCol, "q_vec")
+    val c = normalizedSide(candidates, idCol, "neighbor_id", vecCol, "c_vec")
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(NativeVector.dot(col("q_vec"), col("c_vec")), 6))
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the `k` most similar
     * rows of `candidates` (self-matches excluded when ids collide).
     * Output: query_id, neighbor_id, cos_sim (rounded to 6 dp for stable
     * cross-engine comparison), rank.
+    *
+    * Aggregation-based: the k-bounded [[TopK.TopKAggregator]] combines
+    * map-side, so only k rows per (query, partition) reach the shuffle —
+    * the window formulation ([[bruteForceTopKWindow]]) ships and sorts
+    * every scored pair. Results are identical (total order: cos_sim
+    * desc, neighbor_id asc).
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -49,11 +66,28 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = normalizedSide(queries, idCol, "query_id", vecCol, "q_vec")
-    val c = normalizedSide(candidates, idCol, "neighbor_id", vecCol, "c_vec")
-    val scored = c
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(NativeVector.dot(col("q_vec"), col("c_vec")), 6))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val scored = scoredPairs(queries, candidates, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+    // TopKAggregator orders by (score desc, id ASC) — matching the
+    // window orderBy(cos_sim desc, neighbor_id asc) tie-break exactly.
+    TopK.perGroup(scored, k)
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Window-based reference formulation of [[bruteForceTopK]] (same
+    * results; full-shuffle plan). Kept for parity testing and for
+    * callers that want the WindowGroupLimit path.
+    */
+  def bruteForceTopKWindow(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val scored = scoredPairs(queries, candidates, idCol, vecCol)
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -23,6 +23,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("aggregation top-k equals the window formulation exactly") {
+    val agg = SimilaritySearch.bruteForceTopK(
+      emb.filter($"vec_id" < 8), emb, "vec_id", "embedding", k = 7)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val win = SimilaritySearch.bruteForceTopKWindow(
+      emb.filter($"vec_id" < 8), emb, "vec_id", "embedding", k = 7)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(agg == win)
+  }
+
   test("native hyperplane signature matches the HOF reference formulation") {
     graft.plans.NativeVector.register(spark)
     val v = emb.limit(200).select($"vec_id", $"embedding".cast("array<double>").as("v"))
