@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregates over the events shape
+  * (event_id, ts, user_id, event_type, value): watermarked tumbling-
+  * window counts, and stateful gap-based sessionization via
+  * `flatMapGroupsWithState` — the two structured-streaming patterns a
+  * training-data ingest pipeline needs beyond file-batch SCD.
+  *
+  * Scale shape: the windowed aggregate is a standard partial+final
+  * streaming hash aggregate keyed on (window, event_type) — state is
+  * bounded by the watermark (late rows beyond it are dropped and the
+  * window state evicted). Sessionization state is one small record per
+  * ACTIVE user, evicted by processing-time timeout.
+  */
+object EventAggregates {
+
+  /** Watermarked tumbling-window counts per event_type.
+    * Append-mode compatible: a window emits once its end passes the
+    * watermark.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Stateful gap-based sessionization: a user's session closes after
+    * `gapMillis` of event-time inactivity. A session also closes via
+    * EVENT-TIME timeout once the stream's watermark passes its idle gap
+    * (no wall-clock batches — processing-time timeouts would keep the
+    * query permanently busy). State per ACTIVE user only.
+    */
+  def sessionizeStateful(
+      events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

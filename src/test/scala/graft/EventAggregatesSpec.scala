@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventAggregates
+import graft.streaming.EventAggregates.{Event, Session}
+
+class EventAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed counts aggregate the events fixture") {
+    // batch-mode execution of the same streaming-capable plan
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val out = EventAggregates.windowedCounts(events, "1 hour", "1 hour")
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    assert(total == events.count())
+    assert(out.filter($"window_end" <= $"window_start").count() == 0)
+  }
+
+  test("windowed counts emit append-mode results under a real stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventAggregates.windowedCounts(df, "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:01:00"), "a", 1.0),
+        (2L, ts("2024-01-01 00:02:00"), "a", 2.0),
+        (3L, ts("2024-01-01 00:03:00"), "b", 3.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark so the first window closes
+      mem.addData((4L, ts("2024-01-01 01:00:00"), "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.length >= 2, s"expected closed windows, got ${rows.toSeq}")
+      val aCount = spark.table("wc")
+        .filter($"event_type" === "a" && $"n_events" === 2).count()
+      assert(aCount == 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions at the idle gap") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventAggregates.sessionizeStateful(mem.toDS(), gapMillis = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7),
+        Event(2, ts("2024-01-01 00:00:30"), 7),
+        // > 60s gap: first session closes when this arrives
+        Event(3, ts("2024-01-01 00:05:00"), 7))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[Session].collect()
+      assert(rows.length == 1, s"expected one closed session, got ${rows.toSeq}")
+      assert(rows.head.n_events == 2)
+      assert(rows.head.session_start == ts("2024-01-01 00:00:00"))
+      assert(rows.head.session_end == ts("2024-01-01 00:00:30"))
+    } finally q.stop()
+  }
+}
