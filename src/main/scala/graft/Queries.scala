@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Scd, ScdMerge, SimilaritySearch}
 
 /** The engine's query inventory: one entry per operator family from

@@ -97,14 +97,13 @@ object Multimodal {
   def sampleFrameIndexes(nFrames: org.apache.spark.sql.Column, stride: Int, maxFrames: Int) =
     slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames)
 
-  /** Repartition so each task sees a comparable byte volume (payload
-    * skew would otherwise straggle decode stages). `targetBytes` is the
-    * per-partition budget; rows are salted by cumulative size bucket.
+  /** Break payload clustering before a CPU-bound decode stage: size-
+    * ordered inputs (e.g. all 4K videos in one input file) would
+    * straggle; hashing each row's id+length scatters big payloads
+    * across all partitions so every task sees a similar byte mix.
     */
-  def repartitionByBytes(df: DataFrame, targetBytes: Long, parallelism: Int): DataFrame =
-    df.withColumn(
-        "__size_bucket",
-        (monotonically_increasing_id() % parallelism).cast("int"))
-      .repartition(parallelism, col("__size_bucket"))
-      .drop("__size_bucket")
+  def scatterForDecode(df: DataFrame, sizeCol: String, parallelism: Int): DataFrame =
+    df.repartition(
+      parallelism,
+      pmod(xxhash64(col("media_id"), col(sizeCol)), lit(parallelism)))
 }

@@ -23,13 +23,19 @@ import graft.sources.CsvSnapshots
   */
 object EmployeeDimJob {
 
+  /** @param canonicalSort order output by the table keys before writing
+    *   — row order is otherwise partition-arbitrary (SURVEY.md §2.9).
+    *   Off by default: a global sort is an extra exchange, and consumers
+    *   comparing tables should canonicalize at read anyway.
+    */
   final case class Config(
       inputDir: String,
       outputDir: String,
       legacyChangedStatusDate: Boolean = true,
       useSinglePartitionWindow: Boolean = false,
       singleFile: Boolean = true,
-      archiveInputs: Boolean = true)
+      archiveInputs: Boolean = true,
+      canonicalSort: Boolean = false)
 
   /** Pure transform chain: (existing employee_all, new snapshots) → staged
     * employee_all (create_employee_all.py:236-240).
@@ -59,13 +65,17 @@ object EmployeeDimJob {
 
     val staged = stageEmployeeAll(existingAll, incoming, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def ordered(df: DataFrame, profile: TableProfile): DataFrame =
+      if (cfg.canonicalSort)
+        df.orderBy(profile.keys.map(org.apache.spark.sql.functions.col): _*)
+      else df
     try {
       Quality.check(staged, allProfile)
-      CsvSnapshots.write(staged, allProfile, cfg.singleFile)
+      CsvSnapshots.write(ordered(staged, allProfile), allProfile, cfg.singleFile)
 
       val current = stageEmployeeCurrent(staged, cfg)
       Quality.check(current, currentProfile)
-      CsvSnapshots.write(current, currentProfile, cfg.singleFile)
+      CsvSnapshots.write(ordered(current, currentProfile), currentProfile, cfg.singleFile)
     } finally staged.unpersist()
 
     if (cfg.archiveInputs)

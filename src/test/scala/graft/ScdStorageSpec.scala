@@ -32,6 +32,18 @@ class ScdStorageSpec extends SparkSpec {
   test("entity-bucketed tables join without shuffling the bucketed sides") {
     spark.sql("DROP TABLE IF EXISTS cur_b")
     spark.sql("DROP TABLE IF EXISTS inc_b")
+    // a fresh in-memory catalog forgets tables but their warehouse dirs
+    // survive across JVMs — clear the locations too
+    Seq("cur_b", "inc_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_custkey", "o_orderkey", "o_totalprice")
     ScdStorage.writeBucketed(o.filter(col("o_orderkey") % 2 === 0), "cur_b", Seq("o_custkey"), 8)
