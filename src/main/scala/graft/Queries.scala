@@ -387,6 +387,33 @@ object Queries {
       |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
       |WHERE rn = 1""".stripMargin
 
+  /** As-of join ([[graft.operators.AsOfJoin]]): each event picks up the
+    * customer's latest order at or before the event time. Right side is
+    * deduped to one row per (key, time) so the survivor is well-defined
+    * in both engines (DuckDB's native ASOF JOIN is the oracle).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").as("odate"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    graft.operators.AsOfJoin.asOfJoin(
+      events, orders,
+      keyCols = Seq("user_id"),
+      leftTimeCol = "ts", rightTimeCol = "odate",
+      rightValueCols = Seq("last_order_key", "odate"))
+      .withColumnRenamed("odate", "last_order_date")
+      .select("event_id", "user_id", "last_order_key", "last_order_date")
+  }
+
+  val asofJoinSql: String =
+    """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS odate,
+      |    max(o_orderkey) AS last_order_key
+      |  FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT e.event_id, e.user_id, r.last_order_key, r.odate AS last_order_date
+      |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND r.odate <= e.ts""".stripMargin
+
   // ----------------------------------------------------- dedup extensions
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
@@ -699,6 +726,7 @@ object Queries {
     "q_distinct_flags" -> (distinctFlags _),
     "q_scd_status" -> (scdStatus _),
     "q_scd_merge_current" -> (scdMergeCurrent _),
+    "q_asof_join" -> (asofJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -732,6 +760,7 @@ object Queries {
     "q_distinct_flags" -> distinctFlagsSql,
     "q_scd_status" -> scdStatusSql,
     "q_scd_merge_current" -> scdMergeCurrentSql,
+    "q_asof_join" -> asofJoinSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the LATEST
+  * right row whose time is <= (or strictly <) the left row's time,
+  * per key — the canonical event-stream / market-data operator that
+  * Spark's built-in joins lack.
+  *
+  * Formulation: union both sides tagged, one window pass per key
+  * ordered by (time, side), `last(struct, ignoreNulls)` carries the
+  * most recent right payload forward onto each left row. This is the
+  * same union + window pattern the reference uses instead of joins
+  * (/root/reference/README.md:99,:102), and it scales the same way:
+  * ONE hash exchange on the key (both sides co-partitioned by the
+  * shuffle), one sort — versus a range-join which Spark would plan as
+  * a broadcast/cartesian with a range filter. Right payloads travel as
+  * a single struct so all columns come from the SAME right row (per-
+  * column last() would mix rows when right columns hold genuine nulls).
+  *
+  * @param rightValueCols right columns to attach (null when no right
+  *                       row precedes the left row)
+  * @param tieBreak       extra ordering among right rows sharing
+  *                       (key, time); the LAST in this order wins.
+  *                       Without it, equal-time right rows give an
+  *                       arbitrary survivor — dedupe or pass this.
+  * @param strict         true = right row must be strictly earlier
+  */
+object AsOfJoin {
+
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      tieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val payloadType = right
+      .select(struct(rightValueCols.map(col): _*).as("__rv"))
+      .schema("__rv").dataType
+
+    // side ordering at equal time decides visibility: for <= the right
+    // row must sort BEFORE the left row (0 < 1); for < it must sort
+    // AFTER (2 > 1).
+    val rightSide = if (strict) 2 else 0
+
+    val lp = left
+      .withColumn("__t", col(leftTimeCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(payloadType))
+      .select((keyCols ++ Seq("__t", "__side", "__rv") ++
+        leftCols.filterNot(keyCols.contains)).map(col): _*)
+
+    val rp = right
+      .withColumn("__t", col(rightTimeCol))
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__rv", struct(rightValueCols.map(col): _*))
+      .select((keyCols.map(col) ++ Seq(col("__t"), col("__side"), col("__rv")) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    // tieBreak columns live inside the right payload struct (they must
+    // be a subset of rightValueCols — left rows sort apart via __side,
+    // so their null payload never competes).
+    require(tieBreak.forall(rightValueCols.contains),
+      "tieBreak columns must be included in rightValueCols")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++
+        tieBreak.map(c => col("__rv").getField(c).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lp.union(rp)
+      .withColumn("__last_rv", last("__rv", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__last_rv.$c").as(c)): _*)
+  }
+}

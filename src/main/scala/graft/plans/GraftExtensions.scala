@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration of the engine's native functions for SQL
+  * users: `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) makes `graft_dot`,
+  * `graft_hyperplane_sig`, `graft_shingle_hash32`, `graft_minhash_sig32`
+  * and `graft_band_hashes` available in every session — the DataFrame
+  * API paths self-register per session and do not require this.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(NativeVector.DotName),
+      info(NativeVector.DotName, "dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(NativeVector.HyperplaneName),
+      info(NativeVector.HyperplaneName, "packed SRP-LSH signature bits"),
+      (exprs: Seq[Expression]) => HyperplaneSig(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Long])))
+    e.injectFunction((
+      FunctionIdentifier(NativeText.ShingleHashName),
+      info(NativeText.ShingleHashName, "portable 32-bit hashes of word n-gram shingles"),
+      (exprs: Seq[Expression]) => WordShingleHash32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(s"${NativeText.MinHashSigPrefix}32"),
+      info(s"${NativeText.MinHashSigPrefix}32", "32-value minhash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 32)))
+    e.injectFunction((
+      FunctionIdentifier(NativeText.BandHashName),
+      info(NativeText.BandHashName, "LSH band keys from a minhash signature"),
+      (exprs: Seq[Expression]) => LshBandHashes(
+        exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+  }
+}

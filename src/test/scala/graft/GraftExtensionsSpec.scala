@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class exposes the native functions to pure-SQL users
+  * in a session built with `.withExtensions` (the config-string route
+  * `spark.sql.extensions` goes through the same injection).
+  *
+  * Isolation: `getOrCreate` would silently return the suite-shared
+  * session (extensions NOT applied) if one is active, so the default/
+  * active sessions are cleared first; the new session shares the
+  * existing SparkContext, so it must NOT be stopped.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("SQL surface: graft_* functions resolve and compute") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val dot = spark.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(dot == 11.0)
+      val sig = spark.sql(
+        "SELECT graft_minhash_sig32(graft_shingle_hash32(array('a','b','c','d'), 2)) AS s")
+        .head().getSeq[Long](0)
+      assert(sig.length == 32 && sig.forall(_ >= 0))
+      val bands = spark.sql(
+        "SELECT graft_band_hashes(graft_minhash_sig32(" +
+          "graft_shingle_hash32(array('a','b','c','d'), 2)), 8, 4) AS b")
+        .head().getSeq[String](0)
+      assert(bands.length == 8 && bands.forall(_.length == 64))
+      val hp = spark.sql(
+        "SELECT graft_hyperplane_sig(array(0.5d, -0.5d), 8, 42L) AS h")
+        .head().getLong(0)
+      assert(hp >= 0 && hp < 256)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
