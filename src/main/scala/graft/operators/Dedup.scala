@@ -99,7 +99,8 @@ object Dedup {
     *
     * @return (id_a, id_b) with id_a < id_b, distinct — documents sharing
     *         at least one LSH band bucket — plus a second DataFrame of
-    *         over-limit buckets that were dropped (logged, not silent).
+    *         over-limit buckets that were dropped. Callers MUST surface this
+    *         frame (count/log/alert) — a dropped bucket is lost recall.
     *
     * Scale shape: one pass computes shingle hashes → signature → band
     * keys (each in its own Project — Catalyst duplicates, not CSEs,
@@ -118,6 +119,10 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) " +
+        "— otherwise signature values are silently ignored, and bands > " +
+        "numHashes would key every document into identical empty-slice buckets")
     import graft.plans.NativeText
     NativeText.register(df.sparkSession, Seq(numHashes))
     val rows = numHashes / bands

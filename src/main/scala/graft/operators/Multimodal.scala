@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
   * build environment (see [[stubDecode]] / [[fakeDecode]]).
   *
   * Scale shape: decode is per-row work behind `mapPartitions`, so it
-  * parallelizes with the scan and never shuffles; size-based
-  * repartitioning ([[repartitionByBytes]]) keeps decode tasks balanced
-  * when payload sizes are skewed (one 4K video next to thumbnails).
+  * parallelizes with the scan and never shuffles; [[scatterForDecode]]
+  * breaks payload-size clustering so decode tasks stay balanced when
+  * sizes are skewed (one 4K video next to thumbnails).
   */
 object Multimodal {
 
@@ -102,8 +102,9 @@ object Multimodal {
     * straggle; hashing each row's id+length scatters big payloads
     * across all partitions so every task sees a similar byte mix.
     */
-  def scatterForDecode(df: DataFrame, sizeCol: String, parallelism: Int): DataFrame =
+  def scatterForDecode(
+      df: DataFrame, idCol: String, sizeCol: String, parallelism: Int): DataFrame =
     df.repartition(
       parallelism,
-      pmod(xxhash64(col("media_id"), col(sizeCol)), lit(parallelism)))
+      pmod(xxhash64(col(idCol), col(sizeCol)), lit(parallelism)))
 }

@@ -51,17 +51,23 @@ object ScdMerge {
     require(current.columns.sameElements(incoming.columns),
       "current and incoming must share a schema")
     val ord = dateCol +: tieBreakCols
+    // Explicit presence markers: testing side-absence via a data column
+    // (e.g. dateCol IS NULL) would misread a genuinely-null date in an
+    // existing row as "no row" and replace the entity with all-nulls.
     val cur = latestSnapshotAgg(current, entityCols, ord)
+      .withColumn("__present", lit(true))
     val inc = latestSnapshotAgg(incoming, entityCols, ord)
+      .withColumn("__present", lit(true))
     val joinCond: Column = entityCols
       .map(k => col(s"c.$k") <=> col(s"i.$k"))
       .reduce(_ && _)
     val curRow = struct(current.columns.map(c => col(s"c.$c")).toSeq: _*)
     val incRow = struct(current.columns.map(c => col(s"i.$c")).toSeq: _*)
-    val winner = when(
-      col(s"c.$dateCol").isNull ||
-        (col(s"i.$dateCol").isNotNull && col(s"i.$dateCol") >= col(s"c.$dateCol")),
-      incRow).otherwise(curRow)
+    val winner = when(col("c.__present").isNull, incRow)
+      .when(col("i.__present").isNotNull &&
+        (col(s"c.$dateCol").isNull || col(s"i.$dateCol") >= col(s"c.$dateCol")),
+        incRow)
+      .otherwise(curRow)
     cur.as("c")
       .join(inc.as("i"), joinCond, "full_outer")
       .select(winner.as("__row"))

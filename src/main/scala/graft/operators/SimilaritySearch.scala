@@ -24,7 +24,12 @@ import graft.plans.NativeVector
   */
 object SimilaritySearch {
 
-  /** Project to (idAlias, normalized-vector) — unit-L2, double. */
+  /** Project to (idAlias, normalized-vector) — unit-L2, double.
+    * Null and zero-norm vectors are DROPPED: cosine similarity is
+    * undefined for them, and letting them through as nulls would crash
+    * typed downstream decoding (and make the agg- and window-based
+    * top-k formulations disagree on row counts).
+    */
   private def normalizedSide(
       df: DataFrame, idCol: String, idAlias: String,
       vecCol: String, vecAlias: String): DataFrame = {
@@ -32,8 +37,8 @@ object SimilaritySearch {
     val v = col(vecCol).cast("array<double>")
     df.select(col(idCol).as(idAlias), v.as("__v"))
       .withColumn("__norm", sqrt(NativeVector.dot(col("__v"), col("__v"))))
-      .withColumn(vecAlias,
-        when(col("__norm") > 0, transform(col("__v"), x => x / col("__norm"))))
+      .filter(col("__norm") > 0)
+      .withColumn(vecAlias, transform(col("__v"), x => x / col("__norm")))
       .select(idAlias, vecAlias)
   }
 

@@ -27,9 +27,15 @@ object TopK {
     */
   final class TopKAggregator(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0, s"k must be positive, got $k")
 
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // java.lang.Double.compare semantics: NaN sorts as the LARGEST
+    // double, exactly like Spark's window sort — a raw > comparison
+    // would leave NaN un-ordered and corrupt the buffer.
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     private def insert(buf: Seq[Scored], n: Scored): Seq[Scored] = {
       if (buf.size >= k && better(buf.last, n)) buf

@@ -26,8 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(NativeVector.HyperplaneName, "packed SRP-LSH signature bits"),
       (exprs: Seq[Expression]) => HyperplaneSig(
         exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Long])))
+        LiteralArgs.toInt(exprs(1)),
+        LiteralArgs.toLong(exprs(2)))))
     e.injectFunction((
       FunctionIdentifier(NativeText.ShingleHashName),
       info(NativeText.ShingleHashName, "portable 32-bit hashes of word n-gram shingles"),
@@ -41,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(NativeText.BandHashName, "LSH band keys from a minhash signature"),
       (exprs: Seq[Expression]) => LshBandHashes(
         exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int])))
+        LiteralArgs.toInt(exprs(1)),
+        LiteralArgs.toInt(exprs(2)))))
   }
 }

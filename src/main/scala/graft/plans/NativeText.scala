@@ -59,8 +59,8 @@ object NativeText {
       BandHashName,
       exprs => LshBandHashes(
         exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int]),
+        LiteralArgs.toInt(exprs(1)),
+        LiteralArgs.toInt(exprs(2))),
       "built-in")
   }
 

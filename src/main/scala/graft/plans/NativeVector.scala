@@ -139,6 +139,31 @@ case class HyperplaneSig(vec: Expression, numBits: Int, seed: Long)
     copy(vec = c)
 }
 
+/** Coercion for foldable literal arguments arriving from SQL: an
+  * integer literal parses as IntegerType, so a blind asInstanceOf[Long]
+  * would throw ClassCastException on the natural call
+  * `graft_hyperplane_sig(v, 12, 7)`.
+  */
+private[plans] object LiteralArgs {
+  def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => java.lang.Math.toIntExact(l)
+      case s: java.lang.Short => s.intValue
+      case other => throw new IllegalArgumentException(
+        s"expected an integral literal, got $other")
+    }
+
+  def toLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval(null) match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case other => throw new IllegalArgumentException(
+        s"expected an integral literal, got $other")
+    }
+}
+
 /** Session registration + Column API for the native expressions. */
 object NativeVector {
 
@@ -156,9 +181,7 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HyperplaneName,
       { exprs =>
-        val bits = exprs(1).eval(null).asInstanceOf[Int]
-        val seed = exprs(2).eval(null).asInstanceOf[Long]
-        HyperplaneSig(exprs(0), bits, seed)
+        HyperplaneSig(exprs(0), LiteralArgs.toInt(exprs(1)), LiteralArgs.toLong(exprs(2)))
       },
       "built-in")
   }

@@ -40,6 +40,10 @@ object CsvSnapshots {
     * @return the DataFrame and the concrete file list that produced it
     */
   def read(spark: SparkSession, profile: TableProfile): (DataFrame, Seq[String]) = {
+    // repair any swap interrupted by a crash before globbing
+    val destDir = new Path(profile.outputPath)
+    AtomicDir.recover(
+      destDir.getFileSystem(spark.sparkContext.hadoopConfiguration), destDir)
     val files = globFiles(spark, profile.inputGlob)
     val df =
       if (files.isEmpty)
@@ -62,17 +66,14 @@ object CsvSnapshots {
   def write(df: DataFrame, profile: TableProfile, singleFile: Boolean = false): Unit = {
     val dest = new Path(profile.outputPath)
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val tmp = new Path(profile.outputPath + ".__tmp__")
     val out = if (singleFile) df.coalesce(1) else df
     out.write
       .mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("nullValue", "NULL")
       .option("dateFormat", "yyyy-MM-dd")
-      .csv(tmp.toString)
-    fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      .csv(AtomicDir.tmpPath(dest).toString)
+    AtomicDir.commit(fs, dest)
   }
 
   /** Move consumed input files to the archive dir (reference's

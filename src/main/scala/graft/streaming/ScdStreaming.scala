@@ -83,6 +83,7 @@ object ScdStreaming {
       cfg: EmployeeDimJob.Config): Unit = {
     val dest = new Path(tableDir)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicDir.recover(fs, dest)
     val existing =
       if (fs.exists(dest))
         spark.read.schema(EmployeeTables.scdSchema).parquet(tableDir)
@@ -94,17 +95,21 @@ object ScdStreaming {
     try {
       Quality.check(staged,
         EmployeeTables.employeeAll("").copy(outputPath = tableDir))
-      val tmp = new Path(tableDir + ".__tmp__")
-      staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(dest, true)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      staged.write.mode(SaveMode.Overwrite)
+        .parquet(graft.sources.AtomicDir.tmpPath(dest).toString)
+      graft.sources.AtomicDir.commit(fs, dest)
     } finally staged.unpersist()
   }
 
-  /** Read the maintained history table. */
-  def historyTable(spark: SparkSession, tableDir: String): DataFrame =
+  /** Read the maintained history table (repairing any interrupted swap
+    * first).
+    */
+  def historyTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val dest = new Path(tableDir)
+    graft.sources.AtomicDir.recover(
+      dest.getFileSystem(spark.sparkContext.hadoopConfiguration), dest)
     spark.read.schema(EmployeeTables.scdSchema).parquet(tableDir)
+  }
 
   /** Derive the current view from the maintained history. */
   def currentView(spark: SparkSession, tableDir: String, cfg: EmployeeDimJob.Config): DataFrame =
