@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for joins whose key distribution is heavy-
+  * tailed (one hot entity melting a single reducer).
+  *
+  * AQE's skew-join handling (on by default in this engine's sessions)
+  * splits oversized sort-merge partitions at runtime; salting is the
+  * deterministic fallback for the cases AQE does not cover — broadcast-
+  * ineligible dimension joins, pre-AQE planners, or when the skew is in
+  * an aggregation key rather than a join.
+  */
+object Skew {
+
+  /** Join `left` (large, skewed) with `right` (small enough to
+    * replicate `saltFactor`x, far too big to broadcast) on `keys`.
+    *
+    * Left rows scatter across `saltFactor` sub-keys via a hash of the
+    * whole row (deterministic — no rand()); the right side is exploded
+    * once per salt value so every sub-key still finds its match. The
+    * hot key's rows land on `saltFactor` reducers instead of one.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val leftHash: Column = xxhash64(left.columns.map(col).toSeq: _*)
+    val l = left.withColumn("__salt", pmod(leftHash, lit(saltFactor.toLong)))
+    val r = right.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on
+    * (keys, salt) first, then final-aggregate on keys. Useful when one
+    * group dominates and map-side combine alone cannot absorb it (e.g.
+    * collect-style aggregations with no partial reduction).
+    * `partial` builds the per-salt aggregate; `merge` combines salts.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int)(
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val hash = xxhash64(df.columns.map(col).toSeq: _*)
+    df.withColumn("__salt", pmod(hash, lit(saltFactor.toLong)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+}
