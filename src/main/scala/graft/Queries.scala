@@ -295,6 +295,49 @@ object Queries {
       |  JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Semi-structured data: JSON field extraction from the events props
+    * column.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+      col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      |  event_type FROM events""".stripMargin
+
+  /** Lateral explode + aggregation: corpus word frequencies per language. */
+  def wordFrequencies(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 20)
+
+  val wordFrequenciesSql: String =
+    """SELECT lang, word, count(*) AS cnt FROM (
+      |  SELECT lang, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      |  FROM documents)
+      |GROUP BY lang, word HAVING count(*) >= 20""".stripMargin
+
+  /** Temporal aggregation: monthly order counts and revenue. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  val ordersByMonthSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Set operation: distinct. */
   def distinctFlags(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -724,6 +767,9 @@ object Queries {
     "q_row_fingerprint" -> (rowFingerprint _),
     "q_join_revenue" -> (joinRevenue _),
     "q_distinct_flags" -> (distinctFlags _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_word_frequencies" -> (wordFrequencies _),
+    "q_orders_by_month" -> (ordersByMonth _),
     "q_scd_status" -> (scdStatus _),
     "q_scd_merge_current" -> (scdMergeCurrent _),
     "q_asof_join" -> (asofJoin _),
@@ -758,6 +804,9 @@ object Queries {
     "q_row_fingerprint" -> rowFingerprintSql,
     "q_join_revenue" -> joinRevenueSql,
     "q_distinct_flags" -> distinctFlagsSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_word_frequencies" -> wordFrequenciesSql,
+    "q_orders_by_month" -> ordersByMonthSql,
     "q_scd_status" -> scdStatusSql,
     "q_scd_merge_current" -> scdMergeCurrentSql,
     "q_asof_join" -> asofJoinSql,
