@@ -94,5 +94,12 @@ object ScdIncremental {
 
     recomputed.select(existing.columns.map(col).toSeq: _*)
       .union(untouchedUpdated.select(existing.columns.map(col).toSeq: _*))
+      // the when/otherwise over an (often nullable-typed) stored
+      // change_status would type the output nullable; the declared SCD
+      // schema requires non-nullable. coalesce with a non-null literal
+      // restores it without changing any value.
+      .withColumn(Scd.ChangeStatus,
+        coalesce(col(Scd.ChangeStatus), lit("Unknown")))
+      .select(existing.columns.map(col).toSeq: _*)
   }
 }

@@ -44,6 +44,12 @@ object ScdStreaming {
     *                      the reference's nested `processed/` for this
     *                      reason.
     */
+  /** @param incremental use [[graft.operators.ScdIncremental]] per
+    *   micro-batch — O(touched entities) instead of reclassifying the
+    *   whole accumulated history. Requires corrected-islands mode
+    *   (`cfg.legacyChangedStatusDate = false`): the legacy cross-entity
+    *   quirk is not incrementally maintainable.
+    */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -52,7 +58,10 @@ object ScdStreaming {
       cfg: EmployeeDimJob.Config,
       maxFilesPerTrigger: Int = 10,
       trigger: Trigger = Trigger.AvailableNow(),
-      archiveDir: String = ""): StreamingQuery = {
+      archiveDir: String = "",
+      incremental: Boolean = false): StreamingQuery = {
+    require(!incremental || !cfg.legacyChangedStatusDate,
+      "incremental maintenance requires corrected-islands mode")
     val archive = if (archiveDir.nonEmpty) archiveDir else s"${inputDir}_processed"
     val snapshots = spark.readStream
       .schema(EmployeeTables.snapshotSchema)
@@ -68,7 +77,7 @@ object ScdStreaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(spark, batch, tableDir, cfg)
+        mergeBatch(spark, batch, tableDir, cfg, incremental)
       }
       .start()
   }
@@ -80,7 +89,8 @@ object ScdStreaming {
       spark: SparkSession,
       batch: DataFrame,
       tableDir: String,
-      cfg: EmployeeDimJob.Config): Unit = {
+      cfg: EmployeeDimJob.Config,
+      incremental: Boolean = false): Unit = {
     val dest = new Path(tableDir)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.AtomicDir.recover(fs, dest)
@@ -90,8 +100,13 @@ object ScdStreaming {
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], EmployeeTables.scdSchema)
-    val staged = EmployeeDimJob.stageEmployeeAll(existing, batch, cfg)
-      .persist()
+    val staged = (
+      if (incremental && !existing.isEmpty)
+        graft.operators.ScdIncremental.mergeBatch(
+          existing, batch, entityCols = Seq("employee_number"))
+      else
+        EmployeeDimJob.stageEmployeeAll(existing, batch, cfg)
+    ).persist()
     try {
       Quality.check(staged,
         EmployeeTables.employeeAll("").copy(outputPath = tableDir))

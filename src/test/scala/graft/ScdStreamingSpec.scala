@@ -54,4 +54,36 @@ class ScdStreamingSpec extends SparkSpec {
     assert(current.count() == 50)
     assert(current.filter(col("change_status") === "Deleted").count() == 1)
   }
+
+  test("incremental streaming converges to the corrected-mode full recompute") {
+    val work = Files.createTempDirectory("scd_stream_inc").toString
+    val inputDir = s"$work/input"
+    Files.createDirectories(Paths.get(inputDir))
+    new java.io.File("/root/reference/data/input")
+      .listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+      .foreach(f => Files.copy(f.toPath, Paths.get(inputDir, f.getName)))
+
+    val cfg = EmployeeDimJob.Config(
+      inputDir = "", outputDir = "", legacyChangedStatusDate = false)
+    val q = ScdStreaming.start(
+      spark, inputDir, s"$work/table", s"$work/ckpt", cfg,
+      maxFilesPerTrigger = 3, incremental = true)
+    q.awaitTermination(120000)
+
+    val got = ScdStreaming.historyTable(spark, s"$work/table")
+      .orderBy("snapshot_date", "employee_number").collect().toSeq
+
+    val (snapshots, _) = graft.sources.CsvSnapshots.read(
+      spark,
+      graft.scd.EmployeeTables.empSnapshots(s"/root/reference/data/input")
+        .copy(inputGlob = "/root/reference/data/input/*.csv"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.scd.EmployeeTables.scdSchema)
+    val want = EmployeeDimJob.stageEmployeeAll(empty, snapshots, cfg)
+      .orderBy("snapshot_date", "employee_number").collect().toSeq
+
+    assert(got.size == want.size, s"rows ${got.size} != ${want.size}")
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"differs: $a vs $b") }
+  }
 }
