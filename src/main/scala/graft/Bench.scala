@@ -5,11 +5,32 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: executes every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (per-query
   * progress goes to stderr so the driver's stdout parse stays clean).
+  *
+  * Measurement contract:
+  *   - every output column is materialized via a `noop`-format write,
+  *     so Catalyst cannot prune work whose result the action never
+  *     touches (a bare `.count()` deletes Window nodes, JSON paths,
+  *     anything not needed for cardinality);
+  *   - each query runs twice and the min is reported, damping one-shot
+  *     janino-codegen compilation and external machine load;
+  *   - a crashing query is reported as -1 with its error in a separate
+  *     "errors" map, never as a fake elapsed time.
   */
 object Bench {
+
+  /** Timed full materialization of every column. */
+  private def materialize(
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,18 +42,31 @@ object Bench {
     // Untimed warmup: session/scan/codegen infrastructure (JIT, parquet
     // footer cache, janino) otherwise lands entirely on the first query.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .filter("l_quantity > 0").groupBy("l_returnflag").count().count()
+      .filter("l_quantity > 0").groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs =
+        try {
+          (1 to runs).map(_ => materialize(fn, spark, sfDir)).min
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            errors(name) = msg.linesIterator.next().take(200)
+            -1.0
+        }
       System.err.println(f"[bench] $name%-24s $secs%8.2f s")
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,8 +184,8 @@ object Queries {
 
   val sessionizeSql: String =
     """SELECT event_id, user_id,
-      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |FROM (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
@@ -675,21 +675,28 @@ object Queries {
   }
 
   val textStatsSql: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM documents
+      |), awl AS (
+      |  SELECT *,
+      |    CASE WHEN n_tok > 0 THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |         ELSE 0.0 END AS avg_wl
+      |  FROM base)
+      |SELECT doc_id,
+      |  n_tok AS n_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT)
       |    AS n_bpe_tokens,
-      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
-      |  round(CAST(length(text) AS DOUBLE) / CASE
-      |    WHEN len(regexp_extract_all(text, '\S+')) > 0
-      |    THEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END, 4) AS avg_word_len,
-      |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
-      |    (CASE WHEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
-      |            BETWEEN 3 AND 10 THEN 1.0
-      |          WHEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) > 0
-      |            THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score,
+      |  n_chr AS n_chars_measured,
+      |  round(CASE WHEN n_tok > 0 THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE) END, 4)
+      |    AS avg_word_len,
+      |  round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |    (CASE WHEN avg_wl BETWEEN 3 AND 10 THEN 1.0
+      |          WHEN avg_wl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score,
       |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-      |FROM documents""".stripMargin
+      |FROM awl""".stripMargin
 
   /** Marker-word language identification. */
   def langId(s: SparkSession, dir: String): DataFrame = {

@@ -21,6 +21,10 @@ object Skew {
     * whole row (deterministic — no rand()); the right side is exploded
     * once per salt value so every sub-key still finds its match. The
     * hot key's rows land on `saltFactor` reducers instead of one.
+    *
+    * Only left-preserving join types are supported: the right side is
+    * replicated `saltFactor`x, so right/full outer joins would emit
+    * every unmatched right row once per salt value.
     */
   def saltedJoin(
       left: DataFrame,
@@ -29,6 +33,11 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving join types only " +
+        s"(right side is replicated ${saltFactor}x); got '$joinType'")
     val leftHash: Column = xxhash64(left.columns.map(col).toSeq: _*)
     val l = left.withColumn("__salt", pmod(leftHash, lit(saltFactor.toLong)))
     val r = right.withColumn(

@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * streaming hash aggregate keyed on (window, event_type) — state is
   * bounded by the watermark (late rows beyond it are dropped and the
   * window state evicted). Sessionization state is one small record per
-  * ACTIVE user, evicted by processing-time timeout.
+  * ACTIVE user, evicted by event-time timeout once the watermark
+  * passes the session gap.
   */
 object EventAggregates {
 
