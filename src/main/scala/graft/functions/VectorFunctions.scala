@@ -41,19 +41,24 @@ object VectorFunctions {
       (acc, x) => acc + x)
 
   /** Random-hyperplane (sign) LSH signature of `numBits` bits packed into
-    * a long. Hyperplane components are deterministic pseudo-random values
-    * in [-1, 1) derived from xxhash64(bitIndex, dimIndex, seed) — every
-    * executor computes identical planes with zero driver-side state or
-    * broadcast. Cosine-similar vectors collide with high probability.
+    * a long. Hyperplane component (b, j) is a deterministic pseudo-random
+    * value in [-1, 1): the first 4 bytes of sha-256("srp:seed:b:j") as an
+    * unsigned 32-bit int over 2^31, minus 1 — every executor computes
+    * identical planes with zero driver-side state or broadcast, and any
+    * engine with string sha256 reproduces them (the DuckDB oracle does).
+    * Cosine-similar vectors collide with high probability.
+    * Bit-compatible with [[graft.plans.HyperplaneSig]].
     */
   def hyperplaneSignature(vec: Column, numBits: Int, seed: Long = 42L): Column = {
     val v = asDouble(vec)
     val bits = (0 until numBits).map { b =>
-      // plane(b, j) in [-1, 1): hash to [0, 2^20) then scale.
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => {
-          val h = pmod(xxhash64(lit(b), j, lit(seed)), lit(1048576L))
-          x * (h.cast("double") / lit(524288.0) - lit(1.0))
+          val hhex = substring(
+            sha2(concat_ws(":", lit("srp"), lit(seed.toString), lit(b.toString),
+              j.cast("string")), 256), 1, 8)
+          val u = conv(hhex, 16, 10).cast("long")
+          x * (u.cast("double") / lit(2147483648.0) - lit(1.0))
         }),
         lit(0.0),
         (acc, x) => acc + x)

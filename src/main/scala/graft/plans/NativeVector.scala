@@ -75,10 +75,15 @@ case class DotProduct(left: Expression, right: Expression)
 /** vec (array<double>) -> packed `numBits`-bit random-hyperplane (SRP)
   * sign signature as a long. Bit-compatible with
   * [[graft.functions.VectorFunctions.hyperplaneSignature]] — plane
-  * component (b, j) is derived from the same xxhash64 fold
-  * (default seed 42 → b → j → seed), scaled to [-1, 1) — but computed
+  * component (b, j) is the first 4 bytes of sha-256("srp:seed:b:j")
+  * read as an unsigned 32-bit int, scaled to [-1, 1) — but computed
   * in one plain-JVM loop with the plane matrix cached per dimension
   * instead of per-element interpreted lambdas re-hashing every row.
+  *
+  * The sha-256 derivation is PORTABLE: any engine with sha256 over
+  * strings (e.g. DuckDB `('0x' || substr(sha256(s),1,8))::BIGINT`)
+  * reproduces the exact planes, so LSH bucket assignments are
+  * verifiable cross-engine (same pattern as the MinHash oracle).
   */
 case class HyperplaneSig(vec: Expression, numBits: Int, seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -92,24 +97,18 @@ case class HyperplaneSig(vec: Expression, numBits: Int, seed: Long)
     case _ => TypeCheckResult.TypeCheckFailure("hyperplane_sig requires array<double>")
   }
 
-  // plane(b, j) in [-1, 1): xxhash64(b:int, j:int, seed:long) folded as
-  // Spark's XxHash64 expression does, then mod 2^20 scaled. Cached per
-  // observed dimension; idempotent write, so the benign race under
-  // local-mode thread sharing is safe.
+  // plane(b, j) in [-1, 1): first 4 bytes of sha-256("srp:seed:b:j")
+  // as an unsigned 32-bit int over 2^31, minus 1. Cached per observed
+  // dimension; idempotent write, so the benign race under local-mode
+  // thread sharing is safe.
   @transient private var planesCache: Array[Array[Double]] = _
 
   private def planes(dim: Int): Array[Array[Double]] = {
     val c = planesCache
     if (c != null && c.length == numBits && c(0).length == dim) return c
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     val p = Array.tabulate(numBits, dim) { (b, j) =>
-      var h = 42L
-      h = XxHash64Function.hash(b, IntegerType, h)
-      h = XxHash64Function.hash(j, IntegerType, h)
-      h = XxHash64Function.hash(seed, LongType, h)
-      val m = java.lang.Math.floorMod(h, 1048576L)
-      m.toDouble / 524288.0 - 1.0
+      HyperplaneSig.planeComponent(md, seed, b, j)
     }
     planesCache = p
     p
@@ -137,6 +136,19 @@ case class HyperplaneSig(vec: Expression, numBits: Int, seed: Long)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(vec = c)
+}
+
+object HyperplaneSig {
+  /** Portable plane component: u / 2^31 - 1 where u is the first 4
+    * bytes of sha-256("srp:seed:b:j") read big-endian unsigned —
+    * identical to DuckDB's `('0x' || substr(sha256(s),1,8))::BIGINT`.
+    */
+  def planeComponent(md: java.security.MessageDigest, seed: Long, b: Int, j: Int): Double = {
+    val d = md.digest(s"srp:$seed:$b:$j".getBytes("UTF-8"))
+    val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    u.toDouble / 2147483648.0 - 1.0
+  }
 }
 
 /** Coercion for foldable literal arguments arriving from SQL: an
