@@ -643,15 +643,61 @@ object Queries {
       |FROM v a LEFT JOIN v b ON a.vec_id <> b.vec_id
       |GROUP BY a.vec_id""".stripMargin
 
-  /** LSH-bucketed approximate top-k — the 100 TB scale path. Uses
-    * Spark-internal xxhash64 hyperplanes; verified by rows-only check +
-    * recall assertions in the test suite (no SQL oracle).
+  /** LSH-bucketed approximate top-k — the 100 TB scale path. Hyperplane
+    * components derive from sha-256("srp:seed:b:j") (portable — see
+    * [[graft.plans.HyperplaneSig]]), so DuckDB reproduces the exact
+    * bucket assignments and the result is fully oracled.
     */
   def simsearchLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     SimilaritySearch.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** DuckDB replay of the SRP-LSH path: same sha-256-derived planes,
+    * same sequential-fold dot product (`list_dot_product` matches
+    * Spark's left-to-right fold bit-for-bit), same bucket labels
+    * "table:signature", same within-bucket scoring + top-k.
+    * numBits = 12, numTables = 2, seeds 42 + t*7919 — keep in sync with
+    * [[graft.operators.SimilaritySearch.lshTopK]] defaults.
+    */
+  val simsearchLshSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) > 0),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT tt.t AS t, bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:' || CAST(42 + tt.t * 7919 AS VARCHAR) || ':' ||
+      |          CAST(bb.b AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 2) AS tt(t) CROSS JOIN range(0, 12) AS bb(b) CROSS JOIN d),
+      |sigs AS (
+      |  SELECT n.vec_id, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.t),
+      |bkt AS (SELECT vec_id,
+      |    CAST(t AS VARCHAR) || ':' || CAST(sig AS VARCHAR) AS bucket FROM sigs),
+      |q AS (SELECT bkt.vec_id AS query_id, n.nv AS qv, bkt.bucket
+      |      FROM bkt JOIN n USING (vec_id) WHERE bkt.vec_id < 10),
+      |c AS (SELECT bkt.vec_id AS neighbor_id, n.nv AS cv, bkt.bucket
+      |      FROM bkt JOIN n USING (vec_id)),
+      |pairs AS (SELECT DISTINCT query_id, neighbor_id,
+      |      round(list_dot_product(qv, cv), 6) AS cos_sim
+      |      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      |      FROM pairs)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
@@ -822,6 +868,7 @@ object Queries {
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
+    "q_simsearch_lsh" -> simsearchLshSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
