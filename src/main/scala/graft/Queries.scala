@@ -624,24 +624,73 @@ object Queries {
       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
 
-  /** Embedding-cosine near-duplicate counts (exact all-pairs at this
-    * scale; LSH-bucketed path is [[simsearchLsh]]).
+  /** Embedding corpus with planted near-duplicates: every 5th vector
+    * gets a shifted copy (element-wise +0.05, id +1,000,000) whose
+    * cosine to its original lands in ~[0.92, 0.99] — above the 0.8
+    * near-dup threshold, while the hottest unplanted pair is ~0.55.
+    * Element-wise addition is bit-identical cross-engine, so DuckDB
+    * reproduces the corpus exactly.
+    */
+  private def nearDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val variants = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+    e.union(variants)
+  }
+
+  private val nearDupEmbeddingsSql: String =
+    """corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS v
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
+  /** Embedding-cosine near-duplicate counts via LSH buckets — no
+    * all-pairs stage anywhere in the plan. The exact all-pairs
+    * formulation ([[SimilaritySearch.cosineNearDupCounts]]) is the
+    * small-scale truth cross-checked in SimilaritySearchSpec (8 bits ×
+    * 12 tables ≈ 0.99 worst-case pair recall at cosine 0.92; equals the
+    * exact counts on the sf0.01 corpus, 200/200 planted pairs). The
+    * oracle replays the same buckets, so the hash check is exact
+    * regardless of recall.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    SimilaritySearch.cosineNearDupCounts(
-      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.8)
+    SimilaritySearch.lshNearDupCounts(
+      nearDupEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.8)
       .withColumnRenamed("id", "vec_id")
 
   val embeddingNearDupSql: String =
-    """WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-      |                                   CAST(embedding AS DOUBLE[])))) AS ve
-      |  FROM embeddings)
-      |SELECT a.vec_id AS vec_id,
-      |  count(CASE WHEN round(list_dot_product(a.ve, b.ve), 6) >= 0.8
-      |    THEN 1 END) AS n_near_dups
-      |FROM v a LEFT JOIN v b ON a.vec_id <> b.vec_id
-      |GROUP BY a.vec_id""".stripMargin
+    s"""WITH $nearDupEmbeddingsSql,
+      |n AS (
+      |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM corpus WHERE sqrt(list_dot_product(v, v)) > 0),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT tt.t AS t, bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:' || CAST(42 + tt.t * 7919 AS VARCHAR) || ':' ||
+      |          CAST(bb.b AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 12) AS tt(t) CROSS JOIN range(0, 8) AS bb(b) CROSS JOIN d),
+      |sigs AS (
+      |  SELECT n.vec_id, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.t),
+      |bkt AS (SELECT vec_id,
+      |    CAST(t AS VARCHAR) || ':' || CAST(sig AS VARCHAR) AS bucket FROM sigs),
+      |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      |  FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+      |hits AS (SELECT id_a,
+      |    count(CASE WHEN round(list_dot_product(a.nv, b.nv), 6) >= 0.8 THEN 1 END) AS c
+      |  FROM cand JOIN n a ON id_a = a.vec_id JOIN n b ON id_b = b.vec_id
+      |  GROUP BY 1)
+      |SELECT n.vec_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_near_dups
+      |FROM n LEFT JOIN hits h ON n.vec_id = h.id_a""".stripMargin
 
   /** LSH-bucketed approximate top-k — the 100 TB scale path. Hyperplane
     * components derive from sha-256("srp:seed:b:j") (portable — see

@@ -140,8 +140,9 @@ object SimilaritySearch {
 
   /** Embedding-based near-duplicate detection: per row, how many OTHER
     * vectors exceed `threshold` cosine similarity (0 for unique rows).
-    * Exact all-pairs within the provided frame — restrict/partition the
-    * input (or use [[lshTopK]] buckets) before calling at scale.
+    * Exact all-pairs within the provided frame — small-scale truth for
+    * cross-checking [[lshNearDupCounts]]; use the bucketed variant at
+    * scale.
     */
   def cosineNearDupCounts(
       df: DataFrame,
@@ -155,5 +156,51 @@ object SimilaritySearch {
       .agg(
         count(when(round(NativeVector.dot(col("va"), col("vb")), 6) >= threshold, 1))
           .as("n_near_dups"))
+  }
+
+  /** LSH-bucketed near-duplicate counts — the 100 TB shape of
+    * [[cosineNearDupCounts]]. Candidate pairs come from same-bucket
+    * collisions across `numTables` independent `numBits`-bit SRP
+    * signatures; cosine is evaluated only on candidates, never
+    * all-pairs, so the plan is scan → bucket shuffle → pair dedup →
+    * two key-equi joins → hash agg (no nested-loop join anywhere).
+    *
+    * Candidate pairs are deduped by id BEFORE the vectors are re-joined,
+    * so each surviving pair ships its vectors once regardless of how
+    * many buckets it collided in; the per-pair kernel is the codegen'd
+    * native dot product. Approximate: a near-dup pair colliding in no
+    * table is missed — worst-case per-pair recall at cosine c is
+    * 1-(1-p^numBits)^numTables with p = 1 - acos(c)/π (defaults give
+    * ≥0.99 at c ≥ 0.92). Deterministic: planes derive from
+    * sha-256("srp:seed:b:j"), so results are reproducible cross-engine.
+    */
+  def lshNearDupCounts(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int = 8,
+      numTables: Int = 12,
+      seedBase: Long = 42L): DataFrame = {
+    val n = normalizedSide(df, idCol, "id", vecCol, "nv")
+    val buckets = n.select(col("id"),
+      explode(array((0 until numTables).map { t =>
+        concat_ws(":", lit(t),
+          NativeVector.hyperplaneSig(col("nv"), numBits, seed = seedBase + t * 7919L))
+      }: _*)).as("bucket"))
+    val cand = buckets.as("l")
+      .join(buckets.as("r"), Seq("bucket"))
+      .filter(col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val hits = cand
+      .join(n.select(col("id").as("id_a"), col("nv").as("va")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+      .groupBy("id_a")
+      .agg(count(when(round(NativeVector.dot(col("va"), col("vb")), 6) >= threshold, 1))
+        .as("n_hits"))
+    n.select("id")
+      .join(hits, col("id") === col("id_a"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_near_dups"))
   }
 }

@@ -79,4 +79,40 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out.count() == 100)
     assert(out.agg(min("n_near_dups")).head().getLong(0) >= 0)
   }
+
+  test("lshNearDupCounts never overcounts and recovers >=95% of planted dups") {
+    // Plant near-dups the same way q_embedding_neardup does: shifted
+    // copies whose cosine to the original is ~0.92-0.99. Bucketed
+    // counting can only MISS pairs (a pair not sharing any bucket),
+    // never invent them, so per-id bucketed <= exact; at 8 bits x 12
+    // tables the per-pair collision probability at that cosine is
+    // >=0.99, so overall recall must be high (199/200 on this fixture).
+    val corpus = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .union(emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding".cast("array<double>"), x => x + lit(0.05)).as("embedding")))
+    val exact = SimilaritySearch.cosineNearDupCounts(
+      corpus, "vec_id", "embedding", threshold = 0.8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val bucketed = SimilaritySearch.lshNearDupCounts(
+      corpus, "vec_id", "embedding", threshold = 0.8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val exactTotal = exact.map(_._2).sum
+    val bucketedTotal = bucketed.map(_._2).sum
+    assert(exactTotal > 0, "fixture planted no near-dups")
+    assert(bucketed.map(_._1) == exact.map(_._1), "id sets differ")
+    assert(bucketed.zip(exact).forall { case ((_, b), (_, e)) => b <= e },
+      "bucketed counting invented a pair the exact count lacks")
+    assert(bucketedTotal.toDouble / exactTotal >= 0.95,
+      s"recall too low: $bucketedTotal/$exactTotal")
+  }
+
+  test("lshNearDupCounts plan has no nested-loop join") {
+    val corpus = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val plan = SimilaritySearch.lshNearDupCounts(
+      corpus, "vec_id", "embedding", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs stage leaked into the bucketed plan:\n$plan")
+  }
 }
