@@ -30,7 +30,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+      .getOrElse(2).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,14 +47,21 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Catch per run: a flaky second run must not discard a valid
+      // first measurement. -1 only when EVERY run failed.
+      val attempts = (1 to runs).map { _ =>
+        try Right(materialize(fn, spark, sfDir))
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+      val good = attempts.collect { case Right(s) => s }
       val secs =
-        try {
-          (1 to runs).map(_ => materialize(fn, spark, sfDir)).min
-        } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            errors(name) = msg.linesIterator.next().take(200)
-            -1.0
+        if (good.nonEmpty) good.min
+        else {
+          errors(name) = attempts.collectFirst { case Left(m) => m }
+            .getOrElse("unknown").linesIterator.next().take(200)
+          -1.0
         }
       System.err.println(f"[bench] $name%-24s $secs%8.2f s")
       name -> secs

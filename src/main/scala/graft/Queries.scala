@@ -553,7 +553,9 @@ object Queries {
        |FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id""".stripMargin
   }
 
-  /** Exact n-gram Jaccard over the known (original, variant) pairs. */
+  /** n-gram Jaccard over the known (original, variant) pairs, on
+    * hash-compared shingle sets (see [[Dedup.ngramJaccard]]).
+    */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
     val pairs = t(s, dir, "documents")
@@ -569,13 +571,15 @@ object Queries {
 
   val ngramJaccardPairsSql: String =
     s"""WITH corpus AS ($nearDupCorpusSql),
+       |words AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
        |sets AS (SELECT doc_id,
        |  list_distinct(list_transform(
-       |    range(1, len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 1),
-       |    i -> string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i]
-       |      || ' ' || string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i+1]
-       |      || ' ' || string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i+2]))
-       |  AS sh FROM corpus),
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |    s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)))
+       |  AS sh FROM words),
        |pairs AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
        |  FROM documents WHERE doc_id % 7 = 0)
        |SELECT id_a, id_b,

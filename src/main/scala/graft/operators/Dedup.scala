@@ -154,9 +154,18 @@ object Dedup {
     (pairs, dropped)
   }
 
-  /** Exact word-n-gram Jaccard similarity for given candidate pairs.
+  /** Word-n-gram Jaccard similarity for given candidate pairs.
     * `pairs` must have columns (id_a, id_b); shingle sets are computed
     * once per document and joined in — never recomputed per pair.
+    *
+    * Shingles are compared by their portable 32-bit hash (one native
+    * single-pass expression per document) rather than as strings — the
+    * interpreted string-shingle HOF costs ~20x more per row and
+    * dominated the whole query. A within-pair 32-bit collision could in
+    * principle merge two distinct shingles (p ≈ |set|²/2³³ per pair),
+    * but the hashing is deterministic and engine-portable, so a SQL
+    * oracle replays it exactly; [[ngramJaccardExact]] is the
+    * string-comparison truth for cross-checking.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -164,9 +173,28 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sets = df.select(
+    import graft.plans.NativeText
+    NativeText.register(df.sparkSession)
+    jaccardOnSets(pairs, df.select(
       col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      array_distinct(NativeText.shingleHash32(
+        split(normalizeText(col(textCol)), " "), shingleSize)).as("sh")))
+  }
+
+  /** String-comparison formulation of [[ngramJaccard]] (collision-free
+    * small-scale truth; ~20x slower per row).
+    */
+  def ngramJaccardExact(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3): DataFrame =
+    jaccardOnSets(pairs, df.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh")))
+
+  private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -177,7 +205,6 @@ object Dedup {
         when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
           .otherwise(lit(0.0)))
       .select("id_a", "id_b", "inter", "uni", "jaccard")
-  }
 
   /** 32-bit SimHash over a PRE-MATERIALIZED word-hash column: per bit
     * position, majority vote of word-hash bits weighted +1/-1. Pure
@@ -202,17 +229,16 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, x) => acc + x)
   }
 
-  /** DataFrame-level simhash: materializes the word-hash array in its
-    * own Project (see [[shingleHashes]] — the signature references it
-    * 32x, once per bit) before computing the signature. Word hashing
-    * uses the native expression (a 1-gram shingle is the word itself).
+  /** DataFrame-level simhash: word hashing and the signature are both
+    * native single-pass expressions (the HOF [[simHashFromHashes]] runs
+    * 32 interpreted aggregate passes per row — ~10x slower; kept for
+    * the parity spec). A 1-gram shingle is the word itself.
     */
   def withSimHash(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     import graft.plans.NativeText
     NativeText.register(df.sparkSession)
-    df.withColumn("__simhash_words",
-        NativeText.shingleHash32(split(normalizeText(col(textCol)), " "), 1))
-      .withColumn(outCol, simHashFromHashes(col("__simhash_words")))
-      .drop("__simhash_words")
+    df.withColumn(outCol,
+      NativeText.simHash32(
+        NativeText.shingleHash32(split(normalizeText(col(textCol)), " "), 1)))
   }
 }

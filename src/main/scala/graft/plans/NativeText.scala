@@ -41,6 +41,7 @@ object NativeText {
   val ShingleHashName = "graft_shingle_hash32"
   val MinHashSigPrefix = "graft_minhash_sig"
   val BandHashName = "graft_band_hashes"
+  val SimHashName = "graft_simhash32"
 
   /** Register the native text functions on a session (idempotent). */
   def register(spark: SparkSession, minHashCounts: Seq[Int] = Seq(32)): Unit = {
@@ -62,6 +63,10 @@ object NativeText {
         LiteralArgs.toInt(exprs(1)),
         LiteralArgs.toInt(exprs(2))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      SimHashName,
+      exprs => SimHashSig(exprs.head),
+      "built-in")
   }
 
   /** Column API (requires [[register]] on the owning session). */
@@ -75,6 +80,9 @@ object NativeText {
     import org.apache.spark.sql.functions.lit
     call_function(BandHashName, sig, lit(bands), lit(rows))
   }
+
+  def simHash32(hashes: Column): Column =
+    call_function(SimHashName, hashes)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -195,6 +203,52 @@ case class WordShingleHash32(words: Expression, nExpr: Expression)
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(words = c(0), nExpr = c(1))
+}
+
+/** Pre-computed 32-bit word-hash array -> 32-bit SimHash in one pass:
+  * per bit position, majority vote of word-hash bits (+1 set / -1
+  * unset); signature bit set iff the vote is strictly positive.
+  * Bit-identical to the HOF formulation
+  * ([[graft.operators.Dedup.simHashFromHashes]]) and the DuckDB oracle,
+  * but a single O(len × 32) primitive loop instead of 32 interpreted
+  * aggregate passes over the array.
+  */
+case class SimHashSig(hashes: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = hashes
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("graft_simhash32 requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData]
+    val len = h.numElements()
+    val votes = new Array[Int](32)
+    var j = 0
+    while (j < len) {
+      val v = h.getLong(j)
+      var b = 0
+      while (b < 32) {
+        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(hashes = c)
 }
 
 /** Pre-computed shingle-hash array -> minhash signature of `numHashes`

@@ -94,6 +94,33 @@ class DedupSpec extends SparkSpec {
     assert(hofBands == nativeBands)
   }
 
+  test("hashed ngram jaccard equals the string-comparison formulation") {
+    val variants = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        $"text".substr(lit(1), greatest(length($"text") - 15, lit(20))).as("text"))
+    val corpus = docs.union(variants)
+    val pairs = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 5000).as("id_b"))
+    val hashed = Dedup.ngramJaccard(corpus, pairs, "text", "doc_id")
+      .orderBy("id_a").as[(Long, Long, Int, Int, Double)].collect().toSeq
+    val exact = Dedup.ngramJaccardExact(corpus, pairs, "text", "doc_id")
+      .orderBy("id_a").as[(Long, Long, Int, Int, Double)].collect().toSeq
+    assert(hashed.nonEmpty && hashed == exact)
+  }
+
+  test("native simhash matches the HOF reference formulation") {
+    graft.plans.NativeText.register(spark)
+    val sample = docs.limit(100)
+    val hashes = sample.select($"doc_id",
+      graft.plans.NativeText.shingleHash32(
+        split(TextFunctions.normalizeText($"text"), " "), 1).as("h"))
+    val hof = hashes.select($"doc_id", Dedup.simHashFromHashes($"h").as("s"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val native = hashes.select($"doc_id", graft.plans.NativeText.simHash32($"h").as("s"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(hof == native)
+  }
+
   test("wordShingles handles short texts (no descending-sequence bug)") {
     val df = Seq("one two", "a", "", "one two three four").toDF("t")
     val got = df.select(size(TextFunctions.wordShingles($"t", 3)).as("n"))
