@@ -7,8 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside. The
   * Spark-side machinery — schema, partitioning, batch shape, per-
-  * partition decode — is real and tested; the actual codec call is a
-  * pluggable function because media libraries are not available in this
+  * partition decode — is real and tested. The IMAGE codec path is also
+  * real (JDK ImageIO: PNG/BMP/GIF/JPEG header decode + resize, see
+  * [[imageDecode]] / [[resizeImages]]); only video/audio remain a
+  * pluggable stub because container codecs are not available in this
   * build environment (see [[stubDecode]] / [[fakeDecode]]).
   *
   * Scale shape: decode is per-row work behind `mapPartitions`, so it
@@ -53,13 +55,93 @@ object Multimodal {
         lit(source).as("source"),
         octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len")).as("meta"))
 
-  /** The real decoder seam: payload bytes → (width, height, frames).
-    * STUB — media codecs are not present in this environment; plug a
-    * real implementation (JavaCV/ImageIO/ffmpeg) here in deployment.
+  /** Video/audio decoder seam: payload bytes → (width, height, frames).
+    * STUB — container/codec libraries (ffmpeg et al.) are not present
+    * in this environment; plug a real implementation here in
+    * deployment. Image payloads do NOT go through this seam —
+    * [[imageDecode]] is a real JDK codec.
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) =
     throw new UnsupportedOperationException(
-      "media codec not available in this build; use fakeDecode for tests")
+      "video/audio codec not available in this build; use fakeDecode for tests")
+
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
+    * ship with the JVM — no external dependency). Reads ONLY the header
+    * (`ImageReader.getWidth/getHeight` on the stream), never the pixel
+    * data, so the per-row cost is parsing a few hundred bytes no matter
+    * the image size. Images are single-frame.
+    *
+    * Throws IllegalArgumentException for payloads no JDK reader claims
+    * (video containers, corrupt bytes) — route those to the
+    * [[stubDecode]] seam via [[mediaDecode]].
+    */
+  def imageDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("no JDK image reader for payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        (r.getWidth(0), r.getHeight(0), 1)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Mime-routing decoder: real JDK ImageIO for image mimes, the stub
+    * codec seam for everything else (video/audio).
+    */
+  def mediaDecode(mime: String): Array[Byte] => (Int, Int, Int) =
+    if (mime != null && mime.startsWith("image/")) imageDecode _ else stubDecode _
+
+  /** Real image resize (JDK only): decode, scale the longest side down
+    * to `maxDim` preserving aspect ratio, re-encode as PNG. Payloads
+    * already within bounds pass through untouched (no re-encode). Runs
+    * per-row inside executor tasks — see [[resizeImages]] for the
+    * partition-shaped wrapper.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+    if (scale >= 1.0) payload
+    else {
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Partition-shaped image resize: image-mime rows are re-encoded with
+    * the longest side capped at `maxDim` (and their byte_len refreshed);
+    * non-image rows pass through unchanged.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val isImage = r.meta != null && r.meta.mime != null &&
+          r.meta.mime.startsWith("image/") && r.payload != null
+        if (isImage) {
+          val p = resizeImage(r.payload, maxDim)
+          // re-encoded output is PNG; an already-small payload passes
+          // through byte-identical and keeps its original mime
+          val mime = if (p eq r.payload) r.meta.mime else "image/png"
+          MediaRecord(r.media_id, p, MediaMeta(mime, r.meta.source, p.length.toLong))
+        } else r
+      }
+    }
 
   /** Deterministic fake decode for tests: derives plausible dimensions
     * from the payload bytes so downstream logic (resize, frame-sample,

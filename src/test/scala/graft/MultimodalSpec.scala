@@ -33,6 +33,61 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
+  private def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // deterministic pixel gradient so re-encoded bytes are stable
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, baos), s"no $format writer")
+    baos.toByteArray
+  }
+
+  test("imageDecode round-trips real PNG and BMP payloads") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, encodeImage(123, 45, "png"),
+        Multimodal.MediaMeta("image/png", "t", 0L)),
+      Multimodal.MediaRecord(2L, encodeImage(7, 9, "bmp"),
+        Multimodal.MediaMeta("image/bmp", "t", 0L)))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media, Multimodal.imageDecode)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.width, f.height, f.n_frames)).toSeq ==
+      Seq((1L, 123, 45, 1), (2L, 7, 9, 1)))
+  }
+
+  test("mediaDecode routes images to the real codec and video to the stub") {
+    val png = encodeImage(20, 10, "png")
+    assert(Multimodal.mediaDecode("image/png")(png) == ((20, 10, 1)))
+    intercept[UnsupportedOperationException] {
+      Multimodal.mediaDecode("video/mp4")(Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaDecode("image/png")(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("resizeImages caps the longest side and passes small images through") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, encodeImage(200, 100, "png"),
+        Multimodal.MediaMeta("image/png", "t", 0L)),
+      Multimodal.MediaRecord(2L, encodeImage(30, 20, "bmp"),
+        Multimodal.MediaMeta("image/bmp", "t", 0L)),
+      Multimodal.MediaRecord(3L, Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta("video/mp4", "t", 3L)))
+      .toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 50).collect().sortBy(_.media_id)
+    val dims = out.filter(_.meta.mime.startsWith("image/"))
+      .map(r => r.media_id -> Multimodal.imageDecode(r.payload)).toMap
+    assert(dims(1L) == ((50, 25, 1)), s"got ${dims(1L)}")
+    assert(dims(2L) == ((30, 20, 1)), "small image should pass through")
+    assert(out.find(_.media_id == 2L).get.meta.mime == "image/bmp",
+      "untouched payload must keep its mime")
+    assert(out.find(_.media_id == 3L).get.payload.toSeq == Seq[Byte](9, 9, 9),
+      "non-image rows must pass through")
+  }
+
   test("stubDecode is a clearly-marked unsupported seam") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(1)
     val media = Multimodal.fromText(docs, "doc_id", "text", "t")
