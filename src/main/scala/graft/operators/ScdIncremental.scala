@@ -42,7 +42,24 @@ object ScdIncremental {
       incoming: DataFrame,
       entityCols: Seq[String],
       dateCol: String = "snapshot_date",
-      hashExclude: Seq[String] = Seq("snapshot_date")): DataFrame = {
+      hashExclude: Seq[String] = Seq("snapshot_date")): DataFrame =
+    mergeBatchWithChangedDates(existing, incoming, entityCols, dateCol, hashExclude)._1
+
+  /** [[mergeBatch]] plus the distinct `dateCol` values whose rows can
+    * differ from `existing` — the partitions a date-partitioned store
+    * must rewrite ([[graft.sources.ScdStorage.overwritePartitions]]).
+    * Conservative (a touched entity's whole history counts even where
+    * re-classification lands on the same value) but O(touched): the
+    * dates of touched-entity rows, the batch's own dates, and the dates
+    * of untouched last rows that flipped to Deleted. Derived from the
+    * merge structure — never a full-table diff.
+    */
+  def mergeBatchWithChangedDates(
+      existing: DataFrame,
+      incoming: DataFrame,
+      entityCols: Seq[String],
+      dateCol: String = "snapshot_date",
+      hashExclude: Seq[String] = Seq("snapshot_date")): (DataFrame, DataFrame) = {
     val snapshotCols = incoming.columns.toSeq
     require(!snapshotCols.contains(Scd.ChangeStatus),
       "incoming must carry snapshot columns only")
@@ -77,22 +94,24 @@ object ScdIncremental {
     val untouched = existing.join(touched, entityCols, "left_anti")
     val lastW = Window.partitionBy(entityCols.map(col): _*).orderBy(col(dateCol).desc)
     val gmax = allDates.agg(max(dateCol).as("__gmax"))
-    val untouchedUpdated = untouched
+    val untouchedFlagged = untouched
       .withColumn("__rn", row_number().over(lastW))
       .crossJoin(broadcast(gmax))
+      .withColumn("__flip",
+        col("__rn") === 1 && col(dateCol) < col("__gmax") &&
+          col(Scd.ChangeStatus).isin("Changed", "No Change"))
+    val untouchedUpdated = untouchedFlagged
       .withColumn(
         Scd.ChangeStatus,
-        when(col("__rn") === 1 && col(dateCol) < col("__gmax") &&
-          col(Scd.ChangeStatus).isin("Changed", "No Change"), "Deleted")
-          .otherwise(col(Scd.ChangeStatus)))
+        when(col("__flip"), "Deleted").otherwise(col(Scd.ChangeStatus)))
       .withColumn(
         Scd.ChangedStatusDate,
         // the reference's Deleted override, applied idempotently
         when(col(Scd.ChangeStatus) === "Deleted", col(dateCol))
           .otherwise(col(Scd.ChangedStatusDate)))
-      .drop("__rn", "__gmax")
+      .drop("__rn", "__gmax", "__flip")
 
-    recomputed.select(existing.columns.map(col).toSeq: _*)
+    val merged = recomputed.select(existing.columns.map(col).toSeq: _*)
       .union(untouchedUpdated.select(existing.columns.map(col).toSeq: _*))
       // the when/otherwise over an (often nullable-typed) stored
       // change_status would type the output nullable; the declared SCD
@@ -101,5 +120,12 @@ object ScdIncremental {
       .withColumn(Scd.ChangeStatus,
         coalesce(col(Scd.ChangeStatus), lit("Unknown")))
       .select(existing.columns.map(col).toSeq: _*)
+
+    val changedDates = existingTouched.select(col(dateCol))
+      .union(incoming.select(col(dateCol)))
+      .union(untouchedFlagged.filter(col("__flip")).select(col(dateCol)))
+      .distinct()
+
+    (merged, changedDates)
   }
 }

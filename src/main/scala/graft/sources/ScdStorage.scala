@@ -33,6 +33,35 @@ object ScdStorage {
   def readHistory(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Rewrite ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched (dynamic partition overwrite) — the
+    * I/O half of incremental SCD maintenance: compute O(touched)
+    * ([[graft.operators.ScdIncremental]]) and write O(changed
+    * partitions), never the whole table.
+    *
+    * `df` must hold COMPLETE partitions: each date it contains replaces
+    * that date's directory wholesale.
+    *
+    * Atomicity is per partition (Spark stages files and commits each
+    * partition directory), not per table — the price of not rewriting
+    * history. A crash mid-commit can leave a mix of old and new
+    * partitions; replaying the same micro-batch heals it: snapshot
+    * columns never change, classification is recomputed from them, and
+    * the merge dedups re-delivered rows.
+    */
+  def overwritePartitions(
+      df: DataFrame, path: String, dateCol: String = "snapshot_date"): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Write a table bucketed by the entity key for shuffle-free merges.
     * Bucketed layouts are catalog tables in Spark (`saveAsTable`); use a
     * warehouse-backed session.

@@ -49,6 +49,13 @@ object ScdStreaming {
     *   whole accumulated history. Requires corrected-islands mode
     *   (`cfg.legacyChangedStatusDate = false`): the legacy cross-entity
     *   quirk is not incrementally maintainable.
+    * @param partitionedStorage store the history date-partitioned and
+    *   rewrite only CHANGED partitions per micro-batch (dynamic
+    *   partition overwrite) — makes the WRITE side O(changed) to match
+    *   the incremental compute; without it every batch rewrites the
+    *   whole table. Implies `incremental`. Trades whole-table swap
+    *   atomicity for per-partition atomicity (see
+    *   [[graft.sources.ScdStorage.overwritePartitions]]).
     */
   def start(
       spark: SparkSession,
@@ -59,8 +66,9 @@ object ScdStreaming {
       maxFilesPerTrigger: Int = 10,
       trigger: Trigger = Trigger.AvailableNow(),
       archiveDir: String = "",
-      incremental: Boolean = false): StreamingQuery = {
-    require(!incremental || !cfg.legacyChangedStatusDate,
+      incremental: Boolean = false,
+      partitionedStorage: Boolean = false): StreamingQuery = {
+    require(!(incremental || partitionedStorage) || !cfg.legacyChangedStatusDate,
       "incremental maintenance requires corrected-islands mode")
     val archive = if (archiveDir.nonEmpty) archiveDir else s"${inputDir}_processed"
     val snapshots = spark.readStream
@@ -77,7 +85,8 @@ object ScdStreaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(spark, batch, tableDir, cfg, incremental)
+        if (partitionedStorage) mergeBatchPartitioned(spark, batch, tableDir, cfg)
+        else mergeBatch(spark, batch, tableDir, cfg, incremental)
       }
       .start()
   }
@@ -116,6 +125,53 @@ object ScdStreaming {
     } finally staged.unpersist()
   }
 
+  /** One micro-batch against a DATE-PARTITIONED history: incremental
+    * compute ([[graft.operators.ScdIncremental]]) + incremental I/O —
+    * only partitions whose rows can differ are rewritten
+    * ([[graft.sources.ScdStorage.overwritePartitions]]); untouched
+    * partition files are never read back, staged, or replaced. First
+    * batch bootstraps the partitioned layout with a full classify.
+    *
+    * The quality gate runs on the changed-partition subset (complete
+    * partitions, so per-key uniqueness within them is fully checkable)
+    * BEFORE any file is replaced.
+    */
+  private[graft] def mergeBatchPartitioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      tableDir: String,
+      cfg: EmployeeDimJob.Config): Unit = {
+    require(!cfg.legacyChangedStatusDate,
+      "incremental maintenance requires corrected-islands mode")
+    if (batch.isEmpty) return
+    val dest = new Path(tableDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val profile = EmployeeTables.employeeAll("").copy(outputPath = tableDir)
+    if (!fs.exists(dest)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], EmployeeTables.scdSchema)
+      val staged = EmployeeDimJob.stageEmployeeAll(empty, batch, cfg).persist()
+      try {
+        Quality.check(staged, profile)
+        graft.sources.ScdStorage.writeHistory(staged, tableDir)
+      } finally staged.unpersist()
+    } else {
+      val existing = spark.read.schema(EmployeeTables.scdSchema).parquet(tableDir)
+      val (merged, changedDates) = graft.operators.ScdIncremental
+        .mergeBatchWithChangedDates(existing, batch, entityCols = Seq("employee_number"))
+      val subset = merged
+        .join(org.apache.spark.sql.functions.broadcast(changedDates),
+          Seq("snapshot_date"), "left_semi")
+        .select(EmployeeTables.scdSchema.fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*)
+        .persist()
+      try {
+        Quality.check(subset, profile)
+        graft.sources.ScdStorage.overwritePartitions(subset, tableDir)
+      } finally subset.unpersist()
+    }
+  }
+
   /** Read the maintained history table (repairing any interrupted swap
     * first).
     */
@@ -123,7 +179,12 @@ object ScdStreaming {
     val dest = new Path(tableDir)
     graft.sources.AtomicDir.recover(
       dest.getFileSystem(spark.sparkContext.hadoopConfiguration), dest)
+    // a date-PARTITIONED layout surfaces snapshot_date as the trailing
+    // partition column regardless of the user schema's order — reselect
+    // to the declared column order (no-op for the flat layout)
     spark.read.schema(EmployeeTables.scdSchema).parquet(tableDir)
+      .select(EmployeeTables.scdSchema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   /** Derive the current view from the maintained history. */
