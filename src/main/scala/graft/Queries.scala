@@ -457,6 +457,28 @@ object Queries {
       |SELECT e.event_id, e.user_id, r.last_order_key, r.odate AS last_order_date
       |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND r.odate <= e.ts""".stripMargin
 
+  /** Same as-of semantics planned through the native whole-operator
+    * path ([[graft.plans.AsOfJoinExec]]): custom LogicalPlan ->
+    * Strategy -> merge SparkPlan, verified against the identical DuckDB
+    * ASOF oracle as the composed form. Right side is unique per
+    * (user_id, odate), so no tie-break is needed for determinism.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").cast("timestamp").as("odate"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    graft.operators.AsOfJoin.asOfJoinNative(
+      events, orders,
+      keyCols = Seq("user_id"),
+      leftTimeCol = "ts", rightTimeCol = "odate",
+      rightValueCols = Seq("last_order_key", "odate"))
+      .withColumnRenamed("odate", "last_order_date")
+      .select("event_id", "user_id", "last_order_key", "last_order_date")
+  }
+
+  val asofJoinNativeSql: String = asofJoinSql
+
   // ----------------------------------------------------- dedup extensions
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
@@ -879,6 +901,7 @@ object Queries {
     "q_scd_status" -> (scdStatus _),
     "q_scd_merge_current" -> (scdMergeCurrent _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_join_native" -> (asofJoinNative _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -890,8 +913,10 @@ object Queries {
     "q_lang_id" -> (langId _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
-  /** name -> DuckDB oracle SQL (queries absent here get the driver's
-    * weaker rows-only check — currently only the xxhash64-based LSH).
+  /** name -> DuckDB oracle SQL (queries absent here would get the
+    * driver's weaker rows-only check — currently every query is
+    * oracled, including the LSH path since its planes became
+    * sha-256-derived and DuckDB-reproducible).
     */
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" -> scanFilterProjectSql,
@@ -916,6 +941,7 @@ object Queries {
     "q_scd_status" -> scdStatusSql,
     "q_scd_merge_current" -> scdMergeCurrentSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_join_native" -> asofJoinNativeSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,

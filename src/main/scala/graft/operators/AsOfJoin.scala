@@ -1,8 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.classic.GraftPlanApi
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** As-of (point-in-time) join: for every left row, attach the LATEST
   * right row whose time is <= (or strictly <) the left row's time,
@@ -81,5 +86,60 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightValueCols.map(c => col(s"__last_rv.$c").as(c)): _*)
+  }
+
+  /** Same semantics as [[asOfJoin]], planned as the native
+    * [[graft.plans.AsOfJoinExec]] merge operator instead of the
+    * union + window composition: one exchange + sort per side, then a
+    * forward-only streaming merge — no null-padded union rows, no
+    * window frame machine. Prefer this form at scale; the composed
+    * form remains as the independent cross-check (AsOfJoinSpec proves
+    * them equal).
+    *
+    * Key and time columns must have identical types on both sides
+    * (cast beforehand). `tieBreak` may be any right columns here (the
+    * composed form requires them inside `rightValueCols`).
+    */
+  def asOfJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      tieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanApi.ensureStrategy(spark, AsOfJoinStrategy)
+
+    // Re-alias the projected right side so its attributes get fresh
+    // exprIds — required for self-joins, harmless otherwise. The
+    // projection also prunes right columns before the exchange (the
+    // optimizer cannot prune through an unknown node).
+    val rCols = (keyCols ++ Seq(rightTimeCol) ++ rightValueCols ++ tieBreak).distinct
+    val rAnalyzed = right.select(rCols.map(col): _*).queryExecution.analyzed
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def rAttr(name: String): Attribute = rOut.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"right column not found: $name"))
+
+    val lPlan = left.queryExecution.analyzed
+    def lAttr(name: String): Attribute = lPlan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"left column not found: $name"))
+
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      keyCols.map(lAttr), keyCols.map(rAttr),
+      lAttr(leftTimeCol), rAttr(rightTimeCol),
+      rightValueCols.map(rAttr), tieBreak.map(rAttr), strict)
+    require(plan.resolved,
+      s"as-of join plan failed to resolve: check that key/time column " +
+        s"types match between sides " +
+        s"(left keys: ${keyCols.map(lAttr(_).dataType.simpleString)}, " +
+        s"right keys: ${keyCols.map(rAttr(_).dataType.simpleString)}, " +
+        s"left time: ${lAttr(leftTimeCol).dataType.simpleString}, " +
+        s"right time: ${rAttr(rightTimeCol).dataType.simpleString})")
+    GraftPlanApi.ofRows(spark, plan)
   }
 }

@@ -4,12 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Production registration of the engine's native functions for SQL
-  * users: `spark.sql.extensions=graft.plans.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`) makes `graft_dot`,
+/** Production registration of the engine's native functions and plans
+  * for SQL users: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) makes `graft_dot`,
   * `graft_hyperplane_sig`, `graft_shingle_hash32`, `graft_minhash_sig32`
-  * and `graft_band_hashes` available in every session — the DataFrame
-  * API paths self-register per session and do not require this.
+  * and `graft_band_hashes` available in every session, and installs the
+  * [[AsOfJoinStrategy]] planner rule for [[AsOfJoinPlan]] — the
+  * DataFrame API paths self-register per session and do not require
+  * this.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -17,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator plans
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier(NativeVector.DotName),
       info(NativeVector.DotName, "dot product of two array<double>"),
