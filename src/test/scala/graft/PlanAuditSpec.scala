@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Machine-checked scale audit over the ENTIRE query inventory: the
+  * properties that decide whether a plan survives a 100× scale-up are
+  * asserted here, not just eyeballed in `.explain` output. A regression
+  * that re-introduces an all-pairs join, drops a pushed filter, or
+  * doubles a query's shuffle count fails CI, not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = Queries.all(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  private lazy val plans: Map[String, SparkPlan] =
+    Queries.all.keys.map(n => n -> executedPlan(n)).toMap
+
+  /** A nested-loop join is quadratic UNLESS its broadcast side is
+    * provably tiny: a grand aggregate (no grouping keys → exactly one
+    * row, the scalar-broadcast global-max pattern) or an explicitly
+    * bounded probe set. Everything else must go through an equi or
+    * bucketed form.
+    */
+  private def boundedBuild(p: SparkPlan): Boolean =
+    p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.isEmpty => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+
+  // brute-force top-k intentionally broadcasts its probe set (the
+  // handful of query vectors); the corpus side streams. Bounded by
+  // construction — the LSH/IVF paths are the unbounded-probe-count
+  // scale path.
+  private val boundedProbeQueries = Set("q_simsearch_topk")
+
+  test("no query plans an unbounded all-pairs join") {
+    val offenders = plans.collect {
+      case (name, p) if !boundedProbeQueries.contains(name) &&
+          collectWithSubqueries(p) {
+            case e: BroadcastNestedLoopJoinExec
+                if !boundedBuild(e.left) && !boundedBuild(e.right) => e: SparkPlan
+            case e: CartesianProductExec => e: SparkPlan
+          }.nonEmpty =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"all-pairs join found in: ${offenders.toSeq.sorted.mkString(", ")} — " +
+        "at 100 TB these are quadratic; route through an equi/bucketed form")
+  }
+
+  test("no query collects to the driver inside its plan") {
+    // LocalTableScan from a driver-side collect would show up here;
+    // literal small inputs (e.g. the LSH probe set) are allowed only
+    // when they come from the fixture tables, which all read parquet.
+    val offenders = plans.collect {
+      case (name, p) if p.toString.contains("Scan ExistingRDD") => name
+    }
+    assert(offenders.isEmpty,
+      s"driver-materialized scan in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    // each entry: query -> a pushed-filter fragment expected in its scan
+    val expected = Map(
+      "q_scan_filter_project" -> "l_returnflag",
+      // join keys push IsNotNull down to both fact scans
+      "q_join_revenue" -> "IsNotNull(o_custkey)",
+      "q_dup_gate" -> "l_orderkey")
+    expected.foreach { case (name, frag) =>
+      val scans = plans(name).toString
+        .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(scans.contains(frag),
+        s"$name: expected a pushed filter on $frag, got:\n$scans")
+    }
+  }
+
+  test("parquet scans prune columns (no full-schema reads on wide tables)") {
+    // lineitem has 16 columns; every query touching it must read fewer
+    val wide = Seq("q_scan_filter_project", "q_agg_pricing", "q_dup_gate")
+    wide.foreach { name =>
+      val schemas = plans(name).toString.linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+      val colCount = "l_\\w+".r.findAllIn(schemas).toSet.size
+      assert(colCount > 0 && colCount < 10,
+        s"$name: expected a pruned lineitem read, got $colCount cols:\n$schemas")
+    }
+  }
+
+  test("per-query shuffle budget holds") {
+    // ceilings, not targets: a failure means a structural regression
+    // (e.g. a lost co-partitioning), not noise. AQE-coalesced reuses
+    // still count as one exchange node each.
+    val budget = Map(
+      "q_scan_filter_project" -> 0,
+      "q_row_fingerprint" -> 0,
+      "q_when_case" -> 0,
+      "q_text_stats" -> 0,
+      "q_lang_id" -> 0,
+      "q_multimodal_features" -> 0,
+      "q_dedup_simhash" -> 0,
+      "q_json_extract" -> 0,
+      "q_agg_pricing" -> 1,
+      "q_dup_gate" -> 1,
+      "q_count_distinct" -> 2,
+      "q_window_lag_lead" -> 1,
+      "q_window_running" -> 1,
+      "q_sessionize" -> 1,
+      "q_gaps_islands" -> 1,
+      "q_topk_per_group" -> 1,
+      // as-of right side is an aggregate (1 shuffle) feeding the join
+      "q_asof_join" -> 2, // agg + one union-window exchange on the key
+      "q_asof_join_native" -> 3, // agg + one exchange per join side
+      "q_dedup_exact" -> 1,
+      "q_orders_by_month" -> 1,
+      "q_word_frequencies" -> 2)
+    val over = budget.flatMap { case (name, max) =>
+      val n = collectWithSubqueries(plans(name)) {
+        case e: ShuffleExchangeExec => e
+      }.length
+      if (n > max) Some(s"$name: $n > $max") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+
+  test("broadcastable dimension joins actually broadcast") {
+    // nation/region joins must not shuffle the fact side
+    val p = plans("q_join_revenue").toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_join_revenue: expected BroadcastHashJoin for the dim side:\n$p")
+  }
+}
