@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Streaming document deduplication — the ingest-time counterpart of
+  * the batch [[graft.operators.Dedup]] operators.
+  *
+  * Exact dedup on an unbounded stream cannot keep every fingerprint
+  * ever seen: `dropDuplicates` state grows without bound and a 100 TB/
+  * day feed kills the state store in hours. `exactDedupStream` instead
+  * uses `dropDuplicatesWithinWatermark`, which keeps one state entry
+  * per fingerprint only until the watermark passes its event time —
+  * bounded state, exactly-once emission of the first arrival within
+  * the horizon. Cross-horizon duplicates (the same document
+  * re-ingested days later) are a batch concern: run the stored corpus
+  * through `Dedup.exactDedup` in the nightly compaction.
+  *
+  * The near-dup path reuses the batch signature expressions unchanged
+  * (minhash/simhash are stateless per-row transforms, so the same
+  * codegen'd kernels run inside a streaming micro-batch): signatures
+  * are attached on ingest, and candidate pairing happens downstream
+  * against the bucketed store, not inside the stream.
+  */
+object StreamingDedup {
+
+  /** First-arrival-wins exact dedup within the watermark horizon.
+    * Dedup key is the normalized-text sha-256 fingerprint (identical
+    * to the batch operator, so stream- and batch-deduped corpora
+    * agree on what "the same document" means).
+    */
+  def exactDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Attach dedup signatures on ingest: exact fingerprint, simhash, and
+    * minhash-LSH band keys (exploded downstream for bucket routing).
+    * Stateless — safe in any output mode, no streaming state at all;
+    * the expensive shingle hashing is materialized once per row
+    * (Catalyst would otherwise duplicate the subtree per signature).
+    */
+  def withDedupSignatures(
+      docs: DataFrame,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    import graft.plans.NativeText
+    NativeText.register(docs.sparkSession)
+    val rowsPerBand = numHashes / bands
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__sh",
+        NativeText.shingleHash32(
+          split(TextFunctions.normalizeText(col(textCol)), " "), 3))
+      .withColumn("simhash",
+        NativeText.simHash32(
+          NativeText.shingleHash32(
+            split(TextFunctions.normalizeText(col(textCol)), " "), 1)))
+      .withColumn("minhash_sig", NativeText.minHashSig(col("__sh"), numHashes))
+      .withColumn("band_keys",
+        NativeText.bandHashes(col("minhash_sig"), bands, rowsPerBand))
+      .drop("__sh")
+  }
+}
