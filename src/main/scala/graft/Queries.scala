@@ -650,6 +650,55 @@ object Queries {
       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** IVF (inverted-file) ANN with an UNTRAINED quantizer (iters=0):
+    * centroids are the normalized vectors of the k smallest ids, so —
+    * unlike the Lloyd-trained model, whose float cluster means depend
+    * on aggregation order — every step (assignment, probing, scoring,
+    * top-k) is deterministic and replayable in DuckDB. The trained
+    * model is covered by IvfIndexSpec's recall-vs-brute-force gate;
+    * this query hash-verifies the SEARCH machinery: cell assignment,
+    * nprobe pruning, the cell equi-join (no all-pairs stage), and the
+    * bounded top-k aggregator.
+    */
+  def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding", k = 16, iters = 0)
+    graft.operators.IvfIndex.search(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", model,
+      kNeighbors = 5, nprobe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** DuckDB replay: same centroid choice (k=16 smallest vec_ids,
+    * L2-normalized), same nearest-cell rule (max dot, ties to the
+    * lowest cell), same nprobe=4 probe set, same candidate scoring
+    * restricted to probed cells, same (cos_sim desc, neighbor_id) top-5.
+    * `list_dot_product` matches Spark's sequential fold bit-for-bit.
+    */
+  val simsearchIvfSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |assigned AS (SELECT n.vec_id, n.nv,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      |probes AS (SELECT q.query_id, q.qv, p.cell
+      |  FROM q, LATERAL (SELECT c.cell FROM cent c
+      |    ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell LIMIT 4) p),
+      |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.qv, a.nv), 6) AS cos_sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   /** Embedding corpus with planted near-duplicates: every 5th vector
     * gets a shifted copy (element-wise +0.05, id +1,000,000) whose
     * cosine to its original lands in ~[0.92, 0.99] — above the 0.8
@@ -908,6 +957,7 @@ object Queries {
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
     "q_simsearch_lsh" -> (simsearchLsh _),
+    "q_simsearch_ivf" -> (simsearchIvf _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -948,6 +998,7 @@ object Queries {
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
     "q_simsearch_lsh" -> simsearchLshSql,
+    "q_simsearch_ivf" -> simsearchIvfSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
