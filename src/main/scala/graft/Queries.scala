@@ -479,6 +479,41 @@ object Queries {
 
   val asofJoinNativeSql: String = asofJoinSql
 
+  /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
+    * for each order, how many of the SAME customer's 30-day order
+    * windows contain its date (order-burst analysis — every order
+    * matches at least its own window, so the check is never vacuous).
+    * The bucket width equals the window span, so each interval
+    * explodes to at most 2 buckets and the plan is a plain equi join
+    * on (custkey, bucket) — DuckDB replays the same semantics with a
+    * direct BETWEEN join. The range axis is integral micros on both
+    * sides of the between (exact arithmetic).
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val micros30d = 30L * 86400L * 1000000L
+    val orders = t(s, dir, "orders")
+    val points = orders.select(
+      col("o_orderkey").as("point_order"), col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("pt"))
+    val windows = orders.select(
+      col("o_custkey"), col("o_orderkey").as("window_order"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("lo"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) + micros30d).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+      points, windows, Seq("o_custkey"), "pt", "lo", "hi", micros30d)
+      .groupBy("point_order", "o_custkey")
+      .agg(count(lit(1)).as("n_windows"), max("window_order").as("last_window_order"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_orderdate AS TIMESTAMP) AS od FROM orders)
+      |SELECT p.o_orderkey AS point_order, p.o_custkey,
+      |  count(*) AS n_windows, max(w.o_orderkey) AS last_window_order
+      |FROM o p JOIN o w ON p.o_custkey = w.o_custkey
+      |  AND p.od >= w.od AND p.od <= w.od + INTERVAL 30 DAY
+      |GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------- dedup extensions
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
@@ -951,6 +986,7 @@ object Queries {
     "q_scd_merge_current" -> (scdMergeCurrent _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_join_native" -> (asofJoinNative _),
+    "q_range_join" -> (rangeJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -992,6 +1028,7 @@ object Queries {
     "q_scd_merge_current" -> scdMergeCurrentSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_native" -> asofJoinNativeSql,
+    "q_range_join" -> rangeJoinSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
