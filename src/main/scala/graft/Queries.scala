@@ -514,6 +514,25 @@ object Queries {
       |  AND p.od >= w.od AND p.od <= w.od + INTERVAL 30 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic stratified sampling ([[graft.operators.Sampling]]):
+    * language re-balancing of the documents corpus via the portable
+    * sha-256 membership hash — DuckDB replays the exact membership set,
+    * so the oracle matches row-for-row (not just in expectation).
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      "lang", "doc_id",
+      Map("en" -> 0.1, "de" -> 0.5), seed = 42L, defaultFraction = 1.0)
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    / 4294967296.0
+      |  < CASE WHEN lang = 'en' THEN 0.1
+      |         WHEN lang = 'de' THEN 0.5
+      |         ELSE 1.0 END""".stripMargin
+
   // ----------------------------------------------------- dedup extensions
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
@@ -987,6 +1006,7 @@ object Queries {
     "q_asof_join" -> (asofJoin _),
     "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
+    "q_sample_stratified" -> (sampleStratified _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -1029,6 +1049,7 @@ object Queries {
     "q_asof_join" -> asofJoinSql,
     "q_asof_join_native" -> asofJoinNativeSql,
     "q_range_join" -> rangeJoinSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is non-reproducible across retries, partitionings and
+  * Spark versions (partition-seeded RNG), which poisons experiment
+  * lineage: a re-run of the same pipeline yields a different corpus.
+  * These operators decide membership from a portable sha-256 hash of
+  * (seed, row id) instead — a pure per-row predicate, so:
+  *
+  *   - the same (id, seed) is in or out FOREVER, on any cluster layout,
+  *     any engine (the driver's DuckDB oracle replays it exactly);
+  *   - sampling is a codegen'd filter pushed like any other predicate —
+  *     no shuffle, no RNG state, trivially parallel at 100 TB;
+  *   - nested samples compose: a 1% sample of a 10% sample with
+  *     different seeds behaves like an 0.1% sample.
+  *
+  * The unit interval comes from the top 8 hex digits of the hash
+  * (32 uniform bits / 2^32 — same construction the minhash family
+  * uses, [[TextFunctions.portableHash32]]).
+  */
+object Sampling {
+
+  /** Uniform [0, 1) value derived from sha-256 of `seed:id`. */
+  def hashUnit(idCol: Column, seed: Long): Column =
+    TextFunctions.portableHash32(
+      concat_ws(":", lit(seed), idCol.cast("string"))) / lit(4294967296.0)
+
+  /** Keep each row iff hash(seed, id) < fraction. Expected — not exact
+    * — sample size, like Bernoulli sampling everywhere; identical
+    * membership on every run.
+    */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double, seed: Long): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    df.filter(hashUnit(col(idCol), seed) < fraction)
+  }
+
+  /** Per-stratum fractions (e.g. language re-balancing: keep 100% of
+    * low-resource strata, 5% of the dominant one). Strata absent from
+    * `fractions` fall back to `defaultFraction`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      seed: Long,
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be within [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol), seed) < frac)
+  }
+
+  /** Weighted mixture of corpora: down-sample each source to
+    * `weights(name)` and union, tagging provenance. The standard
+    * "training mix" step; deterministic end to end.
+    */
+  def weightedMix(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      seed: Long): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.map { case (name, df, w) =>
+      deterministicSample(df, idCol, w, seed)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+}
