@@ -533,6 +533,32 @@ object Queries {
       |         WHEN lang = 'de' THEN 0.5
       |         ELSE 1.0 END""".stripMargin
 
+  /** Sequence packing ([[graft.operators.Packing]]): documents into
+    * 2048-token packs across 8 hash shards. Pack ids derive from a
+    * portable-hash shard + per-shard running token total, so DuckDB
+    * replays every assignment exactly.
+    */
+  def docPacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packDocuments(
+      t(s, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", tokenBudget = 2048L, shards = 8)
+      .select(col("doc_id"), col("n_tokens"), col("shard").cast("long").as("shard"),
+        col("pack_id"), col("pack_pos"))
+
+  val docPackingSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+      |      AS shard
+      |  FROM documents),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+      |SELECT doc_id, n_tokens, shard,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  CAST(row_number() OVER (PARTITION BY shard,
+      |      floor((cum - n_tokens) / 2048.0) ORDER BY doc_id) AS BIGINT) AS pack_pos
+      |FROM c""".stripMargin
+
   // ----------------------------------------------------- dedup extensions
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
@@ -1007,6 +1033,7 @@ object Queries {
     "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_doc_packing" -> (docPacking _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -1050,6 +1077,7 @@ object Queries {
     "q_asof_join_native" -> asofJoinNativeSql,
     "q_range_join" -> rangeJoinSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_doc_packing" -> docPackingSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
