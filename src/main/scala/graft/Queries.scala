@@ -628,7 +628,11 @@ object Queries {
     pairs
   }
 
-  val dedupMinHashSql: String = {
+  /** Shared CTE chain deriving the minhash-LSH candidate pairs —
+    * reused by the pair query and the cluster-resolution query so both
+    * oracles see the identical pair set.
+    */
+  private val minHashPairsCtes: String = {
     val rows = MinHashNumHashes / MinHashBands
     val params = Dedup.minHashParams(MinHashNumHashes)
     val sigExprs = params.map { case (a, b) =>
@@ -639,7 +643,7 @@ object Queries {
       val hi = bnd * rows + rows
       s"sha256('${bnd}' || ',' || array_to_string(sig[${lo}:${hi}], ','))"
     }.mkString("[", ", ", "]")
-    s"""WITH corpus AS ($nearDupCorpusSql),
+    s"""corpus AS ($nearDupCorpusSql),
        |words AS (SELECT doc_id,
        |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
        |  FROM corpus),
@@ -650,10 +654,36 @@ object Queries {
        |  list_transform(shingles, s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)) AS hashes
        |  FROM sh),
        |sig AS (SELECT doc_id, $sigExprs AS sig FROM hs),
-       |bands AS (SELECT doc_id, unnest($bandExprs) AS band FROM sig)
-       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id""".stripMargin
+       |bands AS (SELECT doc_id, unnest($bandExprs) AS band FROM sig),
+       |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  val dedupMinHashSql: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b FROM pairs""".stripMargin
+
+  /** Duplicate-cluster resolution: minhash candidate pairs →
+    * [[graft.operators.ConnectedComponents]] min-label clusters. The
+    * oracle computes the transitive closure of the SAME pair set with
+    * a recursive CTE and takes the min reachable id — tractable at
+    * oracle scale because dedup components are tiny; Spark's label
+    * propagation is the form that survives 100 TB.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.resolve(
+      dedupMinHash(s, dir), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY 1""".stripMargin
 
   /** n-gram Jaccard over the known (original, variant) pairs, on
     * hash-compared shingle sets (see [[Dedup.ngramJaccard]]).
@@ -1036,6 +1066,7 @@ object Queries {
     "q_doc_packing" -> (docPacking _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
@@ -1080,6 +1111,7 @@ object Queries {
     "q_doc_packing" -> docPackingSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
