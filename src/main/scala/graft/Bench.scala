@@ -46,7 +46,13 @@ object Bench {
       .filter("l_quantity > 0").groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset (the
+    // driver never sets it, so driver runs always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // Catch per run: a flaky second run must not discard a valid
       // first measurement. -1 only when EVERY run failed.
       val attempts = (1 to runs).map { _ =>
