@@ -514,6 +514,29 @@ object Queries {
       |  AND p.od >= w.od AND p.od <= w.od + INTERVAL 30 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Exact interpolated percentiles per group (corpus distribution
+    * stats). Spark's `percentile` and DuckDB's `quantile_cont` both
+    * implement the standard (n-1)*p interpolation over the sorted
+    * values — exact, order-independent, so the hash oracle holds
+    * (rounded to 6 dp to absorb last-ulp interpolation differences).
+    */
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"),
+        count(lit(1)).as("n"))
+
+  val groupPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Deterministic stratified sampling ([[graft.operators.Sampling]]):
     * language re-balancing of the documents corpus via the portable
     * sha-256 membership hash — DuckDB replays the exact membership set,
@@ -1064,6 +1087,7 @@ object Queries {
     "q_range_join" -> (rangeJoin _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_doc_packing" -> (docPacking _),
+    "q_group_percentiles" -> (groupPercentiles _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -1109,6 +1133,7 @@ object Queries {
     "q_range_join" -> rangeJoinSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_doc_packing" -> docPackingSql,
+    "q_group_percentiles" -> groupPercentilesSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_clusters" -> dedupClustersSql,
