@@ -43,9 +43,17 @@ object ConnectedComponents {
       .withColumn("component", col("node"))
       .localCheckpoint(true)
 
+    // labels only ever DECREASE under min-propagation, so the label sum
+    // is a convergence checksum: unchanged sum <=> fixpoint. One cheap
+    // aggregate over the just-checkpointed table per round, instead of
+    // a join against the previous labels.
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("component")).head().getLong(0)
+
     var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
+    var prevSum = checksum(labels)
+    var converged = false
+    while (!converged && iters < maxIters) {
       val propagated = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
@@ -62,14 +70,13 @@ object ConnectedComponents {
         .select(col("node"),
           coalesce(col("m_comp"), col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val nextSum = checksum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iters += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge in $maxIters rounds — " +
         "graph diameter exceeds the dedup-shape assumption; raise maxIters " +
         "or use a star-contraction variant")
