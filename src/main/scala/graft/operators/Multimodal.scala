@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside. The
   * Spark-side machinery — schema, partitioning, batch shape, per-
-  * partition decode — is real and tested. The IMAGE codec path is also
-  * real (JDK ImageIO: PNG/BMP/GIF/JPEG header decode + resize, see
-  * [[imageDecode]] / [[resizeImages]]); only video/audio remain a
-  * pluggable stub because container codecs are not available in this
-  * build environment (see [[stubDecode]] / [[fakeDecode]]).
+  * partition decode — is real and tested. The IMAGE codec path is real
+  * (JDK ImageIO: PNG/BMP/GIF/JPEG header decode + resize, see
+  * [[imageDecode]] / [[resizeImages]]) and so is the AUDIO path (JDK
+  * `javax.sound.sampled`: WAV/AIFF/AU header + PCM RMS, see
+  * [[audioDecode]]); only video remains a pluggable stub because
+  * container codecs are not available in this build environment (see
+  * [[stubDecode]] / [[fakeDecode]]).
   *
   * Scale shape: decode is per-row work behind `mapPartitions`, so it
   * parallelizes with the scan and never shuffles; [[scatterForDecode]]
@@ -55,15 +57,15 @@ object Multimodal {
         lit(source).as("source"),
         octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len")).as("meta"))
 
-  /** Video/audio decoder seam: payload bytes → (width, height, frames).
-    * STUB — container/codec libraries (ffmpeg et al.) are not present
-    * in this environment; plug a real implementation here in
-    * deployment. Image payloads do NOT go through this seam —
-    * [[imageDecode]] is a real JDK codec.
+  /** Video decoder seam: payload bytes → (width, height, frames).
+    * STUB — video container/codec libraries (ffmpeg et al.) are not
+    * present in this environment; plug a real implementation here in
+    * deployment. Image and audio payloads do NOT go through this
+    * seam — [[imageDecode]] and [[audioDecode]] are real JDK codecs.
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) =
     throw new UnsupportedOperationException(
-      "video/audio codec not available in this build; use fakeDecode for tests")
+      "video codec not available in this build; use fakeDecode for tests")
 
   /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
     * ship with the JVM — no external dependency). Reads ONLY the header
@@ -142,6 +144,73 @@ object Multimodal {
         } else r
       }
     }
+
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_sec: Double,
+      rms: Double)
+
+  implicit val audioEncoder: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with the JVM — no external dependency, same move as
+    * [[imageDecode]]). Parses the container header for format/frame
+    * count and streams the PCM payload once for RMS energy (16-bit
+    * signed, both endiannesses — the overwhelmingly common PCM shape;
+    * other sample widths report RMS = NaN rather than a wrong number).
+    *
+    * Throws for payloads the JDK cannot parse (compressed codecs,
+    * corrupt bytes) — route those to the [[stubDecode]] seam.
+    */
+  def audioDecode(mediaId: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val duration =
+        if (fmt.getSampleRate > 0 && frames >= 0) frames / fmt.getSampleRate.toDouble
+        else Double.NaN
+      val rms =
+        if (fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          val big = fmt.isBigEndian
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0
+          var n = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s =
+                if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              sumSq += s.toDouble * s.toDouble
+              n += 1
+              i += 2
+            }
+            read = ais.read(buf)
+          }
+          if (n > 0) math.sqrt(sumSq / n) / 32768.0 else 0.0
+        } else Double.NaN
+      AudioFeatures(mediaId, fmt.getSampleRate.toInt, fmt.getChannels,
+        fmt.getSampleSizeInBits, frames, duration, rms)
+    } finally ais.close()
+  }
+
+  /** Partition-shaped audio feature extraction for audio-mime rows
+    * (same mapPartitions batch shape as [[decodeFeatures]]). Non-audio
+    * rows are filtered out, not errored.
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] =
+    media
+      .filter(r => r.meta != null && r.meta.mime != null &&
+        r.meta.mime.startsWith("audio/") && r.payload != null)
+      .mapPartitions(_.map(r => audioDecode(r.media_id, r.payload)))
 
   /** Deterministic fake decode for tests: derives plausible dimensions
     * from the payload bytes so downstream logic (resize, frame-sample,

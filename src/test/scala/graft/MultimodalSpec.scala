@@ -88,6 +88,48 @@ class MultimodalSpec extends SparkSpec {
       "non-image rows must pass through")
   }
 
+  /** 16-bit PCM WAV of a sine wave, built with the same JDK audio
+    * stack the decoder uses — a genuine container round-trip.
+    */
+  private def sineWav(rate: Int, seconds: Double, amplitude: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amplitude * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioDecode round-trips a real WAV payload with correct RMS") {
+    val wav = sineWav(8000, 0.5, 0.5)
+    val f = Multimodal.audioDecode(7L, wav)
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16)
+    assert(f.n_frames == 4000)
+    assert(math.abs(f.duration_sec - 0.5) < 1e-6)
+    // a sine of amplitude a has RMS a/sqrt(2)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms was ${f.rms}")
+  }
+
+  test("audioFeatures extracts only audio rows, per partition") {
+    val wav = sineWav(8000, 0.25, 0.3)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav,
+        Multimodal.MediaMeta("audio/wav", "t", wav.length.toLong)),
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("video/mp4", "t", 3L))).toDS()
+    val out = Multimodal.audioFeatures(media).collect()
+    assert(out.length == 1 && out.head.media_id == 1L)
+    assert(out.head.n_frames == 2000)
+  }
+
   test("stubDecode is a clearly-marked unsupported seam") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(1)
     val media = Multimodal.fromText(docs, "doc_id", "text", "t")
