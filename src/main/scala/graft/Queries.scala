@@ -514,6 +514,31 @@ object Queries {
       |  AND p.od >= w.od AND p.od <= w.od + INTERVAL 30 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** The streaming windowed-aggregate shape
+    * ([[graft.streaming.EventAggregates.windowedCounts]]) run in batch
+    * mode: tumbling 1-hour `window()` buckets per event type. Sums
+    * route through DECIMAL so they are order-independent and the
+    * DuckDB replay (date_trunc buckets) hash-matches exactly.
+    */
+  def eventWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  val eventWindowsSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** Exact interpolated percentiles per group (corpus distribution
     * stats). Spark's `percentile` and DuckDB's `quantile_cont` both
     * implement the standard (n-1)*p interpolation over the sorted
@@ -1088,6 +1113,7 @@ object Queries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_doc_packing" -> (docPacking _),
     "q_group_percentiles" -> (groupPercentiles _),
+    "q_event_windows" -> (eventWindows _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -1134,6 +1160,7 @@ object Queries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_doc_packing" -> docPackingSql,
     "q_group_percentiles" -> groupPercentilesSql,
+    "q_event_windows" -> eventWindowsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_clusters" -> dedupClustersSql,

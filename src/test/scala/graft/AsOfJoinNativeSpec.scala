@@ -107,6 +107,23 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!s.contains("SortMergeJoin"), "native plan must not contain an SMJ")
   }
 
+  test("pre-partitioned inputs plan ZERO exchanges (bucketed-storage path)") {
+    // both sides already hash-clustered on the key with the same
+    // partition count: EnsureRequirements must only add sorts
+    val lp = left.repartition(4, $"k")
+    val rp = right.repartition(4, $"k")
+    val df = AsOfJoin.asOfJoinNative(lp, rp, Seq("k"), "t", "rt", Seq("v"))
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    // the two repartition exchanges are the inputs themselves; the JOIN
+    // must not add any beyond them
+    assert(exchanges.length == 2,
+      s"expected only the input repartitions, got ${exchanges.length}:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("mismatched time types fail fast with a clear message") {
     val badRight = right.withColumn("rt", $"rt".cast("int"))
     val ex = intercept[IllegalArgumentException] {
