@@ -62,6 +62,54 @@ object ScdStorage {
     }
   }
 
+  final case class CompactionStats(
+      partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Compact small files inside each date partition of a history table.
+    *
+    * Incremental maintenance writes one small file set per micro-batch
+    * into the touched partitions; after thousands of batches a
+    * partition holds thousands of KB-files and scan task scheduling —
+    * not I/O — dominates read cost (the classic small-files problem).
+    * Compaction rewrites only partitions whose file count exceeds what
+    * `targetFileBytes` calls for, one partition at a time, each through
+    * an [[AtomicDir]] swap so readers never observe a half-rewritten
+    * partition and a crash loses nothing.
+    *
+    * O(bytes of compacted partitions) I/O, zero shuffle (coalesce only),
+    * untouched partitions' files are not even opened.
+    */
+  def compactHistory(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStats] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val partDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    partDirs.flatMap { d =>
+      val files = fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.length <= want) None
+      else {
+        val dest = d.getPath
+        val tmp = AtomicDir.tmpPath(dest)
+        fs.delete(tmp, true)
+        spark.read.parquet(dest.toString)
+          .coalesce(want)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        AtomicDir.commit(fs, dest)
+        val after = fs.listStatus(dest).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        Some(CompactionStats(dest.getName, files.length, after, bytes))
+      }
+    }
+  }
+
   /** Write a table bucketed by the entity key for shuffle-free merges.
     * Bucketed layouts are catalog tables in Spark (`saveAsTable`); use a
     * warehouse-backed session.

@@ -29,6 +29,39 @@ class ScdStorageSpec extends SparkSpec {
     assert(pruned.select("snapshot_date").distinct().count() <= 1)
   }
 
+  test("compaction merges small files per partition, atomically, data intact") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("scd_compact").toString + "/hist"
+    // two partitions: one fragmented into many tiny files, one already fine
+    val frag = (1L to 200L).map(i => ("2024-01-01", i, s"v$i")).toDF("snapshot_date", "id", "v")
+      .repartition(20)
+    val fine = (1L to 50L).map(i => ("2024-01-02", i, s"w$i")).toDF("snapshot_date", "id", "v")
+      .coalesce(1)
+    frag.union(fine).write.partitionBy("snapshot_date").parquet(work)
+
+    def files(part: String) = {
+      val d = new java.io.File(s"$work/snapshot_date=$part")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).sortBy(_.getName)
+    }
+    val before = spark.read.parquet(work).orderBy("snapshot_date", "id")
+      .collect().map(_.toSeq).toSeq
+    val fineBefore = files("2024-01-02").map(f => (f.getName, f.lastModified)).toSeq
+    assert(files("2024-01-01").length > 1)
+
+    val stats = ScdStorage.compactHistory(spark, work, targetFileBytes = 1L << 30)
+    assert(stats.map(_.partition) == Seq("snapshot_date=2024-01-01"),
+      s"only the fragmented partition should compact, got $stats")
+    assert(files("2024-01-01").length == 1)
+    // untouched partition: same files, same mtimes
+    assert(files("2024-01-02").map(f => (f.getName, f.lastModified)).toSeq == fineBefore)
+    val after = spark.read.parquet(work).orderBy("snapshot_date", "id")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change the data")
+    // second run: nothing left to do
+    assert(ScdStorage.compactHistory(spark, work, targetFileBytes = 1L << 30).isEmpty)
+  }
+
   test("entity-bucketed tables join without shuffling the bucketed sides") {
     spark.sql("DROP TABLE IF EXISTS cur_b")
     spark.sql("DROP TABLE IF EXISTS inc_b")
