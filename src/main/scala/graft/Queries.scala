@@ -514,6 +514,76 @@ object Queries {
       |  AND p.od >= w.od AND p.od <= w.od + INTERVAL 30 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** PII redaction ([[TextFunctions.redactPii]]): documents get a
+    * deterministic contact-info suffix planted (the raw corpus has
+    * none), then emails/URLs/phone shapes are replaced with typed
+    * placeholders. RE2-compatible patterns, so DuckDB replays the
+    * exact redacted text; output fingerprinted to keep rows narrow.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("https://ex.com/u/"), col("doc_id"),
+          lit(" tel +1 (555) 010-"), col("doc_id")).as("text"))
+      .select(col("doc_id"),
+        sha2(TextFunctions.redactPii(col("text")), 256).as("redacted_fp"),
+        (length(col("text")) - length(TextFunctions.redactPii(col("text"))))
+          .cast("long").as("chars_removed"))
+
+  val textRedactSql: String =
+    """WITH raw AS (SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' ||
+      |    'https://ex.com/u/' || CAST(doc_id AS VARCHAR) ||
+      |    ' tel +1 (555) 010-' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents),
+      |red AS (SELECT doc_id, text,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[^\s]+', '<URL>', 'g'),
+      |      '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS r
+      |  FROM raw)
+      |SELECT doc_id, sha256(r) AS redacted_fp,
+      |  CAST(length(text) - length(r) AS BIGINT) AS chars_removed
+      |FROM red""".stripMargin
+
+  /** Benchmark decontamination ([[graft.operators.Decontaminate]]):
+    * every 13th document stands in for the eval set, so those docs
+    * must flag at 100% overlap while unrelated docs stay low. The
+    * oracle rebuilds the same distinct-shingle sets and overlap
+    * counts.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.overlapReport(
+      docs, docs.filter(col("doc_id") % 13 === 0), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+  }
+
+  val decontaminateSql: String =
+    """WITH words AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> CAST(('0x' || substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)) AS BIGINT))
+      |  ) AS sh FROM words),
+      |corpus AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_shingles FROM sh),
+      |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 13 = 0),
+      |hits AS (SELECT c.doc_id, count(*) AS n_overlap
+      |  FROM (SELECT doc_id, unnest(sh) AS h FROM corpus) c
+      |  JOIN bench ON c.h = bench.h GROUP BY 1)
+      |SELECT c.doc_id, c.n_shingles,
+      |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CASE WHEN c.n_shingles > 0
+      |       THEN round(coalesce(h.n_overlap, 0) / c.n_shingles, 6)
+      |       ELSE 0.0 END AS overlap_ratio,
+      |  CASE WHEN c.n_shingles > 0
+      |       THEN round(coalesce(h.n_overlap, 0) / c.n_shingles, 6) >= 0.8
+      |       ELSE false END AS contaminated
+      |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
+
   /** The streaming windowed-aggregate shape
     * ([[graft.streaming.EventAggregates.windowedCounts]]) run in batch
     * mode: tumbling 1-hour `window()` buckets per event type. Sums
@@ -1114,6 +1184,8 @@ object Queries {
     "q_doc_packing" -> (docPacking _),
     "q_group_percentiles" -> (groupPercentiles _),
     "q_event_windows" -> (eventWindows _),
+    "q_text_redact" -> (textRedact _),
+    "q_decontaminate" -> (decontaminate _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -1161,6 +1233,8 @@ object Queries {
     "q_doc_packing" -> docPackingSql,
     "q_group_percentiles" -> groupPercentilesSql,
     "q_event_windows" -> eventWindowsSql,
+    "q_text_redact" -> textRedactSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_clusters" -> dedupClustersSql,

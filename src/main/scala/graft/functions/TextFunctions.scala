@@ -26,6 +26,26 @@ object TextFunctions {
   /** Whitespace token count (codegen'd regexp, no split allocation). */
   def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
 
+  /** PII-bearing patterns for [[redactPii]]. Kept RE2-compatible (no
+    * backreferences/lookaround) so the DuckDB oracle replays redaction
+    * exactly; ordering matters — emails redact before the generic URL
+    * pattern can eat an address embedded in a link.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\+?[0-9][0-9() .-]{7,}[0-9]" -> "<PHONE>")
+
+  /** Redact emails, URLs and phone-shaped numbers with typed
+    * placeholders — the standard scrub pass before training text
+    * leaves the pipeline. Pure per-row regexp chain: codegen'd, no
+    * shuffle, embarrassingly parallel.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Portable 32-bit non-negative hash: first 8 hex chars of sha2-256,
     * as a long in [0, 2^32). Reproducible in any engine with sha256 +
     * hex parsing; used for minhash/simhash so the oracle can verify.

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents whose word
+  * n-gram overlap with an evaluation set exceeds a threshold, so test
+  * data can be excluded from the training corpus (leakage makes eval
+  * numbers meaningless).
+  *
+  * Scale shape: the benchmark side is small by construction (eval sets
+  * are MBs against a 100 TB corpus), so its distinct shingle-hash set
+  * broadcasts and the corpus-side probe is a broadcast hash join on
+  * the hash — the corpus explodes its (distinct) shingles once, joins
+  * map-side, and aggregates hit counts per document with one shuffle
+  * on doc id. No corpus-vs-corpus stage anywhere.
+  *
+  * Shingle hashing reuses the portable sha-256 machinery, so the
+  * DuckDB oracle replays the overlap counts exactly.
+  */
+object Decontaminate {
+
+  /** Per-document overlap report against the benchmark.
+    *
+    * @return (doc_id, n_shingles, n_overlap, overlap_ratio,
+    *         contaminated) — one row per corpus document; documents
+    *         shorter than the shingle size carry zero shingles and are
+    *         never flagged
+    */
+  def overlapReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val emptyLongs = array().cast("array<long>")
+    def distinctShingles(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(coalesce(
+        Dedup.shingleHashes(col(textCol), shingleSize), emptyLongs)).as("sh"))
+
+    val cs = distinctShingles(corpus)
+      .withColumn("n_shingles", size(col("sh")).cast("long"))
+    val bench = distinctShingles(benchmark)
+      .select(explode(col("sh")).as("h")).distinct()
+    val hits = cs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    cs.select("doc_id", "n_shingles")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_overlap") / col("n_shingles"), 6)).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+}
