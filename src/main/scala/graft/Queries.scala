@@ -927,6 +927,49 @@ object Queries {
       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Brute-force top-k over int8-QUANTIZED embeddings
+    * ([[graft.functions.VectorFunctions.quantizeInt8]]): the 4×-smaller
+    * storage form must still rank neighbors usefully, and every step
+    * (floor quantization, midpoint dequantization, normalized dot,
+    * top-k) is bit-deterministic, so DuckDB replays the ranking
+    * exactly. Range [-0.6, 0.6] is the stored model parameter for this
+    * corpus.
+    */
+  def embeddingQuantized(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val lo = -0.6
+    val hi = 0.6
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      VectorFunctions.dequantizeInt8(
+        VectorFunctions.quantizeInt8(col("embedding"), lo, hi), lo, hi)
+        .as("embedding"))
+    SimilaritySearch.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Literal-for-literal replay of quantize -> dequantize -> top-k:
+    * scale/step derive from the same (0.6 - (-0.6)) IEEE ops, floor
+    * avoids engine-dependent rounding ties.
+    */
+  val embeddingQuantizedSql: String =
+    """WITH dq AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x ->
+      |      ((least(greatest(floor((x - (-0.6)) * (255.0 / (0.6 - (-0.6)))), 0.0), 255.0)
+      |        - 128.0) + 128.5) * ((0.6 - (-0.6)) / 255.0) + (-0.6)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM dq),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, nv AS cv FROM n),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  round(list_dot_product(qv, cv), 6) AS cos_sim
+      |  FROM q, c WHERE query_id <> neighbor_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   /** Embedding corpus with planted near-duplicates: every 5th vector
     * gets a shifted copy (element-wise +0.05, id +1,000,000) whose
     * cosine to its original lands in ~[0.92, 0.99] — above the 0.8
@@ -1194,6 +1237,7 @@ object Queries {
     "q_simsearch_topk" -> (simsearchTopK _),
     "q_simsearch_lsh" -> (simsearchLsh _),
     "q_simsearch_ivf" -> (simsearchIvf _),
+    "q_embedding_quantized" -> (embeddingQuantized _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
@@ -1243,6 +1287,7 @@ object Queries {
     "q_simsearch_topk" -> simsearchTopKSql,
     "q_simsearch_lsh" -> simsearchLshSql,
     "q_simsearch_ivf" -> simsearchIvfSql,
+    "q_embedding_quantized" -> embeddingQuantizedSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

@@ -40,6 +40,37 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Scalar int8 quantization of an embedding against a [lo, hi] range:
+    * 255 levels, `q = clamp(floor((x - lo) / (hi - lo) * 255), 0, 255) - 128`
+    * stored as `array<tinyint>` — 4× smaller than float32, 8× smaller
+    * than the double working form; at 100 TB of embeddings that is the
+    * difference between one storage tier and the next. `floor` (not
+    * `round`) on purpose: half-way rounding ties are engine-dependent,
+    * flooring is bit-deterministic everywhere, so the DuckDB oracle
+    * replays quantized values exactly.
+    *
+    * The range is a MODEL PARAMETER (compute lo/hi once over a sample,
+    * store with the table); per-batch ranges would make quantized
+    * vectors incomparable across batches.
+    */
+  def quantizeInt8(vec: Column, lo: Double, hi: Double): Column = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val scale = 255.0 / (hi - lo)
+    transform(asDouble(vec), x =>
+      (least(greatest(floor((x - lit(lo)) * lit(scale)), lit(0.0)), lit(255.0))
+        - lit(128.0)).cast("byte"))
+  }
+
+  /** Reconstruction to the level midpoint: `(q + 128 + 0.5) / 255 *
+    * (hi - lo) + lo` — the midpoint halves the worst-case error vs the
+    * level floor. Max absolute error = (hi - lo) / 510.
+    */
+  def dequantizeInt8(vec: Column, lo: Double, hi: Double): Column = {
+    val step = (hi - lo) / 255.0
+    transform(vec, q =>
+      (q.cast("double") + lit(128.5)) * lit(step) + lit(lo))
+  }
+
   /** Random-hyperplane (sign) LSH signature of `numBits` bits packed into
     * a long. Hyperplane component (b, j) is a deterministic pseudo-random
     * value in [-1, 1): the first 4 bytes of sha-256("srp:seed:b:j") as an

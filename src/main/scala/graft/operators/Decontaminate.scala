@@ -35,11 +35,19 @@ object Decontaminate {
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    // native single-pass shingle hashing — the interpreted HOF
+    // formulation (Dedup.shingleHashes) measured ~20x slower here, and
+    // this subtree is evaluated twice (shingle counts + the probe
+    // explode)
+    graft.plans.NativeText.register(corpus.sparkSession)
     val emptyLongs = array().cast("array<long>")
     def distinctShingles(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),
       array_distinct(coalesce(
-        Dedup.shingleHashes(col(textCol), shingleSize), emptyLongs)).as("sh"))
+        graft.plans.NativeText.shingleHash32(
+          split(graft.functions.TextFunctions.normalizeText(col(textCol)), " "),
+          shingleSize),
+        emptyLongs)).as("sh"))
 
     val cs = distinctShingles(corpus)
       .withColumn("n_shingles", size(col("sh")).cast("long"))
