@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.scd.TrainingCorpusJob
+
+class TrainingCorpusJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the composed pipeline curates a corpus end to end, deterministically") {
+    val dir = Files.createTempDirectory("corpus_job").toString
+    val in = s"$dir/in.jsonl"
+
+    // fixture docs as JSONL, plus planted problems: one corrupt line,
+    // one exact duplicate (case change), one benchmark member
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val benchText = docs.head._3
+    val jsonl = new StringBuilder
+    def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => " "; case c => c.toString }
+    docs.foreach { case (id, lang, text) =>
+      jsonl ++= s"""{"doc_id": $id, "ts": "2024-01-01T00:00:00Z", "lang": "${esc(lang)}", "text": "${esc(text)}"}\n"""
+    }
+    // exact dup of doc 2 under a new id
+    jsonl ++= s"""{"doc_id": 99001, "ts": "2024-01-01T00:00:00Z", "lang": "en", "text": "${esc(docs(1)._3.toUpperCase)}"}\n"""
+    jsonl ++= "this is not json\n"
+    Files.writeString(java.nio.file.Paths.get(in), jsonl.toString)
+
+    val benchmark = Seq((1L, benchText)).toDF("doc_id", "text")
+    val report = TrainingCorpusJob.run(
+      spark, in, benchmark, s"$dir/out",
+      sampleFractions = Map("zz-nonexistent" -> 0.0))
+
+    assert(report.quarantined == 1)
+    assert(report.ingested == 61)
+    assert(report.exactDups >= 1, s"the planted exact dup must drop: $report")
+    assert(report.contaminated >= 1, s"the benchmark member must drop: $report")
+    assert(report.packed > 0)
+
+    // output: shard-partitioned, fully packed, PII-free text
+    val out = spark.read.parquet(s"$dir/out/corpus")
+    assert(out.columns.contains("pack_id") && out.columns.contains("shard"))
+    assert(out.filter(col("text").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0,
+      "no raw emails may survive redaction")
+    assert(out.count() == report.packed)
+
+    // determinism: a second run over the same input produces the same corpus
+    val report2 = TrainingCorpusJob.run(
+      spark, in, benchmark, s"$dir/out2",
+      sampleFractions = Map("zz-nonexistent" -> 0.0))
+    val a = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id", "shard", "pack_id", "pack_pos").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$dir/out2/corpus")
+      .select("doc_id", "shard", "pack_id", "pack_pos").collect().map(_.toSeq).toSet
+    assert(a == b && report.copy(quarantined = report2.quarantined) == report2)
+  }
+}
