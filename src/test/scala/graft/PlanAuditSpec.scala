@@ -41,8 +41,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // brute-force top-k intentionally broadcasts its probe set (the
   // handful of query vectors); the corpus side streams. Bounded by
   // construction — the LSH/IVF paths are the unbounded-probe-count
-  // scale path.
-  private val boundedProbeQueries = Set("q_simsearch_topk")
+  // scale path. The quantized variant is the same brute-force shape
+  // over dequantized vectors.
+  private val boundedProbeQueries = Set("q_simsearch_topk", "q_embedding_quantized")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
