@@ -212,6 +212,75 @@ object Multimodal {
         r.meta.mime.startsWith("audio/") && r.payload != null)
       .mapPartitions(_.map(r => audioDecode(r.media_id, r.payload)))
 
+  final case class VideoMeta(
+      media_id: Long, width: Int, height: Int, duration_sec: Double)
+
+  implicit val videoMetaEncoder: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+
+  /** Real MP4/MOV CONTAINER metadata (dimensions + duration) by
+    * walking the ISO-BMFF box structure — pure byte parsing, no codec:
+    * `moov/mvhd` carries timescale + duration, `moov/trak/tkhd` the
+    * track's 16.16 fixed-point width/height (the first track with a
+    * non-zero size wins — that is the video track). FRAME decode still
+    * requires a codec and stays behind [[stubDecode]]; header metadata
+    * is what pipeline filters (resolution/duration gates) actually
+    * need per row.
+    *
+    * Throws IllegalArgumentException for payloads without a moov box.
+    */
+  def mp4Meta(mediaId: Long, payload: Array[Byte]): VideoMeta = {
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def boxType(o: Int): String =
+      new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    // walk one box level within [from, until), returning found boxes
+    def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      while (o + 8 <= until) {
+        val size = be32(o)
+        if (size < 8 || o + size > until) return out.result()
+        out += ((boxType(o), o + 8, o + size.toInt))
+        o += size.toInt
+      }
+      out.result()
+    }
+
+    val moov = children(0, payload.length).collectFirst {
+      case ("moov", s, e) => (s, e)
+    }.getOrElse(throw new IllegalArgumentException("no moov box: not MP4/MOV"))
+
+    val boxes = children(moov._1, moov._2)
+    val (timescale, duration) = boxes.collectFirst { case ("mvhd", s, _) =>
+      // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+      (be32(s + 12), be32(s + 16))
+    }.getOrElse((0L, 0L))
+    val dims = boxes.collect { case ("trak", s, e) =>
+      children(s, e).collectFirst { case ("tkhd", ts, _) =>
+        // v0: ver/flags(4) ctime(4) mtime(4) trackid(4) res(4) dur(4)
+        // res(8) layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4)
+        val w = (be32(ts + 76) >> 16).toInt
+        val h = (be32(ts + 80) >> 16).toInt
+        (w, h)
+      }
+    }.flatten.find { case (w, h) => w > 0 && h > 0 }
+
+    val (w, h) = dims.getOrElse((0, 0))
+    val dur = if (timescale > 0) duration.toDouble / timescale else Double.NaN
+    VideoMeta(mediaId, w, h, dur)
+  }
+
+  /** Partition-shaped video metadata extraction for video-mime rows
+    * (mirror of [[audioFeatures]]).
+    */
+  def videoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] =
+    media
+      .filter(r => r.meta != null && r.meta.mime != null &&
+        r.meta.mime.startsWith("video/") && r.payload != null)
+      .mapPartitions(_.map(r => mp4Meta(r.media_id, r.payload)))
+
   /** Deterministic fake decode for tests: derives plausible dimensions
     * from the payload bytes so downstream logic (resize, frame-sample,
     * feature join) is testable without codecs.

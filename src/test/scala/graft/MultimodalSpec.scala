@@ -130,6 +130,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.n_frames == 2000)
   }
 
+  /** Minimal valid ISO-BMFF structure: ftyp + moov(mvhd + trak(tkhd)). */
+  private def miniMp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration.toLong) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration.toLong) ++
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("mp4Meta reads dimensions and duration from the container header") {
+    val m = Multimodal.mp4Meta(5L, miniMp4(1920, 1080, 600, 9000))
+    assert(m.width == 1920 && m.height == 1080)
+    assert(math.abs(m.duration_sec - 15.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Multimodal.mp4Meta(6L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+
+  test("videoMeta extracts only video rows, per partition") {
+    val mp4 = miniMp4(640, 480, 1000, 2500)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, mp4,
+        Multimodal.MediaMeta("video/mp4", "t", mp4.length.toLong)),
+      Multimodal.MediaRecord(2L, Array[Byte](9, 9),
+        Multimodal.MediaMeta("text/plain", "t", 2L))).toDS()
+    val out = Multimodal.videoMeta(media).collect()
+    assert(out.toSeq == Seq(Multimodal.VideoMeta(1L, 640, 480, 2.5)))
+  }
+
   test("stubDecode is a clearly-marked unsupported seam") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(1)
     val media = Multimodal.fromText(docs, "doc_id", "text", "t")
