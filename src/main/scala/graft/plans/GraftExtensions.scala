@@ -47,5 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0),
         LiteralArgs.toInt(exprs(1)),
         LiteralArgs.toInt(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("graft_redact_pii"),
+      info("graft_redact_pii", "replace emails/URLs/phone shapes with typed placeholders"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TextFunctions.PiiPatterns.foldLeft(exprs.head) {
+          case (acc, (pat, repl)) =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+              acc,
+              org.apache.spark.sql.catalyst.expressions.Literal(pat),
+              org.apache.spark.sql.catalyst.expressions.Literal(repl))
+        }))
   }
 }

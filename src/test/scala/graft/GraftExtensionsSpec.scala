@@ -45,6 +45,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_hyperplane_sig(array(0.5d, -0.5d), 8, 42L) AS h")
         .head().getLong(0)
       assert(hp >= 0 && hp < 256)
+      val red = spark.sql(
+        "SELECT graft_redact_pii('mail a@b.co or https://x.io now') AS r")
+        .head().getString(0)
+      assert(red == "mail <EMAIL> or <URL> now", red)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
