@@ -609,6 +609,27 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Skew-mitigated two-phase aggregation ([[graft.operators.Skew]]):
+    * the salted partial/merge pair must produce EXACTLY the plain
+    * GROUP BY result (counts and decimal-exact sums are associative),
+    * which is precisely what the oracle computes — driver-gating the
+    * skew path, not just spec-checking it.
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), saltFactor = 16)(
+      partial = Seq(
+        count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq")),
+      merge = Seq(
+        sum(col("pc")).as("n_rows"),
+        sum(col("pq")).cast("double").as("sum_qty")))
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Exact interpolated percentiles per group (corpus distribution
     * stats). Spark's `percentile` and DuckDB's `quantile_cont` both
     * implement the standard (n-1)*p interpolation over the sorted
@@ -1227,6 +1248,7 @@ object Queries {
     "q_doc_packing" -> (docPacking _),
     "q_group_percentiles" -> (groupPercentiles _),
     "q_event_windows" -> (eventWindows _),
+    "q_salted_agg" -> (saltedAgg _),
     "q_text_redact" -> (textRedact _),
     "q_decontaminate" -> (decontaminate _),
     "q_dedup_exact" -> (dedupExact _),
@@ -1277,6 +1299,7 @@ object Queries {
     "q_doc_packing" -> docPackingSql,
     "q_group_percentiles" -> groupPercentilesSql,
     "q_event_windows" -> eventWindowsSql,
+    "q_salted_agg" -> saltedAggSql,
     "q_text_redact" -> textRedactSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_exact" -> dedupExactSql,

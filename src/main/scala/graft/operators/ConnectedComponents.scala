@@ -39,8 +39,12 @@ object ConnectedComponents {
       .distinct()
       .cache()
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // fused first round: a node's starting label is min(itself, its
+    // neighbors) — one aggregate instead of a full propagate round
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("component"))
       .localCheckpoint(true)
 
     // labels only ever DECREASE under min-propagation, so the label sum
