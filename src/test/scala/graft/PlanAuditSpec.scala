@@ -131,6 +131,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // as-of right side is an aggregate (1 shuffle) feeding the join
       "q_asof_join" -> 2, // agg + one union-window exchange on the key
       "q_asof_join_native" -> 3, // agg + one exchange per join side
+      "q_sample_stratified" -> 0, // pure pushed filter
+      "q_text_redact" -> 0, // per-row regexp chain
+      "q_range_join" -> 3, // bucket join sides + final agg (AQE may broadcast one)
+      "q_doc_packing" -> 1, // per-shard window
+      "q_event_windows" -> 1,
+      "q_group_percentiles" -> 1,
+      "q_salted_agg" -> 2, // salted partial + merge
+      "q_decontaminate" -> 2, // hit-count agg + report join
+      "q_embedding_quantized" -> 1,
       "q_dedup_exact" -> 1,
       "q_orders_by_month" -> 1,
       "q_word_frequencies" -> 2)
