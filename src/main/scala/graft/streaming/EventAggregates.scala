@@ -39,6 +39,41 @@ object EventAggregates {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: correlate two live streams (the
+    * classic impression→click attribution shape) — each left row pairs
+    * with right rows for the same key whose time falls in
+    * `[leftTime, leftTime + window]`. Both sides carry watermarks, so
+    * Spark bounds the join state: a buffered left row is dropped once
+    * the right watermark passes its window end, and vice versa —
+    * without the interval condition the state store grows forever.
+    *
+    * Inner join by default; pass `"leftOuter"` to also emit
+    * unmatched left rows (nulls) once their window can no longer
+    * match. Time columns must be named distinctly across the sides.
+    */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      window: String = "10 minutes",
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r = right
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+      .withWatermark(rightTimeCol, watermark)
+    l.join(
+      r,
+      expr(
+        s"""$keyCol = __r_$keyCol AND
+           |$rightTimeCol >= $leftTimeCol AND
+           |$rightTimeCol <= $leftTimeCol + INTERVAL $window""".stripMargin),
+      joinType)
+      .drop(s"__r_$keyCol")
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class Session(

