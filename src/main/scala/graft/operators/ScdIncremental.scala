@@ -37,13 +37,22 @@ object ScdIncremental {
     * @param incoming  new snapshot rows (snapshot cols only)
     * @return the same frame a full recompute would produce
     */
+  /** @param preferIncoming when true, an incoming row for an
+    *        (entity, date) ALREADY in the history deterministically
+    *        replaces the stored row — the correction-replay mode
+    *        (re-deliver a fixed snapshot for an old date and statuses
+    *        heal forward). Default false preserves the reference's
+    *        arbitrary same-key tie-break (SURVEY §2.5 D1).
+    */
   def mergeBatch(
       existing: DataFrame,
       incoming: DataFrame,
       entityCols: Seq[String],
       dateCol: String = "snapshot_date",
-      hashExclude: Seq[String] = Seq("snapshot_date")): DataFrame =
-    mergeBatchWithChangedDates(existing, incoming, entityCols, dateCol, hashExclude)._1
+      hashExclude: Seq[String] = Seq("snapshot_date"),
+      preferIncoming: Boolean = false): DataFrame =
+    mergeBatchWithChangedDates(
+      existing, incoming, entityCols, dateCol, hashExclude, preferIncoming)._1
 
   /** [[mergeBatch]] plus the distinct `dateCol` values whose rows can
     * differ from `existing` — the partitions a date-partitioned store
@@ -59,7 +68,8 @@ object ScdIncremental {
       incoming: DataFrame,
       entityCols: Seq[String],
       dateCol: String = "snapshot_date",
-      hashExclude: Seq[String] = Seq("snapshot_date")): (DataFrame, DataFrame) = {
+      hashExclude: Seq[String] = Seq("snapshot_date"),
+      preferIncoming: Boolean = false): (DataFrame, DataFrame) = {
     val snapshotCols = incoming.columns.toSeq
     require(!snapshotCols.contains(Scd.ChangeStatus),
       "incoming must carry snapshot columns only")
@@ -78,8 +88,18 @@ object ScdIncremental {
     val existingTouched = existing
       .join(touched, entityCols, "left_semi")
       .select(snapshotCols.map(col): _*)
-    val recomputed = Scd
-      .importNewFiles(existingTouched, incoming, entityCols, dateCol)
+    // correction replay: a source-priority tie-break makes the incoming
+    // row the deterministic survivor on same-(entity, date) collisions
+    val deduped =
+      if (!preferIncoming)
+        Scd.importNewFiles(existingTouched, incoming, entityCols, dateCol)
+      else
+        Scd.importNewFiles(
+          existingTouched.withColumn("__src", lit(1)),
+          incoming.withColumn("__src", lit(0)),
+          entityCols, dateCol,
+          tieBreak = Seq(col("__src"))).drop("__src")
+    val recomputed = deduped
       .transform(Scd.addRowHash(hashExclude))
       .transform(Scd.changeStatus(
         entityCols, dateCol,

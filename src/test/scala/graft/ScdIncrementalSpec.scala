@@ -97,4 +97,37 @@ class ScdIncrementalSpec extends SparkSpec {
       (2, Date.valueOf("2023-03-01"), "New"),
       (2, Date.valueOf("2023-03-03"), "Changed")))
   }
+
+  test("correction replay: a re-delivered old date replaces the stored row") {
+    import spark.implicits._
+    // entity 1: days 1-3 with a bad value on day 2; the correction
+    // makes day 2 equal day 1, healing day 2 to "No Change" and
+    // re-classifying day 3
+    val base = Seq(
+      (Date.valueOf("2023-03-01"), 1, "a"),
+      (Date.valueOf("2023-03-02"), 1, "BAD"),
+      (Date.valueOf("2023-03-03"), 1, "a"),
+      (Date.valueOf("2023-03-01"), 2, "x"))
+      .toDF("snapshot_date", "employee_number", "value")
+    val correction = Seq((Date.valueOf("2023-03-02"), 1, "a"))
+      .toDF("snapshot_date", "employee_number", "value")
+
+    val replayed = ScdIncremental.mergeBatch(
+      classifyFull(base), correction, Seq("employee_number"),
+      preferIncoming = true)
+    val corrected = Seq(
+      (Date.valueOf("2023-03-01"), 1, "a"),
+      (Date.valueOf("2023-03-02"), 1, "a"),
+      (Date.valueOf("2023-03-03"), 1, "a"),
+      (Date.valueOf("2023-03-01"), 2, "x"))
+      .toDF("snapshot_date", "employee_number", "value")
+    assert(canon(replayed) == canon(classifyFull(corrected)),
+      "correction replay must equal a full recompute over corrected data")
+    // corrected day 2 heals to No Change; day 3 holds the global max
+    // so it is live (No Change), not Deleted
+    val statuses = replayed.filter(col("employee_number") === 1)
+      .orderBy("snapshot_date").select("change_status")
+      .as[String].collect().toSeq
+    assert(statuses == Seq("New", "No Change", "No Change"), statuses.toString)
+  }
 }
