@@ -609,6 +609,43 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** BM25 (odds-idf) relevance of every document against a fixed term
+    * list ([[graft.operators.Bm25]]). All sums are of integer-valued
+    * doubles (exact at any aggregation order) and the idf skips the
+    * engine-dependent `ln`, so the oracle replays scores bit-for-bit.
+    * SQL literals mirror the Scala arithmetic exactly — including
+    * `(1.2 + 1.0)` instead of `2.2`, whose rounding is a tie.
+    */
+  def bm25Score(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.score(
+      t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("hash", "join", "vector"))
+
+  val bm25ScoreSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |    CAST(len(ws) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS DOUBLE) AS tf_1,
+      |    CAST(len(list_filter(ws, x -> x = 'vector')) AS DOUBLE) AS tf_2
+      |  FROM w),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+      |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+      |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+      |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+      |  FROM d)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      |  round(
+      |    ((n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * (1.2 + 1.0))
+      |      / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+      |  + ((n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * (1.2 + 1.0))
+      |      / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+      |  + ((n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * (1.2 + 1.0))
+      |      / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6) AS score
+      |FROM d, s""".stripMargin
+
   /** Skew-mitigated two-phase aggregation ([[graft.operators.Skew]]):
     * the salted partial/merge pair must produce EXACTLY the plain
     * GROUP BY result (counts and decimal-exact sums are associative),
@@ -1249,6 +1286,7 @@ object Queries {
     "q_group_percentiles" -> (groupPercentiles _),
     "q_event_windows" -> (eventWindows _),
     "q_salted_agg" -> (saltedAgg _),
+    "q_bm25" -> (bm25Score _),
     "q_text_redact" -> (textRedact _),
     "q_decontaminate" -> (decontaminate _),
     "q_dedup_exact" -> (dedupExact _),
@@ -1300,6 +1338,7 @@ object Queries {
     "q_group_percentiles" -> groupPercentilesSql,
     "q_event_windows" -> eventWindowsSql,
     "q_salted_agg" -> saltedAggSql,
+    "q_bm25" -> bm25ScoreSql,
     "q_text_redact" -> textRedactSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_exact" -> dedupExactSql,
