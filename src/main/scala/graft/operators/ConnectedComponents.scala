@@ -50,9 +50,11 @@ object ConnectedComponents {
     // labels only ever DECREASE under min-propagation, so the label sum
     // is a convergence checksum: unchanged sum <=> fixpoint. One cheap
     // aggregate over the just-checkpointed table per round, instead of
-    // a join against the previous labels.
+    // a join against the previous labels. sum over zero rows is null —
+    // coalesce so an empty pair set (clean corpus) converges instead of
+    // NPEing out of the curation pipeline.
     def checksum(df: DataFrame): Long =
-      df.agg(sum("component")).head().getLong(0)
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
 
     var iters = 0
     var prevSum = checksum(labels)

@@ -232,17 +232,26 @@ object Multimodal {
     def be32(o: Int): Long =
       ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
         ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxType(o: Int): String =
       new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    // walk one box level within [from, until), returning found boxes
+    // walk one box level within [from, until), returning found boxes.
+    // size==1 → 64-bit extended size in the next 8 bytes; size==0 →
+    // box extends to the end of the enclosing box (last-box shorthand).
     def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
       val out = Seq.newBuilder[(String, Int, Int)]
       var o = from
       while (o + 8 <= until) {
-        val size = be32(o)
-        if (size < 8 || o + size > until) return out.result()
-        out += ((boxType(o), o + 8, o + size.toInt))
+        val size32 = be32(o)
+        val (size, hdr) =
+          if (size32 == 1) {
+            if (o + 16 > until) return out.result()
+            (be64(o + 8), 16)
+          } else if (size32 == 0) ((until - o).toLong, 8)
+          else (size32, 8)
+        if (size < hdr || size > until - o) return out.result()
+        out += ((boxType(o), o + hdr, o + size.toInt))
         o += size.toInt
       }
       out.result()
@@ -255,14 +264,21 @@ object Multimodal {
     val boxes = children(moov._1, moov._2)
     val (timescale, duration) = boxes.collectFirst { case ("mvhd", s, _) =>
       // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
-      (be32(s + 12), be32(s + 16))
+      // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+      // (v1 is standard for post-2040 dates / long durations — reading
+      // it with v0 offsets yields silent garbage, so branch on version)
+      if ((payload(s) & 0xff) == 1) (be32(s + 20), be64(s + 24))
+      else (be32(s + 12), be32(s + 16))
     }.getOrElse((0L, 0L))
     val dims = boxes.collect { case ("trak", s, e) =>
       children(s, e).collectFirst { case ("tkhd", ts, _) =>
         // v0: ver/flags(4) ctime(4) mtime(4) trackid(4) res(4) dur(4)
         // res(8) layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4)
-        val w = (be32(ts + 76) >> 16).toInt
-        val h = (be32(ts + 80) >> 16).toInt
+        // v1 widens ctime/mtime/dur to 8 bytes → +12 on every later
+        // field offset
+        val off = if ((payload(ts) & 0xff) == 1) 12 else 0
+        val w = (be32(ts + 76 + off) >> 16).toInt
+        val h = (be32(ts + 80 + off) >> 16).toInt
         (w, h)
       }
     }.flatten.find { case (w, h) => w > 0 && h > 0 }

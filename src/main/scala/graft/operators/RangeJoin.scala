@@ -39,8 +39,13 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val w = lit(bucketWidth)
-    // floorDiv semantics for negative values too: pmod is always >= 0
-    def bucketOf(c: org.apache.spark.sql.Column) = ((c - pmod(c, w)) / w).cast("long")
+    // floorDiv semantics for negative values too: pmod is always >= 0.
+    // `div` is Spark's IntegralDivide — exact over the full long range
+    // (Column `/` is double division, which corrupts low bits past
+    // 2^53, e.g. nanosecond-epoch axes). c - pmod(c, w) is an exact
+    // multiple of w, so truncating division == floor division here.
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      call_function("div", (c - pmod(c, w)).cast("long"), w)
 
     val ip = intervals
       .filter(col(loCol) <= col(hiCol)) // empty intervals match nothing

@@ -10,10 +10,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * next run bootstraps from empty). The protocol here never leaves the
   * data unreachable:
   *
-  *   1. writer produces `<dest>.__tmp__`
-  *   2. existing `<dest>` is renamed to `<dest>.__old__`
-  *   3. `<dest>.__tmp__` is renamed to `<dest>`
-  *   4. `<dest>.__old__` is deleted
+  *   1. writer produces `.<dest>.__tmp__` (a hidden sibling)
+  *   2. existing `<dest>` is renamed to `.<dest>.__old__`
+  *   3. `.<dest>.__tmp__` is renamed to `<dest>`
+  *   4. `.<dest>.__old__` is deleted
+  *
+  * Staging names are dot-prefixed because Spark's file index skips
+  * paths starting with `.` or `_`: when `dest` is a partition directory
+  * inside a table root (e.g. `snapshot_date=X`), a concurrent
+  * whole-table reader doing partition discovery mid-swap must not see
+  * `snapshot_date=X.__tmp__` as a spurious partition with an
+  * unparseable value.
   *
   * [[recover]] (called before every read) repairs any crash window:
   * missing dest + present old → restore old (a tmp may or may not be
@@ -22,8 +29,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object AtomicDir {
 
-  def tmpPath(dest: Path): Path = dest.suffix(".__tmp__")
-  private def oldPath(dest: Path): Path = dest.suffix(".__old__")
+  private def hiddenSibling(dest: Path, suffix: String): Path =
+    new Path(dest.getParent, "." + dest.getName + suffix)
+  def tmpPath(dest: Path): Path = hiddenSibling(dest, ".__tmp__")
+  def oldPath(dest: Path): Path = hiddenSibling(dest, ".__old__")
 
   /** Swap the written tmp dir into place (steps 2-4). */
   def commit(fs: FileSystem, dest: Path): Unit = {

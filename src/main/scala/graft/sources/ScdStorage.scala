@@ -87,7 +87,12 @@ object ScdStorage {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val partDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter { s =>
+        val n = s.getPath.getName
+        // skip hidden/staging dirs (AtomicDir siblings, _SUCCESS etc.)
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
     partDirs.flatMap { d =>
       val files = fs.listStatus(d.getPath).toSeq
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_")

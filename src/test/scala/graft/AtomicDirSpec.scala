@@ -22,7 +22,17 @@ class AtomicDirSpec extends SparkSpec {
     AtomicDir.commit(fs, dest)
     assert(fs.exists(new Path(dest, "v2")))
     assert(!fs.exists(AtomicDir.tmpPath(dest)))
-    assert(!fs.exists(new Path(s"$work/table.__old__")))
+    assert(!fs.exists(AtomicDir.oldPath(dest)))
+  }
+
+  test("staging paths are hidden from Spark partition discovery") {
+    val dest = new Path("/t/snapshot_date=2024-01-01")
+    // Spark's file index skips names starting with '.' or '_': a
+    // concurrent whole-table reader mid-swap must not list staging
+    // dirs as spurious partitions.
+    assert(AtomicDir.tmpPath(dest).getName.startsWith("."))
+    assert(AtomicDir.oldPath(dest).getName.startsWith("."))
+    assert(AtomicDir.tmpPath(dest).getParent === dest.getParent)
   }
 
   test("recover restores the old version after a crash mid-swap") {
@@ -30,7 +40,7 @@ class AtomicDirSpec extends SparkSpec {
     val dest = new Path(s"$work/table")
     // simulate: dest was renamed to __old__, then the process died
     // before tmp -> dest
-    mkdirWithMarker(new Path(s"$work/table.__old__"), "v1")
+    mkdirWithMarker(AtomicDir.oldPath(dest), "v1")
     mkdirWithMarker(AtomicDir.tmpPath(dest), "v2-incomplete")
     AtomicDir.recover(fs, dest)
     assert(fs.exists(new Path(dest, "v1")), "old version not restored")
@@ -41,10 +51,10 @@ class AtomicDirSpec extends SparkSpec {
     val work = Files.createTempDirectory("atomic").toString
     val dest = new Path(s"$work/table")
     mkdirWithMarker(dest, "v2")
-    mkdirWithMarker(new Path(s"$work/table.__old__"), "v1")
+    mkdirWithMarker(AtomicDir.oldPath(dest), "v1")
     AtomicDir.recover(fs, dest)
     assert(fs.exists(new Path(dest, "v2")))
-    assert(!fs.exists(new Path(s"$work/table.__old__")))
+    assert(!fs.exists(AtomicDir.oldPath(dest)))
   }
 
   test("recover on a clean state is a no-op") {

@@ -48,4 +48,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(pairs)
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("empty pair set resolves to empty labels (no NPE)") {
+    // a clean corpus produces zero near-dup candidate pairs; the
+    // curation pipeline calls resolve unconditionally
+    assert(run(Seq.empty) == Map.empty[Long, Long])
+  }
 }

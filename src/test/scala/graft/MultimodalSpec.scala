@@ -157,6 +157,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Version-1 variant (64-bit create/modify times + durations —
+    * standard for long-duration or post-2040 files) with the moov box
+    * carried under a size==1 extended (64-bit) box header.
+    */
+  private def miniMp4V1(w: Int, h: Int, timescale: Int, duration: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    def box64(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(1L) ++ tpe.getBytes("US-ASCII") ++ be64(payload.length + 16L) ++ payload
+    val verFlags = be32(0x01000000L) // version=1, flags=0
+    val mvhd = box("mvhd",
+      verFlags ++ be64(0) ++ be64(0) ++ be32(timescale.toLong) ++ be64(duration) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      verFlags ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(duration) ++
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    ftyp ++ box64("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("mp4Meta handles version-1 boxes and 64-bit extended sizes") {
+    // v0 offsets applied to this payload would read garbage silently
+    val m = Multimodal.mp4Meta(7L, miniMp4V1(3840, 2160, 90000, 13500000L))
+    assert(m.width == 3840 && m.height == 2160)
+    assert(math.abs(m.duration_sec - 150.0) < 1e-9)
+  }
+
   test("videoMeta extracts only video rows, per partition") {
     val mp4 = miniMp4(640, 480, 1000, 2500)
     val media = Seq(

@@ -55,6 +55,20 @@ class RangeJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() == 2)
   }
 
+  test("bucket arithmetic is exact past 2^53 (nanosecond-epoch axis)") {
+    // double division corrupts low bits at this magnitude: a point one
+    // unit inside the interval must still land in a matching bucket
+    val base = 1700000000000000000L // ~2024 in ns-epoch, > 2^60
+    val pts = Seq((1L, base + 1L), (1L, base + 999L), (1L, base - 1L))
+      .toDF("k", "p")
+    val ivs = Seq((1L, 1L, base, base + 1000L)).toDF("k", "iid", "lo", "hi")
+    for (w <- Seq(1L, 7L, 1000L, 1000000007L)) {
+      val expect = naive(pts, ivs).collect().map(_.toSeq).toSet
+      val got = bucketed(pts, ivs, w).collect().map(_.toSeq).toSet
+      assert(got == expect, s"width $w at ns-epoch magnitude")
+    }
+  }
+
   test("the plan is an equi join, not a nested loop") {
     val (pts, ivs) = randomCase(14)
     val df = bucketed(pts, ivs, 100L)

@@ -62,6 +62,33 @@ class ScdStorageSpec extends SparkSpec {
     assert(ScdStorage.compactHistory(spark, work, targetFileBytes = 1L << 30).isEmpty)
   }
 
+  test("a reader mid-compaction never sees staging dirs as partitions") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("scd_stage").toString + "/hist"
+    Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b"))
+      .toDF("snapshot_date", "id", "v")
+      .write.partitionBy("snapshot_date").parquet(work)
+
+    // simulate in-flight compaction: a fully-written staging copy of
+    // partition 2024-01-01 sitting next to it
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(s"$work/snapshot_date=2024-01-01")
+    val tmp = graft.sources.AtomicDir.tmpPath(part)
+    spark.read.parquet(part.toString).write.parquet(tmp.toString)
+
+    // whole-table partition discovery: staging dir must be invisible
+    val rows = spark.read.parquet(work).orderBy("id")
+      .select("snapshot_date", "id", "v").as[(String, Long, String)]
+      .collect().toSeq
+    assert(rows == Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b")),
+      s"staging dir leaked into partition discovery: $rows")
+    // and compactHistory itself must not list it as a partition
+    assert(ScdStorage.compactHistory(spark, work, targetFileBytes = 1L)
+      .forall(!_.partition.contains("__tmp__")))
+    fs.delete(tmp, true)
+  }
+
   test("entity-bucketed tables join without shuffling the bucketed sides") {
     spark.sql("DROP TABLE IF EXISTS cur_b")
     spark.sql("DROP TABLE IF EXISTS inc_b")
