@@ -1,0 +1,161 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Per-query performance regression guard.
+  *
+  * The driver's bench numbers are load-sensitive: round 3 reported a
+  * 15.9 s query that measured 2.46 s on a quiet machine. min-of-N
+  * damps a spike but not a sustained-load episode that covers every
+  * sample. This guard makes the distinction structural:
+  *
+  *   - `bench/floors.json` is the committed best-known quiet-machine
+  *     time per query (plus a calibration time for a fixed scan+agg
+  *     probe whose plan never changes);
+  *   - a fresh run measures the same queries AND the probe;
+  *   - each query's ratio vs its floor is divided by the probe's ratio
+  *     vs its floor (the load factor). Uniform machine load inflates
+  *     probe and queries alike and cancels out; a plan regression
+  *     inflates one query but not the probe and survives the division;
+  *   - normalized ratio > tolerance (default 1.5×) AND absolute excess
+  *     over the load-adjusted floor > `minExcessSec` (default 0.5 s) ⇒
+  *     flagged, exit 1. The absolute term exists because sub-second
+  *     queries jitter ±0.3 s from GC/scheduling alone; the regressions
+  *     worth failing a build over (a scorer inlined into a join key,
+  *     a lost broadcast) add seconds, not tenths.
+  *
+  * Run: `sbt 'runMain graft.BenchGuard'` (env as Bench: SPARK_GRAFT_SF_DIR
+  * etc.). `--update` rewrites the floor file with min(floor, fresh)
+  * after a faster run — floors only ever go down, so they stay
+  * quiet-machine numbers.
+  */
+object BenchGuard {
+
+  final case class Floors(
+      sf: String,
+      tolerance: Double,
+      minExcessSec: Double,
+      calibration: Double,
+      queries: Map[String, Double])
+
+  final case class Verdict(
+      query: String, seconds: Double, floor: Double, normalizedRatio: Double, flagged: Boolean)
+
+  final case class Report(
+      loadFactor: Double,
+      verdicts: Seq[Verdict],
+      missingFloor: Seq[String],   // fresh queries with no committed floor yet
+      retiredQueries: Seq[String]) // floors for queries that no longer exist
+
+  /** Machine-load factor: how much slower the fixed probe ran vs its
+    * committed floor. Clamped at 1 — a faster machine must not hide a
+    * regression by deflating ratios.
+    */
+  def loadFactor(calibrationNow: Double, calibrationFloor: Double): Double =
+    if (calibrationFloor <= 0) 1.0 else math.max(1.0, calibrationNow / calibrationFloor)
+
+  /** Pure comparison — spec-tested without running Spark. */
+  def evaluate(floors: Floors, fresh: Map[String, Double], calibrationNow: Double): Report = {
+    val lf = loadFactor(calibrationNow, floors.calibration)
+    val verdicts = fresh.toSeq.sortBy(_._1).flatMap { case (q, secs) =>
+      floors.queries.get(q).map { floor =>
+        val ratio = if (floor <= 0) 1.0 else secs / floor / lf
+        val excess = secs - floor * lf
+        Verdict(q, secs, floor, ratio,
+          flagged = secs >= 0 && ratio > floors.tolerance && excess > floors.minExcessSec)
+      }
+    }
+    Report(
+      loadFactor = lf,
+      verdicts = verdicts,
+      missingFloor = fresh.keys.filterNot(floors.queries.contains).toSeq.sorted,
+      retiredQueries = floors.queries.keys.filterNot(fresh.contains).toSeq.sorted)
+  }
+
+  // --- floors file I/O (Jackson is on the Spark classpath) ---
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def readFloors(path: String): Floors = {
+    val root = mapper.readTree(new java.io.File(path))
+    Floors(
+      sf = root.path("sf").asText(""),
+      tolerance = root.path("tolerance").asDouble(1.5),
+      minExcessSec = root.path("min_excess_sec").asDouble(0.5),
+      calibration = root.path("calibration").asDouble(0.0),
+      queries = root.path("queries").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+  }
+
+  def writeFloors(path: String, floors: Floors): Unit = {
+    val sb = new StringBuilder
+    sb.append("{\n")
+    sb.append(s"""  "sf": "${floors.sf}",\n""")
+    sb.append(s"""  "tolerance": ${floors.tolerance},\n""")
+    sb.append(s"""  "min_excess_sec": ${floors.minExcessSec},\n""")
+    sb.append(f"""  "calibration": ${floors.calibration}%.4f,\n""")
+    sb.append("  \"queries\": {\n")
+    sb.append(floors.queries.toSeq.sorted.map { case (k, v) =>
+      f"""    "$k": $v%.4f"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val update = args.contains("--update")
+    val floorsPath = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("bench/floors.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+      .getOrElse(2).max(1)
+    val floors = readFloors(floorsPath)
+
+    val spark = Bench.buildSession()
+    val calibPre = Bench.warmupAndCalibrate(spark, sfDir)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val fresh = Bench.measureAll(spark, sfDir, runs, only = None, errors).toMap
+    // probe again: load that arrived mid-sweep inflates this one
+    val calibration = math.max(calibPre, Bench.timedCalibration(spark, sfDir))
+    spark.stop()
+
+    val report = evaluate(floors, fresh, calibration)
+    System.err.println(f"[guard] load factor ${report.loadFactor}%.2f " +
+      f"(calibration now $calibration%.3fs, floor ${floors.calibration}%.3fs)")
+    report.verdicts.foreach { v =>
+      val mark = if (v.flagged) "REGRESSION" else "ok"
+      System.err.println(
+        f"[guard] ${v.query}%-24s ${v.seconds}%8.3fs floor ${v.floor}%8.3fs " +
+          f"norm ${v.normalizedRatio}%5.2fx  $mark")
+    }
+    report.missingFloor.foreach(q => System.err.println(s"[guard] $q: no floor — add one"))
+    report.retiredQueries.foreach(q => System.err.println(s"[guard] $q: floor for retired query"))
+    errors.foreach { case (q, e) => System.err.println(s"[guard] $q CRASHED: $e") }
+
+    if (update) {
+      val merged = Floors(
+        sf = sfDir.split('/').last,
+        tolerance = floors.tolerance,
+        minExcessSec = floors.minExcessSec,
+        calibration = math.min(
+          if (floors.calibration > 0) floors.calibration else calibration, calibration),
+        queries = (floors.queries.keySet ++ fresh.keySet).collect {
+          case q if fresh.get(q).exists(_ >= 0) || floors.queries.contains(q) =>
+            q -> math.min(
+              floors.queries.getOrElse(q, Double.MaxValue),
+              fresh.get(q).filter(_ >= 0).getOrElse(Double.MaxValue))
+        }.toMap)
+      writeFloors(floorsPath, merged)
+      System.err.println(s"[guard] floors updated: $floorsPath")
+    }
+
+    val flagged = report.verdicts.filter(_.flagged)
+    val line = flagged.map(v => "\"" + v.query + "\":" +
+      f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
+    println(s"""{"metric":"bench_guard","flagged":$line,"load_factor":${report.loadFactor},"errors":${errors.size}}""")
+    if (flagged.nonEmpty || errors.nonEmpty) sys.exit(1)
+  }
+}

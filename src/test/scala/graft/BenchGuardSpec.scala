@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The guard's comparison logic is pure — specs run without Spark. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val floors = BenchGuard.Floors(
+    sf = "sf0.1", tolerance = 1.5, minExcessSec = 0.5, calibration = 0.2,
+    queries = Map("q_a" -> 1.0, "q_b" -> 2.0))
+
+  test("uniform machine load cancels out via the calibration probe") {
+    // everything 3x slower, probe included: classic loaded-machine
+    // episode (round 3's 15.9s-vs-2.46s case) — nothing flagged
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> 3.0, "q_b" -> 6.0),
+      calibrationNow = 0.6)
+    assert(math.abs(r.loadFactor - 3.0) < 1e-9)
+    assert(r.verdicts.forall(!_.flagged), r.verdicts)
+  }
+
+  test("a single-query structural regression survives normalization") {
+    // probe at floor speed, one query 3x slower: a real plan regression
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> 3.0, "q_b" -> 2.0),
+      calibrationNow = 0.2)
+    assert(r.loadFactor === 1.0)
+    val byQ = r.verdicts.map(v => v.query -> v.flagged).toMap
+    assert(byQ === Map("q_a" -> true, "q_b" -> false))
+  }
+
+  test("a faster machine cannot hide a regression (load factor clamps at 1)") {
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> 1.9, "q_b" -> 1.0),
+      calibrationNow = 0.05) // machine 4x faster than the floor machine
+    assert(r.loadFactor === 1.0)
+    assert(r.verdicts.find(_.query == "q_a").exists(_.flagged),
+      "1.9x over floor must flag even when the probe ran fast")
+  }
+
+  test("regressions under partial load are still caught") {
+    // probe 2x (real load), query 6x: normalized 3x > 1.5 tolerance
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> 6.0, "q_b" -> 4.0),
+      calibrationNow = 0.4)
+    val byQ = r.verdicts.map(v => v.query -> v.flagged).toMap
+    assert(byQ === Map("q_a" -> true, "q_b" -> false))
+  }
+
+  test("new queries and retired floors are reported, not flagged") {
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> 1.0, "q_new" -> 9.9),
+      calibrationNow = 0.2)
+    assert(r.missingFloor === Seq("q_new"))
+    assert(r.retiredQueries === Seq("q_b"))
+    assert(r.verdicts.map(_.query) === Seq("q_a"))
+  }
+
+  test("sub-second jitter fails the absolute-excess test, not the build") {
+    // a 0.2s query measuring 0.35s is 1.75x — but 0.15s of excess is
+    // GC/scheduling noise, far below what a structural regression adds
+    val tiny = floors.copy(queries = Map("q_t" -> 0.2))
+    val r = BenchGuard.evaluate(tiny, Map("q_t" -> 0.35), calibrationNow = 0.2)
+    assert(r.verdicts.forall(!_.flagged), r.verdicts)
+  }
+
+  test("crashed queries (-1) are not flagged as regressions") {
+    val r = BenchGuard.evaluate(floors, Map("q_a" -> -1.0), calibrationNow = 0.2)
+    assert(r.verdicts.forall(!_.flagged))
+  }
+
+  test("floors file round-trips") {
+    val path = java.nio.file.Files.createTempFile("floors", ".json").toString
+    BenchGuard.writeFloors(path, floors)
+    val back = BenchGuard.readFloors(path)
+    assert(back.sf === floors.sf)
+    assert(back.tolerance === floors.tolerance)
+    assert(math.abs(back.calibration - floors.calibration) < 1e-4)
+    assert(back.queries.keySet === floors.queries.keySet)
+    floors.queries.foreach { case (k, v) =>
+      assert(math.abs(back.queries(k) - v) < 1e-4, k)
+    }
+  }
+
+  test("the committed floor file covers every SparkEntry query") {
+    val committed = BenchGuard.readFloors("bench/floors.json")
+    val queries = SparkEntry.queries.keySet
+    val missing = queries -- committed.queries.keySet
+    assert(missing.isEmpty, s"queries without a committed floor: $missing")
+    assert(committed.calibration > 0)
+  }
+}
