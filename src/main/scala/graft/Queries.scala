@@ -690,6 +690,58 @@ object Queries {
       |  count(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Sketch-based percentiles — the 100 TB default next to the exact
+    * [[groupPercentiles]] truth. Spark's `percentile_approx` keeps a
+    * Greenwald–Khanna summary of O(accuracy · log n) entries per
+    * group-per-task (vs the exact form's per-distinct-value map, whose
+    * state grows with the data), with a published rank guarantee: the
+    * returned value's rank is within n/accuracy of the target rank.
+    *
+    * The sketch itself is merge-order-sensitive, so the oracle cannot
+    * hash the approximate VALUES. Instead the query output IS the
+    * guarantee check: it joins the approximate percentiles back to the
+    * data (broadcast — one row per group) and verifies, per group, that
+    * each returned value's rank interval [rows<v, rows<=v] overlaps the
+    * target rank ±(εn + 1). DuckDB replays the all-true verdict — so a
+    * sketch regression past its error bound is a driver-visible hash
+    * mismatch, not just a spec failure.
+    */
+  def groupPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000 // ε = 1/acc relative rank error
+    val li = t(s, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+    val approx = li.groupBy("l_returnflag").agg(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(acc)).as("a50"),
+      percentile_approx(col("l_quantity"), lit(0.9), lit(acc)).as("a90"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(acc)).as("a99"))
+    // one extra scan checks all three rank intervals; εn + 1 slack
+    // (the +1 absorbs the 0- vs 1-based rank convention)
+    def ok(le: Column, lt: Column, p: Double, n: Column): Column = {
+      val slack = n.cast("double") / acc + 1d
+      val target = n.cast("double") * p
+      (le.cast("double") >= target - slack) && (lt.cast("double") <= target + slack)
+    }
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_quantity") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_extendedprice") <= col("a99"), 1L).otherwise(0L)).as("le99"),
+        sum(when(col("l_extendedprice") < col("a99"), 1L).otherwise(0L)).as("lt99"))
+      .select(col("l_returnflag"), col("n"),
+        ok(col("le50"), col("lt50"), 0.5, col("n")).as("p50_in_bound"),
+        ok(col("le90"), col("lt90"), 0.9, col("n")).as("p90_in_bound"),
+        ok(col("le99"), col("lt99"), 0.99, col("n")).as("p99_in_bound"))
+  }
+
+  val groupPercentilesApproxSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS p50_in_bound, true AS p90_in_bound, true AS p99_in_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Deterministic stratified sampling ([[graft.operators.Sampling]]):
     * language re-balancing of the documents corpus via the portable
     * sha-256 membership hash — DuckDB replays the exact membership set,
@@ -1284,6 +1336,7 @@ object Queries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_doc_packing" -> (docPacking _),
     "q_group_percentiles" -> (groupPercentiles _),
+    "q_group_percentiles_approx" -> (groupPercentilesApprox _),
     "q_event_windows" -> (eventWindows _),
     "q_salted_agg" -> (saltedAgg _),
     "q_bm25" -> (bm25Score _),
@@ -1336,6 +1389,7 @@ object Queries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_doc_packing" -> docPackingSql,
     "q_group_percentiles" -> groupPercentilesSql,
+    "q_group_percentiles_approx" -> groupPercentilesApproxSql,
     "q_event_windows" -> eventWindowsSql,
     "q_salted_agg" -> saltedAggSql,
     "q_bm25" -> bm25ScoreSql,

@@ -129,8 +129,16 @@ object Dedup {
     // CPU-bound per-row stage: make sure it parallelizes even when the
     // input is one small parquet row-group (common for side tables; at
     // real scale inputs arrive already partitioned and this is a no-op).
+    // The split count is estimated from logical-plan size stats
+    // (ceil(bytes / maxPartitionBytes) mirrors the scan's file
+    // splitting) — never from df.rdd, which forces full physical
+    // planning plus RDD lineage on every call. Overestimated stats
+    // (e.g. join products) only skip the repartition, never add one.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val input = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = ((estBytes + maxSplit - 1) / maxSplit).max(1)
+    val input = if (estParts < par) df.repartition(par) else df
     val buckets = input
       .select(col(idCol).as("id"),
         NativeText.shingleHash32(

@@ -137,6 +137,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_doc_packing" -> 1, // per-shard window
       "q_event_windows" -> 1,
       "q_group_percentiles" -> 1,
+      "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
       "q_decontaminate" -> 2, // hit-count agg + report join
       "q_embedding_quantized" -> 1,
