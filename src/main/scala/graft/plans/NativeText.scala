@@ -5,7 +5,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -19,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * every shingle — and the generated wrapper code is large enough that
   * janino compilation alone costs seconds per query. These expressions
   * do the same per-row work in one plain-JVM loop each.
+  *
+  * Each expression implements `doGenCode` (a call into the shared
+  * static evaluator below), NOT `CodegenFallback`: fallback expressions
+  * are excluded from whole-stage codegen entirely, which would split
+  * the dedup projection out of the fused stage and force row
+  * materialization around the hottest per-row work in the engine. The
+  * per-row loops themselves stay in the static helpers — the generated
+  * code only marshals the child value, so both the interpreted and
+  * codegen paths run byte-identical logic.
   *
   * Hash compatibility is exact: shingle hash = first 4 bytes of
   * sha256(shingle utf8) as an unsigned 32-bit value — identical to
@@ -103,80 +114,15 @@ object NativeText {
     UTF8String.fromString(
       toHex(d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
   }
-}
 
-/** minhash signature -> LSH band-key strings: band b's key is
-  * sha256-hex of "b,v1,...,vr" over its signature slice — identical
-  * strings to the composed sha2/concat_ws/slice formulation and the
-  * DuckDB oracle.
-  */
-case class LshBandHashes(sig: Expression, bands: Int, rows: Int)
-    extends UnaryExpression with CodegenFallback {
+  // ---- static evaluators, shared by the interpreted eval and the
+  // generated code (Scala object => static forwarders, so generated
+  // Java calls graft.plans.NativeText.<method> directly) ----
 
-  override def child: Expression = sig
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = sig.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("band_hashes requires array<long>")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[ArrayData]
-    val out = new Array[Any](bands)
-    val sb = new java.lang.StringBuilder()
-    var b = 0
-    while (b < bands) {
-      // exact concat_ws composition: outer join is "b" + "," + inner,
-      // where inner joins the NON-NULL slice values with "," (an
-      // all-null slice yields the empty string, so the key is "b,").
-      sb.setLength(0)
-      sb.append(b)
-      sb.append(',')
-      var j = 0
-      var first = true
-      while (j < rows) {
-        val idx = b * rows + j
-        if (idx < s.numElements() && !s.isNullAt(idx)) {
-          if (!first) sb.append(',')
-          sb.append(s.getLong(idx))
-          first = false
-        }
-        j += 1
-      }
-      out(b) = NativeText.sha256Hex(sb.toString)
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(sig = c)
-}
-
-/** words array + shingle size n -> array of portable 32-bit hashes of
-  * the word n-gram shingles (space-joined). n must be a foldable int.
-  */
-case class WordShingleHash32(words: Expression, nExpr: Expression)
-    extends Expression with CodegenFallback {
-
-  override def children: Seq[Expression] = Seq(words, nExpr)
-  override def nullable: Boolean = words.nullable
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = words.dataType match {
-    case ArrayType(StringType, _) if nExpr.foldable && nExpr.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_shingle_hash32 requires (array<string>, foldable int)")
-  }
-
-  private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val arr = words.eval(input)
-    if (arr == null) return null
-    val a = arr.asInstanceOf[ArrayData]
+  /** words + shingle size -> portable 32-bit hashes of the word
+    * n-grams (space-joined). See [[WordShingleHash32]].
+    */
+  def shingleHashEval(a: ArrayData, n: Int): ArrayData = {
     val len = a.numElements()
     val count = math.max(len - (n - 1), 0)
     val out = new Array[Any](count)
@@ -194,88 +140,20 @@ case class WordShingleHash32(words: Expression, nExpr: Expression)
         if (w != null) sb.append(w.toString)
         j += 1
       }
-      out(i) = NativeText.hash32(
+      out(i) = hash32(
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(words = c(0), nExpr = c(1))
-}
-
-/** Pre-computed 32-bit word-hash array -> 32-bit SimHash in one pass:
-  * per bit position, majority vote of word-hash bits (+1 set / -1
-  * unset); signature bit set iff the vote is strictly positive.
-  * Bit-identical to the HOF formulation
-  * ([[graft.operators.Dedup.simHashFromHashes]]) and the DuckDB oracle,
-  * but a single O(len × 32) primitive loop instead of 32 interpreted
-  * aggregate passes over the array.
-  */
-case class SimHashSig(hashes: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def child: Expression = hashes
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("graft_simhash32 requires array<long>")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val h = input.asInstanceOf[ArrayData]
+  /** shingle hashes -> minhash signature under the (as, bs) universal
+    * hash family. See [[MinHashSig]].
+    */
+  def minHashEval(
+      h: ArrayData, as: Array[Long], bs: Array[Long], prime: Long): ArrayData = {
     val len = h.numElements()
-    val votes = new Array[Int](32)
-    var j = 0
-    while (j < len) {
-      val v = h.getLong(j)
-      var b = 0
-      while (b < 32) {
-        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      j += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 32) {
-      if (votes(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(hashes = c)
-}
-
-/** Pre-computed shingle-hash array -> minhash signature of `numHashes`
-  * values using the deterministic universal-hash family from
-  * [[graft.operators.Dedup.minHashParams]]. One tight primitive loop.
-  */
-case class MinHashSig(hashes: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def child: Expression = hashes
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-
-  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("minhash_sig requires array<long>")
-  }
-
-  // (a_i, b_i) as primitive arrays for the hot loop
-  private lazy val (as, bs) = {
-    val ps = graft.operators.Dedup.minHashParams(numHashes)
-    (ps.map(_._1).toArray, ps.map(_._2).toArray)
-  }
-  private val prime = graft.operators.Dedup.MinHashPrime
-
-  override def nullSafeEval(input: Any): Any = {
-    val h = input.asInstanceOf[ArrayData]
-    val len = h.numElements()
+    val numHashes = as.length
     val out = new Array[Any](numHashes)
     if (len == 0) {
       // empty shingle set -> null signature values (array_min of empty)
@@ -297,6 +175,192 @@ case class MinHashSig(hashes: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** minhash signature -> LSH band-key strings. See [[LshBandHashes]]. */
+  def bandHashEval(s: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder()
+    var b = 0
+    while (b < bands) {
+      // exact concat_ws composition: outer join is "b" + "," + inner,
+      // where inner joins the NON-NULL slice values with "," (an
+      // all-null slice yields the empty string, so the key is "b,").
+      sb.setLength(0)
+      sb.append(b)
+      sb.append(',')
+      var j = 0
+      var first = true
+      while (j < rows) {
+        val idx = b * rows + j
+        if (idx < s.numElements() && !s.isNullAt(idx)) {
+          if (!first) sb.append(',')
+          sb.append(s.getLong(idx))
+          first = false
+        }
+        j += 1
+      }
+      out(b) = sha256Hex(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** word-hash array -> 32-bit SimHash. See [[SimHashSig]]. */
+  def simHashEval(h: ArrayData): Long = {
+    val len = h.numElements()
+    val votes = new Array[Int](32)
+    var j = 0
+    while (j < len) {
+      val v = h.getLong(j)
+      var b = 0
+      while (b < 32) {
+        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** minhash signature -> LSH band-key strings: band b's key is
+  * sha256-hex of "b,v1,...,vr" over its signature slice — identical
+  * strings to the composed sha2/concat_ws/slice formulation and the
+  * DuckDB oracle.
+  */
+case class LshBandHashes(sig: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def child: Expression = sig
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = sig.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("band_hashes requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.bandHashEval(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NativeText.bandHashEval($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(sig = c)
+}
+
+/** words array + shingle size n -> array of portable 32-bit hashes of
+  * the word n-gram shingles (space-joined). n must be a foldable int.
+  */
+case class WordShingleHash32(words: Expression, nExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(words, nExpr)
+  override def nullable: Boolean = words.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = words.dataType match {
+    case ArrayType(StringType, _) if nExpr.foldable && nExpr.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_shingle_hash32 requires (array<string>, foldable int)")
+  }
+
+  private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = words.eval(input)
+    if (arr == null) return null
+    NativeText.shingleHashEval(arr.asInstanceOf[ArrayData], n)
+  }
+
+  // n is foldable by the type check, so only the words child generates
+  // code — n is baked in as an int literal
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsGen = words.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${wordsGen.code}
+      boolean ${ev.isNull} = ${wordsGen.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.plans.NativeText.shingleHashEval(${wordsGen.value}, $n);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(words = c(0), nExpr = c(1))
+}
+
+/** Pre-computed 32-bit word-hash array -> 32-bit SimHash in one pass:
+  * per bit position, majority vote of word-hash bits (+1 set / -1
+  * unset); signature bit set iff the vote is strictly positive.
+  * Bit-identical to the HOF formulation
+  * ([[graft.operators.Dedup.simHashFromHashes]]) and the DuckDB oracle,
+  * but a single O(len × 32) primitive loop instead of 32 interpreted
+  * aggregate passes over the array.
+  */
+case class SimHashSig(hashes: Expression)
+    extends UnaryExpression {
+
+  override def child: Expression = hashes
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("graft_simhash32 requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.simHashEval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeText.simHashEval($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(hashes = c)
+}
+
+/** Pre-computed shingle-hash array -> minhash signature of `numHashes`
+  * values using the deterministic universal-hash family from
+  * [[graft.operators.Dedup.minHashParams]]. One tight primitive loop.
+  */
+case class MinHashSig(hashes: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def child: Expression = hashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("minhash_sig requires array<long>")
+  }
+
+  // (a_i, b_i) as primitive arrays for the hot loop
+  private lazy val (as, bs) = {
+    val ps = graft.operators.Dedup.minHashParams(numHashes)
+    (ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
+  private val prime = graft.operators.Dedup.MinHashPrime
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.minHashEval(input.asInstanceOf[ArrayData], as, bs, prime)
+
+  // the hash family rides along as reference objects — the generated
+  // code sees two long[] fields, no per-row allocation
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NativeText.minHashEval($c, $asRef, $bsRef, ${prime}L)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
