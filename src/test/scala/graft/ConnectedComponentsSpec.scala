@@ -54,4 +54,76 @@ class ConnectedComponentsSpec extends SparkSpec {
     // curation pipeline calls resolve unconditionally
     assert(run(Seq.empty) == Map.empty[Long, Long])
   }
+
+  test("one action per round: the checksum rides the checkpoint job") {
+    // the convergence metric is observe()d during each round's eager
+    // localCheckpoint — no separate aggregate action and no separate
+    // checkpoint for the propagate step, so the whole resolve runs
+    // rounds + 1 actions (the +1 is the seed checkpoint). The
+    // pre-observe() shape ran 3 actions per round. Counted with a
+    // QueryExecutionListener: broadcast-exchange jobs and AQE stage
+    // jobs don't fire it, only real actions do.
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rnd = new Random(7)
+      val pairs = Seq.fill(200)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter(p => p._1 != p._2)
+      val (_, converged, rounds) = ConnectedComponents
+        .resolveWithRounds(pairs.toDF("a", "b"), "a", "b", 20)
+      assert(converged)
+      // the listener bus is async — poll until the count stops moving
+      val deadline = System.currentTimeMillis() + 10000
+      var n = actions.get()
+      while (System.currentTimeMillis() < deadline && {
+        Thread.sleep(200); val m = actions.get(); val grew = m != n; n = m; grew
+      }) ()
+      assert(n == rounds + 1,
+        s"expected ${rounds + 1} actions ($rounds rounds + seed), got $n")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("star contraction matches union-find on random graphs") {
+    for (seed <- Seq(11, 12)) {
+      val rnd = new Random(seed)
+      val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(p => p._1 != p._2)
+      val got = ConnectedComponents
+        .resolveStars(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == truth(pairs), s"seed $seed")
+    }
+  }
+
+  test("10k-node path: star contraction converges where pointer jumping's budget fails") {
+    // adversarial diameter: label propagation needs ~log2(n) rounds
+    // (14 for n=10000), so a budget of 8 exhausts without converging;
+    // star contraction is the bound-convergence path (measured 15
+    // rounds, asserted <= 25) and resolve() reaches it as the fallback
+    // instead of failing the job.
+    val chain = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, pjConverged, _) = ConnectedComponents
+      .resolveWithRounds(chain, "a", "b", 8)
+    assert(!pjConverged, "8 rounds must not close a 10k-diameter path")
+
+    val (starLabels, starConverged, starRounds) = ConnectedComponents
+      .resolveStarsWithRounds(chain, "a", "b", 50)
+    assert(starConverged && starRounds <= 25, s"star rounds: $starRounds")
+    assert(starLabels.as[(Long, Long)].collect().forall(_._2 == 0L))
+
+    val viaFallback = ConnectedComponents
+      .resolve(chain, "a", "b", maxIters = 8)
+      .as[(Long, Long)].collect()
+    assert(viaFallback.length == 10000 && viaFallback.forall(_._2 == 0L))
+  }
 }
