@@ -28,6 +28,19 @@ import scala.jdk.CollectionConverters._
   * etc.). `--update` rewrites the floor file with min(floor, fresh)
   * after a faster run — floors only ever go down, so they stay
   * quiet-machine numbers.
+  *
+  * DELIBERATE SLOWDOWNS: because `--update` only ratchets floors DOWN,
+  * a change that intentionally costs performance (e.g. a correctness
+  * fix that adds a pass) will flag forever against the old floor. The
+  * override path is explicit, so it shows up in review:
+  *
+  *   sbt 'runMain graft.BenchGuard --set-floor q_range_join=1.25'
+  *
+  * `--set-floor q=secs` (repeatable) rewrites just those entries in
+  * `bench/floors.json` — no bench run — and the diff of the committed
+  * floor file documents the accepted regression. Measure the new
+  * quiet-machine time first (SPARK_GRAFT_BENCH_ONLY=q sbt 'runMain
+  * graft.Bench'), then set the floor to it.
   */
 object BenchGuard {
 
@@ -107,8 +120,28 @@ object BenchGuard {
 
   def main(args: Array[String]): Unit = {
     val update = args.contains("--update")
-    val floorsPath = args.filterNot(_.startsWith("--")).headOption
+    // --set-floor q=secs: accept a deliberate perf cost by raising one
+    // query's floor in place (no bench run). Repeatable.
+    val overrides = args.zip(args.drop(1) :+ "").collect {
+      case ("--set-floor", kv) if kv.contains('=') =>
+        val Array(q, secs) = kv.split('=')
+        q -> secs.toDouble
+    }.toMap
+    val floorsPath = args
+      .filterNot(_.startsWith("--"))
+      .filterNot(a => overrides.exists { case (q, s) => a == s"$q=$s" || a.startsWith(q + "=") })
+      .headOption
       .getOrElse("bench/floors.json")
+    if (overrides.nonEmpty) {
+      val floors = readFloors(floorsPath)
+      val unknown = overrides.keySet -- floors.queries.keySet
+      require(unknown.isEmpty, s"--set-floor for unknown queries: $unknown")
+      writeFloors(floorsPath, floors.copy(queries = floors.queries ++ overrides))
+      overrides.foreach { case (q, s) =>
+        System.err.println(f"[guard] floor override: $q = $s%.4f s")
+      }
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
       .getOrElse(2).max(1)

@@ -38,8 +38,12 @@ object Decontaminate {
     // native single-pass shingle hashing — the interpreted HOF
     // formulation (Dedup.shingleHashes) measured ~20x slower here, and
     // this subtree is evaluated twice (shingle counts + the probe
-    // explode)
+    // explode). Registered on BOTH frames' sessions: inside a
+    // foreachBatch the corpus rides the stream's cloned session while
+    // the benchmark usually comes from the driver session, and select()
+    // analyzes eagerly against whichever session owns the frame.
     graft.plans.NativeText.register(corpus.sparkSession)
+    graft.plans.NativeText.register(benchmark.sparkSession)
     val emptyLongs = array().cast("array<long>")
     def distinctShingles(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),

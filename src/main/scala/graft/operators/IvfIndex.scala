@@ -1,8 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
 import graft.plans.NativeVector
+import graft.sources.AtomicDir
 
 /** IVF (inverted-file) approximate nearest-neighbor index: a k-means
   * coarse quantizer partitions the corpus into `k` cells; a query is
@@ -126,6 +130,55 @@ object IvfIndex {
     */
   def index(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     assign(df, idCol, vecCol, model).localCheckpoint(true)
+
+  /** Persist a trained index to `dir` so repeated query batches (and
+    * other jobs) amortize training and assignment instead of redoing
+    * both per search:
+    *
+    *   - `centroids/`: the model, k rows of (cell, centroid);
+    *   - `index/`: the assigned corpus (id, nv), PARTITIONED BY cell —
+    *     a search that probes nprobe of k cells prunes the rest at the
+    *     file-listing level on read.
+    *
+    * The whole tree is staged through [[AtomicDir]] (write hidden tmp,
+    * rename into place), so a crash mid-save or a concurrent reader
+    * never observes a half-written index or a model/index mismatch.
+    */
+  def save(idx: DataFrame, model: Model, dir: String): Unit = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // k rows by construction
+      .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
+    idx.select(col("id"), col("nv"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(tmp, "index").toString)
+    AtomicDir.commit(fs, dest)
+  }
+
+  /** Load a [[save]]d index: (corpus frame for [[searchIndex]], model).
+    * Repairs an interrupted save first. The only driver-side
+    * materialization is the k-row centroid table.
+    */
+  def load(spark: SparkSession, dir: String): (DataFrame, Model) = {
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, dest)
+    val centroids = spark.read.parquet(new Path(dest, "centroids").toString)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, s"no centroids under $dir")
+    val idx = spark.read.parquet(new Path(dest, "index").toString)
+      .select(col("id"), col("nv"), col("cell").cast("int").as("cell"))
+    (idx, Model(centroids))
+  }
 
   /** The `nprobe` nearest cells per query, via a bounded sort over the
     * k centroid scores (k is plan-literal-sized; this is per-row

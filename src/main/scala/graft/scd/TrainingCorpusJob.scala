@@ -1,6 +1,6 @@
 package graft.scd
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
@@ -57,50 +57,82 @@ object TrainingCorpusJob {
       shards: Int = 8,
       minQuality: Double = 0.5): Report = {
 
+    // Per-stage metrics ride the pipeline's OWN materializations as
+    // observe() listeners — no stage runs a counting action of its
+    // own. The job executes exactly: the quarantine gate (inside
+    // JsonLines), ONE checkpoint at the dedup branch point, the
+    // bounded connected-components rounds, and ONE output write. The
+    // previous shape ran 7 extra counting actions, each re-executing
+    // its shared plan prefix — at 100 TB that is 7 redundant scans.
+    def counted(name: String): (Observation, org.apache.spark.sql.Column) =
+      (Observation(name), count(lit(1)).as("n"))
+    def metric(o: Observation): Long = o.get("n").asInstanceOf[Long]
+
     // 1. ingest + quarantine
     val q = JsonLines.readWithQuarantine(
       spark, inputGlob, inputSchema, s"$outDir/quarantine")
+    val (obsIngested, mIngested) = counted("ingested")
     val raw = q.good.filter(col("doc_id").isNotNull && col("text").isNotNull)
-    val ingested = raw.count()
+      .observe(obsIngested, mIngested)
 
-    // 2. exact dedup: keep each fingerprint's representative
+    // 2. exact dedup: keep each fingerprint's representative. This is
+    // the branch point (near-dup hashing AND the keep-join both read
+    // it), so it is materialized ONCE — and the ingested/exact metrics
+    // fire during that same checkpoint job.
+    val (obsExact, mExact) = counted("exact_kept")
     val exact = Dedup.exactDedup(raw, "text", "doc_id")
       .filter(!col("is_duplicate"))
       .select(raw.columns.map(col): _*)
-    val exactKept = exact.count()
+      .observe(obsExact, mExact)
+      .localCheckpoint(true)
 
     // 3. near-dup clusters: minhash pairs -> components -> keep min id
     val (pairs, _) = Dedup.minHashCandidates(exact, "text", "doc_id")
     val clusters = ConnectedComponents.resolve(pairs, "id_a", "id_b")
     val nearDupLosers = clusters.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    val deduped = exact.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
-    val dedupedKept = deduped.count()
+    // deduped0 (metric-free) feeds the decontamination probe side;
+    // the observed variant feeds the main line only — otherwise the
+    // CollectMetrics subtree executes on both sides of the broadcast
+    // and double-counts
+    val deduped0 = exact.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+    val (obsDeduped, mDeduped) = counted("neardup_kept")
+    val deduped = deduped0.observe(obsDeduped, mDeduped)
 
     // 4. decontamination against the benchmark
     val contaminatedIds = Decontaminate
-      .overlapReport(deduped, benchmark, "doc_id", "text")
+      .overlapReport(deduped0, benchmark, "doc_id", "text")
       .filter(col("contaminated")).select("doc_id")
+    val (obsClean, mClean) = counted("clean_kept")
     val clean = deduped.join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
-    val cleanKept = clean.count()
+      .observe(obsClean, mClean)
 
     // 5. redaction + quality gate
+    val (obsQuality, mQuality) = counted("quality_kept")
     val scored = clean
       .withColumn("text", TextFunctions.redactPii(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
-    val qualityKept = scored.count()
+      .observe(obsQuality, mQuality)
 
     // 6. deterministic stratified sampling by language
+    val (obsSampled, mSampled) = counted("sampled_kept")
     val sampled = Sampling.stratifiedSample(
-      scored, "lang", "doc_id", sampleFractions, seed, defaultFraction = 1.0)
-    val sampledKept = sampled.count()
+        scored, "lang", "doc_id", sampleFractions, seed, defaultFraction = 1.0)
+      .observe(obsSampled, mSampled)
 
-    // 7. sequence packing, 8. shard-partitioned output
+    // 7. sequence packing, 8. shard-partitioned output — the single
+    // pass that fires every main-line metric
+    val (obsPacked, mPacked) = counted("packed")
     val packed = Packing.packDocuments(sampled, "doc_id", "text", tokenBudget, shards)
+      .observe(obsPacked, mPacked)
     packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/corpus")
-    val packedCount = spark.read.parquet(s"$outDir/corpus").count()
 
+    val ingested = metric(obsIngested)
+    val exactKept = metric(obsExact)
+    val dedupedKept = metric(obsDeduped)
+    val cleanKept = metric(obsClean)
+    val qualityKept = metric(obsQuality)
     Report(
       ingested = ingested,
       quarantined = q.quarantined,
@@ -108,7 +140,7 @@ object TrainingCorpusJob {
       nearDups = exactKept - dedupedKept,
       contaminated = dedupedKept - cleanKept,
       lowQuality = cleanKept - qualityKept,
-      sampledOut = qualityKept - sampledKept,
-      packed = packedCount)
+      sampledOut = qualityKept - metric(obsSampled),
+      packed = metric(obsPacked))
   }
 }

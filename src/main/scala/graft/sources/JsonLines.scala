@@ -24,7 +24,7 @@ object JsonLines {
 
   final case class QuarantineResult(good: DataFrame, quarantined: Long)
 
-  private val CorruptCol = "_corrupt_record"
+  val CorruptCol = "_corrupt_record"
 
   /** @param schema declared schema of valid rows (do NOT include the
     *               corrupt-record column; it is managed here)

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.functions.TextFunctions
+import graft.operators.{ConnectedComponents, Decontaminate, Packing, Sampling}
+import graft.sources.{AtomicDir, JsonLines}
+import graft.scd.TrainingCorpusJob
+
+/** Streaming corpus curation — the incremental counterpart of
+  * [[graft.scd.TrainingCorpusJob]], converging to the SAME corpus the
+  * batch job would produce over the union of all ingested files.
+  *
+  * The split between incremental and global work follows where the
+  * cost lives at 100 TB:
+  *
+  *   - per-document work (parse, quarantine, fingerprint, minhash/LSH
+  *     band keys via [[StreamingDedup.withDedupSignatures]] — the same
+  *     codegen'd kernels as the batch operators — plus contamination
+  *     probe, PII redaction, quality score) runs ONCE per document, in
+  *     the micro-batch that ingests it, and is persisted in the state
+  *     table; re-deliveries never re-hash history;
+  *   - global resolution (exact-rep choice, LSH bucket pairing,
+  *     connected components, sampling, packing) reruns per batch over
+  *     the METADATA-weight state — ids, fingerprints, band keys —
+  *     because near-dup clusters are a global property: a new document
+  *     can bridge two previously distinct clusters, so any
+  *     "finalized" early decision would diverge from the batch truth.
+  *
+  * State and output are parquet under `outDir`, each replaced through
+  * [[AtomicDir]] — a crash between batches leaves the previous
+  * consistent state/corpus pair readable, and the streaming
+  * checkpoint replays the interrupted batch.
+  */
+object TrainingCorpusStreaming {
+
+  final case class Config(
+      sampleFractions: Map[String, Double],
+      seed: Long = 42L,
+      tokenBudget: Long = 2048L,
+      shards: Int = 8,
+      minQuality: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000)
+
+  private val docStateName = "doc_state"
+  private val corpusName = "corpus"
+
+  /** Schema the stream reads: the batch job's input schema plus the
+    * corrupt-record column for quarantine routing.
+    */
+  def streamSchema: StructType =
+    TrainingCorpusJob.inputSchema.add(JsonLines.CorruptCol, StringType)
+
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      benchmark: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      cfg: Config,
+      maxFilesPerTrigger: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(streamSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonLines.CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, benchmark, outDir, cfg)
+      }
+      .start()
+  }
+
+  /** One micro-batch: quarantine split → per-doc enrichment of the new
+    * rows → state merge → global re-resolution → atomic state + corpus
+    * replace.
+    */
+  private[streaming] def mergeBatch(
+      batch: DataFrame,
+      benchmark: DataFrame,
+      outDir: String,
+      cfg: Config): Unit = {
+    // foreachBatch hands the batch over on a CLONED session — every
+    // frame in this method (state reads included) must come from that
+    // session, or the native text functions registered on it won't
+    // resolve when a mixed-session plan is analyzed
+    val spark = batch.sparkSession
+    // materialize the micro-batch once: the corrupt-column-only filter
+    // is illegal on a lazy json scan, and every branch below reuses it
+    val rows = batch.localCheckpoint(true)
+    val bad = rows.filter(col(JsonLines.CorruptCol).isNotNull)
+      .select(col(JsonLines.CorruptCol).as("raw_line"))
+    if (!bad.isEmpty)
+      bad.write.mode("append").parquet(s"$outDir/quarantine")
+
+    val incoming = rows
+      .filter(col(JsonLines.CorruptCol).isNull &&
+        col("doc_id").isNotNull && col("text").isNotNull)
+      .drop(JsonLines.CorruptCol)
+
+    // ---- per-doc enrichment, once per newly seen document ----
+    val contaminatedIds = Decontaminate
+      .overlapReport(incoming, benchmark, "doc_id", "text")
+      .filter(col("contaminated")).select(col("doc_id").as("c_id"))
+    val redacted = TextFunctions.redactPii(col("text"))
+    val enriched = StreamingDedup
+      .withDedupSignatures(incoming, "text", cfg.numHashes, cfg.bands)
+      .join(broadcast(contaminatedIds),
+        col("doc_id") === col("c_id"), "left")
+      .select(
+        col("doc_id"), col("ts"), col("lang"), col("text"),
+        col("fingerprint").as("fp"),
+        col("band_keys"),
+        col("c_id").isNotNull.as("contaminated"),
+        redacted.as("text_redacted"),
+        TextFunctions.qualityScore(redacted).as("quality"))
+
+    val statePath = new Path(s"$outDir/$docStateName")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, statePath)
+    val prev =
+      if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], enriched.schema)
+
+    // state merge: first delivery of a doc_id wins (re-deliveries are
+    // replays of the same immutable document). No broadcast hint: the
+    // state id set grows with the corpus, so the planner must stay
+    // free to shuffle the anti-join at scale.
+    val docs = prev
+      .unionByName(enriched.join(
+        prev.select(col("doc_id").as("p_id")),
+        col("doc_id") === col("p_id"), "left_anti"))
+      .localCheckpoint(true)
+
+    // ---- global re-resolution over metadata-weight state ----
+    // exact reps: min id per fingerprint — identical to Dedup.exactDedup
+    val reps = docs
+      .withColumn("__rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("__rep"))
+      .drop("__rep")
+    // LSH bucket pairing from the STORED band keys — same buckets the
+    // batch Dedup.minHashCandidates builds, without re-hashing text
+    val grouped = reps
+      .select(col("doc_id").as("id"), explode(col("band_keys")).as("band"))
+      .groupBy("band")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val pairs = grouped
+      .filter(size(col("ids")).between(2, cfg.maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val losers = ConnectedComponents.resolve(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("l_id"))
+
+    val kept = reps
+      .join(losers, col("doc_id") === col("l_id"), "left_anti")
+      .filter(!col("contaminated") && col("quality") >= cfg.minQuality)
+      .select(col("doc_id"), col("ts"), col("lang"),
+        col("text_redacted").as("text"), col("quality"))
+    val sampled = Sampling.stratifiedSample(
+      kept, "lang", "doc_id", cfg.sampleFractions, cfg.seed, defaultFraction = 1.0)
+    val packed = Packing.packDocuments(
+      sampled, "doc_id", "text", cfg.tokenBudget, cfg.shards)
+
+    // ---- atomic replace of state then corpus ----
+    replace(fs, statePath, docs)
+    replace(fs, new Path(s"$outDir/$corpusName"), packed, partitionBy = Seq("shard"))
+  }
+
+  private def replace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path,
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    AtomicDir.commit(fs, dest)
+  }
+
+  /** The curated corpus as of the last completed batch. */
+  def corpus(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new Path(s"$outDir/$corpusName")
+    AtomicDir.recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    spark.read.parquet(p.toString)
+  }
+}

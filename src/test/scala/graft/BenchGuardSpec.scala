@@ -77,6 +77,21 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("--set-floor rewrites one entry in place and rejects unknown queries") {
+    val path = java.nio.file.Files.createTempFile("floors_set", ".json").toString
+    BenchGuard.writeFloors(path, floors)
+    BenchGuard.main(Array("--set-floor", "q_a=9.5", path))
+    val back = BenchGuard.readFloors(path)
+    assert(math.abs(back.queries("q_a") - 9.5) < 1e-4, "override must apply")
+    (floors.queries - "q_a").foreach { case (k, v) =>
+      assert(math.abs(back.queries(k) - v) < 1e-4, s"$k must be untouched")
+    }
+    assert(math.abs(back.calibration - floors.calibration) < 1e-4)
+    intercept[IllegalArgumentException] {
+      BenchGuard.main(Array("--set-floor", "q_nonexistent=1.0", path))
+    }
+  }
+
   test("the committed floor file covers every SparkEntry query") {
     val committed = BenchGuard.readFloors("bench/floors.json")
     val queries = SparkEntry.queries.keySet

@@ -67,4 +67,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"all-pairs stage leaked into the IVF plan:\n$plan")
   }
+
+  test("a saved index round-trips: loaded search matches in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rt").toString + "/idx"
+    val queries = emb.filter($"vec_id" < 10)
+    def results(idx: org.apache.spark.sql.DataFrame, m: IvfIndex.Model) =
+      IvfIndex.searchIndex(queries, idx, "vec_id", "embedding", m,
+          kNeighbors = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+
+    val built = IvfIndex.index(emb, "vec_id", "embedding", model)
+    val fresh = results(built, model)
+    IvfIndex.save(built, model, dir)
+
+    val (loaded, loadedModel) = IvfIndex.load(spark, dir)
+    assert(loadedModel.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq, "model changed across save/load")
+    assert(results(loaded, loadedModel) == fresh,
+      "loaded-index search diverged from the freshly built index")
+
+    // the on-disk layout is cell-partitioned: probing must not read
+    // every partition's files
+    assert(new java.io.File(s"$dir/index").listFiles()
+      .count(f => f.getName.startsWith("cell=")) == model.k)
+
+    // a second save over the same path is a clean atomic replace
+    IvfIndex.save(built, model, dir)
+    assert(results(IvfIndex.load(spark, dir)._1, loadedModel) == fresh)
+  }
 }

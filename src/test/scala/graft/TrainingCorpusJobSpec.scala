@@ -59,4 +59,51 @@ class TrainingCorpusJobSpec extends SparkSpec {
       .select("doc_id", "shard", "pack_id", "pack_pos").collect().map(_.toSeq).toSet
     assert(a == b && report.copy(quarantined = report2.quarantined) == report2)
   }
+
+  test("stage metrics ride the write pass: no per-stage counting actions") {
+    // the report's 7 stage counts are observe() metrics on the
+    // pipeline's own materializations; the only count-typed action
+    // left is the quarantine gate inside JsonLines. The pre-observe()
+    // shape ran 8 (one per stage + the output re-read).
+    val funcNames = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = funcNames.add(funcName)
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = funcNames.add(funcName)
+    }
+    val dir = Files.createTempDirectory("corpus_actions").toString
+    val in = s"$dir/in.jsonl"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    Files.writeString(java.nio.file.Paths.get(in),
+      docs.map { case (id, lang, text) =>
+        val esc = text.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case c if c < ' ' => " "; case c => c.toString }
+        s"""{"doc_id": $id, "ts": "2024-01-01T00:00:00Z", "lang": "$lang", "text": "$esc"}"""
+      }.mkString("", "\n", "\n"))
+
+    spark.listenerManager.register(listener)
+    val report =
+      try TrainingCorpusJob.run(
+        spark, in, Seq((1L, "benchmark text")).toDF("doc_id", "text"),
+        s"$dir/out", sampleFractions = Map.empty)
+      finally {
+        // async bus: let in-flight events land before unregistering
+        Thread.sleep(1500)
+        spark.listenerManager.unregister(listener)
+      }
+    assert(report.ingested == 30 && report.packed > 0, s"$report")
+    val counts = funcNames.toArray.count(_ == "count")
+    assert(counts <= 1,
+      s"expected at most the quarantine-gate count action, got $counts " +
+        s"(all actions: ${funcNames.toArray.mkString(", ")})")
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.scd.TrainingCorpusJob
+import graft.streaming.TrainingCorpusStreaming
+
+/** Streaming curation must CONVERGE TO BATCH: after the stream has
+  * consumed all files (one file per micro-batch, so every cross-batch
+  * code path runs), the curated corpus equals what TrainingCorpusJob
+  * produces over the same files in one shot — including the
+  * cross-batch cases that make incremental dedup hard: an exact dup
+  * arriving in a later batch than its original, and a near-dup
+  * bridge document arriving after both of its cluster partners.
+  */
+class TrainingCorpusStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def esc(s: String) =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case c if c < ' ' => " "; case c => c.toString }
+
+  private def line(id: Long, lang: String, text: String) =
+    s"""{"doc_id": $id, "ts": "2024-01-01T00:00:00Z", "lang": "${esc(lang)}", "text": "${esc(text)}"}"""
+
+  test("streamed curation converges to the batch corpus") {
+    val dir = Files.createTempDirectory("corpus_stream").toString
+    val inDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(45)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val benchText = docs(3)._3
+
+    // file 1: first 15 docs. file 2: next 15, plus an exact dup of a
+    // file-1 doc (case change — same fingerprint) and one corrupt
+    // line. file 3: rest, plus a near-dup bridge: a doc sharing text
+    // with a file-1 doc (same minhash buckets) under a NEW id, so its
+    // cluster must merge across batches.
+    val f1 = docs.take(15).map { case (i, l, t) => line(i, l, t) }
+    val f2 = docs.slice(15, 30).map { case (i, l, t) => line(i, l, t) } ++
+      Seq(line(99001L, "en", docs(2)._3.toUpperCase), "not valid json {")
+    val f3 = docs.drop(30).map { case (i, l, t) => line(i, l, t) } ++
+      Seq(line(99002L, docs(5)._2, docs(5)._3 + " extra tail"))
+    // write in arrival order; the stream reads one file per trigger
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/a.jsonl"), f1.mkString("", "\n", "\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b.jsonl"), f2.mkString("", "\n", "\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/c.jsonl"), f3.mkString("", "\n", "\n"))
+
+    val benchmark = Seq((1L, benchText)).toDF("doc_id", "text")
+    val cfg = TrainingCorpusStreaming.Config(
+      sampleFractions = Map("zz-nonexistent" -> 0.0))
+
+    val q = TrainingCorpusStreaming.start(
+      spark, inDir, benchmark, s"$dir/stream_out", s"$dir/ckpt", cfg,
+      maxFilesPerTrigger = 1, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val batchReport = TrainingCorpusJob.run(
+      spark, s"$inDir/*.jsonl", benchmark, s"$dir/batch_out",
+      sampleFractions = cfg.sampleFractions)
+    assert(batchReport.packed > 0)
+
+    def corpusKey(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "shard", "pack_id", "pack_pos", "text")
+      .collect().map(_.toSeq).toSet
+
+    val streamed = TrainingCorpusStreaming.corpus(spark, s"$dir/stream_out")
+    val batch = spark.read.parquet(s"$dir/batch_out/corpus")
+    assert(corpusKey(streamed) == corpusKey(batch),
+      "streamed corpus diverged from the batch corpus over the same files")
+    assert(streamed.count() == batchReport.packed)
+
+    // the planted cross-batch problems actually dropped
+    val ids = streamed.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(99001L), "late exact dup must lose to the earlier id")
+    assert(!ids.contains(99002L), "cross-batch near-dup must resolve into its cluster")
+    assert(!ids.contains(docs(3)._1), "benchmark member must be decontaminated")
+
+    // quarantine captured the corrupt line
+    assert(spark.read.parquet(s"$dir/stream_out/quarantine").count() == 1)
+  }
+}
