@@ -913,6 +913,20 @@ object Queries {
        |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
        |SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY 1""".stripMargin
 
+  /** The same cluster resolution through the bound-convergence
+    * large-star/small-star path
+    * ([[graft.operators.ConnectedComponents.resolveStars]]) — label
+    * semantics are identical (min id per component), so the SAME
+    * recursive-CTE oracle gates both algorithms against each other and
+    * against DuckDB.
+    */
+  def dedupClustersStars(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.resolveStars(
+      dedupMinHash(s, dir), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+
+  val dedupClustersStarsSql: String = dedupClustersSql
+
   /** n-gram Jaccard over the known (original, variant) pairs, on
     * hash-compared shingle sets (see [[Dedup.ngramJaccard]]).
     */
@@ -1345,6 +1359,7 @@ object Queries {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
@@ -1398,6 +1413,7 @@ object Queries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_clusters_stars" -> dedupClustersStarsSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
