@@ -1220,6 +1220,65 @@ object Queries {
 
   // ------------------------------------------------------ text analysis
 
+  /** Repetition quality signals ([[TextFunctions.dupNgramFraction]]):
+    * fraction of words / bigrams / trigrams that repeat an earlier
+    * occurrence — the filter that catches degenerate machine-generated
+    * or boilerplate text. Per-row HOFs; DuckDB replays the shingle
+    * construction and list_distinct exactly.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(TextFunctions.normalizeText(col("text")), " "))
+        .cast("long").as("n_words"),
+      round(TextFunctions.dupNgramFraction(col("text"), 1), 6).as("dup_word_frac"),
+      round(TextFunctions.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
+      round(TextFunctions.dupNgramFraction(col("text"), 3), 6).as("dup_trigram_frac"))
+
+  val textRepetitionSql: String =
+    """WITH words AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, w,
+      |  list_transform(range(1, greatest(len(w), 1)),
+      |    i -> w[i] || ' ' || w[i+1]) AS g2,
+      |  list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      |  FROM words)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  CASE WHEN len(w) > 0
+      |    THEN round((len(w) - len(list_distinct(w))) / len(w), 6)
+      |    ELSE 0.0 END AS dup_word_frac,
+      |  CASE WHEN len(g2) > 0
+      |    THEN round((len(g2) - len(list_distinct(g2))) / len(g2), 6)
+      |    ELSE 0.0 END AS dup_bigram_frac,
+      |  CASE WHEN len(g3) > 0
+      |    THEN round((len(g3) - len(list_distinct(g3))) / len(g3), 6)
+      |    ELSE 0.0 END AS dup_trigram_frac
+      |FROM g""".stripMargin
+
+  /** Sliding-window chunking ([[graft.operators.Chunking]]): documents
+    * into 64-token windows with 16 tokens of shared context. Chunk
+    * ids, boundaries and text are a pure function of the word
+    * positions, so DuckDB replays every chunk byte-for-byte.
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkDocuments(
+      t(s, dir, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+
+  val textChunksSql: String =
+    """WITH words AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |starts AS (SELECT doc_id, w, len(w) AS n,
+      |    unnest(range(1, greatest(len(w), 1) + 1, 48)) AS s
+      |  FROM words)
+      |SELECT doc_id,
+      |  CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+      |  CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens,
+      |  array_to_string(w[s : least(s + 63, n)], ' ') AS chunk_text
+      |FROM starts WHERE s = 1 OR s + 16 <= n""".stripMargin
+
   /** Token counting, length stats, quality score, fingerprint. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1368,6 +1427,8 @@ object Queries {
     "q_embedding_quantized" -> (embeddingQuantized _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_text_stats" -> (textStats _),
+    "q_text_repetition" -> (textRepetition _),
+    "q_text_chunks" -> (textChunks _),
     "q_lang_id" -> (langId _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
@@ -1422,6 +1483,8 @@ object Queries {
     "q_embedding_quantized" -> embeddingQuantizedSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_text_stats" -> textStatsSql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_text_chunks" -> textChunksSql,
     "q_lang_id" -> langIdSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -66,6 +66,22 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Fraction of word n-grams that are repeats of an earlier
+    * occurrence — the repetition family of quality signals (degenerate
+    * machine-generated or boilerplate text repeats itself long before
+    * it trips length/stopword heuristics). n = 1 is the duplicate-word
+    * fraction; larger n catches repeated phrases. Pure per-row HOFs
+    * (split + distinct on the shingle array): codegen'd, no shuffle,
+    * and the DuckDB oracle replays it with list_distinct.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = if (n == 1) split(normalizeText(c), " ") else wordShingles(c, n)
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
   /** Marker words per language for the language-ID heuristic. A real
     * deployment would plug a trained n-gram model in behind the same
     * column signature; the heuristic keeps the whole thing inside
