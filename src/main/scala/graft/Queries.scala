@@ -963,6 +963,41 @@ object Queries {
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
        |FROM pairs JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id""".stripMargin
 
+  /** Winnowing partial-duplicate candidates
+    * ([[graft.operators.Winnowing.overlapCandidates]]): documents
+    * sharing >= 2 winnowed fingerprints (bigram hashes, window 4,
+    * boilerplate fingerprints with df > 100 dropped). The oracle
+    * replays the whole selection — shingle hashes, per-window
+    * `list_min` (the fingerprint is a value SET, so min-tie position
+    * cannot matter), df cap, pair counts — in DuckDB list ops.
+    */
+  def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.overlapCandidates(
+      nearDupCorpus(s, dir), "text", "doc_id",
+      k = 2, w = 4, minShared = 2, maxDf = 100)
+
+  val winnowOverlapSql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |words AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
+       |hs AS (SELECT doc_id,
+       |  list_transform(
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+       |    x -> CAST(('0x' || substr(sha256(x), 1, 8)) AS BIGINT)) AS h
+       |  FROM words),
+       |fps AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(h) - 3, 1) + 1),
+       |    i -> list_min(h[i:i+3])))) AS fp
+       |  FROM hs WHERE len(h) > 0),
+       |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+       |FROM fps a
+       |JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |JOIN ok ON ok.fp = a.fp
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** SimHash signatures (32-bit) per document. */
   def dedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimHash(t(s, dir, "documents"), "text", "simhash")
@@ -1220,20 +1255,28 @@ object Queries {
 
   // ------------------------------------------------------ text analysis
 
-  /** Repetition quality signals ([[TextFunctions.dupNgramFraction]]):
-    * fraction of words / bigrams / trigrams that repeat an earlier
-    * occurrence — the filter that catches degenerate machine-generated
-    * or boilerplate text. Per-row HOFs; DuckDB replays the shingle
-    * construction and list_distinct exactly.
+  /** Repetition quality signals: fraction of words / bigrams /
+    * trigrams that repeat an earlier occurrence — the filter that
+    * catches degenerate machine-generated or boilerplate text. One
+    * native single-pass expression
+    * ([[graft.plans.TextRepetitionStats]]) computes all four signals;
+    * the HOF formulation ([[TextFunctions.dupNgramFraction]], spec-
+    * pinned equivalent) re-evaluated the interpreted shingle transform
+    * per reference and dominated the whole bench. DuckDB replays the
+    * shingle construction and list_distinct exactly.
     */
-  def textRepetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      size(split(TextFunctions.normalizeText(col("text")), " "))
-        .cast("long").as("n_words"),
-      round(TextFunctions.dupNgramFraction(col("text"), 1), 6).as("dup_word_frac"),
-      round(TextFunctions.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
-      round(TextFunctions.dupNgramFraction(col("text"), 3), 6).as("dup_trigram_frac"))
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.NativeText.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.NativeText.textRepetitionStats(col("text")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_words").as("n_words"),
+        round(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("r.dup_bigram_frac"), 6).as("dup_bigram_frac"),
+        round(col("r.dup_trigram_frac"), 6).as("dup_trigram_frac"))
+  }
 
   val textRepetitionSql: String =
     """WITH words AS (SELECT doc_id,
@@ -1420,6 +1463,7 @@ object Queries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_winnow_overlap" -> (winnowOverlap _),
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
     "q_simsearch_lsh" -> (simsearchLsh _),
@@ -1476,6 +1520,7 @@ object Queries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_clusters_stars" -> dedupClustersStarsSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,
+    "q_winnow_overlap" -> winnowOverlapSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
     "q_simsearch_lsh" -> simsearchLshSql,

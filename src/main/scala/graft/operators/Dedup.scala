@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -133,12 +134,22 @@ object Dedup {
     // (ceil(bytes / maxPartitionBytes) mirrors the scan's file
     // splitting) — never from df.rdd, which forces full physical
     // planning plus RDD lineage on every call. Overestimated stats
-    // (e.g. join products) only skip the repartition, never add one.
+    // (e.g. join products) only skip the repartition, never add one —
+    // EXCEPT for checkpointed inputs: a localCheckpoint'd frame plans
+    // as a LogicalRDD leaf whose stats default to defaultSizeInBytes
+    // (effectively unknown), which would silently skip the spread on
+    // exactly the small-but-hot frames this guard exists for. Those
+    // RDDs already exist, so their true partition count is free.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estParts = ((estBytes + maxSplit - 1) / maxSplit).max(1)
-    val input = if (estParts < par) df.repartition(par) else df
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val estParts: BigInt =
+      if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
+        BigInt(leaves.map(_.asInstanceOf[LogicalRDD].rdd.getNumPartitions).sum)
+      else
+        (plan.stats.sizeInBytes + maxSplit - 1) / maxSplit
+    val input = if (estParts.max(1) < par) df.repartition(par) else df
     val buckets = input
       .select(col(idCol).as("id"),
         NativeText.shingleHash32(

@@ -53,6 +53,8 @@ object NativeText {
   val MinHashSigPrefix = "graft_minhash_sig"
   val BandHashName = "graft_band_hashes"
   val SimHashName = "graft_simhash32"
+  val TextRepetitionName = "graft_text_repetition"
+  val WinnowName = "graft_winnow_min"
 
   /** Register the native text functions on a session (idempotent). */
   def register(spark: SparkSession, minHashCounts: Seq[Int] = Seq(32)): Unit = {
@@ -78,6 +80,14 @@ object NativeText {
       SimHashName,
       exprs => SimHashSig(exprs.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      TextRepetitionName,
+      exprs => TextRepetitionStats(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      WinnowName,
+      exprs => WinnowMin(exprs(0), LiteralArgs.toInt(exprs(1))),
+      "built-in")
   }
 
   /** Column API (requires [[register]] on the owning session). */
@@ -94,6 +104,12 @@ object NativeText {
 
   def simHash32(hashes: Column): Column =
     call_function(SimHashName, hashes)
+
+  def textRepetitionStats(text: Column): Column =
+    call_function(TextRepetitionName, text)
+
+  def winnowMin(hashes: Column, window: Int): Column =
+    call_function(WinnowName, hashes, org.apache.spark.sql.functions.lit(window))
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -206,6 +222,111 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** text -> (n_words, dup_word_frac, dup_bigram_frac, dup_trigram_frac)
+    * in ONE pass. Semantics are exactly the HOF formulation
+    * ([[graft.functions.TextFunctions.dupNgramFraction]]) and the
+    * DuckDB oracle:
+    *   - normalize = trim(regexp_replace(lower(text), "\\s+", " "))
+    *     (UTF8String.toLowerCase is what Catalyst's Lower uses; the
+    *     trim strips only the ' ' that collapse just produced)
+    *   - words = split on ' ' (empty normalized text -> one "" word,
+    *     matching Spark split and DuckDB string_split)
+    *   - n-gram count = max(words - (n-1), 0); frac = repeats/count,
+    *     0.0 when the count is 0
+    *   - null text -> (null, 0.0, 0.0, 0.0): size(null)=null for
+    *     n_words, the when() otherwise-branch for the fractions
+    * See [[TextRepetitionStats]].
+    */
+  def textRepetitionEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, 0.0, 0.0, 0.0))
+    }
+    val norm0 = wsPattern.matcher(text.toLowerCase.toString).replaceAll(" ")
+    // trim only spaces (all \s runs are now single ' '); Java's
+    // String.trim would also strip non-\s control chars Spark keeps
+    var lo = 0
+    var hi = norm0.length
+    while (lo < hi && norm0.charAt(lo) == ' ') lo += 1
+    while (hi > lo && norm0.charAt(hi - 1) == ' ') hi -= 1
+    val norm = norm0.substring(lo, hi)
+    val words = norm.split(" ", -1) // "" -> Array(""), like Spark's split
+    val n = words.length
+    val seen1 = new java.util.HashSet[String](n * 2)
+    var dup1 = 0
+    var i = 0
+    while (i < n) {
+      if (!seen1.add(words(i))) dup1 += 1
+      i += 1
+    }
+    val frac1 = dup1.toDouble / n // n >= 1 always (split of "" is [""])
+    val sb = new java.lang.StringBuilder()
+    def dupFrac(g: Int): Double = {
+      val cnt = n - (g - 1)
+      if (cnt <= 0) return 0.0
+      val seen = new java.util.HashSet[String](cnt * 2)
+      var dups = 0
+      var i = 0
+      while (i < cnt) {
+        sb.setLength(0)
+        var j = 0
+        while (j < g) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        if (!seen.add(sb.toString)) dups += 1
+        i += 1
+      }
+      dups.toDouble / cnt
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, frac1, dupFrac(2), dupFrac(3)))
+  }
+
+  /** k-gram hash array + window size -> winnowed fingerprint set
+    * (sorted distinct sliding-window minima), the Schleimer/Wilkerson/
+    * Aiken "winnowing" selection. One O(n) monotonic-deque pass; the
+    * fingerprint is the SET of selected hash values, so tie position
+    * (leftmost vs rightmost minimum) cannot affect the result and the
+    * oracle's per-window `list_min` replays it exactly.
+    *
+    * len == 0 -> empty; 0 < len < w -> the single whole-array window
+    * (winnowing's at-least-one-fingerprint guarantee). See [[WinnowMin]].
+    */
+  def winnowEval(h: ArrayData, w: Int): ArrayData = {
+    val len = h.numElements()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (len <= w) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < len) { val v = h.getLong(i); if (v < min) min = v; i += 1 }
+      selected.add(min)
+    } else {
+      // deque of indices with ascending hash values; head = window min
+      val idx = new Array[Int](len)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < len) {
+        val v = h.getLong(i)
+        while (tail > head && h.getLong(idx(tail - 1)) >= v) tail -= 1
+        idx(tail) = i; tail += 1
+        if (idx(head) <= i - w) head += 1
+        if (i >= w - 1) selected.add(h.getLong(idx(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** word-hash array -> 32-bit SimHash. See [[SimHashSig]]. */
   def simHashEval(h: ArrayData): Long = {
     val len = h.numElements()
@@ -300,6 +421,37 @@ case class WordShingleHash32(words: Expression, nExpr: Expression)
     copy(words = c(0), nExpr = c(1))
 }
 
+/** k-gram hash array -> winnowed fingerprint set: sorted distinct
+  * minima of every `window`-length sliding window (single whole-array
+  * window when the doc has fewer than `window` k-grams, empty for
+  * empty input). The selection that makes fingerprint overlap detect
+  * partial duplication with bounded fingerprint density (~len/window
+  * per doc) — see [[NativeText.winnowEval]].
+  */
+case class WinnowMin(hashes: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, s"winnow window must be >= 1, got $window")
+
+  override def child: Expression = hashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"${NativeText.WinnowName} requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.winnowEval(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NativeText.winnowEval($c, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(hashes = c)
+}
+
 /** Pre-computed 32-bit word-hash array -> 32-bit SimHash in one pass:
   * per bit position, majority vote of word-hash bits (+1 set / -1
   * unset); signature bit set iff the vote is strictly positive.
@@ -327,6 +479,55 @@ case class SimHashSig(hashes: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(hashes = c)
+}
+
+/** text -> struct(n_words, dup_word_frac, dup_bigram_frac,
+  * dup_trigram_frac): the repetition family of quality signals in ONE
+  * per-row pass (normalize + split + three hash-set membership loops).
+  *
+  * The HOF formulation pays interpreted-lambda plumbing per shingle
+  * and re-evaluates the shingle array for every reference (transform /
+  * array_distinct are not codegen'd) — at sf0.1 that made
+  * q_text_repetition the single most expensive query in the bench
+  * (31 s of a 61 s total). This expression is never null (null text
+  * yields (null, 0.0, 0.0, 0.0) inside the struct, the same values the
+  * when()/otherwise formulation and the DuckDB oracle produce).
+  */
+case class TextRepetitionStats(text: Expression)
+    extends UnaryExpression {
+
+  override def child: Expression = text
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = true),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = text.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"${NativeText.TextRepetitionName} requires a string column")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    NativeText.textRepetitionEval(
+      text.eval(input).asInstanceOf[UTF8String])
+
+  // the evaluator handles a null child itself (null text is data, not
+  // a null result), so the generated code passes the null through
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = text.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = false;
+      $javaType ${ev.value} = graft.plans.NativeText.textRepetitionEval(
+        ${childGen.isNull} ? null : ${childGen.value});""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
 }
 
 /** Pre-computed shingle-hash array -> minhash signature of `numHashes`

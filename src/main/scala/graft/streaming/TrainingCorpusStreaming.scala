@@ -68,6 +68,16 @@ object TrainingCorpusStreaming {
       cfg: Config,
       maxFilesPerTrigger: Int = 10,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // Crash recovery happens HERE, in the single writer, before the
+    // stream starts — never in readers: a reader's recover() racing a
+    // mid-commit writer can rename __old__ back over dest between the
+    // writer's two renames, after which the writer's tmp lands INSIDE
+    // the restored dest as a hidden child and the batch silently
+    // vanishes until the next one.
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, new Path(s"$outDir/$docStateName"))
+    AtomicDir.recover(fs, new Path(s"$outDir/$corpusName"))
     val stream = spark.readStream
       .schema(streamSchema)
       .option("mode", "PERMISSIVE")
@@ -77,8 +87,8 @@ object TrainingCorpusStreaming {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, benchmark, outDir, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, benchmark, outDir, cfg, batchId)
       }
       .start()
   }
@@ -87,11 +97,12 @@ object TrainingCorpusStreaming {
     * rows → state merge → global re-resolution → atomic state + corpus
     * replace.
     */
-  private[streaming] def mergeBatch(
+  private[graft] def mergeBatch(
       batch: DataFrame,
       benchmark: DataFrame,
       outDir: String,
-      cfg: Config): Unit = {
+      cfg: Config,
+      batchId: Long = 0L): Unit = {
     // foreachBatch hands the batch over on a CLONED session — every
     // frame in this method (state reads included) must come from that
     // session, or the native text functions registered on it won't
@@ -102,8 +113,13 @@ object TrainingCorpusStreaming {
     val rows = batch.localCheckpoint(true)
     val bad = rows.filter(col(JsonLines.CorruptCol).isNotNull)
       .select(col(JsonLines.CorruptCol).as("raw_line"))
+    // batchId-keyed partition dir + overwrite: a checkpoint replay of
+    // this batch rewrites the same subdirectory instead of appending a
+    // second copy of the same corrupt lines (mode("append") here was
+    // the one non-idempotent write in an otherwise replay-safe merge)
     if (!bad.isEmpty)
-      bad.write.mode("append").parquet(s"$outDir/quarantine")
+      bad.write.mode("overwrite")
+        .parquet(s"$outDir/quarantine/batch_id=$batchId")
 
     val incoming = rows
       .filter(col(JsonLines.CorruptCol).isNull &&
@@ -196,10 +212,20 @@ object TrainingCorpusStreaming {
     AtomicDir.commit(fs, dest)
   }
 
-  /** The curated corpus as of the last completed batch. */
+  /** The curated corpus as of the last completed batch.
+    *
+    * Strictly read-only: crash repair belongs to the single writer
+    * ([[start]] calls [[AtomicDir.recover]] before the stream runs).
+    * A reader that lands exactly in the commit window — dest renamed
+    * away, tmp not yet renamed in — falls back to the `__old__`
+    * known-good snapshot WITHOUT renaming anything; a reader-side
+    * recover() could otherwise restore old over dest mid-commit and
+    * make the writer's final rename nest tmp inside it.
+    */
   def corpus(spark: SparkSession, outDir: String): DataFrame = {
     val p = new Path(s"$outDir/$corpusName")
-    AtomicDir.recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    spark.read.parquet(p.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(p)) p else AtomicDir.oldPath(p)
+    spark.read.parquet(src.toString)
   }
 }

@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
     assert(hof == native)
   }
 
+  test("minHashCandidates spreads a checkpointed small input across cores") {
+    // a localCheckpoint'd frame plans as a LogicalRDD leaf whose size
+    // stats default to defaultSizeInBytes (unknown = huge), which used
+    // to silently skip the small-input repartition — exactly the shape
+    // TrainingCorpusJob feeds in. The RDD's real partition count is
+    // authoritative instead.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .coalesce(1).localCheckpoint(true)
+    val (pairs, _) = Dedup.minHashCandidates(docs, "text", "doc_id")
+    val spread = pairs.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }
+    assert(spread.nonEmpty,
+      "checkpointed 1-partition input must repartition before the CPU-bound hash stage")
+  }
+
   test("wordShingles handles short texts (no descending-sequence bug)") {
     val df = Seq("one two", "a", "", "one two three four").toDF("t")
     val got = df.select(size(TextFunctions.wordShingles($"t", 3)).as("n"))

@@ -143,6 +143,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_decontaminate" -> 2, // hit-count agg + report join
       "q_embedding_quantized" -> 1,
       "q_dedup_exact" -> 1,
+      "q_winnow_overlap" -> 2, // fingerprint buckets + pair-count agg
       "q_orders_by_month" -> 1,
       "q_word_frequencies" -> 2)
     val over = budget.flatMap { case (name, max) =>

@@ -84,4 +84,44 @@ class TrainingCorpusStreamingSpec extends SparkSpec {
     // quarantine captured the corrupt line
     assert(spark.read.parquet(s"$dir/stream_out/quarantine").count() == 1)
   }
+
+  test("a replayed batch does not duplicate quarantine rows") {
+    val dir = Files.createTempDirectory("corpus_replay").toString
+    val out = s"$dir/out"
+    // build through the same PERMISSIVE path the stream uses
+    val batch = spark.read
+      .schema(TrainingCorpusStreaming.streamSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", graft.sources.JsonLines.CorruptCol)
+      .json(Seq(line(1L, "en", "some perfectly fine text"),
+        "garbage { not json").toDS)
+    val benchmark = Seq((1L, "zz unrelated")).toDF("doc_id", "text")
+    val cfg = TrainingCorpusStreaming.Config(sampleFractions = Map.empty)
+    // same batchId delivered twice = a foreachBatch checkpoint replay
+    TrainingCorpusStreaming.mergeBatch(batch, benchmark, out, cfg, batchId = 7L)
+    TrainingCorpusStreaming.mergeBatch(batch, benchmark, out, cfg, batchId = 7L)
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1,
+      "replaying a batch must overwrite its quarantine partition, not append")
+    // a LATER batch with its own corrupt line still accumulates
+    TrainingCorpusStreaming.mergeBatch(batch, benchmark, out, cfg, batchId = 8L)
+    assert(spark.read.parquet(s"$out/quarantine").count() == 2)
+  }
+
+  test("corpus() reader never renames: mid-commit old-snapshot fallback") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("corpus_window").toString
+    val dest = new Path(s"$dir/corpus")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "old snapshot")).toDF("doc_id", "text")
+      .write.parquet(graft.sources.AtomicDir.oldPath(dest).toString)
+    Seq((2L, "incoming")).toDF("doc_id", "text")
+      .write.parquet(graft.sources.AtomicDir.tmpPath(dest).toString)
+    // the exact commit window: dest renamed away, tmp not yet in place
+    val got = TrainingCorpusStreaming.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "reader must fall back to the known-good old dir")
+    assert(fs.exists(graft.sources.AtomicDir.oldPath(dest)) &&
+      fs.exists(graft.sources.AtomicDir.tmpPath(dest)) && !fs.exists(dest),
+      "a read must not move anything — recovery belongs to the writer")
+  }
 }
