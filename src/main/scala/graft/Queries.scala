@@ -1322,6 +1322,24 @@ object Queries {
       |  array_to_string(w[s : least(s + 63, n)], ' ') AS chunk_text
       |FROM starts WHERE s = 1 OR s + 16 <= n""".stripMargin
 
+  /** Z-order cell mapping ([[graft.operators.ZOrder.zValue]]): the
+    * bit-interleaved Morton value over two bucketed dimensions of
+    * `orders` — the write-side clustering key behind multi-dimensional
+    * file pruning. Pure codegen'd arithmetic (shift/and/multiply), zero
+    * shuffles; the oracle evaluates the IDENTICAL term expansion.
+    */
+  def zorderCells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      graft.operators.ZOrder.zValue(
+        Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8).as("z_cell"))
+
+  val zorderCellsSql: String = {
+    val z = graft.operators.ZOrder.zValueSql(
+      Seq("(o_custkey % 256)", "(o_orderkey % 256)"), 8)
+    s"SELECT o_orderkey, $z AS z_cell FROM orders"
+  }
+
   /** Token counting, length stats, quality score, fingerprint. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1434,6 +1452,7 @@ object Queries {
     "q_window_lag_lead" -> (windowLagLead _),
     "q_window_running" -> (windowRunning _),
     "q_sessionize" -> (sessionize _),
+    "q_zorder_cells" -> (zorderCells _),
     "q_agg_rollup" -> (aggRollup _),
     "q_count_distinct" -> (countDistinct _),
     "q_gaps_islands" -> (gapsIslands _),
@@ -1491,6 +1510,7 @@ object Queries {
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_window_running" -> windowRunningSql,
     "q_sessionize" -> sessionizeSql,
+    "q_zorder_cells" -> zorderCellsSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_count_distinct" -> countDistinctSql,
     "q_gaps_islands" -> gapsIslandsSql,

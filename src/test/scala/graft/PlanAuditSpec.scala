@@ -144,6 +144,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_embedding_quantized" -> 1,
       "q_dedup_exact" -> 1,
       "q_winnow_overlap" -> 2, // fingerprint buckets + pair-count agg
+      "q_zorder_cells" -> 0, // pure codegen'd arithmetic projection
       "q_orders_by_month" -> 1,
       "q_word_frequencies" -> 2)
     val over = budget.flatMap { case (name, max) =>
