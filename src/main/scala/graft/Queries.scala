@@ -646,6 +646,32 @@ object Queries {
       |      / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6) AS score
       |FROM d, s""".stripMargin
 
+  /** TF-IDF keyword extraction ([[graft.operators.TfIdf.topTerms]]):
+    * top-3 most characteristic terms per document, ranked on the
+    * ROUNDED score with a term-text tie-break so both engines agree
+    * down to the last rank.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("rank", col("rank").cast("long"))
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, term,
+      |  round(tf * ln((n_docs + 1) /
+      |    (CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) + 1)), 6) AS tfidf
+      |  FROM tf, n),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Skew-mitigated two-phase aggregation ([[graft.operators.Skew]]):
     * the salted partial/merge pair must produce EXACTLY the plain
     * GROUP BY result (counts and decimal-exact sums are associative),
@@ -1086,6 +1112,66 @@ object Queries {
       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Product-quantization ADC search ([[graft.operators.PqIndex]]):
+    * m=4 subspaces × 16 codewords over the 64-dim embeddings — each
+    * candidate scored through the query's LUT, never its raw vector.
+    * At iters=0 the codebooks are the subvectors of the 16 smallest
+    * ids, so encode (argmin of `dot(c,c) - 2·dot(v,c)`, ties to the
+    * low code) and the fixed-order 4-term ADC sum replay exactly in
+    * DuckDB; trained-codebook recall is spec-gated (PqIndexSpec), the
+    * same split as IVF.
+    */
+  def simsearchPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PqIndex
+    val e = t(s, dir, "embeddings")
+    val model = PqIndex.train(e, "vec_id", "embedding", m = 4, ksub = 16, iters = 0)
+    val codes = PqIndex.encode(e, "vec_id", "embedding", model)
+    PqIndex.search(e.filter(col("vec_id") < 10), codes,
+      "vec_id", "embedding", model, kNeighbors = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val simsearchPqSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, nv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |cb AS (SELECT s.s, seeds.code,
+      |    seeds.nv[s.s*16+1 : s.s*16+16] AS cv
+      |  FROM seeds, (SELECT unnest(range(0, 4)) AS s) s),
+      |enc AS (SELECT n.vec_id,
+      |  (SELECT c.code FROM cb c WHERE c.s = 0
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(n.nv[1:16], c.cv), c.code
+      |   LIMIT 1) AS code0,
+      |  (SELECT c.code FROM cb c WHERE c.s = 1
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(n.nv[17:32], c.cv), c.code
+      |   LIMIT 1) AS code1,
+      |  (SELECT c.code FROM cb c WHERE c.s = 2
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(n.nv[33:48], c.cv), c.code
+      |   LIMIT 1) AS code2,
+      |  (SELECT c.code FROM cb c WHERE c.s = 3
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(n.nv[49:64], c.cv), c.code
+      |   LIMIT 1) AS code3
+      |  FROM n),
+      |q AS (SELECT vec_id AS query_id, nv FROM n WHERE vec_id < 10),
+      |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.nv[1:16],  cb0.cv)
+      |        + list_dot_product(q.nv[17:32], cb1.cv)
+      |        + list_dot_product(q.nv[33:48], cb2.cv)
+      |        + list_dot_product(q.nv[49:64], cb3.cv), 6) AS score
+      |  FROM q, enc e
+      |  JOIN cb cb0 ON cb0.s = 0 AND cb0.code = e.code0
+      |  JOIN cb cb1 ON cb1.s = 1 AND cb1.code = e.code1
+      |  JOIN cb cb2 ON cb2.s = 2 AND cb2.code = e.code2
+      |  JOIN cb cb3 ON cb3.s = 3 AND cb3.code = e.code3
+      |  WHERE e.vec_id <> q.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   /** Brute-force top-k over int8-QUANTIZED embeddings
     * ([[graft.functions.VectorFunctions.quantizeInt8]]): the 4×-smaller
     * storage form must still rank neighbors usefully, and every step
@@ -1453,6 +1539,8 @@ object Queries {
     "q_window_running" -> (windowRunning _),
     "q_sessionize" -> (sessionize _),
     "q_zorder_cells" -> (zorderCells _),
+    "q_tfidf_topterms" -> (tfidfTopTerms _),
+    "q_simsearch_pq" -> (simsearchPq _),
     "q_agg_rollup" -> (aggRollup _),
     "q_count_distinct" -> (countDistinct _),
     "q_gaps_islands" -> (gapsIslands _),
@@ -1511,6 +1599,8 @@ object Queries {
     "q_window_running" -> windowRunningSql,
     "q_sessionize" -> sessionizeSql,
     "q_zorder_cells" -> zorderCellsSql,
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_simsearch_pq" -> simsearchPqSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_count_distinct" -> countDistinctSql,
     "q_gaps_islands" -> gapsIslandsSql,

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // construction — the LSH/IVF paths are the unbounded-probe-count
   // scale path. The quantized variant is the same brute-force shape
   // over dequantized vectors.
-  private val boundedProbeQueries = Set("q_simsearch_topk", "q_embedding_quantized")
+  // q_simsearch_pq scores the corpus against a broadcast query batch +
+  // LUT — the ADC analogue of the brute-force shape, bounded the same way
+  private val boundedProbeQueries =
+    Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -65,7 +68,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // and probe set, and the per-round label tables of the iterative
   // connected-components loop. Rows never pass through the driver.
   private val checkpointQueries =
-    Set("q_simsearch_ivf", "q_dedup_clusters", "q_dedup_clusters_stars")
+    Set("q_simsearch_ivf", "q_simsearch_pq", "q_dedup_clusters",
+      "q_dedup_clusters_stars")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -145,6 +149,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_dedup_exact" -> 1,
       "q_winnow_overlap" -> 2, // fingerprint buckets + pair-count agg
       "q_zorder_cells" -> 0, // pure codegen'd arithmetic projection
+      "q_tfidf_topterms" -> 4, // tf agg + term window + doc window + 1-row count
       "q_orders_by_month" -> 1,
       "q_word_frequencies" -> 2)
     val over = budget.flatMap { case (name, max) =>
