@@ -1172,6 +1172,81 @@ object Queries {
       |SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** IVF-PQ composed search ([[graft.operators.IvfPq]]): coarse cells
+    * prune the corpus, residual PQ codes compress it, ADC scores
+    * decompose as centroid term + LUT sum. At iters=0 both quantizers
+    * are deterministic functions of the 16 smallest ids, so DuckDB
+    * replays assignment, residuals, encoding and the parenthesized
+    * score sum exactly; trained behavior is gated by IvfPqSpec
+    * (residual coding must beat raw PQ at equal bits).
+    */
+  def simsearchIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfPq
+    val e = t(s, dir, "embeddings")
+    val model = IvfPq.train(e, "vec_id", "embedding",
+      kCells = 16, m = 4, ksub = 16, itersIvf = 0, itersPq = 0)
+    val idx = IvfPq.index(e, "vec_id", "embedding", model)
+    IvfPq.search(e.filter(col("vec_id") < 10), idx,
+      "vec_id", "embedding", model, kNeighbors = 5, nprobe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val simsearchIvfPqSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |assigned AS (SELECT n.vec_id, n.nv,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n),
+      |res AS (SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, 65), i -> a.nv[i] - c.cv[i]) AS rv
+      |  FROM assigned a JOIN cent c ON c.cell = a.cell),
+      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+      |  FROM res ORDER BY vec_id LIMIT 16),
+      |cb AS (SELECT s.s, seeds.code,
+      |    seeds.rv[s.s*16+1 : s.s*16+16] AS cv
+      |  FROM seeds, (SELECT unnest(range(0, 4)) AS s) s),
+      |enc AS (SELECT r.vec_id, r.cell,
+      |  (SELECT c.code FROM cb c WHERE c.s = 0
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(r.rv[1:16], c.cv), c.code
+      |   LIMIT 1) AS code0,
+      |  (SELECT c.code FROM cb c WHERE c.s = 1
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(r.rv[17:32], c.cv), c.code
+      |   LIMIT 1) AS code1,
+      |  (SELECT c.code FROM cb c WHERE c.s = 2
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(r.rv[33:48], c.cv), c.code
+      |   LIMIT 1) AS code2,
+      |  (SELECT c.code FROM cb c WHERE c.s = 3
+      |   ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(r.rv[49:64], c.cv), c.code
+      |   LIMIT 1) AS code3
+      |  FROM res r),
+      |q AS (SELECT vec_id AS query_id, nv FROM n WHERE vec_id < 10),
+      |probes AS (SELECT q.query_id, q.nv, p.cell
+      |  FROM q, LATERAL (SELECT c.cell FROM cent c
+      |    ORDER BY list_dot_product(q.nv, c.cv) DESC, c.cell LIMIT 4) p),
+      |scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.nv, cc.cv)
+      |      + (list_dot_product(p.nv[1:16],  cb0.cv)
+      |       + list_dot_product(p.nv[17:32], cb1.cv)
+      |       + list_dot_product(p.nv[33:48], cb2.cv)
+      |       + list_dot_product(p.nv[49:64], cb3.cv)), 6) AS score
+      |  FROM probes p
+      |  JOIN cent cc ON cc.cell = p.cell
+      |  JOIN enc e ON e.cell = p.cell
+      |  JOIN cb cb0 ON cb0.s = 0 AND cb0.code = e.code0
+      |  JOIN cb cb1 ON cb1.s = 1 AND cb1.code = e.code1
+      |  JOIN cb cb2 ON cb2.s = 2 AND cb2.code = e.code2
+      |  JOIN cb cb3 ON cb3.s = 3 AND cb3.code = e.code3
+      |  WHERE e.vec_id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   /** Brute-force top-k over int8-QUANTIZED embeddings
     * ([[graft.functions.VectorFunctions.quantizeInt8]]): the 4×-smaller
     * storage form must still rank neighbors usefully, and every step
@@ -1541,6 +1616,7 @@ object Queries {
     "q_zorder_cells" -> (zorderCells _),
     "q_tfidf_topterms" -> (tfidfTopTerms _),
     "q_simsearch_pq" -> (simsearchPq _),
+    "q_simsearch_ivfpq" -> (simsearchIvfPq _),
     "q_agg_rollup" -> (aggRollup _),
     "q_count_distinct" -> (countDistinct _),
     "q_gaps_islands" -> (gapsIslands _),
@@ -1601,6 +1677,7 @@ object Queries {
     "q_zorder_cells" -> zorderCellsSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_simsearch_pq" -> simsearchPqSql,
+    "q_simsearch_ivfpq" -> simsearchIvfPqSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_count_distinct" -> countDistinctSql,
     "q_gaps_islands" -> gapsIslandsSql,

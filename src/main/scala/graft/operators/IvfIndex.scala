@@ -41,7 +41,7 @@ object IvfIndex {
     def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
   }
 
-  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[operators] def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     NativeVector.register(df.sparkSession)
     val v = col(vecCol).cast("array<double>")
     df.select(col(idCol).as("id"), v.as("__v"))
@@ -57,7 +57,7 @@ object IvfIndex {
     * formulation made janino compile a ~1000-literal expression tree,
     * which dominated query time at any data size.
     */
-  private def centroidLit(c: Array[Array[Double]]): Column =
+  private[operators] def centroidLit(c: Array[Array[Double]]): Column =
     typedLit(c.map(_.toSeq).toSeq)
 
   /** Index of the nearest centroid by cosine (vectors and centroids are
@@ -184,7 +184,7 @@ object IvfIndex {
     * k centroid scores (k is plan-literal-sized; this is per-row
     * expression work, no shuffle).
     */
-  private def probeCells(nv: Column, model: Model, nprobe: Int): Column = {
+  private[operators] def probeCells(nv: Column, model: Model, nprobe: Int): Column = {
     val mat = centroidLit(model.centroids)
     // sort by score desc, cell asc (struct ordering: negate the score);
     // each centroid's dot is computed exactly once, against a row of

@@ -86,10 +86,21 @@ object PqIndex {
       vecCol: String,
       m: Int = 4,
       ksub: Int = 16,
-      iters: Int = 0): Model = {
+      iters: Int = 0): Model =
+    trainOn(normalized(df, idCol, vecCol), m, ksub, iters)
+
+  /** [[train]] on an already-prepared (id, nv) frame — the entry point
+    * for [[IvfPq]], whose training vectors are RESIDUALS (not unit
+    * vectors; nothing here assumes normalization).
+    */
+  private[operators] def trainOn(
+      prepared: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int): Model = {
     require(m >= 1 && ksub >= 1 && iters >= 0,
       s"need m >= 1, ksub >= 1, iters >= 0; got m=$m ksub=$ksub iters=$iters")
-    val n = normalized(df, idCol, vecCol).cache()
+    val n = prepared.cache()
     try {
       val seeds = n.orderBy("id").limit(ksub)
         .select("nv").collect().map(_.getSeq[Double](0).toArray)
@@ -127,11 +138,37 @@ object PqIndex {
     * Map-only, no shuffle; at ksub <= 256 a storage layer would pack
     * `codes` into m bytes per row.
     */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val n = normalized(df, idCol, vecCol)
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    encodeOn(normalized(df, idCol, vecCol), model)
+
+  /** [[encode]] on an already-prepared (id, nv, ...) frame; extra
+    * columns ride along (IvfPq keeps its cell id next to the codes).
+    */
+  private[operators] def encodeOn(prepared: DataFrame, model: Model): DataFrame = {
     val codes = (0 until model.m).map(s => argminCode(col("nv"), model, s))
-    n.select(col("id"), array(codes: _*).as("codes"))
+    prepared.withColumn("codes", array(codes: _*)).drop("nv")
   }
+
+  /** The m×ksub lookup table for one query vector: lut[s][c] =
+    * dot(q_sub_s, codeword_c) — the entire per-candidate scoring
+    * reduces to m array hits against this.
+    */
+  private[operators] def lutCol(nv: Column, model: Model): Column = {
+    val luts = (0 until model.m).map { s =>
+      val mat = typedLit(model.codebooks(s).map(_.toSeq).toSeq)
+      transform(mat, c => NativeVector.dot(sub(nv, s, model.dsub), c))
+    }
+    array(luts: _*)
+  }
+
+  /** Fixed-order ADC sum over subspaces (s = 0 first, so an external
+    * engine adding its terms in the same order matches to the last ulp).
+    */
+  private[operators] def adcScore(lut: Column, codes: Column, model: Model): Column =
+    (0 until model.m)
+      .map(s => element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1) + 1))
+      .reduce(_ + _)
 
   /** ADC top-`kNeighbors`: per query, precompute the m×ksub lookup
     * table of subspace dots ONCE, broadcast queries+LUT, and score each
@@ -148,23 +185,13 @@ object PqIndex {
       kNeighbors: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val luts = (0 until model.m).map { s =>
-      val mat = typedLit(model.codebooks(s).map(_.toSeq).toSeq)
-      transform(mat, c => NativeVector.dot(sub(col("nv"), s, model.dsub), c))
-    }
     val q = normalized(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), array(luts: _*).as("lut"))
+      .select(col("id").as("query_id"), lutCol(col("nv"), model).as("lut"))
       .localCheckpoint(true) // tiny by contract; keep the LUT out of the join
-    // fixed-order sum over subspaces: s=0 first — the oracle adds its
-    // terms in the same order, so scores match to the last ulp
-    val score = (0 until model.m)
-      .map(s => element_at(element_at(col("lut"), s + 1),
-        element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        round(score, 6).as("score"))
+        round(adcScore(col("lut"), col("codes"), model), 6).as("score"))
       .as[(Long, Long, Double)]
     TopK.perGroup(scored, kNeighbors)
       .toDF("query_id", "neighbor_id", "score", "rank")

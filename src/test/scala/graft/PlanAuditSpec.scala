@@ -68,8 +68,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // and probe set, and the per-round label tables of the iterative
   // connected-components loop. Rows never pass through the driver.
   private val checkpointQueries =
-    Set("q_simsearch_ivf", "q_simsearch_pq", "q_dedup_clusters",
-      "q_dedup_clusters_stars")
+    Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
+      "q_dedup_clusters", "q_dedup_clusters_stars")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
