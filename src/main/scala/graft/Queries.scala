@@ -672,6 +672,36 @@ object Queries {
       |  FROM scored)
       |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Hashing-trick quality classifier
+    * ([[graft.operators.TextClassifier]]) with the deterministic
+    * dyadic init model (iters=0): logits are exact sums of k/1024
+    * weights, so the oracle replays scoring order-independently from
+    * the same 512-weight literal the Scala init derives. Trained
+    * behavior (loss ↓, accuracy over the prior) is TextClassifierSpec's
+    * job — float GD is not SQL-replayable, the same split as IVF/PQ.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    TextClassifier.classify(
+      t(s, dir, "documents"), "doc_id", "text",
+      TextClassifier.Model(TextClassifier.initWeights(512)))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val qualityClassifierSql: String = {
+    val w = graft.operators.TextClassifier.initWeights(512)
+      .map(_.toString).mkString("[", ", ", "]")
+    s"""WITH wv AS (SELECT CAST($w AS DOUBLE[]) AS w),
+       |h AS (SELECT doc_id, list_transform(
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+       |    x -> CAST(('0x' || substr(sha256(x), 1, 8)) AS BIGINT)) AS hs
+       |  FROM documents),
+       |z AS (SELECT doc_id,
+       |    list_sum(list_transform(hs, t -> w[(t % 512) + 1])) AS zv
+       |  FROM h, wv)
+       |SELECT doc_id, round(zv, 6) AS logit, zv > 0 AS predicted FROM z""".stripMargin
+  }
+
   /** Skew-mitigated two-phase aggregation ([[graft.operators.Skew]]):
     * the salted partial/merge pair must produce EXACTLY the plain
     * GROUP BY result (counts and decimal-exact sums are associative),
@@ -1615,6 +1645,7 @@ object Queries {
     "q_sessionize" -> (sessionize _),
     "q_zorder_cells" -> (zorderCells _),
     "q_tfidf_topterms" -> (tfidfTopTerms _),
+    "q_quality_classifier" -> (qualityClassifier _),
     "q_simsearch_pq" -> (simsearchPq _),
     "q_simsearch_ivfpq" -> (simsearchIvfPq _),
     "q_agg_rollup" -> (aggRollup _),
@@ -1676,6 +1707,7 @@ object Queries {
     "q_sessionize" -> sessionizeSql,
     "q_zorder_cells" -> zorderCellsSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_quality_classifier" -> qualityClassifierSql,
     "q_simsearch_pq" -> simsearchPqSql,
     "q_simsearch_ivfpq" -> simsearchIvfPqSql,
     "q_agg_rollup" -> aggRollupSql,

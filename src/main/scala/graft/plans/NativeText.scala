@@ -327,6 +327,24 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** hashed-feature linear model: sum of weights[h mod F] over the
+    * word-hash array — the inference kernel of the hashing-trick text
+    * classifier ([[graft.operators.TextClassifier]]). One primitive
+    * loop per row; hash values are non-negative by construction
+    * ([[hash32]] yields [0, 2^32)), so the modulus never goes negative.
+    */
+  def hashWeightSumEval(h: ArrayData, w: Array[Double]): Double = {
+    val f = w.length
+    var s = 0.0
+    var i = 0
+    val len = h.numElements()
+    while (i < len) {
+      s += w((h.getLong(i) % f).toInt)
+      i += 1
+    }
+    s
+  }
+
   /** word-hash array -> 32-bit SimHash. See [[SimHashSig]]. */
   def simHashEval(h: ArrayData): Long = {
     val len = h.numElements()
@@ -528,6 +546,39 @@ case class TextRepetitionStats(text: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(text = c)
+}
+
+/** Word-hash array -> hashing-trick linear score: sum over hashes of
+  * `weights[h mod weights.length]`. Weights ride along as a reference
+  * object (one double[] field in the generated class, no per-row
+  * allocation); every partial sum of dyadic-rational weights is exact,
+  * which is what makes the untrained classifier oracle-replayable
+  * order-independently.
+  */
+case class HashWeightSum(hashes: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def child: Expression = hashes
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_hash_weight_sum requires array<long>")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.hashWeightSumEval(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hashWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.NativeText.hashWeightSumEval($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(hashes = c)
 }
 
 /** Pre-computed shingle-hash array -> minhash signature of `numHashes`

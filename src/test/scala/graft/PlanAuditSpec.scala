@@ -149,6 +149,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_dedup_exact" -> 1,
       "q_winnow_overlap" -> 2, // fingerprint buckets + pair-count agg
       "q_zorder_cells" -> 0, // pure codegen'd arithmetic projection
+      "q_quality_classifier" -> 0, // map-only native inference
       "q_tfidf_topterms" -> 4, // tf agg + term window + doc window + 1-row count
       "q_orders_by_month" -> 1,
       "q_word_frequencies" -> 2)
