@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.classic.GraftPlanApi
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.normalizeText
@@ -54,18 +55,17 @@ object TextClassifier {
   def features(text: Column): Column =
     NativeText.shingleHash32(split(normalizeText(text), " "), 1)
 
-  private val LogitName = "graft_hash_weight_sum"
-
-  /** Linear score of a text column under `model`. Registers the
-    * weights-closing expression on the frame's session (weights ride
+  /** Linear score of a text column under `model`. The weights-closing
+    * [[HashWeightSum]] is built straight into the Column (weights ride
     * the plan as a reference object, not literals — 4 KB of doubles
-    * would otherwise bloat every generated class).
+    * would otherwise bloat every generated class). No registry slot:
+    * a Column from `logit(modelA)` keeps A's weights no matter how many
+    * other models are scored before it is analyzed.
     */
   def logit(df: DataFrame, text: Column, model: Model): Column = {
-    NativeText.register(df.sparkSession)
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      LogitName, exprs => HashWeightSum(exprs.head, model.weights), "built-in")
-    call_function(LogitName, features(text))
+    NativeText.register(df.sparkSession) // features() resolves on analysis
+    GraftPlanApi.column(
+      HashWeightSum(GraftPlanApi.expression(features(text)), model.weights))
   }
 
   /** (id, logit, predicted) for every document. Map-only. */
@@ -101,11 +101,8 @@ object TextClassifier {
     var w = initWeights(numFeatures)
     for (_ <- 0 until iters) {
       val model = Model(w)
-      NativeText.register(prepared.sparkSession)
-      prepared.sparkSession.sessionState.functionRegistry
-        .createOrReplaceTempFunction(
-          LogitName, exprs => HashWeightSum(exprs.head, model.weights), "built-in")
-      val z = call_function(LogitName, col("__feats"))
+      val z = GraftPlanApi.column(
+        HashWeightSum(GraftPlanApi.expression(col("__feats")), model.weights))
       val grad = prepared
         .select(col("__feats"),
           (lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")).as("__err"))

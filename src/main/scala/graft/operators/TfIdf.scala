@@ -13,15 +13,19 @@ import graft.functions.TextFunctions.normalizeText
   *
   * Composed entirely from built-in operators so Catalyst keeps the
   * whole plan in codegen: tokenize → one (doc, term) hash-agg for tf
-  * → a count window over the term partition for df (no second
-  * aggregate-and-join pass — the (doc, term) rows are already distinct,
-  * so `count over (partition by term)` IS document frequency) → a
+  * → df as a per-term count aggregate joined back on term → a
   * corpus-size scalar broadcast → top-k window per document.
   *
-  * Scale shape: two shuffles that both grow with |corpus| (the tf agg
-  * and the term-partition window; the per-doc top-k rides the doc key)
-  * and one broadcast of a 1-row grand count. Hot terms ("the") are
-  * count-only in the window — skew costs a counter, not a buffer.
+  * df is deliberately an aggregate-and-join, NOT a `count over
+  * (partition by term)` window: WindowExec buffers the entire term
+  * partition in a (spillable) row array even for an unbounded count,
+  * so a stop-word term at corpus scale would materialize all its
+  * (doc, term) rows in one task. The hash-agg df side is bounded by
+  * distinct terms (map-side combined), and the join back streams hot
+  * terms through the probe side — skew costs a lookup, not a buffer.
+  * Scale shape: three shuffles that grow with |corpus| (tf agg, df
+  * agg, the term join; the per-doc top-k rides the doc key) and one
+  * broadcast of a 1-row grand count.
   * Ranking ties break on the ROUNDED score then term text, so the
   * result is deterministic and engine-portable down to the last rank.
   */
@@ -38,8 +42,9 @@ object TfIdf {
         explode(split(normalizeText(col(textCol)), " ")).as("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")).cast("double"))
+    val dfCounts = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val withDf = tf.join(dfCounts, "term")
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = withDf
       .crossJoin(broadcast(nDocs))

@@ -327,11 +327,12 @@ object NativeText {
     new GenericArrayData(out)
   }
 
-  /** hashed-feature linear model: sum of weights[h mod F] over the
+  /** hashed-feature linear model: sum of weights[h floorMod F] over the
     * word-hash array — the inference kernel of the hashing-trick text
     * classifier ([[graft.operators.TextClassifier]]). One primitive
-    * loop per row; hash values are non-negative by construction
-    * ([[hash32]] yields [0, 2^32)), so the modulus never goes negative.
+    * loop per row. floorMod keeps the kernel total on arbitrary
+    * array<long> input (a negative hash must not index negative);
+    * for [[hash32]]'s non-negative range it is identical to `%`.
     */
   def hashWeightSumEval(h: ArrayData, w: Array[Double]): Double = {
     val f = w.length
@@ -339,7 +340,7 @@ object NativeText {
     var i = 0
     val len = h.numElements()
     while (i < len) {
-      s += w((h.getLong(i) % f).toInt)
+      s += w(java.lang.Math.floorMod(h.getLong(i), f))
       i += 1
     }
     s

@@ -226,6 +226,15 @@ object TrainingCorpusStreaming {
     val p = new Path(s"$outDir/$corpusName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = if (fs.exists(p)) p else AtomicDir.oldPath(p)
-    spark.read.parquet(src.toString)
+    try spark.read.parquet(src.toString)
+    catch {
+      // exists-then-read race: the writer's commit window (dest renamed
+      // to __old__, tmp not yet renamed in) can open between the exists
+      // probe and the schema read — retry once against the known-good
+      // old snapshot instead of surfacing path-not-found
+      case e: org.apache.spark.sql.AnalysisException
+          if src == p && e.getCondition == "PATH_NOT_FOUND" =>
+        spark.read.parquet(AtomicDir.oldPath(p).toString)
+    }
   }
 }

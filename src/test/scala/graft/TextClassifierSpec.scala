@@ -63,6 +63,40 @@ class TextClassifierSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a logit Column keeps its model across later logit calls") {
+    // regression: logit() used to bind weights through one shared
+    // temp-function name resolved at analysis time — a Column obtained
+    // for model A but analyzed after logit(modelB) silently scored
+    // with B's weights
+    val df = labeled
+    val a = TextClassifier.Model(TextClassifier.initWeights(512))
+    val b = TextClassifier.Model(a.weights.map(_ + 1.0))
+    val zA = TextClassifier.logit(df, col("text"), a)
+    TextClassifier.logit(df, col("text"), b) // re-bind attempt
+    val rows = df
+      .select(zA.as("lateA"),
+        TextClassifier.logit(df, col("text"), a).as("freshA"),
+        TextClassifier.logit(df, col("text"), b).as("freshB"))
+      .filter(col("lateA") =!= col("freshA") ||
+        col("lateA") === col("freshB"))
+    assert(rows.count() == 0L,
+      "Column from logit(modelA) must score with A's weights even when analyzed after logit(modelB)")
+  }
+
+  test("hash-weight-sum kernel is total on negative hashes") {
+    // floorMod: arbitrary array<long> input (outside hash32's
+    // non-negative range) must index weights safely, not throw
+    import org.apache.spark.sql.classic.GraftPlanApi
+    import graft.plans.HashWeightSum
+    val w = Array(1.0, 10.0, 100.0)
+    val c = GraftPlanApi.column(HashWeightSum(
+      GraftPlanApi.expression(col("hs")), w))
+    val out = Seq(Seq(-1L, -3L, 5L)).toDF("hs").select(c.as("s"))
+      .as[Double].head()
+    // floorMod(-1,3)=2, floorMod(-3,3)=0, floorMod(5,3)=2
+    assert(out == 100.0 + 1.0 + 100.0)
+  }
+
   test("training touches the driver only through the weight vector") {
     // the gradient reduce must group into at most F rows — a training
     // pass that collects per-document state would not survive 100 TB
