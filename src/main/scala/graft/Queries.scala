@@ -222,6 +222,83 @@ object Queries {
       |  count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Sketch-based distinct counting: HLL++ `approx_count_distinct`
+    * (bounded per-group state — exact distinct counting keeps a
+    * per-group hash set, which is the same unbounded-state trap as
+    * exact percentiles at 100 TB). Like q_group_percentiles_approx,
+    * the OUTPUT is the accuracy check, not the raw estimate — the
+    * query computes exact and approximate side by side and emits
+    * whether the estimate landed within the bound, which DuckDB can
+    * hash-verify without reimplementing HLL. One distinct column on
+    * purpose: a second would flip the planner from single-distinct
+    * two-phase aggregation into the N-way Expand rewrite — measured
+    * ~5x slower with the sketch riding every expanded copy.
+    */
+  def countDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_suppliers"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_sup"))
+      .select(col("l_returnflag"), col("n_suppliers"),
+        (abs(col("approx_sup") - col("n_suppliers")) <=
+          col("n_suppliers") * 0.1).as("within_bound"))
+
+  val countDistinctApproxSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+      |  true AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Pivot: per-month revenue spread across order-status columns. The
+    * value list is explicit, so the output schema is static (a pivot
+    * that scans for values first costs an extra job and breaks schema
+    * stability between runs). Sums route through DECIMAL for
+    * order-independence, same as every money aggregate here.
+    */
+  def pivotRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .select(col("order_month"), col("F").as("rev_f"),
+        col("O").as("rev_o"), col("P").as("rev_p"))
+
+  val pivotRevenueSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Unpivot (melt): wide per-lineitem measures to long (metric, value)
+    * rows — the normalization step feeding generic per-metric
+    * aggregation/QC. Pure projection: no shuffle, map-side row
+    * expansion only.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "value")
+
+  val unpivotMetricsSql: String =
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+      |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'extendedprice',
+      |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'discount',
+      |  CAST(l_discount AS DOUBLE) FROM lineitem""".stripMargin
+
   /** W4/W5/W6: gaps-and-islands — start timestamp of each run of equal
     * event_type per user.
     */
@@ -584,6 +661,57 @@ object Queries {
       |       ELSE false END AS contaminated
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
 
+  /** The Bloom-prefiltered decontamination path
+    * ([[graft.operators.Decontaminate.overlapReportBloom]]): same
+    * inputs and — by construction — the same output as
+    * [[decontaminate]] (the sketch only prunes the probe before an
+    * exact confirm join), so it shares that query's oracle SQL. What
+    * this verifies is that the native BloomFilterAggregate →
+    * scalar-subquery → might_contain plumbing loses nothing.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.overlapReportBloom(
+      docs, docs.filter(col("doc_id") % 13 === 0), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8,
+      expectedShingles = 1L << 18, fpp = 0.01)
+  }
+
+  val decontaminateBloomSql: String = decontaminateSql
+
+  /** Semantic dedup ([[graft.operators.SemDedup]]): cluster-then-prune
+    * over the embeddings with the UNTRAINED (iters=0) coarse quantizer,
+    * so assignment is deterministic and DuckDB replays the entire
+    * decision — cell choice, same-cell pairing, the rounded cosine
+    * threshold, and the min-id `dup_of` attribution.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding", k = 16, iters = 0)
+    graft.operators.SemDedup.prune(e, "vec_id", "embedding", model, tau = 0.95)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  val semanticDedupSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |assigned AS (SELECT n.vec_id, n.nv,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n),
+      |dups AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+      |  WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.95
+      |  GROUP BY a.vec_id)
+      |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+      |  coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
+      |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin
+
   /** The streaming windowed-aggregate shape
     * ([[graft.streaming.EventAggregates.windowedCounts]]) run in batch
     * mode: tumbling 1-hour `window()` buckets per event type. Sums
@@ -816,6 +944,35 @@ object Queries {
       |  < CASE WHEN lang = 'en' THEN 0.1
       |         WHEN lang = 'de' THEN 0.5
       |         ELSE 1.0 END""".stripMargin
+
+  /** Training-mix assembly ([[graft.operators.Sampling.weightedMix]]):
+    * three language corpora down-sampled to target weights and
+    * unioned with provenance tags — the "data mixture" step of every
+    * pretraining run. Membership is the portable sha-256 predicate,
+    * so the mix is identical on every rerun, engine to engine, and
+    * the plan is a union of pushed filters: zero shuffles.
+    */
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "source")
+    graft.operators.Sampling.weightedMix(Seq(
+      ("en_corpus", d.filter(col("lang") === "en"), 0.25),
+      ("de_corpus", d.filter(col("lang") === "de"), 1.0),
+      ("fr_corpus", d.filter(col("lang") === "fr"), 0.6)),
+      "doc_id", seed = 7L)
+  }
+
+  val sampleMixSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    CAST(('0x' || substr(sha256('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS unit, lang, source FROM documents)
+      |SELECT doc_id, lang, source, 'en_corpus' AS mix_source FROM u
+      |  WHERE lang = 'en' AND unit < 0.25
+      |UNION ALL
+      |SELECT doc_id, lang, source, 'de_corpus' FROM u
+      |  WHERE lang = 'de' AND unit < 1.0
+      |UNION ALL
+      |SELECT doc_id, lang, source, 'fr_corpus' FROM u
+      |  WHERE lang = 'fr' AND unit < 0.6""".stripMargin
 
   /** Sequence packing ([[graft.operators.Packing]]): documents into
     * 2048-token packs across 8 hash shards. Pack ids derive from a
@@ -1650,6 +1807,11 @@ object Queries {
     "q_simsearch_ivfpq" -> (simsearchIvfPq _),
     "q_agg_rollup" -> (aggRollup _),
     "q_count_distinct" -> (countDistinct _),
+    "q_count_distinct_approx" -> (countDistinctApprox _),
+    "q_pivot_revenue" -> (pivotRevenue _),
+    "q_unpivot_metrics" -> (unpivotMetrics _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
+    "q_semantic_dedup" -> (semanticDedup _),
     "q_gaps_islands" -> (gapsIslands _),
     "q_global_max_stamp" -> (globalMaxStamp _),
     "q_row_fingerprint" -> (rowFingerprint _),
@@ -1664,6 +1826,7 @@ object Queries {
     "q_asof_join_native" -> (asofJoinNative _),
     "q_range_join" -> (rangeJoin _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_mix" -> (sampleMix _),
     "q_doc_packing" -> (docPacking _),
     "q_group_percentiles" -> (groupPercentiles _),
     "q_group_percentiles_approx" -> (groupPercentilesApprox _),
@@ -1712,6 +1875,11 @@ object Queries {
     "q_simsearch_ivfpq" -> simsearchIvfPqSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_count_distinct" -> countDistinctSql,
+    "q_count_distinct_approx" -> countDistinctApproxSql,
+    "q_pivot_revenue" -> pivotRevenueSql,
+    "q_unpivot_metrics" -> unpivotMetricsSql,
+    "q_decontaminate_bloom" -> decontaminateBloomSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_gaps_islands" -> gapsIslandsSql,
     "q_global_max_stamp" -> globalMaxStampSql,
     "q_row_fingerprint" -> rowFingerprintSql,
@@ -1726,6 +1894,7 @@ object Queries {
     "q_asof_join_native" -> asofJoinNativeSql,
     "q_range_join" -> rangeJoinSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_mix" -> sampleMixSql,
     "q_doc_packing" -> docPackingSql,
     "q_group_percentiles" -> groupPercentilesSql,
     "q_group_percentiles_approx" -> groupPercentilesApproxSql,

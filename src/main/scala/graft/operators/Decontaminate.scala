@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.GraftPlanApi
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents whose word
@@ -42,6 +45,75 @@ object Decontaminate {
     // foreachBatch the corpus rides the stream's cloned session while
     // the benchmark usually comes from the driver session, and select()
     // analyzes eagerly against whichever session owns the frame.
+    val (cs, bench) = shinglePrep(corpus, benchmark, idCol, textCol, shingleSize)
+    val hits = cs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    report(cs, hits, threshold)
+  }
+
+  /** [[overlapReport]] for benchmark sets too big to broadcast (a
+    * union of every eval suite, or decontaminating against another
+    * corpus shard): identical output, different join strategy.
+    *
+    * The benchmark's distinct shingle hashes reduce into ONE Bloom
+    * filter (native [[BloomFilterAggregate]] — the sketch merges
+    * map-side, the driver never touches it) that reaches the corpus
+    * probe as a scalar subquery, exactly how Spark's own runtime
+    * row-level filtering ships join pruning. The corpus side drops
+    * non-member shingles in a codegen'd `might_contain` BEFORE the
+    * shuffle, so the exact confirm join — now a plain shuffle hash
+    * join — only moves probable hits (false-positive rate `fpp`); no
+    * false negatives, so the confirm join restores exact counts and
+    * the output hash-matches [[overlapReport]] on any input.
+    */
+  def overlapReportBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      expectedShingles: Long = 1L << 21,
+      fpp: Double = 0.01): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    require(expectedShingles > 0 && fpp > 0 && fpp < 1,
+      s"bad sketch params: expectedShingles=$expectedShingles fpp=$fpp")
+    val (cs, bench) = shinglePrep(corpus, benchmark, idCol, textCol, shingleSize)
+    // optimal bits for the target false-positive rate: -n ln(p) / ln(2)^2
+    val numBits = math.ceil(
+      -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloom = bench.select(
+      GraftPlanApi.column(
+        new BloomFilterAggregate(GraftPlanApi.expression(col("h")),
+          Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+    val mightContain = GraftPlanApi.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      GraftPlanApi.expression(col("h"))))
+    val hits = cs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .filter(mightContain)
+      .join(bench, "h") // exact confirm: false positives die here
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    report(cs, hits, threshold)
+  }
+
+  /** Shared shingle prep: (corpus doc shingle sets + counts, distinct
+    * benchmark shingle hashes). Native single-pass shingle hashing —
+    * the interpreted HOF formulation (Dedup.shingleHashes) measured
+    * ~20x slower here, and this subtree is evaluated twice (shingle
+    * counts + the probe explode). Registered on BOTH frames' sessions:
+    * inside a foreachBatch the corpus rides the stream's cloned
+    * session while the benchmark usually comes from the driver
+    * session, and select() analyzes eagerly against whichever session
+    * owns the frame.
+    */
+  private def shinglePrep(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): (DataFrame, DataFrame) = {
     graft.plans.NativeText.register(corpus.sparkSession)
     graft.plans.NativeText.register(benchmark.sparkSession)
     val emptyLongs = array().cast("array<long>")
@@ -52,14 +124,15 @@ object Decontaminate {
           split(graft.functions.TextFunctions.normalizeText(col(textCol)), " "),
           shingleSize),
         emptyLongs)).as("sh"))
-
     val cs = distinctShingles(corpus)
       .withColumn("n_shingles", size(col("sh")).cast("long"))
     val bench = distinctShingles(benchmark)
       .select(explode(col("sh")).as("h")).distinct()
-    val hits = cs.select(col("doc_id"), explode(col("sh")).as("h"))
-      .join(broadcast(bench), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    (cs, bench)
+  }
+
+  private def report(
+      cs: DataFrame, hits: DataFrame, threshold: Double): DataFrame =
     cs.select("doc_id", "n_shingles")
       .join(hits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_overlap"))
@@ -67,5 +140,4 @@ object Decontaminate {
         when(col("n_shingles") > 0,
           round(col("n_overlap") / col("n_shingles"), 6)).otherwise(lit(0.0)))
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
-  }
 }

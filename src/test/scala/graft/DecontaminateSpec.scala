@@ -32,6 +32,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(r.forall(row => row.getLong(1) == 0L && !row.getBoolean(4)))
   }
 
+  test("bloom-prefiltered report is row-identical to the exact report") {
+    // false positives die in the confirm join; false negatives are
+    // impossible — so the scale path must hash-match the exact one
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 13 === 0)
+    val exact = Decontaminate.overlapReport(docs, bench, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val bloom = Decontaminate.overlapReportBloom(docs, bench, "doc_id", "text",
+      expectedShingles = 1L << 16, fpp = 0.01)
+      .collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+  }
+
+  test("bloom path survives an aggressive undersized sketch") {
+    // an underprovisioned filter only raises the false-positive rate —
+    // correctness must not depend on the capacity guess
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80)
+    val bench = docs.filter($"doc_id" % 13 === 0)
+    val exact = Decontaminate.overlapReport(docs, bench, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val bloom = Decontaminate.overlapReportBloom(docs, bench, "doc_id", "text",
+      expectedShingles = 64, fpp = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+  }
+
+  test("empty benchmark yields zero overlap through the bloom path") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Decontaminate.overlapReportBloom(docs, bench, "doc_id", "text")
+      .collect()
+    assert(r.length == 1 && r(0).getLong(2) == 0L && !r(0).getBoolean(4))
+  }
+
   test("redactPii replaces emails, urls and phone shapes with placeholders") {
     val out = Seq("mail a.b+c@ex-ample.org see https://x.io/p?q=1 call +1 (555) 010-7788 end")
       .toDF("text")

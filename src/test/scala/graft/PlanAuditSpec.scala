@@ -69,7 +69,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // connected-components loop. Rows never pass through the driver.
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
-      "q_dedup_clusters", "q_dedup_clusters_stars")
+      "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -150,9 +150,23 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_winnow_overlap" -> 2, // fingerprint buckets + pair-count agg
       "q_zorder_cells" -> 0, // pure codegen'd arithmetic projection
       "q_quality_classifier" -> 0, // map-only native inference
-      "q_tfidf_topterms" -> 4, // tf agg + term window + doc window + 1-row count
+      // tf agg + df agg + term join + doc window + 1-row count: the df
+      // side is an aggregate-and-join by design (a term window would
+      // buffer whole stop-word partitions in one task at corpus scale)
+      "q_tfidf_topterms" -> 5,
       "q_orders_by_month" -> 1,
-      "q_word_frequencies" -> 2)
+      "q_word_frequencies" -> 2,
+      "q_count_distinct_approx" -> 2, // single-distinct two-phase, no Expand
+      "q_sample_mix" -> 0, // union of pushed sha-predicate filters
+      "q_pivot_revenue" -> 2, // (month,status) partial agg + month pivot agg
+      "q_unpivot_metrics" -> 0, // map-side row expansion only
+      // the no-broadcast-by-design path (bench side assumed too big):
+      // bloom subquery = bench distinct + 1-row sketch agg (2); main =
+      // bench distinct reused as join side (1), probe explode exchange
+      // (1), hit agg (1), report join (1). The exact variant's budget
+      // of 2 relies on broadcasting the bench side — this one pays
+      // shuffles on purpose and prunes the probe with the sketch
+      "q_decontaminate_bloom" -> 6)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
