@@ -209,6 +209,56 @@ object Queries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Grouping sets beyond rollup's prefix lattice: two independent
+    * single-dimension summaries in ONE pass over the fact table (an
+    * Expand of 2 copies + one shuffle — at 100 TB that halves the
+    * scans versus running the two groupBys separately). The chosen
+    * sets have disjoint key domains, so the null-extended rows are
+    * unambiguous without a grouping_id column.
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Time-based RANGE window frame: per-user rolling one-hour event
+    * count and value total — the feature-engineering shape (activity
+    * in the trailing window at each event). RANGE over the microsecond
+    * epoch
+    * includes all peers of a tied timestamp, so the result is
+    * deterministic under any tie order; sums route through DECIMAL.
+    */
+  def windowTimeRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("events_last_hour", count(lit(1)).over(w))
+      .withColumn("value_last_hour",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("event_id", "user_id", "events_last_hour", "value_last_hour")
+  }
+
+  val windowTimeRangeSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS events_last_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS value_last_hour
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Distinct-count aggregation. */
   def countDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -400,6 +450,34 @@ object Queries {
       |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
       |  FROM documents)
       |GROUP BY lang, word HAVING count(*) >= 20""".stripMargin
+
+  /** Heavy-hitter verification ([[graft.operators.HeavyHitters]]):
+    * count-min-sketch estimates for every frequent token, emitted as
+    * the CM guarantee check (exact <= est <= exact + ceil(eps*N)) so
+    * DuckDB verifies a probabilistic sketch by hash — the same
+    * bound-as-output technique as q_group_percentiles_approx. The
+    * exact counts exist IN the query only to power the check; the
+    * operator itself never shuffles the token dictionary.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(TextFunctions.normalizeText(col("text")), " ")).as("word"))
+    val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= 100)
+    graft.operators.HeavyHitters.withEstimates(
+      exact, "word", words, "word", eps = 0.001, confidence = 0.99, seed = 17)
+      .select(col("word"), col("n_exact"),
+        (col("cms_est") >= col("n_exact") &&
+          col("cms_est") <= col("n_exact") + col("cms_slack"))
+          .as("within_bound"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT word, count(*) AS n_exact, true AS within_bound FROM (
+      |  SELECT unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      |  FROM documents)
+      |GROUP BY word HAVING count(*) >= 100""".stripMargin
 
   /** Temporal aggregation: monthly order counts and revenue. */
   def ordersByMonth(s: SparkSession, dir: String): DataFrame =
@@ -1806,6 +1884,8 @@ object Queries {
     "q_simsearch_pq" -> (simsearchPq _),
     "q_simsearch_ivfpq" -> (simsearchIvfPq _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_grouping_sets" -> (aggGroupingSets _),
+    "q_window_time_range" -> (windowTimeRange _),
     "q_count_distinct" -> (countDistinct _),
     "q_count_distinct_approx" -> (countDistinctApprox _),
     "q_pivot_revenue" -> (pivotRevenue _),
@@ -1819,6 +1899,7 @@ object Queries {
     "q_distinct_flags" -> (distinctFlags _),
     "q_json_extract" -> (jsonExtract _),
     "q_word_frequencies" -> (wordFrequencies _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_orders_by_month" -> (ordersByMonth _),
     "q_scd_status" -> (scdStatus _),
     "q_scd_merge_current" -> (scdMergeCurrent _),
@@ -1874,6 +1955,8 @@ object Queries {
     "q_simsearch_pq" -> simsearchPqSql,
     "q_simsearch_ivfpq" -> simsearchIvfPqSql,
     "q_agg_rollup" -> aggRollupSql,
+    "q_agg_grouping_sets" -> aggGroupingSetsSql,
+    "q_window_time_range" -> windowTimeRangeSql,
     "q_count_distinct" -> countDistinctSql,
     "q_count_distinct_approx" -> countDistinctApproxSql,
     "q_pivot_revenue" -> pivotRevenueSql,
@@ -1887,6 +1970,7 @@ object Queries {
     "q_distinct_flags" -> distinctFlagsSql,
     "q_json_extract" -> jsonExtractSql,
     "q_word_frequencies" -> wordFrequenciesSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_orders_by_month" -> ordersByMonthSql,
     "q_scd_status" -> scdStatusSql,
     "q_scd_merge_current" -> scdMergeCurrentSql,

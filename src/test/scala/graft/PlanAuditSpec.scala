@@ -158,6 +158,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_word_frequencies" -> 2,
       "q_count_distinct_approx" -> 2, // single-distinct two-phase, no Expand
       "q_sample_mix" -> 0, // union of pushed sha-predicate filters
+      "q_agg_grouping_sets" -> 1, // Expand x2 + ONE shuffle (vs 2 separate aggs)
+      "q_window_time_range" -> 1, // user-key window partition
+      // exact-count check agg only; the sketch itself reduces in a
+      // separate bounded-driver-state job at query construction
+      "q_heavy_hitters" -> 1,
       "q_pivot_revenue" -> 2, // (month,status) partial agg + month pivot agg
       "q_unpivot_metrics" -> 0, // map-side row expansion only
       // the no-broadcast-by-design path (bench side assumed too big):
