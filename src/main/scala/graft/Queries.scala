@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Scd, ScdMerge, SimilaritySearch}
+import graft.operators.{Dedup, NgramLm, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
 
 /** The engine's query inventory: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
@@ -1865,6 +1865,137 @@ object Queries {
       |  CAST(16 + CAST(floor(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) / 4096.0) AS BIGINT) % 2144 AS BIGINT) AS height
       |FROM documents""".stripMargin
 
+  // ------------------------------------------- corpus curation (round 7)
+
+  /** Bigram-LM perplexity quality filter ([[graft.operators.NgramLm]]):
+    * train on the English slice, score every document's cross-entropy
+    * against it — non-English and low-fluency documents surface with
+    * high perplexity. The per-bigram `ln p` folds through
+    * DECIMAL(27,7) so the score is order-independent and the oracle
+    * replays it exactly (see the operator's Scaladoc for the 100 TB
+    * shape: the model is bounded by the REFERENCE corpus and
+    * broadcast; scoring is linear).
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+    NgramLm.score(model, docs, "doc_id", "text")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w,
+      |    generate_subscripts(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS p
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang, p, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM tok QUALIFY w2 IS NOT NULL),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bi WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok WHERE lang = 'en'),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CAST(round(ln((coalesce(c12.c12, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v)), 7)
+      |      AS DECIMAL(27,7)) AS nlp
+      |  FROM bi b
+      |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |  LEFT JOIN c1 ON b.w1 = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+      |  round(-(CAST(sum(nlp) AS DOUBLE) / count(*)), 6) AS avg_neg_logp,
+      |  round(exp(-(CAST(sum(nlp) AS DOUBLE) / count(*))), 6) AS perplexity
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** Duplicated-substring spans ([[graft.operators.SubstringDedup]]):
+    * cross-document repeated 8-gram hits (portable 32-bit shingle
+    * hashes — never materialized gram strings) merged into maximal
+    * spans per document, with duplicated-token coverage —
+    * substring-level dedup signal that whole-document fingerprints
+    * miss. The oracle replays the identical sha-256-derived hash.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.spans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+
+  val dupSpansSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(nt, ' ')) AS w,
+      |    generate_subscripts(string_split(nt, ' '), 1) AS p
+      |  FROM norm),
+      |ntok AS (SELECT doc_id, length(string_split(nt, ' ')) AS n_tokens FROM norm),
+      |grams AS (
+      |  SELECT doc_id, p AS pos,
+      |    CAST(('0x' || substr(sha256(
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+      |      lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+      |      lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+      |      lead(w, 7) OVER win), 1, 8)) AS BIGINT) AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+      |  QUALIFY lead(w, 7) OVER win IS NOT NULL),
+      |rep AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+      |hit AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
+      |flag AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8,
+      |      -9223372036854775808) THEN 1 ELSE 0 END AS new_span
+      |  FROM hit),
+      |sp AS (
+      |  SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      |  FROM flag),
+      |per_span AS (
+      |  SELECT doc_id, span, count(*) AS hits, max(pos) + 8 - min(pos) AS span_tokens
+      |  FROM sp GROUP BY 1, 2)
+      |SELECT p.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(sum(p.hits) AS BIGINT) AS dup_grams,
+      |  count(*) AS n_spans,
+      |  CAST(sum(p.span_tokens) AS BIGINT) AS dup_tokens,
+      |  round(CAST(sum(p.span_tokens) AS DOUBLE) / n.n_tokens, 6) AS dup_coverage
+      |FROM per_span p JOIN ntok n USING (doc_id)
+      |GROUP BY p.doc_id, n.n_tokens""".stripMargin
+
+  /** Cross-source shingle-overlap matrix
+    * ([[graft.operators.SourceOverlap]]): shared 8-gram shingles and
+    * Jaccard per source pair — the contamination/provenance audit run
+    * before choosing which crawls enter the training mix.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    SourceOverlap.matrix(t(s, dir, "documents"), "source", "text", n = 8)
+
+  val sourceOverlapSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, unnest(string_split(nt, ' ')) AS w,
+      |    generate_subscripts(string_split(nt, ' '), 1) AS p
+      |  FROM norm),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(sha256(
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+      |      lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+      |      lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+      |      lead(w, 7) OVER win), 1, 8)) AS BIGINT) AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+      |  QUALIFY lead(w, 7) OVER win IS NOT NULL),
+      |per_source AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared_shingles,
+      |  CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+      |  round(CAST(shared_shingles AS DOUBLE) / (pa.n + pb.n - shared_shingles), 6) AS jaccard
+      |FROM pairs
+      |JOIN per_source pa ON pairs.src_a = pa.source
+      |JOIN per_source pb ON pairs.src_b = pb.source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -1932,6 +2063,9 @@ object Queries {
     "q_text_repetition" -> (textRepetition _),
     "q_text_chunks" -> (textChunks _),
     "q_lang_id" -> (langId _),
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_dup_spans" -> (dupSpans _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2003,5 +2137,8 @@ object Queries {
     "q_text_repetition" -> textRepetitionSql,
     "q_text_chunks" -> textChunksSql,
     "q_lang_id" -> langIdSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_dup_spans" -> dupSpansSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

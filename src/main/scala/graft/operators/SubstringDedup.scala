@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.NativeText
+
+/** Exact duplicated-substring span detection — the "dedup at the
+  * substring level" pass (Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better"): find every token n-gram that occurs
+  * in two or more documents, then merge the overlapping hits inside
+  * each document into maximal duplicated SPANS, yielding per-document
+  * duplicated-token coverage. Whole-document dedup misses boilerplate
+  * (headers, license blocks, templated paragraphs) pasted into
+  * otherwise-unique pages; this measures exactly that.
+  *
+  * Scale shape: one pass to (doc, pos, gramHash) — the gram is hashed
+  * by the native single-pass [[NativeText.shingleHash32]] kernel, so
+  * no 8-word strings are ever materialized or shuffled (the string
+  * formulation shuffled ~10× the bytes and spent its time in
+  * per-gram string building) — one groupBy on the hash to find
+  * cross-document repeats (`min(doc) != max(doc)`, constant state —
+  * not a count-distinct, which would pay a second exchange on
+  * (hash, doc)), one join of positions back to the repeated hashes,
+  * and a per-document sorted window whose partition is bounded by
+  * document length. Nothing is ever pairwise in documents. A full
+  * suffix-array build gets longer matches, but needs a global sort of
+  * every suffix; fixed-n grams with span-merging approximate it with
+  * one shuffle and recover arbitrarily long duplicated runs as merged
+  * spans.
+  *
+  * Hashing caveat (same contract as `Dedup.ngramJaccard`): a 32-bit
+  * collision can mark a gram duplicated spuriously (p ≈ |grams|²/2³³
+  * corpus-wide), but the hash is deterministic and engine-portable, so
+  * the SQL oracle replays it exactly; [[spansExact]] is the
+  * string-comparison truth for cross-checking, and a 100 TB run would
+  * widen the kernel to 64-bit before the collision budget matters.
+  *
+  * Span merge: a gram at 1-based token position p covers tokens
+  * [p, p+n); hits are merged while the next start does not exceed the
+  * running span end (adjacency merges — contiguous duplicated tokens
+  * belong to one span). Implemented as the classic gaps-and-islands
+  * running-max window, replayed identically by the SQL oracle.
+  */
+object SubstringDedup {
+
+  /** Array of (pos, gram) structs for n-grams of the normalized text;
+    * empty when the document has fewer than n tokens (guarded — Spark's
+    * `sequence(1, k)` with k < 1 would count DOWN, not return empty).
+    * The string-truth path; the scale path hashes instead.
+    */
+  def tokenGrams(textCol: Column, n: Int): Column = {
+    val w = split(TextFunctions.normalizeText(textCol), " ")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        struct(i.as("pos"), concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+  }
+
+  /** Per-document duplicated-span stats over hashed grams (the scale
+    * path). Output: (idCol, n_tokens, dup_grams, n_spans, dup_tokens,
+    * dup_coverage). Documents with no cross-document duplicated n-gram
+    * are absent (coverage 0).
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    NativeText.register(docs.sparkSession)
+    val hits = docs
+      .select(col(idCol).as("__id"),
+        split(TextFunctions.normalizeText(col(textCol)), " ").as("__w"))
+      .select(col("__id"), size(col("__w")).cast("long").as("n_tokens"),
+        posexplode(NativeText.shingleHash32(col("__w"), n)))
+      .select(col("__id"), col("n_tokens"),
+        (col("pos") + 1).as("__pos"), col("col").as("__gram"))
+    spanStats(hits, idCol, n)
+  }
+
+  /** The string-comparison truth: identical semantics to [[spans]]
+    * minus the hash (no collision budget), at materialized-gram cost.
+    */
+  def spansExact(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val hits = docs
+      .select(col(idCol).as("__id"),
+        size(split(TextFunctions.normalizeText(col(textCol)), " "))
+          .cast("long").as("n_tokens"),
+        explode(tokenGrams(col(textCol), n)).as("__g"))
+      .select(col("__id"), col("n_tokens"),
+        col("__g.pos").as("__pos"), col("__g.gram").as("__gram"))
+    spanStats(hits, idCol, n)
+  }
+
+  private def spanStats(hits: DataFrame, idCol: String, n: Int): DataFrame = {
+    val repeated = hits.groupBy("__gram")
+      .agg((min(col("__id")) =!= max(col("__id"))).as("__multi"))
+      .filter(col("__multi"))
+      .select("__gram")
+    val ordered = Window.partitionBy("__id").orderBy("__pos")
+    val prevEnd = max(col("__pos")).over(
+      ordered.rowsBetween(Window.unboundedPreceding, -1)) + n
+    val flagged = hits.join(repeated, "__gram")
+      .withColumn("__new_span",
+        when(col("__pos") > coalesce(prevEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new_span")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("__id"), col("n_tokens"), col("__span"))
+      .agg(count(lit(1)).as("__hits"),
+        (max(col("__pos")) + n - min(col("__pos"))).cast("long").as("__span_tokens"))
+      .groupBy(col("__id"), col("n_tokens"))
+      .agg(sum(col("__hits")).as("dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__span_tokens")).as("dup_tokens"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("dup_grams"),
+        col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_coverage"))
+  }
+}

@@ -171,7 +171,19 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (1), hit agg (1), report join (1). The exact variant's budget
       // of 2 relies on broadcasting the bench side — this one pays
       // shuffles on purpose and prunes the probe with the sketch
-      "q_decontaminate_bloom" -> 6)
+      "q_decontaminate_bloom" -> 6,
+      // model aggs (bigram + prefix) feed broadcasts; per-doc reagg.
+      // The vocab count reduces in a separate bounded job at query
+      // construction (same pattern as q_heavy_hitters' sketch)
+      "q_lm_perplexity" -> 3,
+      // repeated-gram agg (min!=max, ONE exchange — not count-distinct,
+      // which would pay a second on (hash,doc)) + join exchanges + ONE
+      // per-doc window exchange — both island groupBys ride the
+      // window's id partitioning (subset-satisfied clustering)
+      "q_dup_spans" -> 4,
+      // gram set-collect + pair count; per-source totals reduce in a
+      // bounded construction-time job and enter as a map literal
+      "q_source_overlap" -> 2)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SubstringDedup
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val run = (1 to 10).map(i => s"c$i").mkString(" ") // 10 shared tokens
+
+  test("a shared 10-token run merges into one span covering 10 tokens") {
+    // 10-token run => 3 duplicated 8-grams at positions p, p+1, p+2 —
+    // overlapping, so they merge into ONE span of exactly 10 tokens.
+    val docs = Seq(
+      (1L, run + " u1 u2 u3 u4 u5 u6"),
+      (2L, "v1 v2 " + run)
+    ).toDF("id", "text")
+    val out = SubstringDedup.spans(docs, "id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(out(1L) === ((16L, 3L, 1L, 10L, 0.625)))
+    assert(out(2L) === ((12L, 3L, 1L, 10L, r6(10.0 / 12))))
+  }
+
+  test("two disjoint shared runs stay two spans") {
+    val runB = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " x1 x2 x3 " + runB),
+      (2L, run + " y1 y2 y3 " + runB)
+    ).toDF("id", "text")
+    val out = SubstringDedup.spans(docs, "id", "text")
+      .select("id", "n_spans", "dup_tokens").as[(Long, Long, Long)].collect().toMap2
+    assert(out(1L) === ((2L, 18L)))
+    assert(out(2L) === ((2L, 18L)))
+  }
+
+  test("within-document repetition alone is not a duplicated span") {
+    val docs = Seq(
+      (1L, run + " " + run), // repeats only inside doc 1
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("id", "text")
+    assert(SubstringDedup.spans(docs, "id", "text").count() === 0)
+  }
+
+  test("hashed scale path matches the string-truth path") {
+    val runB = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " u1 u2 u3 " + runB),
+      (2L, "v1 v2 " + run),
+      (3L, runB + " w1 w2 w3 w4 w5"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")
+    ).toDF("id", "text")
+    val hashed = SubstringDedup.spans(docs, "id", "text").collect().toSet
+    val exact = SubstringDedup.spansExact(docs, "id", "text").collect().toSet
+    assert(hashed === exact)
+  }
+
+  test("documents shorter than n produce no grams (no descending-sequence trap)") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    assert(SubstringDedup.spans(docs, "id", "text").count() === 0)
+    val grams = docs.select(explode(SubstringDedup.tokenGrams(col("text"), 8)))
+    assert(grams.count() === 0)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private implicit class MapOps(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+}
