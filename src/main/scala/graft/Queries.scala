@@ -1996,6 +1996,94 @@ object Queries {
       |JOIN per_source pa ON pairs.src_a = pa.source
       |JOIN per_source pb ON pairs.src_b = pb.source""".stripMargin
 
+  /** Collocation mining ([[graft.operators.Collocations]]): token
+    * pairs whose co-occurrence lift beats independence — the phrase /
+    * tokenizer-merge-candidate pass. Lift is PMI without `ln` (the
+    * BM25 odds-idf trade), so every step is a count ratio DuckDB
+    * replays exactly.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.mine(
+      t(s, dir, "documents"), "text", minCount = 5L, minLift = 1.2)
+
+  val collocationsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w,
+      |    generate_subscripts(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS p
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, p, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM tok QUALIFY w2 IS NOT NULL),
+      |pc AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY 1, 2),
+      |pref AS (SELECT w1, CAST(sum(pair_count) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+      |suf AS (SELECT w2, CAST(sum(pair_count) AS BIGINT) AS c2 FROM pc GROUP BY 1),
+      |n AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n_bigrams FROM pc)
+      |SELECT w1, w2, pair_count, c1, c2,
+      |  round((CAST(pair_count AS DOUBLE) * n_bigrams) /
+      |        (CAST(c1 AS DOUBLE) * c2), 6) AS lift
+      |FROM pc JOIN pref USING (w1) JOIN suf USING (w2) CROSS JOIN n
+      |WHERE pair_count >= 5
+      |  AND round((CAST(pair_count AS DOUBLE) * n_bigrams) /
+      |            (CAST(c1 AS DOUBLE) * c2), 6) >= 1.2""".stripMargin
+
+  /** Training-mix token budget: per (source, lang) document and token
+    * totals with corpus share — the numbers a mix-weighting pass
+    * ([[graft.operators.Sampling.weightedMix]]) is parameterized with.
+    * One group aggregation + a one-row broadcast total.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("lang"),
+      size(split(TextFunctions.normalizeText(col("text")), " "))
+        .cast("long").as("__toks"))
+    d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"))
+      .crossJoin(broadcast(d.agg(sum(col("__toks")).as("__total"))))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__total"), 6)
+          .as("token_share"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+      |      AS BIGINT) AS toks
+      |  FROM documents),
+      |n AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM d)
+      |SELECT source, lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(toks) AS DOUBLE) / any_value(n.total), 6) AS token_share
+      |FROM d CROSS JOIN n
+      |GROUP BY source, lang""".stripMargin
+
+  /** Hard-negative mining
+    * ([[graft.operators.SimilaritySearch.hardNegatives]]): nearest
+    * different-label neighbors per query vector — contrastive-training
+    * batch construction. Brute-force shape with the bounded broadcast
+    * probe set, label inequality inside the join condition.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.hardNegatives(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH n AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS q_label, nv AS qv FROM n WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, label AS c_label, nv AS cv FROM n),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  round(list_dot_product(qv, cv), 6) AS cos_sim
+      |  FROM q, c WHERE query_id <> neighbor_id AND q_label <> c_label),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2066,6 +2154,9 @@ object Queries {
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_dup_spans" -> (dupSpans _),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_collocations" -> (collocations _),
+    "q_token_budget" -> (tokenBudget _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2140,5 +2231,8 @@ object Queries {
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_dup_spans" -> dupSpansSql,
     "q_source_overlap" -> sourceOverlapSql,
+    "q_collocations" -> collocationsSql,
+    "q_token_budget" -> tokenBudgetSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

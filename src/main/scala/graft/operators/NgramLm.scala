@@ -39,11 +39,32 @@ object NgramLm {
   /** Trained model: bigram counts, prefix counts, vocabulary size. */
   final case class Model(bigrams: DataFrame, prefixes: DataFrame, vocabSize: Long)
 
+  /** The model as driver-held maps — the broadcastable form for
+    * map-only scoring. Bounded by the (minCount-pruned) reference
+    * vocabulary, NOT the corpus; collect only models trained with a
+    * prune that fits the driver.
+    */
+  final case class LiteModel(
+      bigrams: Map[String, Long], prefixes: Map[String, Long], vocabSize: Long)
+
+  // a space can never appear inside a token (tokens come from
+  // splitting on single spaces), so "w1 w2" keys are unambiguous
+  private val KeySep = " "
+
+  /** Collect a trained model into broadcastable maps. */
+  def collect(model: Model): LiteModel = LiteModel(
+    bigrams = model.bigrams.collect()
+      .map(r => s"${r.getString(0)}$KeySep${r.getString(1)}" -> r.getLong(2)).toMap,
+    prefixes = model.prefixes.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+    vocabSize = model.vocabSize)
+
   private def words(textCol: Column): Column =
     split(TextFunctions.normalizeText(textCol), " ")
 
   /** (w1, w2) rows, one per adjacent token pair per document. */
-  private def docBigrams(df: DataFrame, textCol: String, extra: Seq[Column]): DataFrame = {
+  private[operators] def docBigrams(
+      df: DataFrame, textCol: String, extra: Seq[Column]): DataFrame = {
     val w = words(col(textCol))
     df.select(extra :+ w.as("__w"): _*)
       .filter(size(col("__w")) >= 2)
@@ -55,13 +76,17 @@ object NgramLm {
 
   /** Train on `ref`: bigram counts with `count >= minCount` kept (the
     * broadcastability knob), prefix counts kept exact (they are the
-    * normalizing denominators and must include pruned mass).
+    * normalizing denominators and must include pruned mass — derived
+    * as `sum(c12)` over the unpruned count table, which the eager
+    * localCheckpoint bounds to bigram vocabulary, so training explodes
+    * the reference corpus once, not once per count table).
     */
   def train(ref: DataFrame, textCol: String, minCount: Long = 1L): Model = {
-    val bi = docBigrams(ref, textCol, Seq.empty)
-    val bigrams = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    val prefixes = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val counts = docBigrams(ref, textCol, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val bigrams = counts.filter(col("c12") >= minCount)
+    val prefixes = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = ref.select(explode(words(col(textCol))).as("w"))
       .agg(count_distinct(col("w"))).head().getLong(0)
     Model(bigrams, prefixes, vocab)
@@ -97,6 +122,53 @@ object NgramLm {
         round(-(col("__lp_sum").cast("double") / col("n_bigrams")), 6)
           .as("avg_neg_logp"),
         round(exp(-(col("__lp_sum").cast("double") / col("n_bigrams"))), 6)
+          .as("perplexity"))
+  }
+
+  /** Map-only scoring: the model rides as literal maps inside per-row
+    * expressions — zero joins, zero shuffles, no aggregation state, so
+    * the identical projection scores an unbounded STREAM (append mode,
+    * no state store) or a 100 TB batch as pure map tasks. The `ln p`
+    * fold runs in document order over scaled-integer units
+    * (k = round(ln p, 7 dp) × 10⁷, exact in a long), so the result
+    * equals [[score]] bit-for-bit: both reduce to double(Σk × 10⁻⁷),
+    * one as a decimal sum, one as double(Σk)/10⁷ — the same correctly
+    * rounded value. Same output schema and row set as [[score]].
+    */
+  def scoreMapOnly(
+      model: LiteModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(model.bigrams.nonEmpty && model.prefixes.nonEmpty,
+      "empty model: train() saw no bigrams")
+    val bmap = typedLit(model.bigrams)
+    val pmap = typedLit(model.prefixes)
+    def bcount(p: Column): Column =
+      element_at(bmap, concat(p.getField("w1"), lit(KeySep), p.getField("w2")))
+    def prob(p: Column): Column =
+      (coalesce(bcount(p), lit(0L)) + lit(alpha)) /
+        (coalesce(element_at(pmap, p.getField("w1")), lit(0L)) +
+          lit(alpha * model.vocabSize))
+    docs
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("__w")) - 1), i =>
+          struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2"))).as("__p"))
+      .select(col(idCol),
+        size(col("__p")).cast("long").as("n_bigrams"),
+        size(filter(col("__p"), p => bcount(p).isNull))
+          .cast("long").as("oov_bigrams"),
+        aggregate(col("__p"), lit(0L), (acc, p) =>
+          acc + round(round(log(prob(p)), 7) * lit(1e7)).cast("long"))
+          .as("__k"))
+      .select(col(idCol), col("n_bigrams"), col("oov_bigrams"),
+        round(-((col("__k").cast("double") / lit(1e7)) / col("n_bigrams")), 6)
+          .as("avg_neg_logp"),
+        round(exp(-((col("__k").cast("double") / lit(1e7)) / col("n_bigrams"))), 6)
           .as("perplexity"))
   }
 }

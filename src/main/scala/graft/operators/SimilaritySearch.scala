@@ -32,14 +32,16 @@ object SimilaritySearch {
     */
   private def normalizedSide(
       df: DataFrame, idCol: String, idAlias: String,
-      vecCol: String, vecAlias: String): DataFrame = {
+      vecCol: String, vecAlias: String,
+      keep: Seq[(String, String)] = Nil): DataFrame = {
     NativeVector.register(df.sparkSession)
     val v = col(vecCol).cast("array<double>")
-    df.select(col(idCol).as(idAlias), v.as("__v"))
+    val keepCols = keep.map { case (src, alias) => col(src).as(alias) }
+    df.select(col(idCol).as(idAlias) +: keepCols :+ v.as("__v"): _*)
       .withColumn("__norm", sqrt(NativeVector.dot(col("__v"), col("__v"))))
       .filter(col("__norm") > 0)
       .withColumn(vecAlias, transform(col("__v"), x => x / col("__norm")))
-      .select(idAlias, vecAlias)
+      .select(idAlias, keep.map(_._2) :+ vecAlias: _*)
   }
 
   private def scoredPairs(
@@ -77,6 +79,38 @@ object SimilaritySearch {
       .as[(Long, Long, Double)]
     // TopKAggregator orders by (score desc, id ASC) — matching the
     // window orderBy(cos_sim desc, neighbor_id asc) tie-break exactly.
+    TopK.perGroup(scored, k)
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * row, the `k` most cosine-similar candidates whose LABEL differs —
+    * the "close but wrong" examples that make embedding training
+    * batches hard. Same scale shape as [[bruteForceTopK]] (broadcast
+    * query side, codegen'd dot kernel, k-bounded map-side aggregator);
+    * the label inequality rides the join condition, so same-label
+    * pairs are discarded inside the join loop, never materialized.
+    * Output: query_id, neighbor_id, cos_sim, rank.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = normalizedSide(queries, idCol, "query_id", vecCol, "q_vec",
+      keep = Seq(labelCol -> "q_label"))
+    val c = normalizedSide(candidates, idCol, "neighbor_id", vecCol, "c_vec",
+      keep = Seq(labelCol -> "c_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("c_label"))
+      .withColumn("cos_sim", round(NativeVector.dot(col("q_vec"), col("c_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
     TopK.perGroup(scored, k)
       .toDF("query_id", "neighbor_id", "cos_sim", "rank")
   }

@@ -49,6 +49,42 @@ class NgramLmSpec extends SparkSpec {
     assert(s(1L) < s(2L))
   }
 
+  test("map-only scoring equals the join-based scorer bit-for-bit") {
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val m = NgramLm.train(docs.filter($"lang" === "en"), "text")
+    val joined = NgramLm.score(m, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val mapOnly = NgramLm.scoreMapOnly(NgramLm.collect(m), docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(joined.nonEmpty)
+    assert(mapOnly === joined)
+  }
+
+  test("map-only scoring runs on an unbounded stream with no state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = NgramLm.collect(model)
+    val mem = MemoryStream[(Long, String)]
+    val q = NgramLm.scoreMapOnly(m, mem.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("lm_stream").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "a b"), (2L, "a z"))
+      q.processAllAvailable()
+      mem.addData((3L, "z a"), (4L, "a"))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream")
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val batch = NgramLm.scoreMapOnly(m,
+        Seq((1L, "a b"), (2L, "a z"), (3L, "z a"), (4L, "a")).toDF("id", "text"),
+        "id", "text")
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Seq(1L, 2L, 3L)) // 1-token doc dropped
+    } finally q.stop()
+  }
+
   test("minCount prunes rare bigrams but keeps exact prefix mass") {
     val m = NgramLm.train(Seq("a b a b", "a c").toDF("text"), "text", minCount = 2L)
     val bi = m.bigrams.as[(String, String, Long)].collect().toSet

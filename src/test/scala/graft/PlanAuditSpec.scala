@@ -45,8 +45,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // over dequantized vectors.
   // q_simsearch_pq scores the corpus against a broadcast query batch +
   // LUT — the ADC analogue of the brute-force shape, bounded the same way
+  // q_hard_negatives is the same bounded-probe brute-force shape with a
+  // label-inequality predicate riding the join condition
   private val boundedProbeQueries =
-    Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq")
+    Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq",
+      "q_hard_negatives")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -65,11 +68,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   // `localCheckpoint` (executor-resident materialization) also plans
   // as an RDD scan; these queries use it deliberately — the IVF index
-  // and probe set, and the per-round label tables of the iterative
-  // connected-components loop. Rows never pass through the driver.
+  // and probe set, the per-round label tables of the iterative
+  // connected-components loop, and the vocabulary-bounded bigram count
+  // tables of the LM/collocation operators (materializing the Zipf
+  // table once beats re-exploding the corpus per derived count).
+  // Rows never pass through the driver.
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
-      "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup")
+      "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
+      "q_lm_perplexity", "q_collocations")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -172,10 +179,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // of 2 relies on broadcasting the bench side — this one pays
       // shuffles on purpose and prunes the probe with the sketch
       "q_decontaminate_bloom" -> 6,
-      // model aggs (bigram + prefix) feed broadcasts; per-doc reagg.
-      // The vocab count reduces in a separate bounded job at query
-      // construction (same pattern as q_heavy_hitters' sketch)
-      "q_lm_perplexity" -> 3,
+      // prefix re-agg over the checkpointed (vocab-bounded) bigram
+      // count table + per-doc reagg; training explodes the reference
+      // slice once at construction (same pattern as q_heavy_hitters)
+      "q_lm_perplexity" -> 2,
       // repeated-gram agg (min!=max, ONE exchange — not count-distinct,
       // which would pay a second on (hash,doc)) + join exchanges + ONE
       // per-doc window exchange — both island groupBys ride the
@@ -183,7 +190,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_dup_spans" -> 4,
       // gram set-collect + pair count; per-source totals reduce in a
       // bounded construction-time job and enter as a map literal
-      "q_source_overlap" -> 2)
+      "q_source_overlap" -> 2,
+      // marginal/total re-aggs + join exchanges over the checkpointed
+      // (vocab-bounded) bigram count table — the corpus explodes ONCE;
+      // without the checkpoint, join pushdown specializes each derived
+      // branch so the four corpus subtrees are not exchange-reusable
+      "q_collocations" -> 3,
+      "q_token_budget" -> 2, // (source,lang) agg + one-row total
+      "q_hard_negatives" -> 1) // k-bounded aggregator after broadcast probe
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

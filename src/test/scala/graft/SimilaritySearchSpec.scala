@@ -107,6 +107,27 @@ class SimilaritySearchSpec extends SparkSpec {
       s"recall too low: $bucketedTotal/$exactTotal")
   }
 
+  test("hardNegatives never returns a same-label neighbor and matches label-filtered topK") {
+    val out = SimilaritySearch.hardNegatives(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", "label", k = 4)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = out.as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _, _) => labels(q) != labels(n) },
+      "a same-label neighbor slipped through")
+    // equivalent formulation: score everything, drop same-label, re-rank
+    val wide = SimilaritySearch.bruteForceTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = emb.count().toInt)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter { case (q, n, _, _) => labels(q) != labels(n) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, g) =>
+        g.sortBy(t => (-t._3, t._2)).take(4).zipWithIndex
+          .map { case ((q, n, s, _), i) => (q, n, s, i + 1) }
+      }.toSet
+    assert(rows.toSet === wide)
+  }
+
   test("lshNearDupCounts plan has no nested-loop join") {
     val corpus = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val plan = SimilaritySearch.lshNearDupCounts(
