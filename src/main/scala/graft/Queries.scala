@@ -2084,6 +2084,186 @@ object Queries {
       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Curriculum binning ([[graft.operators.Curriculum.exactBins]]):
+    * per-language quality-quantile bins (ntile + percent_rank over the
+    * total (score, doc_id) order). The quality score is the engine's
+    * [[TextFunctions.qualityScore]], already proven hash-exact against
+    * DuckDB by q_text_stats, so the ordering agrees across engines
+    * bit-for-bit. The sketch-boundary scale path is spec-gated
+    * (CurriculumSpec) against this exact truth.
+    */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curriculum.exactBins(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score")),
+      "lang", "quality_score", "doc_id", bins = 4)
+
+  val curriculumBinsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |      (CASE WHEN awl BETWEEN 3 AND 10 THEN 1.0
+      |            WHEN awl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score
+      |  FROM (SELECT *, CASE WHEN n_tok > 0
+      |          THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |          ELSE 0.0 END AS awl FROM base))
+      |SELECT doc_id, lang, quality_score,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS bin,
+      |  round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM scored
+      |WINDOW w AS (PARTITION BY lang ORDER BY quality_score, doc_id)""".stripMargin
+
+  /** Deterministic shard assignment
+    * ([[graft.operators.Sharding.shardAssign]]): the training-export
+    * global shuffle — shard and in-shard position both derive from the
+    * portable sha-256 hash, so DuckDB replays every (shard, pos).
+    */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardAssign(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      "doc_id", numShards = 8, seed = 13L)
+
+  val shardAssignSql: String =
+    """WITH h AS (SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(sha256('13:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id, lang, source, hv % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS shard_pos
+      |FROM h""".stripMargin
+
+  /** Per-source quota caps
+    * ([[graft.operators.Curation.sourceCapsWindow]]): keep the top-10
+    * quality docs per source. The oracle checks the exact window
+    * truth; CurationSpec proves the k-bounded map-side formulation
+    * ([[graft.operators.Curation.sourceCaps]]) emits identical rows.
+    */
+  def sourceCaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.sourceCapsWindow(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality_score")),
+      "source", "doc_id", "quality_score", cap = 10)
+
+  val sourceCapsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |      (CASE WHEN awl BETWEEN 3 AND 10 THEN 1.0
+      |            WHEN awl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score
+      |  FROM (SELECT *, CASE WHEN n_tok > 0
+      |          THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |          ELSE 0.0 END AS awl FROM base))
+      |SELECT doc_id, source, quality_score,
+      |  CAST(rn AS BIGINT) AS src_rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY quality_score DESC, doc_id) AS rn FROM scored)
+      |WHERE rn <= 10""".stripMargin
+
+  /** Anti join: customers with no urgent order. Spark plans LEFT ANTI
+    * with the orders side aggregated to distinct keys before the join;
+    * at scale the filter pushes into the orders scan and the join
+    * stays a hash (or broadcast) anti — never a per-row subquery.
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Semi join: suppliers with at least one max-quantity deep-discount
+    * shipment. LEFT SEMI — the lineitem side never duplicates supplier
+    * rows, and the selective predicate pushes to the parquet scan.
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 50.0 && col("l_discount") > 0.09)
+      .select("l_suppkey")
+    sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_nationkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_suppkey = s.s_suppkey
+      |    AND l.l_quantity >= 50.0 AND l.l_discount > 0.09)""".stripMargin
+
+  /** Fixed-width histogram of document lengths: a single hash
+    * aggregate on the computed bucket — the distribution profile step
+    * before length filtering. Bucket arithmetic is plain double
+    * division + floor, identical in both engines.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(least(floor(col("n_chars") / lit(50.0)), lit(11L))
+        .cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
+  val lengthHistogramSql: String =
+    """SELECT CAST(least(floor(n_chars / 50.0), 11) AS BIGINT) AS bucket,
+      |  count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Native session windows: Spark's `session_window` (gap-merged
+    * event-time windows) as a batch aggregate — the same operator
+    * Structured Streaming uses for watermarked session state, so this
+    * oracle also pins the streaming sessionization semantics
+    * (SessionWindowParitySpec replays the fixture through the
+    * stateful streaming form and matches sessions one-for-one). A
+    * session's end is last-event + gap; a new session starts when the
+    * gap to the previous event is >= 30 min (windows merge only on
+    * strict overlap).
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  val sessionWindowsSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |x AS (SELECT *, lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |y AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+      |        THEN 1 ELSE 0 END AS ns FROM x),
+      |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS seq FROM y)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM z GROUP BY user_id, seq""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2157,6 +2337,13 @@ object Queries {
     "q_collocations" -> (collocations _),
     "q_token_budget" -> (tokenBudget _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_curriculum_bins" -> (curriculumBins _),
+    "q_shard_assign" -> (shardAssign _),
+    "q_source_caps" -> (sourceCaps _),
+    "q_anti_join" -> (antiJoin _),
+    "q_semi_join" -> (semiJoin _),
+    "q_length_histogram" -> (lengthHistogram _),
+    "q_session_windows" -> (sessionWindows _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2234,5 +2421,12 @@ object Queries {
     "q_collocations" -> collocationsSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_curriculum_bins" -> curriculumBinsSql,
+    "q_shard_assign" -> shardAssignSql,
+    "q_source_caps" -> sourceCapsSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_length_histogram" -> lengthHistogramSql,
+    "q_session_windows" -> sessionWindowsSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }
