@@ -81,9 +81,15 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIters: Int): (DataFrame, Boolean, Int) = {
+    // symmetrize with ONE pass over `pairs`: a union of two projections
+    // would execute the (potentially expensive — minhash etc.) pair
+    // pipeline twice, since Spark does not share uncached subplans
+    // across union branches
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
 
@@ -107,16 +113,23 @@ object ConnectedComponents {
         .agg(min("component").as("component"))
       // pointer jump: a label is itself a node id, so follow it one
       // more hop (left join: the min label may already be a root).
-      // `propagated` is deliberately NOT checkpointed: both join sides
+      // ADAPTIVE: dedup-shaped graphs (stars/cliques from near-dup
+      // drift) converge by round 2 with the fused first round, and for
+      // them the jump's self-join is pure per-round overhead — so jump
+      // only once the round count signals a deep graph (and the star
+      // fallback still bounds truly adversarial chains). `propagated`
+      // is deliberately NOT checkpointed when jumping: both join sides
       // share its aggregate subplan, whose exchange is planned once and
-      // reused — so the whole round (propagate + jump + checksum)
-      // executes as a single job on the round's one checkpoint.
-      val mapping = propagated
-        .select(col("node").as("m_node"), col("component").as("m_comp"))
-      val next = propagated
-        .join(mapping, col("component") === col("m_node"), "left")
-        .select(col("node"),
-          coalesce(col("m_comp"), col("component")).as("component"))
+      // reused — the whole round executes as a single job on the
+      // round's one checkpoint.
+      val next = if (iters < 2) propagated else {
+        val mapping = propagated
+          .select(col("node").as("m_node"), col("component").as("m_comp"))
+        propagated
+          .join(mapping, col("component") === col("m_node"), "left")
+          .select(col("node"),
+            coalesce(col("m_comp"), col("component")).as("component"))
+      }
       val (cp, nextSum) = checkpointWithMetric(next, labelChecksum)
       converged = nextSum == prevSum
       prevSum = nextSum
