@@ -2264,6 +2264,78 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM z GROUP BY user_id, seq""".stripMargin
 
+  /** Cohort retention triangle: users bucketed by first-activity week,
+    * distinct-active counts per weeks-since-cohort. The classic
+    * product-analytics shape: one aggregate for first-seen, a shuffle
+    * join back (NOT broadcast — the user dimension grows with the
+    * data), one count-distinct aggregate. Week distance is exact day
+    * arithmetic (multiples of 7), identical in both engines.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+    val first = e.groupBy("user_id").agg(min("w").as("cohort"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("w"), col("cohort")) / lit(7)).cast("long")
+          .as("weeks_since"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS cohort FROM e GROUP BY 1)
+      |SELECT cohort,
+      |  CAST(datediff('day', cohort, w) / 7 AS BIGINT) AS weeks_since,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Cube aggregation: all 2^2 grouping combinations in one pass
+    * (rollup and grouping-sets siblings are q_agg_rollup /
+    * q_agg_grouping_sets). `grouping_id` disambiguates real NULL keys
+    * from subtotal rows.
+    */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .withColumn("gid", grouping_id().cast("long"))
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** INTERSECT / EXCEPT set semantics in one result: nations with
+    * high-balance customers split by whether they also field
+    * high-balance suppliers. Spark plans both as aggregate-then-join
+    * (left-semi / left-anti over distincts) — no sort, broadcast-able
+    * sides.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(sup).withColumn("set_op", lit("both"))
+      .unionByName(c.except(sup).withColumn("set_op", lit("customer_only")))
+  }
+
+  val setOpsSql: String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  WHERE c_acctbal > 9000),
+      |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |  WHERE s_acctbal > 9000)
+      |SELECT nationkey, 'both' AS set_op FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2344,6 +2416,9 @@ object Queries {
     "q_semi_join" -> (semiJoin _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_session_windows" -> (sessionWindows _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_agg_cube" -> (aggCube _),
+    "q_set_ops" -> (setOps _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2428,5 +2503,8 @@ object Queries {
     "q_semi_join" -> semiJoinSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_session_windows" -> sessionWindowsSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_agg_cube" -> aggCubeSql,
+    "q_set_ops" -> setOpsSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }
