@@ -2302,8 +2302,8 @@ object Queries {
       .cube("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n"))
-      .withColumn("gid", grouping_id().cast("long"))
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus,

@@ -197,7 +197,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // branch so the four corpus subtrees are not exchange-reusable
       "q_collocations" -> 3,
       "q_token_budget" -> 2, // (source,lang) agg + one-row total
-      "q_hard_negatives" -> 1) // k-bounded aggregator after broadcast probe
+      "q_hard_negatives" -> 1, // k-bounded aggregator after broadcast probe
+      "q_curriculum_bins" -> 1, // per-lang window
+      "q_shard_assign" -> 1, // per-shard window
+      "q_source_caps" -> 1, // per-source window
+      "q_anti_join" -> 0, // urgent-orders side broadcasts
+      "q_semi_join" -> 0, // filtered lineitem side broadcasts
+      "q_length_histogram" -> 1,
+      "q_session_windows" -> 1, // user-key exchange feeds the gap merge
+      "q_cohort_retention" -> 3, // first-seen agg + join back + distinct agg
+      "q_agg_cube" -> 1, // Expand x4 + ONE shuffle
+      "q_set_ops" -> 4) // two distincts + semi/anti sides
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

@@ -84,6 +84,12 @@ def main(sf_dir, out_dir):
         else:
             print(f"[pass] {name}: {len(g)} rows")
             n_pass += 1
+    # a query that crashed in Verify leaves no dump dir — that is a
+    # FAIL, not a silent skip (the driver's gate would flag it too)
+    for name in sorted(oracles):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"[FAIL] {name}: no Verify dump (query crashed?)")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
