@@ -2336,6 +2336,49 @@ object Queries {
       |UNION ALL
       |SELECT nationkey, 'customer_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)""".stripMargin
 
+  /** Exact-size per-stratum sampling
+    * ([[graft.operators.Sampling.exactSample]]): exactly 20 docs per
+    * language — the n smallest portable hashes win, so DuckDB replays
+    * the membership row-for-row (unlike Bernoulli forms, the size is
+    * a guarantee, which is what eval-set construction needs).
+    */
+  def sampleExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactSample(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      "lang", "doc_id", n = 20, seed = 5L)
+
+  val sampleExactSql: String =
+    """WITH h AS (SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(sha256('5:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+      |  FROM h)
+      |WHERE rn <= 20""".stripMargin
+
+  /** Deterministic train/val/test split
+    * ([[graft.operators.Sampling.split]]): disjoint hash-unit ranges,
+    * pure projection — zero shuffles, and a re-run can never migrate a
+    * row across splits. Fractions are binary-exact (0.75/0.125/0.125)
+    * so the cut points have one representation in both engines.
+    */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.split(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", seed = 11L,
+      fractions = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+
+  val trainTestSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN u < 0.75 THEN 'train'
+      |       WHEN u < 0.875 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |  CAST(('0x' || substr(sha256('11:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    / 4294967296.0 AS u
+      |FROM documents)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2419,6 +2462,8 @@ object Queries {
     "q_cohort_retention" -> (cohortRetention _),
     "q_agg_cube" -> (aggCube _),
     "q_set_ops" -> (setOps _),
+    "q_sample_exact" -> (sampleExact _),
+    "q_train_test_split" -> (trainTestSplit _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2506,5 +2551,7 @@ object Queries {
     "q_cohort_retention" -> cohortRetentionSql,
     "q_agg_cube" -> aggCubeSql,
     "q_set_ops" -> setOpsSql,
+    "q_sample_exact" -> sampleExactSql,
+    "q_train_test_split" -> trainTestSplitSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

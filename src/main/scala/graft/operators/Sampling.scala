@@ -60,6 +60,56 @@ object Sampling {
     df.filter(hashUnit(col(idCol), seed) < frac)
   }
 
+  /** EXACTLY `n` rows per stratum (vs the expected-size Bernoulli
+    * forms above): the n smallest portable hashes win, ties broken by
+    * id. Deterministic and layout-independent like everything here;
+    * one exchange on the stratum key. A hot stratum sorts in one task
+    * under the window form — for heavily skewed strata at scale,
+    * [[Curation.sourceCaps]]'s k-bounded aggregator is the same
+    * operator with (hash asc) as the score.
+    */
+  def exactSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    df.withColumn("__u", hashUnit(col(idCol), seed))
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(strataCol).orderBy(col("__u"), col(idCol)))
+          .cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("__u")
+  }
+
+  /** Deterministic train/validation/test split: disjoint hash-unit
+    * ranges tag every row exactly once. A pure projection — no
+    * shuffle, no state; the same (id, seed) lands in the same split
+    * on any engine forever, so eval contamination from re-splits is
+    * structurally impossible.
+    */
+  def split(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = hashUnit(col(idCol), seed)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // last branch is the otherwise: no row escapes float edge cases
+    val tagged = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), cut), other) =>
+      when(u < cut, name).otherwise(other)
+    }
+    df.withColumn("split", tagged)
+  }
+
   /** Weighted mixture of corpora: down-sample each source to
     * `weights(name)` and union, tagging provenance. The standard
     * "training mix" step; deterministic end to end.

@@ -207,7 +207,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_session_windows" -> 1, // user-key exchange feeds the gap merge
       "q_cohort_retention" -> 3, // first-seen agg + join back + distinct agg
       "q_agg_cube" -> 1, // Expand x4 + ONE shuffle
-      "q_set_ops" -> 4) // two distincts + semi/anti sides
+      "q_set_ops" -> 4, // two distincts + semi/anti sides
+      "q_sample_exact" -> 1, // per-stratum window
+      "q_train_test_split" -> 0) // pure hash-range projection
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

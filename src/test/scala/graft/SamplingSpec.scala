@@ -59,4 +59,38 @@ class SamplingSpec extends SparkSpec {
     assert(mix.filter($"mix_source" === "none").count() == 0)
     assert(mix.filter($"mix_source" === "all").count() == docs.count())
   }
+
+  test("exactSample: exactly n per stratum (or the whole stratum when smaller)") {
+    val out = Sampling.exactSample(docs, "lang", "doc_id", n = 10, seed = 5).cache()
+    try {
+      val sizes = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val full = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      full.foreach { case (lang, n) =>
+        assert(sizes(lang) == math.min(10L, n), s"$lang: ${sizes(lang)}")
+      }
+      // layout-independent membership
+      val again = Sampling.exactSample(docs.repartition(7), "lang", "doc_id", 10, 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    } finally out.unpersist()
+  }
+
+  test("split: every row tagged exactly once, fractions honored, no cross-split drift") {
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val out = Sampling.split(docs, "doc_id", seed = 11, fractions = fr).cache()
+    try {
+      assert(out.count() == docs.count())
+      val byTag = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTag.keySet == Set("train", "val", "test"))
+      val n = docs.count().toDouble
+      assert(math.abs(byTag("train") / n - 0.75) < 0.1)
+      // a different-seed resplit moves rows; same seed moves none
+      val same = Sampling.split(docs, "doc_id", 11, fr)
+        .select("doc_id", "split").except(out.select("doc_id", "split"))
+      assert(same.count() == 0)
+    } finally out.unpersist()
+  }
 }
