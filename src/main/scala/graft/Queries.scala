@@ -2379,6 +2379,35 @@ object Queries {
       |    / 4294967296.0 AS u
       |FROM documents)""".stripMargin
 
+  /** Global top-N without a global sort: `orderBy + limit` plans as
+    * TakeOrderedAndProject — each partition keeps its local top-100,
+    * only those k·partitions rows converge — so "best N docs in the
+    * corpus" never total-sorts 100 TB. The (score desc, id) order is
+    * total, so the selected SET is deterministic and oracle-checkable
+    * (the driver compare is order-insensitive).
+    */
+  def globalTopN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .limit(100)
+
+  val globalTopNSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |    (CASE WHEN awl BETWEEN 3 AND 10 THEN 1.0
+      |          WHEN awl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score
+      |FROM (SELECT *, CASE WHEN n_tok > 0
+      |        THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |        ELSE 0.0 END AS awl FROM base)
+      |ORDER BY quality_score DESC, doc_id LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2464,6 +2493,7 @@ object Queries {
     "q_set_ops" -> (setOps _),
     "q_sample_exact" -> (sampleExact _),
     "q_train_test_split" -> (trainTestSplit _),
+    "q_global_topn" -> (globalTopN _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2553,5 +2583,6 @@ object Queries {
     "q_set_ops" -> setOpsSql,
     "q_sample_exact" -> sampleExactSql,
     "q_train_test_split" -> trainTestSplitSql,
+    "q_global_topn" -> globalTopNSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -192,12 +192,14 @@ object ConnectedComponents {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val wU = Window.partitionBy("u")
+      // no distinct here: duplicate (a, b) rows are harmless under the
+      // small-star min-aggregate and a distinct would cost a shuffle
+      // per round; the round's single distinct runs on `next`
       val large = sym
         .withColumn("m", least(min("v").over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
       // small-star over the max->min directed form: key u (the larger
       // endpoint), link each smaller neighbor AND u itself to m
       val directed = large

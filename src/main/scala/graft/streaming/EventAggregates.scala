@@ -74,6 +74,26 @@ object EventAggregates {
       .drop(s"__r_$keyCol")
   }
 
+  /** Native streaming session windows: the engine-managed form of
+    * [[sessionizeStateful]] — Spark merges gap-overlapping windows in
+    * the state store and emits a session once the watermark passes its
+    * end. Batch truth for the SAME operator is oracle-checked as
+    * q_session_windows; the boundary convention (new session at gap ==
+    * exactly, windows merge on strict overlap) is the engine's.
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class Session(

@@ -209,7 +209,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_agg_cube" -> 1, // Expand x4 + ONE shuffle
       "q_set_ops" -> 4, // two distincts + semi/anti sides
       "q_sample_exact" -> 1, // per-stratum window
-      "q_train_test_split" -> 0) // pure hash-range projection
+      "q_train_test_split" -> 0, // pure hash-range projection
+      "q_global_topn" -> 0) // TakeOrderedAndProject, no exchange node
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

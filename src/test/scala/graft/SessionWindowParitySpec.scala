@@ -71,4 +71,48 @@ class SessionWindowParitySpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("native streaming session_window == batch session_window on the events fixture") {
+    val dir = "/root/testdata/sf0.001"
+
+    val batch = Queries.sessionWindows(spark, dir)
+      .select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select("event_id", "ts", "user_id")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventAggregates
+      .sessionWindowCounts(mem.toDF(), watermark = "24 hours")
+      .writeStream.format("memory").queryName("sw_native")
+      .outputMode("append").start()
+    try {
+      events.grouped(250).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val flushBase = events.last.ts.getTime + 7L * 24 * 3600 * 1000
+      Seq(0, 1).foreach { i =>
+        mem.addData(Event(-1L - i, new Timestamp(flushBase + i * 7200000L), -1L))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("sw_native").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+        .filter(_._1 >= 0).toSet
+      assert(streamed == batch,
+        s"native streaming sessions diverge: missing ${(batch -- streamed).take(3)}, " +
+          s"extra ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
 }
