@@ -2408,6 +2408,47 @@ object Queries {
       |        ELSE 0.0 END AS awl FROM base)
       |ORDER BY quality_score DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Funnel attribution (view → first purchase within the hour): the
+    * as-of join run FORWARD by negating the time axis — "latest right
+    * ≤ left" on -t is "earliest right ≥ left" on t, so the existing
+    * operator (one exchange per side, no self-join) answers the
+    * conversion question as composed. Delay stays in exact integer
+    * microseconds; the window test is a post-filter.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("view_ts"), (-unix_micros(col("ts"))).as("nts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (-unix_micros(col("ts"))).as("p_nts"))
+    graft.operators.AsOfJoin.asOfJoin(
+      views, purchases,
+      keyCols = Seq("user_id"),
+      leftTimeCol = "nts", rightTimeCol = "p_nts",
+      rightValueCols = Seq("p_nts"),
+      strict = true)
+      .select(col("event_id"), col("user_id"), col("view_ts"),
+        (-col("p_nts") - unix_micros(col("view_ts"))).as("delay_us"),
+        (col("p_nts").isNotNull &&
+          -col("p_nts") - unix_micros(col("view_ts")) <= 3600000000L)
+          .as("converted_1h"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id, v.user_id, v.ts AS view_ts,
+      |  epoch_us((SELECT min(p.ts) FROM p
+      |    WHERE p.user_id = v.user_id AND p.ts > v.ts)) - epoch_us(v.ts)
+      |    AS delay_us,
+      |  coalesce(epoch_us((SELECT min(p.ts) FROM p
+      |    WHERE p.user_id = v.user_id AND p.ts > v.ts)) - epoch_us(v.ts)
+      |    <= 3600000000, false) AS converted_1h
+      |FROM v""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2494,6 +2535,7 @@ object Queries {
     "q_sample_exact" -> (sampleExact _),
     "q_train_test_split" -> (trainTestSplit _),
     "q_global_topn" -> (globalTopN _),
+    "q_funnel" -> (funnel _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2584,5 +2626,6 @@ object Queries {
     "q_sample_exact" -> sampleExactSql,
     "q_train_test_split" -> trainTestSplitSql,
     "q_global_topn" -> globalTopNSql,
+    "q_funnel" -> funnelSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }
