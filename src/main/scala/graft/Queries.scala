@@ -2449,6 +2449,40 @@ object Queries {
       |    <= 3600000000, false) AS converted_1h
       |FROM v""".stripMargin
 
+  /** Per-group z-score outliers with CROSS-ENGINE-EXACT variance:
+    * l_quantity is integer-valued, so sum and sum-of-squares are exact
+    * longs at any aggregation order — mean/variance derive from them
+    * deterministically, where a floating stddev_samp would drift by
+    * merge order and flap the hash oracle. One stats aggregate
+    * broadcast back over one scan; the flag is a pure projection.
+    */
+  def groupOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"))
+    val stats = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"), sum("q").as("s"), sum(col("q") * col("q")).as("ss"))
+    li.join(broadcast(stats), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("q"),
+        // z² as an exact rational comparison: (n*q - s)² > k² * n * (n*ss - s²)/(n-1)
+        // stays in integer-derived doubles; k = 1.6
+        ((col("n") * col("q") - col("s")) * (col("n") * col("q") - col("s")) >
+          lit(1.6 * 1.6) / (col("n") - 1) * col("n") *
+            (col("n") * col("ss") - col("s") * col("s"))).as("is_outlier"))
+      .filter(col("is_outlier"))
+  }
+
+  val groupOutliersSql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      |st AS (SELECT l_returnflag, count(*) AS n, sum(q) AS s, sum(q * q) AS ss
+      |  FROM li GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, li.l_returnflag, q, true AS is_outlier
+      |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
+      |WHERE CAST((n * q - s) AS DOUBLE) * (n * q - s) >
+      |  1.6 * 1.6 / (n - 1) * n * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2536,6 +2570,7 @@ object Queries {
     "q_train_test_split" -> (trainTestSplit _),
     "q_global_topn" -> (globalTopN _),
     "q_funnel" -> (funnel _),
+    "q_group_outliers" -> (groupOutliers _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2627,5 +2662,6 @@ object Queries {
     "q_train_test_split" -> trainTestSplitSql,
     "q_global_topn" -> globalTopNSql,
     "q_funnel" -> funnelSql,
+    "q_group_outliers" -> groupOutliersSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -211,7 +211,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_sample_exact" -> 1, // per-stratum window
       "q_train_test_split" -> 0, // pure hash-range projection
       "q_global_topn" -> 0, // TakeOrderedAndProject, no exchange node
-      "q_funnel" -> 1) // union-window as-of: ONE exchange on the user key
+      "q_funnel" -> 1, // union-window as-of: ONE exchange on the user key
+      "q_group_outliers" -> 1) // stats agg broadcast back over one scan
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
