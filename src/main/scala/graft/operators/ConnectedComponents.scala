@@ -84,13 +84,16 @@ object ConnectedComponents {
     // symmetrize with ONE pass over `pairs`: a union of two projections
     // would execute the (potentially expensive — minhash etc.) pair
     // pipeline twice, since Spark does not share uncached subplans
-    // across union branches
+    // across union branches. No distinct: min-propagation is exact
+    // under duplicate and self edges (every aggregate here is a min),
+    // so deduping the edge set would buy nothing and cost a full
+    // exchange of the largest intermediate — candidate-pair sources
+    // are near-unique by construction anyway
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
       .cache()
 
     // fused first round: a node's starting label is min(itself, its
