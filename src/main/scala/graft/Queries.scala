@@ -1182,6 +1182,30 @@ object Queries {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b FROM pairs""".stripMargin
 
+  /** Incremental dedup ([[graft.operators.Dedup.incrementalCandidates]]):
+    * the batch (doc_id % 5 == 0) dedups against STORED corpus band
+    * signatures — only batch text is hashed; corpus rows enter as
+    * (id, band) pruned to touched bands. The oracle is the full-corpus
+    * pair CTE restricted to batch-touching pairs, which the operator
+    * must equal exactly (bucket bounds evaluated over full buckets).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val (pairs, _) = graft.operators.Dedup.incrementalCandidates(
+      graft.operators.Dedup.bandSignatures(
+        corpus.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+        numHashes = MinHashNumHashes, shingleSize = MinHashShingle,
+        bands = MinHashBands),
+      corpus.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+      numHashes = MinHashNumHashes, shingleSize = MinHashShingle,
+      bands = MinHashBands)
+    pairs
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b FROM pairs WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin
+
   /** Duplicate-cluster resolution: minhash candidate pairs →
     * [[graft.operators.ConnectedComponents]] min-label clusters. The
     * oracle computes the transitive closure of the SAME pair set with
@@ -2536,6 +2560,7 @@ object Queries {
     "q_decontaminate" -> (decontaminate _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinHash _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -2628,6 +2653,7 @@ object Queries {
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_clusters_stars" -> dedupClustersStarsSql,
     "q_ngram_jaccard" -> ngramJaccardPairsSql,

@@ -140,24 +140,7 @@ object Dedup {
     // (effectively unknown), which would silently skip the spread on
     // exactly the small-but-hot frames this guard exists for. Those
     // RDDs already exist, so their true partition count is free.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val plan = df.queryExecution.optimizedPlan
-    val leaves = plan.collectLeaves()
-    val estParts: BigInt =
-      if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
-        BigInt(leaves.map(_.asInstanceOf[LogicalRDD].rdd.getNumPartitions).sum)
-      else
-        (plan.stats.sizeInBytes + maxSplit - 1) / maxSplit
-    val input = if (estParts.max(1) < par) df.repartition(par) else df
-    val buckets = input
-      .select(col(idCol).as("id"),
-        NativeText.shingleHash32(
-          split(normalizeText(col(textCol)), " "), shingleSize).as("__hashes"))
-      .select(col("id"),
-        NativeText.minHashSig(col("__hashes"), numHashes).as("__sig"))
-      .select(col("id"),
-        explode(NativeText.bandHashes(col("__sig"), bands, rows)).as("band"))
+    val buckets = bandSignatures(df, textCol, idCol, numHashes, shingleSize, bands)
     val grouped = buckets
       .groupBy("band")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -169,6 +152,107 @@ object Dedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    (pairs, dropped)
+  }
+
+  /** The LSH band rows for a corpus — one (id, band) row per document
+    * per band, the thing a production pipeline PERSISTS next to the
+    * corpus so incoming batches dedup against stored signatures
+    * instead of rehashing 100 TB of text (see
+    * [[incrementalCandidates]]). Map-only: shingle hashes → signature
+    * → band keys, each stage in its own Project (Catalyst duplicates,
+    * not CSEs, expensive subtrees), zero shuffles.
+    */
+  def bandSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8): DataFrame = {
+    require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    import graft.plans.NativeText
+    NativeText.register(df.sparkSession, Seq(numHashes))
+    val rows = numHashes / bands
+    // CPU-bound per-row stage: make sure it parallelizes even when the
+    // input is one small parquet row-group (common for side tables; at
+    // real scale inputs arrive already partitioned and this is a no-op).
+    // The split count is estimated from logical-plan size stats
+    // (ceil(bytes / maxPartitionBytes) mirrors the scan's file
+    // splitting) — never from df.rdd, which forces full physical
+    // planning plus RDD lineage on every call. Overestimated stats
+    // (e.g. join products) only skip the repartition, never add one —
+    // EXCEPT for checkpointed inputs: a localCheckpoint'd frame plans
+    // as a LogicalRDD leaf whose stats default to defaultSizeInBytes
+    // (effectively unknown), which would silently skip the spread on
+    // exactly the small-but-hot frames this guard exists for. Those
+    // RDDs already exist, so their true partition count is free.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val estParts: BigInt =
+      if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
+        BigInt(leaves.map(_.asInstanceOf[LogicalRDD].rdd.getNumPartitions).sum)
+      else
+        (plan.stats.sizeInBytes + maxSplit - 1) / maxSplit
+    val input = if (estParts.max(1) < par) df.repartition(par) else df
+    input
+      .select(col(idCol).as("id"),
+        NativeText.shingleHash32(
+          split(normalizeText(col(textCol)), " "), shingleSize).as("__hashes"))
+      .select(col("id"),
+        NativeText.minHashSig(col("__hashes"), numHashes).as("__sig"))
+      .select(col("id"),
+        explode(NativeText.bandHashes(col("__sig"), bands, rows)).as("band"))
+  }
+
+  /** Incremental dedup: candidate pairs for an incoming batch against
+    * a corpus whose [[bandSignatures]] are already stored — the daily-
+    * crawl shape. Only the BATCH is hashed; the corpus contributes
+    * (id, band) rows, pruned to the bands the batch actually touches
+    * (a semi join — at scale this is the difference between reading a
+    * signature table and rehashing the corpus). Bucket membership —
+    * and therefore the `maxBucket` bound — is evaluated over the FULL
+    * bucket (corpus + batch members), so the pair set equals a full
+    * [[minHashCandidates]] run restricted to batch-touching pairs.
+    *
+    * @return (pairs, dropped) like [[minHashCandidates]]: pairs are
+    *         (id_a < id_b, distinct) with at least one batch side;
+    *         dropped lists over-limit buckets (lost recall — surface it)
+    */
+  def incrementalCandidates(
+      corpusSigs: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val newSigs = bandSignatures(incoming, textCol, idCol,
+      numHashes, shingleSize, bands)
+      .select(col("band"), struct(col("id"), lit(true).as("is_new")).as("m"))
+    val touched = newSigs.select("band").distinct()
+    val corpusMembers = corpusSigs
+      .join(touched, Seq("band"), "left_semi")
+      .select(col("band"), struct(col("id"), lit(false).as("is_new")).as("m"))
+    // sort_array on (id, is_new) structs orders by id — the same a < b
+    // enumeration the full run uses
+    val grouped = corpusMembers.unionByName(newSigs)
+      .groupBy("band")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+    val dropped = grouped.filter(size(col("ms")) > maxBucket)
+      .select(col("band"), size(col("ms")).cast("long").as("bucket_n"))
+    val pairs = grouped
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.is_new") || col("p.b.is_new"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .distinct()
     (pairs, dropped)
   }

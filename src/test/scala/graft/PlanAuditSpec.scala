@@ -212,7 +212,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_train_test_split" -> 0, // pure hash-range projection
       "q_global_topn" -> 0, // TakeOrderedAndProject, no exchange node
       "q_funnel" -> 1, // union-window as-of: ONE exchange on the user key
-      "q_group_outliers" -> 1) // stats agg broadcast back over one scan
+      "q_group_outliers" -> 1, // stats agg broadcast back over one scan
+      // batch sigs are map-only; the exchanges are touched-band
+      // distinct + semi-join sides + full-bucket group + pair distinct
+      // — every one keyed on band/pair, none on corpus text
+      "q_dedup_incremental" -> 6)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
