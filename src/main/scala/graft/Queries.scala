@@ -2507,6 +2507,36 @@ object Queries {
       |WHERE CAST((n * q - s) AS DOUBLE) * (n * q - s) >
       |  1.6 * 1.6 / (n - 1) * n * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)""".stripMargin
 
+  /** One BPE trainer step: count adjacent character pairs inside words
+    * corpus-wide, emit the top merge candidates — the inner loop of
+    * byte-pair/sentencepiece vocabulary training. Pair extraction is a
+    * per-row codegen'd array transform (no join, no per-char explode
+    * of the corpus — one explode per word pair list); the top-20 is
+    * TakeOrdered on the aggregated counts, never a global sort. Both
+    * engines index substrings by codepoint, so CJK text counts
+    * identically.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(TextFunctions.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergesSql: String =
+    """WITH w AS (SELECT unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> substr(w, i, 2))) AS pair
+      |  FROM w WHERE length(w) >= 2)
+      |SELECT pair, count(*) AS cnt FROM p
+      |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2596,6 +2626,7 @@ object Queries {
     "q_global_topn" -> (globalTopN _),
     "q_funnel" -> (funnel _),
     "q_group_outliers" -> (groupOutliers _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2689,5 +2720,6 @@ object Queries {
     "q_global_topn" -> globalTopNSql,
     "q_funnel" -> funnelSql,
     "q_group_outliers" -> groupOutliersSql,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

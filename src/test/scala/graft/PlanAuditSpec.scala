@@ -216,7 +216,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // batch sigs are map-only; the exchanges are touched-band
       // distinct + semi-join sides + full-bucket group + pair distinct
       // — every one keyed on band/pair, none on corpus text
-      "q_dedup_incremental" -> 6)
+      "q_dedup_incremental" -> 6,
+      "q_bpe_merges" -> 1) // pair-count agg; top-20 is TakeOrdered
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
