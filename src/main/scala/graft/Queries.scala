@@ -2537,6 +2537,44 @@ object Queries {
       |SELECT pair, count(*) AS cnt FROM p
       |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Edit-distance verification of near-dup pairs: levenshtein between
+    * each planted variant and its original — the character-level
+    * complement to set-based Jaccard (catches reorder-free edits that
+    * shingles blur). Restricted to pure-ASCII texts because DuckDB's
+    * levenshtein counts BYTES where Spark counts codepoints — the
+    * octet_length == length predicate is the same test in both
+    * engines. Pair workload shape: id join, per-pair O(n·m) DP kernel
+    * codegen'd per row.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(octet_length(col("text")) === length(col("text")))
+    val orig = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val variant = orig.select(
+      (col("id_a") + 1000000).as("id_b"),
+      expr("substr(text_a, 1, greatest(length(text_a) - 15, 20))").as("text_b"),
+      col("id_a"))
+    orig.join(variant, "id_a")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")) /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 6)
+          .as("edit_sim"))
+  }
+
+  val editDistancePairsSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |  WHERE strlen(text) = length(text)),
+      |o AS (SELECT doc_id AS id_a, text AS text_a FROM d WHERE doc_id % 7 = 0),
+      |v AS (SELECT id_a, id_a + 1000000 AS id_b,
+      |  substr(text_a, 1, greatest(length(text_a) - 15, 20)) AS text_b FROM o)
+      |SELECT o.id_a, v.id_b,
+      |  levenshtein(text_a, text_b) AS edit_dist,
+      |  round(1.0 - levenshtein(text_a, text_b) /
+      |    CAST(greatest(length(text_a), length(text_b)) AS DOUBLE), 6) AS edit_sim
+      |FROM o JOIN v USING (id_a)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2627,6 +2665,7 @@ object Queries {
     "q_funnel" -> (funnel _),
     "q_group_outliers" -> (groupOutliers _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_edit_distance" -> (editDistancePairs _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2721,5 +2760,6 @@ object Queries {
     "q_funnel" -> funnelSql,
     "q_group_outliers" -> groupOutliersSql,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_edit_distance" -> editDistancePairsSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }
