@@ -46,6 +46,14 @@ object TrainingCorpusJob {
       sampledOut: Long,
       packed: Long)
 
+  /** @param splitFractions when non-empty, tag every surviving doc
+    *        with a deterministic train/val/test split
+    *        ([[Sampling.split]]) and PACK EACH SPLIT SEPARATELY — a
+    *        pack that mixed splits would leak eval text into training
+    *        batches, so the pack boundary is the split boundary by
+    *        construction; output gains a `split` partition column.
+    *        Empty (default) keeps the original single-line behavior.
+    */
   def run(
       spark: SparkSession,
       inputGlob: String,
@@ -55,7 +63,8 @@ object TrainingCorpusJob {
       seed: Long = 42L,
       tokenBudget: Long = 2048L,
       shards: Int = 8,
-      minQuality: Double = 0.5): Report = {
+      minQuality: Double = 0.5,
+      splitFractions: Seq[(String, Double)] = Nil): Report = {
 
     // Per-stage metrics ride the pipeline's OWN materializations as
     // observe() listeners — no stage runs a counting action of its
@@ -124,9 +133,25 @@ object TrainingCorpusJob {
     // 7. sequence packing, 8. shard-partitioned output — the single
     // pass that fires every main-line metric
     val (obsPacked, mPacked) = counted("packed")
-    val packed = Packing.packDocuments(sampled, "doc_id", "text", tokenBudget, shards)
-      .observe(obsPacked, mPacked)
-    packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/corpus")
+    if (splitFractions.isEmpty) {
+      val packed = Packing.packDocuments(sampled, "doc_id", "text", tokenBudget, shards)
+        .observe(obsPacked, mPacked)
+      packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/corpus")
+    } else {
+      // split tag is a zero-shuffle hash-range projection; each split
+      // packs independently (the branches are disjoint pushed filters
+      // over the same lineage, like the weighted-mix union)
+      val tagged = Sampling.split(sampled, "doc_id", seed + 1, splitFractions)
+      val packed = splitFractions.map { case (name, _) =>
+        Packing.packDocuments(
+            tagged.filter(col("split") === name).drop("split"),
+            "doc_id", "text", tokenBudget, shards)
+          .withColumn("split", lit(name))
+      }.reduce(_ unionByName _)
+        .observe(obsPacked, mPacked)
+      packed.write.mode("overwrite")
+        .partitionBy("split", "shard").parquet(s"$outDir/corpus")
+    }
 
     val ingested = metric(obsIngested)
     val exactKept = metric(obsExact)
