@@ -2575,6 +2575,61 @@ object Queries {
       |    CAST(greatest(length(text_a), length(text_b)) AS DOUBLE), 6) AS edit_sim
       |FROM o JOIN v USING (id_a)""".stripMargin
 
+  /** Distribution-drift monitor: per-source chi-square of the
+    * doc-length histogram against the corpus-wide distribution — the
+    * "did source X change shape this crawl" check. KL/PSI need `ln`
+    * (engine-dependent rounding); chi-square is rational in the exact
+    * integer counts, and the per-source sum folds through
+    * DECIMAL(27,10) so it is order-independent — the same trade the
+    * BM25 odds-idf makes. Zero-observed buckets contribute their full
+    * expected mass (a source missing a bucket IS drift), via a
+    * source × bucket cross of two tiny aggregates.
+    */
+  def distributionDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+      least(floor(col("n_chars") / lit(50.0)), lit(11L)).cast("long").as("bucket"))
+    val obs = d.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+    val srcTotals = d.groupBy("source").agg(count(lit(1)).as("src_n"))
+    val buckets = d.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val total = d.agg(count(lit(1)).as("all_n"))
+    // the bucket domain is static (0..11 by construction), so the
+    // source × bucket grid is an explode + equi join on the observed
+    // buckets — no cross join; the 1-row grand total rides the audited
+    // broadcast-cross pattern
+    val grid = srcTotals
+      .withColumn("bucket", explode(sequence(lit(0L), lit(11L))))
+      .join(broadcast(buckets), "bucket")
+      .crossJoin(broadcast(total))
+    grid.join(obs, Seq("source", "bucket"), "left")
+      .select(col("source"), col("src_n"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        (col("src_n").cast("double") * col("bucket_n") / col("all_n")).as("e"))
+      .select(col("source"), col("src_n"),
+        (((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .cast("decimal(27,10)")).as("term"))
+      .groupBy("source")
+      .agg(max("src_n").as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("chi2"))
+  }
+
+  val distributionDriftSql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(least(floor(n_chars / 50.0), 11) AS BIGINT) AS bucket
+      |  FROM documents),
+      |obs AS (SELECT source, bucket, count(*) AS o FROM d GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS src_n FROM d GROUP BY 1),
+      |bk AS (SELECT bucket, count(*) AS bucket_n FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS all_n FROM d),
+      |grid AS (SELECT source, src_n, bucket, bucket_n, all_n FROM st, bk, tot),
+      |terms AS (SELECT g.source, g.src_n,
+      |    CAST((coalesce(o, 0) - e) * (coalesce(o, 0) - e) / e AS DECIMAL(27,10)) AS term
+      |  FROM (SELECT *,
+      |      CAST(src_n AS DOUBLE) * bucket_n / all_n AS e FROM grid) g
+      |  LEFT JOIN obs ON g.source = obs.source AND g.bucket = obs.bucket)
+      |SELECT source, max(src_n) AS n_docs,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+      |FROM terms GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2666,6 +2721,7 @@ object Queries {
     "q_group_outliers" -> (groupOutliers _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_edit_distance" -> (editDistancePairs _),
+    "q_distribution_drift" -> (distributionDrift _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2761,5 +2817,6 @@ object Queries {
     "q_group_outliers" -> groupOutliersSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_edit_distance" -> editDistancePairsSql,
+    "q_distribution_drift" -> distributionDriftSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

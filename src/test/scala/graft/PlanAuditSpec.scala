@@ -218,7 +218,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // — every one keyed on band/pair, none on corpus text
       "q_dedup_incremental" -> 6,
       "q_bpe_merges" -> 1, // pair-count agg; top-20 is TakeOrdered
-      "q_edit_distance" -> 0) // self-derived pair join broadcasts
+      "q_edit_distance" -> 0, // self-derived pair join broadcasts
+      "q_distribution_drift" -> 4) // obs/src/bucket/final aggs; grid joins broadcast
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
