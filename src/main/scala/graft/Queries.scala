@@ -2630,6 +2630,46 @@ object Queries {
       |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2
       |FROM terms GROUP BY 1""".stripMargin
 
+  /** Asymmetric containment on the known (original, prefix-variant)
+    * pairs ([[graft.operators.Dedup.ngramContainment]]): the variant
+    * is a prefix of the original, so cont_b ≈ 1 while Jaccard is
+    * diluted by the original's extra tail — the quote/subset signal
+    * set-symmetric measures blur.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = t(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000).as("id_b"))
+    graft.operators.Dedup.ngramContainment(
+      corpus, pairs, "text", "doc_id", MinHashShingle)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |words AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |    s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)))
+       |  AS sh FROM words),
+       |pairs AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+       |  FROM documents WHERE doc_id % 7 = 0)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |  CAST(len(a.sh) AS BIGINT) AS size_a,
+       |  CAST(len(b.sh) AS BIGINT) AS size_b,
+       |  CASE WHEN len(a.sh) > 0 THEN round(
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+       |    ELSE 0.0 END AS cont_a,
+       |  CASE WHEN len(b.sh) > 0 THEN round(
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)
+       |    ELSE 0.0 END AS cont_b
+       |FROM pairs JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2722,6 +2762,7 @@ object Queries {
     "q_bpe_merges" -> (bpeMerges _),
     "q_edit_distance" -> (editDistancePairs _),
     "q_distribution_drift" -> (distributionDrift _),
+    "q_containment" -> (containmentPairs _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
@@ -2818,5 +2859,6 @@ object Queries {
     "q_bpe_merges" -> bpeMergesSql,
     "q_edit_distance" -> editDistancePairsSql,
     "q_distribution_drift" -> distributionDriftSql,
+    "q_containment" -> containmentPairsSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -297,6 +297,40 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh")))
 
+  /** Asymmetric containment for the same candidate pairs:
+    * cont_a = |A∩B| / |A| (how much of A lives inside B) and the
+    * mirror — the quote/subset detector Jaccard blurs (a short doc
+    * fully embedded in a long one has low Jaccard but cont ≈ 1).
+    * Same shapes and hashed-shingle convention as [[ngramJaccard]].
+    */
+  def ngramContainment(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    import graft.plans.NativeText
+    NativeText.register(df.sparkSession)
+    val sets = df.select(
+      col(idCol).as("id"),
+      array_distinct(NativeText.shingleHash32(
+        split(normalizeText(col(textCol)), " "), shingleSize)).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        col("inter").cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("size_a"),
+        size(col("sh_b")).cast("long").as("size_b"),
+        when(size(col("sh_a")) > 0,
+          round(col("inter") / size(col("sh_a")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("cont_a"),
+        when(size(col("sh_b")) > 0,
+          round(col("inter") / size(col("sh_b")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("cont_b"))
+  }
+
   private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -219,7 +219,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_dedup_incremental" -> 6,
       "q_bpe_merges" -> 1, // pair-count agg; top-20 is TakeOrdered
       "q_edit_distance" -> 0, // self-derived pair join broadcasts
-      "q_distribution_drift" -> 4) // obs/src/bucket/final aggs; grid joins broadcast
+      "q_distribution_drift" -> 4, // obs/src/bucket/final aggs; grid joins broadcast
+      "q_containment" -> 2) // pair joins on id; shingle sets computed once per side
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
