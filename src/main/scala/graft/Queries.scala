@@ -2473,12 +2473,13 @@ object Queries {
       |    <= 3600000000, false) AS converted_1h
       |FROM v""".stripMargin
 
-  /** Per-group z-score outliers with CROSS-ENGINE-EXACT variance:
-    * l_quantity is integer-valued, so sum and sum-of-squares are exact
-    * longs at any aggregation order — mean/variance derive from them
-    * deterministically, where a floating stddev_samp would drift by
-    * merge order and flap the hash oracle. One stats aggregate
-    * broadcast back over one scan; the flag is a pure projection.
+  /** Per-group z-score outliers with CROSS-ENGINE-DETERMINISTIC
+    * variance: l_quantity is integer-valued, so sum and sum-of-squares
+    * are exact longs at any aggregation order — the z-test then runs
+    * in double with the identical operation order on both engines,
+    * where a floating stddev_samp would drift by merge order and flap
+    * the hash oracle. One stats aggregate broadcast back over one
+    * scan; the flag is a pure projection.
     */
   def groupOutliers(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -2486,14 +2487,19 @@ object Queries {
         col("l_quantity").cast("long").as("q"))
     val stats = li.groupBy("l_returnflag").agg(
       count(lit(1)).as("n"), sum("q").as("s"), sum(col("q") * col("q")).as("ss"))
+    // z² as (n·q - s)² > k²·n·(n·ss - s²)/(n-1), k = 1.6. The SUMS are
+    // exact longs; the products run in DOUBLE from the first factor —
+    // long products would overflow past ~3e9 rows per group (ANSI
+    // throw), and the oracle must replay the identical IEEE operation
+    // order, so both sides spell the same double formula.
+    val nD = col("n").cast("double")
+    val dev = nD * col("q") - col("s")
     li.join(broadcast(stats), "l_returnflag")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("q"),
-        // z² as an exact rational comparison: (n*q - s)² > k² * n * (n*ss - s²)/(n-1)
-        // stays in integer-derived doubles; k = 1.6
-        ((col("n") * col("q") - col("s")) * (col("n") * col("q") - col("s")) >
-          lit(1.6 * 1.6) / (col("n") - 1) * col("n") *
-            (col("n") * col("ss") - col("s") * col("s"))).as("is_outlier"))
+        (dev * dev >
+          lit(1.6 * 1.6) / (nD - 1) * col("n") *
+            (nD * col("ss") - col("s").cast("double") * col("s"))).as("is_outlier"))
       .filter(col("is_outlier"))
   }
 
@@ -2504,8 +2510,9 @@ object Queries {
       |  FROM li GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, li.l_returnflag, q, true AS is_outlier
       |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
-      |WHERE CAST((n * q - s) AS DOUBLE) * (n * q - s) >
-      |  1.6 * 1.6 / (n - 1) * n * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)""".stripMargin
+      |WHERE (CAST(n AS DOUBLE) * q - s) * (CAST(n AS DOUBLE) * q - s) >
+      |  1.6 * 1.6 / (CAST(n AS DOUBLE) - 1) * n *
+      |    (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)""".stripMargin
 
   /** One BPE trainer step: count adjacent character pairs inside words
     * corpus-wide, emit the top merge candidates — the inner loop of
@@ -2589,9 +2596,13 @@ object Queries {
     val d = t(s, dir, "documents").select(col("source"),
       least(floor(col("n_chars") / lit(50.0)), lit(11L)).cast("long").as("bucket"))
     val obs = d.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
-    val srcTotals = d.groupBy("source").agg(count(lit(1)).as("src_n"))
-    val buckets = d.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-    val total = d.agg(count(lit(1)).as("all_n"))
+    // the coarser totals are exact roll-ups of obs — deriving them
+    // from the same aggregate makes the obs exchange subtree identical
+    // in all four places, so ReuseExchange collapses the plan to ONE
+    // corpus scan + shuffle instead of four scans
+    val srcTotals = obs.groupBy("source").agg(sum("o").as("src_n"))
+    val buckets = obs.groupBy("bucket").agg(sum("o").as("bucket_n"))
+    val total = obs.agg(sum("o").as("all_n"))
     // the bucket domain is static (0..11 by construction), so the
     // source × bucket grid is an explode + equi join on the observed
     // buckets — no cross join; the 1-row grand total rides the audited

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * "easy → hard" or "low → high quality" schedule step before
   * training-data export).
   *
-  * Two formulations with the same output contract
-  * (`bin ∈ [1, bins]`, plus the row's percentile rank):
+  * Two formulations assigning `bin ∈ [1, bins]` per row —
+  * [[exactBins]] additionally emits the exact `pct_rank` (the sketch
+  * path has no per-row rank to give):
   *
   *   - [[exactBins]] — `ntile` over a per-stratum window. Exact and
   *     deterministic (the ordering is made total with the id

@@ -120,26 +120,9 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
-    require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) " +
-        "— otherwise signature values are silently ignored, and bands > " +
-        "numHashes would key every document into identical empty-slice buckets")
-    import graft.plans.NativeText
-    NativeText.register(df.sparkSession, Seq(numHashes))
-    val rows = numHashes / bands
-    // CPU-bound per-row stage: make sure it parallelizes even when the
-    // input is one small parquet row-group (common for side tables; at
-    // real scale inputs arrive already partitioned and this is a no-op).
-    // The split count is estimated from logical-plan size stats
-    // (ceil(bytes / maxPartitionBytes) mirrors the scan's file
-    // splitting) — never from df.rdd, which forces full physical
-    // planning plus RDD lineage on every call. Overestimated stats
-    // (e.g. join products) only skip the repartition, never add one —
-    // EXCEPT for checkpointed inputs: a localCheckpoint'd frame plans
-    // as a LogicalRDD leaf whose stats default to defaultSizeInBytes
-    // (effectively unknown), which would silently skip the spread on
-    // exactly the small-but-hot frames this guard exists for. Those
-    // RDDs already exist, so their true partition count is free.
+    // hashing pipeline, input-parallelism guard, and the require() all
+    // live in bandSignatures (the persistable signature store shares
+    // them verbatim)
     val buckets = bandSignatures(df, textCol, idCol, numHashes, shingleSize, bands)
     val grouped = buckets
       .groupBy("band")
@@ -172,7 +155,9 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8): DataFrame = {
     require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) " +
+        "— otherwise signature values are silently ignored, and bands > " +
+        "numHashes would key every document into identical empty-slice buckets")
     import graft.plans.NativeText
     NativeText.register(df.sparkSession, Seq(numHashes))
     val rows = numHashes / bands
@@ -232,8 +217,14 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    // eager-checkpoint the batch signatures: they feed BOTH the
+    // touched-band probe and the membership union, and Spark shares no
+    // uncached subplan across branches — without this the batch text
+    // would be shingled and sha-hashed twice, breaking the "only the
+    // batch is hashed (once)" contract
     val newSigs = bandSignatures(incoming, textCol, idCol,
       numHashes, shingleSize, bands)
+      .localCheckpoint(true)
       .select(col("band"), struct(col("id"), lit(true).as("is_new")).as("m"))
     val touched = newSigs.select("band").distinct()
     val corpusMembers = corpusSigs

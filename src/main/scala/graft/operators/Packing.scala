@@ -29,15 +29,22 @@ import graft.functions.TextFunctions
   */
 object Packing {
 
+  /** @param extraKeyCols additional pack-boundary columns prepended to
+    *        the shard key — e.g. a train/val/test split tag, so packs
+    *        never span splits, in the SAME single pass (the window key
+    *        becomes (extra..., shard); no per-split re-execution)
+    */
   def packDocuments(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       tokenBudget: Long,
-      shards: Int): DataFrame = {
+      shards: Int,
+      extraKeyCols: Seq[String] = Nil): DataFrame = {
     require(tokenBudget > 0 && shards > 0,
       s"need positive budget/shards, got $tokenBudget/$shards")
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val packKey = extraKeyCols :+ "shard"
+    val w = Window.partitionBy(packKey.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
@@ -48,7 +55,8 @@ object Packing {
       .withColumn("pack_id",
         floor((col("__cum") - col("n_tokens")) / tokenBudget).cast("long"))
       .withColumn("pack_pos",
-        row_number().over(Window.partitionBy("shard", "pack_id").orderBy(col(idCol)))
+        row_number().over(
+          Window.partitionBy((packKey :+ "pack_id").map(col): _*).orderBy(col(idCol)))
           .cast("long"))
       .drop("__cum")
   }

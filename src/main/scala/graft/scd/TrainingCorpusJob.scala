@@ -138,16 +138,15 @@ object TrainingCorpusJob {
         .observe(obsPacked, mPacked)
       packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/corpus")
     } else {
-      // split tag is a zero-shuffle hash-range projection; each split
-      // packs independently (the branches are disjoint pushed filters
-      // over the same lineage, like the weighted-mix union)
+      // split tag is a zero-shuffle hash-range projection, and the
+      // split rides the pack window key — ONE pass, with the split
+      // boundary being the pack boundary by construction (a per-split
+      // filter-and-union would re-execute the redaction/quality/sample
+      // lineage once per split)
       val tagged = Sampling.split(sampled, "doc_id", seed + 1, splitFractions)
-      val packed = splitFractions.map { case (name, _) =>
-        Packing.packDocuments(
-            tagged.filter(col("split") === name).drop("split"),
-            "doc_id", "text", tokenBudget, shards)
-          .withColumn("split", lit(name))
-      }.reduce(_ unionByName _)
+      val packed = Packing.packDocuments(
+          tagged, "doc_id", "text", tokenBudget, shards,
+          extraKeyCols = Seq("split"))
         .observe(obsPacked, mPacked)
       packed.write.mode("overwrite")
         .partitionBy("split", "shard").parquet(s"$outDir/corpus")

@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
       "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
-      "q_lm_perplexity", "q_collocations")
+      "q_lm_perplexity", "q_collocations", "q_dedup_incremental")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -219,7 +219,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_dedup_incremental" -> 6,
       "q_bpe_merges" -> 1, // pair-count agg; top-20 is TakeOrdered
       "q_edit_distance" -> 0, // self-derived pair join broadcasts
-      "q_distribution_drift" -> 4, // obs/src/bucket/final aggs; grid joins broadcast
+      // ONE corpus scan: the coarser totals re-aggregate obs's tiny
+      // (source, bucket) output, costing extra small exchanges instead
+      // of three more corpus scans
+      "q_distribution_drift" -> 7,
       "q_containment" -> 2) // pair joins on id; shingle sets computed once per side
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {

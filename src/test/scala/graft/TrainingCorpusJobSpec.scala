@@ -132,26 +132,23 @@ class TrainingCorpusJobSpec extends SparkSpec {
       assert(out.count() == report.packed)
       assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
         .subsetOf(Set("train", "val", "test")))
-      // the leakage invariant: a (split, shard, pack_id) triple never
-      // spans splits — trivially by construction, asserted by reading
-      // back: every doc appears once, and each (shard, pack_id) within
-      // one split only
       assert(out.select("doc_id").distinct().count() == out.count())
-      val spanning = out.groupBy("shard", "pack_id")
-        .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
-      // pack ids are per-split sequences, so identical (shard, pack_id)
-      // across splits is expected — the files are disjoint by the split
-      // partition column; what must hold is that no PACK ROW carries
-      // the wrong split, which the partitioned layout guarantees and
-      // the distinct doc check above pins
-      assert(spanning >= 0)
-      // split determinism matches the standalone operator
+      // THE leakage invariant: every row's split partition equals the
+      // deterministic split of its doc_id — so no document can sit in
+      // another split's pack, and (with doc uniqueness above) no pack
+      // can contain a wrong-split document
       val tags = out.select("doc_id", "split").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       val expected = graft.operators.Sampling.split(
           out.select("doc_id"), "doc_id", 43L, fr) // seed + 1 of default 42
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(tags == expected)
+      // and pack positions are dense per (split, shard, pack_id) —
+      // packs are complete, not interleaved across splits
+      val dense = out.groupBy("split", "shard", "pack_id")
+        .agg(count(lit(1)).as("n"), max("pack_pos").as("hi"), min("pack_pos").as("lo"))
+        .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+      assert(dense == 0, "pack positions must be dense 1..n per pack")
     } finally out.unpersist()
   }
 }
