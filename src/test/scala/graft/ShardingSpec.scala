@@ -50,6 +50,21 @@ class ShardingSpec extends SparkSpec {
     assert(sizes.forall(n => n > 175 && n < 325), sizes.mkString(","))
   }
 
+  test("shardLayout + partitionBy writes exactly one file per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sharding.shardLayout(Sharding.shardAssign(docs, "id", 4, 7L))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$dir/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh has ${files.length} files")
+    }
+    // and the read-back order within a shard file is position order
+    val back = spark.read.parquet(dir).filter(col("shard") === 0)
+      .select("shard_pos").collect().map(_.getLong(0))
+    assert(back.sameElements(back.sorted), "shard file must be in position order")
+  }
+
   test("shardLayout: each shard wholly in one task, contiguous and in position order") {
     val laid = Sharding.shardLayout(Sharding.shardAssign(docs, "id", 4, 7L))
     val parts = laid.select("shard", "shard_pos").rdd
