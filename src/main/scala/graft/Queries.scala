@@ -2498,7 +2498,11 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("q"),
         (dev * dev >
-          lit(1.6 * 1.6) / (nD - 1) * col("n") *
+          // k² spelled as the literal 2.56 on BOTH sides: Scala's
+          // 1.6*1.6 rounds to a different double than DuckDB's exact
+          // DECIMAL product — a 1-ulp constant gap that could flap
+          // boundary rows
+          lit(2.56) / (nD - 1) * col("n") *
             (nD * col("ss") - col("s").cast("double") * col("s"))).as("is_outlier"))
       .filter(col("is_outlier"))
   }
@@ -2511,7 +2515,7 @@ object Queries {
       |SELECT l_orderkey, l_linenumber, li.l_returnflag, q, true AS is_outlier
       |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
       |WHERE (CAST(n AS DOUBLE) * q - s) * (CAST(n AS DOUBLE) * q - s) >
-      |  1.6 * 1.6 / (CAST(n AS DOUBLE) - 1) * n *
+      |  2.56 / (CAST(n AS DOUBLE) - 1) * n *
       |    (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)""".stripMargin
 
   /** One BPE trainer step: count adjacent character pairs inside words

@@ -217,14 +217,16 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
-    // eager-checkpoint the batch signatures: they feed BOTH the
+    // LAZY-checkpoint the batch signatures: they feed BOTH the
     // touched-band probe and the membership union, and Spark shares no
     // uncached subplan across branches — without this the batch text
     // would be shingled and sha-hashed twice, breaking the "only the
-    // batch is hashed (once)" contract
+    // batch is hashed (once)" contract. Lazy (not eager) so merely
+    // constructing the frames launches no job; the backing RDD
+    // materializes once on the first action and both branches read it.
     val newSigs = bandSignatures(incoming, textCol, idCol,
       numHashes, shingleSize, bands)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .select(col("band"), struct(col("id"), lit(true).as("is_new")).as("m"))
     val touched = newSigs.select("band").distinct()
     val corpusMembers = corpusSigs
