@@ -244,7 +244,9 @@ object Dedup {
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
-      .filter(col("p.a.is_new") || col("p.b.is_new"))
+      .filter((col("p.a.is_new") || col("p.b.is_new")) &&
+        col("p.a.id") =!= col("p.b.id")) // an id present on both sides
+                                         // must not self-pair
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .distinct()
     (pairs, dropped)

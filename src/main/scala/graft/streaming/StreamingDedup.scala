@@ -41,6 +41,47 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Incremental streaming near-dup detection: a foreachBatch writer
+    * that pairs each micro-batch against the PERSISTED signature store
+    * ([[graft.operators.Dedup.incrementalCandidates]]) and then adds
+    * the batch's signatures to the store — so every document is
+    * shingled and hashed exactly once, ever, and a pair is emitted in
+    * the batch where its LATER document arrives.
+    *
+    * Idempotent replay: pairs and signatures both land in
+    * `batch_id=N` partition directories (overwrite), and the store
+    * read excludes the replaying batch's own ids (left anti on the
+    * batch), so a re-delivered batch recomputes byte-identical output
+    * against the same pre-batch state. Ids must be globally unique
+    * across batches (the corpus contract everywhere else).
+    */
+  def incrementalDedupBatch(
+      storeDir: String,
+      pairsDir: String,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      maxBucket: Int = 1000)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val empty = Dedup.bandSignatures(
+      batch.limit(0), textCol, idCol, numHashes, shingleSize, bands)
+    val store =
+      if (new java.io.File(storeDir).isDirectory)
+        spark.read.parquet(storeDir).select("id", "band")
+          .join(broadcast(batch.select(col(idCol).as("id")).distinct()),
+            Seq("id"), "left_anti")
+      else empty
+    val (pairs, dropped) = Dedup.incrementalCandidates(
+      store, batch, textCol, idCol, numHashes, shingleSize, bands, maxBucket)
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    dropped.write.mode("overwrite").parquet(s"$pairsDir/__dropped__/batch_id=$batchId")
+    Dedup.bandSignatures(batch, textCol, idCol, numHashes, shingleSize, bands)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
   /** Attach dedup signatures on ingest: exact fingerprint, simhash, and
     * minhash-LSH band keys (exploded downstream for bucket routing).
     * Stateless — safe in any output mode, no streaming state at all;

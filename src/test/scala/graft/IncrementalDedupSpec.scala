@@ -52,6 +52,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pairSet(incStored) == pairSet(incLive))
   }
 
+  test("streaming batches against the store discover exactly the full-corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("incstream").toString
+    val (storeDir, pairsDir) = (s"$dir/store", s"$dir/pairs")
+    val merge = graft.streaming.StreamingDedup.incrementalDedupBatch(
+      storeDir, pairsDir, "text", "doc_id") _
+
+    // three arrival waves by id residue; every doc hashed exactly once
+    val waves = Seq(
+      all.filter(col("doc_id") % 3 === 0),
+      all.filter(col("doc_id") % 3 === 1),
+      all.filter(col("doc_id") % 3 === 2))
+    waves.zipWithIndex.foreach { case (b, i) => merge(b, i.toLong) }
+
+    val streamed = pairSet(spark.read.parquet(pairsDir).select("id_a", "id_b"))
+    val (full, _) = Dedup.minHashCandidates(all, "text", "doc_id")
+    assert(streamed == pairSet(full),
+      "union of per-batch pair outputs must equal the full-corpus run")
+
+    // replay the LAST batch: its store partition already exists, yet
+    // output must be byte-identical (anti-join restores pre-batch state)
+    val before = streamed
+    merge(waves(2), 2L)
+    val after = pairSet(spark.read.parquet(pairsDir).select("id_a", "id_b"))
+    assert(after == before, "replayed batch must be idempotent")
+  }
+
   test("maxBucket counts the full bucket (corpus + batch members)") {
     import spark.implicits._
     // 5 identical docs: 3 stored, 2 incoming -> every band bucket has 5
