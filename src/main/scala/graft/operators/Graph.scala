@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames — the
+  * corpus-graph shapes that [[ConnectedComponents]] does not cover:
+  * triangle counting (local clustering / community density over a
+  * near-dup or co-occurrence graph), k-core decomposition (dense-core
+  * extraction, the standard spam/boilerplate-cluster signal), and a
+  * deterministic integer PageRank (authority weighting for
+  * quality-aware sampling).
+  *
+  * All three are exact-integer algorithms end to end, so their results
+  * are engine-portable without an epsilon: PageRank runs in scaled
+  * fixed-point (`Long` ranks, floor division) rather than doubles,
+  * trading ~1e-12 of relative precision for bit-identical results on
+  * any engine and any partitioning — a sum of longs has no
+  * floating-point fold-order problem.
+  *
+  * Scale design (the 100 TB story):
+  *   - the edge list is `localCheckpoint`ed once and every pass reads
+  *     the materialized form — degree, orientation, wedges and the
+  *     closing join never recompute the (possibly expensive) edge
+  *     derivation;
+  *   - triangle counting uses DEGREE ORIENTATION (each undirected edge
+  *     directed from its (degree, id)-smaller endpoint): every
+  *     out-neighborhood is bounded by O(sqrt(|E|)), so the wedge
+  *     self-join never explodes on a high-degree hub — the classic
+  *     distributed-triangle bound (Suri & Vassilvitskii, "Counting
+  *     Triangles and the Curse of the Last Reducer", WWW'11);
+  *   - k-core peeling and PageRank keep ALL per-round state on the
+  *     executors; the driver holds one observed Long per round
+  *     (edge-set checksum), exactly the [[ConnectedComponents]]
+  *     contract — one job per round via `observe()` + eager
+  *     `localCheckpoint`, flat lineage across rounds;
+  *   - symmetrization explodes a 2-element array instead of unioning
+  *     two projections, so the upstream plan is scanned ONCE.
+  */
+object Graph {
+
+  /** Canonical undirected edge set: endpoints ordered (`a < b`),
+    * self-loops dropped, duplicates (either orientation) collapsed.
+    * One shuffle (the distinct).
+    */
+  def canonicalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Both directions of a canonical edge set from ONE scan of the
+    * upstream plan (array-explode, not a self-union — a union of two
+    * projections of the same uncached subplan executes it twice).
+    */
+  private def symmetrize(canon: DataFrame): DataFrame =
+    canon
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** Eager per-round materialization: one job that checkpoints `df`
+    * AND folds the given metric via `observe()` — no follow-up
+    * aggregate pass. Mirrors [[ConnectedComponents]].
+    */
+  private def checkpointWithMetric(
+      df: DataFrame, metric: Column): (DataFrame, Long) = {
+    val obs = Observation()
+    val cp = df.observe(obs, metric.as("m")).localCheckpoint(true)
+    (cp, obs.get("m").asInstanceOf[Long])
+  }
+
+  /** Per-node triangle counts over an undirected graph. Returns
+    * `(node, n_triangles)` for every node on at least one triangle;
+    * the global triangle count is `sum(n_triangles) / 3`.
+    *
+    * Degree-oriented: an edge u—v is directed u→v iff
+    * `(deg(u), u) < (deg(v), v)` (a total order, so the orientation is
+    * acyclic); a triangle u<v<w in that order is found exactly once as
+    * the wedge (u→v, u→w) closed by u→v's oriented edge v→w. Wedge
+    * width from any node is O(sqrt(|E|)), independent of hub degree.
+    *
+    * @param canonical set true when `edges` is ALREADY deduplicated
+    *        with `src < dst` and no self-loops (skips one shuffle)
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String = "a",
+      dstCol: String = "b",
+      canonical: Boolean = false): DataFrame = {
+    val canon0 =
+      if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else canonicalize(edges, srcCol, dstCol)
+    // materialize once: degree, orientation and the closing join all
+    // re-read this instead of re-deriving the edge list
+    val canon = canon0.localCheckpoint(true)
+
+    val deg = symmetrize(canon)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+    // materialized too: the wedge self-join reads it twice and the
+    // closing join a third time — without the checkpoint each consumer
+    // re-runs the two degree joins (observed: 17 exchanges collapse
+    // to 5). O(|E|) rows, same cost class as the edge list itself.
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true)
+
+    val o1 = oriented.select(
+      col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
+    val o2 = oriented.select(
+      col("src"), col("dst").as("d2"), col("ddeg").as("g2"))
+    // each unordered out-pair once (d1 < d2 dedups the pair; the
+    // orientation order of the pair itself is re-derived from (g, d))
+    val wedges = o1
+      .join(o2, Seq("src"))
+      .filter(col("d1") < col("d2"))
+      .select(
+        col("src").as("u"),
+        when(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")),
+          col("d1")).otherwise(col("d2")).as("v"),
+        when(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")),
+          col("d2")).otherwise(col("d1")).as("w"))
+
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    wedges
+      .join(closing, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // the edge set only ever SHRINKS under peeling, so an unchanged
+  // order-independent fingerprint <=> fixpoint; coalesce keeps the
+  // empty-core round from erroring (bit_xor of zero rows is null)
+  private val edgeChecksum =
+    coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))
+
+  /** k-core of an undirected graph: iteratively peel nodes of degree
+    * < k (with their edges) until fixpoint or `maxRounds`. Returns
+    * `(node, core_degree)` — each surviving node with its degree
+    * INSIDE the core.
+    *
+    * Determinism under a round budget: peeling is monotone (the edge
+    * set only shrinks), and one synchronous round is a pure function
+    * of the previous edge set — so "exactly R rounds" is
+    * engine-portable even when R stops short of the fixpoint, and a
+    * converged run is identical to any larger budget. Early exit on
+    * the observed fingerprint; per-round driver state is one Long.
+    *
+    * Scale shape per round: one map-side-combined degree aggregate
+    * (never a per-node window — a hub's edge partition must not
+    * materialize in one task) and two semi-joins, all keyed on node.
+    */
+  def kcore(
+      edges: DataFrame,
+      k: Int,
+      srcCol: String = "a",
+      dstCol: String = "b",
+      maxRounds: Int = 16,
+      canonical: Boolean = false): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"need k,maxRounds >= 1, got $k, $maxRounds")
+    val canon =
+      if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else canonicalize(edges, srcCol, dstCol)
+    var (cur, sum) = checkpointWithMetric(symmetrize(canon), edgeChecksum)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val keep = cur
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      val next = cur
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      val (cp, s) = checkpointWithMetric(next, edgeChecksum)
+      if (s == sum) done = true
+      else { cur = cp; sum = s; round += 1 }
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Deterministic fixed-point PageRank over the UNDIRECTED graph
+    * (both directions of every edge), `iters` synchronous iterations:
+    *
+    * {{{ r'(v) = floor(0.15 * scale) + floor(85 * sum_{u~v} floor(r(u) / deg(u)) / 100) }}}
+    *
+    * All arithmetic is `Long` — floor division for the per-neighbor
+    * share and the damping — so the result is bit-identical across
+    * engines and partitionings (no double fold-order sensitivity), at
+    * ~1e-12 relative precision for the default scale. ANSI mode makes
+    * any overflow loud; the documented bound is
+    * `85 * |V| * scale < 2^63` (|V| up to ~1e8 at the default scale —
+    * shrink `scale` for larger graphs).
+    *
+    * Per iteration: one join of the materialized edge list with the
+    * rank table (node-keyed), one map-side-combined sum to the
+    * receiving node, one left join back to the node table for
+    * isolated-in-round nodes; ranks are checkpointed each round so
+    * lineage stays flat. Driver state: zero rows.
+    *
+    * Returns `(node, rank)`; a rank of `scale` is the uniform prior.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "a",
+      dstCol: String = "b",
+      scale: Long = 1000000000000L,
+      canonical: Boolean = false): DataFrame = {
+    require(iters >= 0 && scale >= 100, s"need iters >= 0, scale >= 100, got $iters, $scale")
+    val canon =
+      if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else canonicalize(edges, srcCol, dstCol)
+    val sym = symmetrize(canon).localCheckpoint(true)
+    val base = scale * 15L / 100L
+    var ranks = sym
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("r", lit(scale))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = sym
+        .join(ranks.select(col("node").as("src"), col("deg"), col("r")), "src")
+        .select(col("dst"), expr("r DIV deg").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("c"))
+      ranks = ranks
+        .select("node", "deg")
+        .join(contrib.select(col("dst").as("node"), col("c")), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

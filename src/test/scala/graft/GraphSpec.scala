@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("a", "b")
+
+  private def triMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // ------------------------------------------------------------ canonical
+
+  test("canonicalize orders endpoints, drops self-loops and dups") {
+    val c = Graph.canonicalize(
+      edges((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L)), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(c == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("triangles are invariant under edge direction and duplication") {
+    val clean = triMap(Graph.triangles(edges((1L, 2L), (2L, 3L), (1L, 3L))))
+    val messy = triMap(Graph.triangles(
+      edges((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L))))
+    assert(clean == messy && clean == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ------------------------------------------------------------ triangles
+
+  test("K4: every node is on 3 triangles; path and star have none") {
+    val k4 = triMap(Graph.triangles(edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), canonical = true))
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.triangles(edges((1L, 2L), (2L, 3L), (3L, 4L))).count() == 0)
+    assert(Graph.triangles(edges((1L, 2L), (1L, 3L), (1L, 4L))).count() == 0)
+  }
+
+  test("two triangles sharing an edge count the shared nodes twice") {
+    // 1-2-3 and 2-3-4 share edge 2-3
+    val m = triMap(Graph.triangles(edges(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)), canonical = true))
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangle counts match a brute-force check on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = es.flatMap { case (a, b) =>
+      (adj(a) & adj(b)).toSeq.map(c => Seq(a, b, c).sorted)
+    }.distinct.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(triMap(Graph.triangles(edges(es: _*), canonical = true)) == expected)
+  }
+
+  // ------------------------------------------------------------ k-core
+
+  test("3-core of K4 plus a pendant chain is exactly the K4") {
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val core = triMap(Graph.kcore(g, k = 3, canonical = true))
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a chain peels away round by round; under-budget rounds truncate deterministically") {
+    // path 1-2-3-4-5-6: 2-core is empty, one endpoint layer per round
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(Graph.kcore(path, k = 2, canonical = true).count() == 0)
+    // after exactly ONE round only the endpoints are gone
+    val one = triMap(Graph.kcore(path, k = 2, maxRounds = 1, canonical = true))
+    assert(one.keySet == Set(2L, 3L, 4L, 5L))
+    // a converged run equals any larger budget
+    val a = triMap(Graph.kcore(path, k = 2, maxRounds = 8, canonical = true))
+    val b = triMap(Graph.kcore(path, k = 2, maxRounds = 100, canonical = true))
+    assert(a == b)
+  }
+
+  test("k=1 core keeps every non-isolated node with its degree") {
+    val g = edges((1L, 2L), (2L, 3L), (4L, 5L))
+    val m = triMap(Graph.kcore(g, k = 1, canonical = true))
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  // ------------------------------------------------------------ pagerank
+
+  test("any regular graph is a fixed point: every rank stays at scale") {
+    // K3 (2-regular) and C4 (2-regular)
+    for (g <- Seq(
+        edges((1L, 2L), (1L, 3L), (2L, 3L)),
+        edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))) {
+      val r = Graph.pageRank(g, iters = 5, canonical = true)
+        .as[(Long, Long)].collect().toMap
+      assert(r.values.toSet == Set(1000000000000L), r.toString)
+    }
+  }
+
+  test("pageRank matches an in-memory integer reference on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val scale = 1000000000000L
+    var r = adj.keys.map(_ -> scale).toMap
+    for (_ <- 0 until 4) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, ns) <- adj; share = r(u) / ns.size; v <- ns)
+        contrib(v) += share
+      r = adj.keys.map(u => u -> (scale * 15L / 100L + 85L * contrib(u) / 100L)).toMap
+    }
+    val got = Graph.pageRank(edges(es: _*), iters = 4, canonical = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r)
+  }
+
+  test("higher-degree hubs outrank leaves after one iteration of a star") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val r = Graph.pageRank(star, iters = 1, canonical = true)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(3L) == r(4L) && r(4L) == r(5L))
+    // hub absorbs all four full shares: 0.15 + 0.85*4 of scale
+    assert(r(1L) == 150000000000L + 85L * 4000000000000L / 100L)
+    // each leaf gets a quarter share of the hub
+    assert(r(2L) == 150000000000L + 85L * 250000000000L / 100L)
+  }
+}

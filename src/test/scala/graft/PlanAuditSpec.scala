@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
       "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
-      "q_lm_perplexity", "q_collocations", "q_dedup_incremental")
+      "q_lm_perplexity", "q_collocations", "q_dedup_incremental",
+      // graph ops: the edge list (triangles) / per-round edge and rank
+      // tables (kcore, pagerank) are executor-resident checkpoints
+      "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -223,7 +226,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (source, bucket) output, costing extra small exchanges instead
       // of three more corpus scans
       "q_distribution_drift" -> 7,
-      "q_containment" -> 2) // pair joins on id; shingle sets computed once per side
+      "q_containment" -> 2, // pair joins on id; shingle sets computed once per side
+      // from the checkpointed oriented-edge table on: wedge self-join
+      // sides (2) + closing-join sides (2) + corner agg (1); edge
+      // derivation and the two degree joins ran once at construction
+      "q_graph_triangles" -> 5,
+      "q_graph_kcore" -> 1, // per-round peels are construction-time jobs; final core-degree agg
+      "q_graph_pagerank" -> 0) // pure select over the checkpointed rank table
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
