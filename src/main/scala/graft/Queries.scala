@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, NgramLm, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
+import graft.operators.{Dedup, Graph, InvertedIndex, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
 
 /** The engine's query inventory: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
@@ -2795,6 +2795,92 @@ object Queries {
       |SELECT node, r AS rank FROM r4""".stripMargin
   }
 
+  /** Deterministic random walks over the co-order graph
+    * ([[graft.operators.Graph.randomWalks]]): 4 hops from every node,
+    * next hop = min sha-derived hash over the neighbors — a map-side
+    * `min`, no window, no indexed adjacency. Bit-identical on any
+    * engine; the oracle unrolls the same four hops.
+    */
+  def graphWalks(s: SparkSession, dir: String): DataFrame =
+    Graph.randomWalks(coOrderEdges(s, dir), steps = 4, seed = 7L, canonical = true)
+
+  val graphWalksSql: String = {
+    val step = (i: Int, j: Int) =>
+      s"""w$j AS (
+        |  SELECT walk_id,
+        |    CAST(min(h * 4294967296 + e.dst) % 4294967296 AS BIGINT) AS cur,
+        |    max(path) || ',' ||
+        |      CAST(CAST(min(h * 4294967296 + e.dst) % 4294967296 AS BIGINT) AS VARCHAR) AS path
+        |  FROM (
+        |    SELECT w.walk_id, w.path, e.dst,
+        |      CAST(('0x' || substr(sha256(
+        |        '7:' || CAST(w.walk_id AS VARCHAR) || ':$j:' || CAST(e.dst AS VARCHAR)),
+        |        1, 7)) AS BIGINT) AS h
+        |    FROM w$i w JOIN sym e ON e.src = w.cur) e
+        |  GROUP BY walk_id)""".stripMargin
+    s"""WITH canon AS (
+      |$coOrderEdgesSql),
+      |sym AS (SELECT a AS src, b AS dst FROM canon
+      |        UNION ALL SELECT b, a FROM canon),
+      |w0 AS (SELECT DISTINCT src AS walk_id, src AS cur,
+      |         CAST(src AS VARCHAR) AS path FROM sym),
+      |${(0 until 4).map(i => step(i, i + 1)).mkString(",\n")}
+      |SELECT walk_id, path FROM w4""".stripMargin
+  }
+
+  // ------------------------------------------- index & profiling (r7)
+
+  /** Inverted index over the documents table
+    * ([[graft.operators.InvertedIndex]]): per-term df/cf and a
+    * 20-bounded posting list folded in a k-bounded map-side-combining
+    * aggregator — never a per-term window, so a stop-word term costs k
+    * ids per partition on the wire instead of its whole posting list
+    * in one task.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text",
+      maxPostings = 20, minDf = 5L)
+
+  val invertedIndexSql: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY term, doc_id),
+      |topd AS (
+      |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |  FROM (SELECT term, doc_id,
+      |          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf)
+      |  WHERE rn <= 20 GROUP BY term)
+      |SELECT s.term, s.df, s.cf, topd.postings
+      |FROM (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |        CAST(sum(tf) AS BIGINT) AS cf
+      |      FROM tf GROUP BY term HAVING count(*) >= 5) s
+      |JOIN topd ON topd.term = s.term""".stripMargin
+
+  /** Exact single-pass profile of 7 lineitem columns
+    * ([[graft.operators.Profile.profile]]) — long format, typed
+    * min/max cast to string after aggregation. The sketch variant
+    * (no Expand, the 100 TB default) is spec-gated against this one.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+
+  val tableProfileSql: String = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  CAST(min($c) AS VARCHAR) AS min_val,
+        |  CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .map(one).mkString("\nUNION ALL\n")
+  }
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -2891,7 +2977,10 @@ object Queries {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_kcore" -> (graphKcore _),
-    "q_graph_pagerank" -> (graphPageRank _))
+    "q_graph_pagerank" -> (graphPageRank _),
+    "q_graph_walks" -> (graphWalks _),
+    "q_inverted_index" -> (invertedIndex _),
+    "q_table_profile" -> (tableProfile _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
     * driver's weaker rows-only check — currently every query is
@@ -2991,5 +3080,8 @@ object Queries {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_graph_triangles" -> graphTrianglesSql,
     "q_graph_kcore" -> graphKcoreSql,
-    "q_graph_pagerank" -> graphPageRankSql)
+    "q_graph_pagerank" -> graphPageRankSql,
+    "q_graph_walks" -> graphWalksSql,
+    "q_inverted_index" -> invertedIndexSql,
+    "q_table_profile" -> tableProfileSql)
 }

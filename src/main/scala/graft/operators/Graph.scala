@@ -248,4 +248,63 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Deterministic random walks — the positive-pair generator for
+    * graph-embedding training (DeepWalk/node2vec-style), reproducible
+    * bit-for-bit on any engine: one walk per node, `steps` hops, the
+    * neighbor at each hop chosen by MIN sha-derived hash of
+    * `(seed, walk, step, neighbor)`.
+    *
+    * The choice is a map-side-combinable `min` over the candidate
+    * neighbors — never a window or an indexed adjacency list, so a
+    * hub's neighborhood streams through partial aggregation instead of
+    * buffering in one task, and re-running any subset of partitions
+    * picks the same neighbor. Ties are impossible by construction: the
+    * 28-bit hash is packed with the neighbor id into one Long
+    * (`h * 2^32 + dst`), which also keeps the packing overflow-free
+    * for node ids < 2^32 (guarded).
+    *
+    * Returns `(walk_id, path)` — walk_id the start node, path the
+    * comma-joined node sequence (steps+1 entries; connected inputs
+    * always have a next hop, so no walk strands early).
+    */
+  def randomWalks(
+      edges: DataFrame,
+      steps: Int,
+      seed: Long,
+      srcCol: String = "a",
+      dstCol: String = "b",
+      canonical: Boolean = false): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val canon =
+      if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else canonicalize(edges, srcCol, dstCol)
+    val sym = symmetrize(canon)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var state = sym
+      .select(col("src").as("walk_id"))
+      .distinct()
+      .select(col("walk_id"), col("walk_id").as("cur"),
+        col("walk_id").cast("string").as("path"))
+    for (k <- 1 to steps) {
+      val h = conv(substring(sha2(concat_ws(":",
+        lit(seed), col("walk_id"), lit(k), col("dst")), 256), 1, 7), 16, 10)
+        .cast("long")
+      state = state
+        .join(sym, state("cur") === sym("src"))
+        .select(col("walk_id"), col("path"),
+          when(col("dst") < lit(4294967296L),
+            h * lit(4294967296L) + col("dst"))
+            .otherwise(raise_error(
+              lit("randomWalks: node id >= 2^32 breaks hash packing")))
+            .as("score"))
+        .groupBy("walk_id")
+        .agg(min("score").as("score"), max("path").as("path"))
+        .select(col("walk_id"),
+          (col("score") % lit(4294967296L)).as("cur"),
+          concat_ws(",", col("path"), col("score") % lit(4294967296L)).as("path"))
+    }
+    state.select(col("walk_id"), col("path"))
+  }
 }

@@ -123,6 +123,53 @@ class GraphSpec extends SparkSpec {
     assert(got == r)
   }
 
+  // ------------------------------------------------------------ walks
+
+  test("walks start everywhere, have steps+1 hops, and follow edges") {
+    val rnd = new scala.util.Random(5)
+    val es = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edgeSet = es.toSet
+    val walks = Graph.randomWalks(edges(es: _*), steps = 4, seed = 9L, canonical = true)
+      .as[(Long, String)].collect().toMap
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(walks.keySet == nodes)
+    for ((start, path) <- walks) {
+      val hops = path.split(",").map(_.toLong).toSeq
+      assert(hops.length == 5 && hops.head == start, path)
+      hops.sliding(2).foreach { case Seq(x, y) =>
+        assert(edgeSet(math.min(x, y) -> math.max(x, y)), s"$x-$y not an edge")
+      }
+    }
+  }
+
+  test("walks are deterministic, and the seed actually matters") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = Graph.randomWalks(g, 6, seed = 1L, canonical = true)
+      .as[(Long, String)].collect().toMap
+    val b = Graph.randomWalks(g, 6, seed = 1L, canonical = true)
+      .as[(Long, String)].collect().toMap
+    val c = Graph.randomWalks(g, 6, seed = 2L, canonical = true)
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a != c, "different seeds should diverge somewhere on this graph")
+  }
+
+  test("a single edge forces a strict alternation") {
+    val m = Graph.randomWalks(edges((1L, 2L)), 3, seed = 0L, canonical = true)
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "1,2,1,2", 2L -> "2,1,2,1"))
+  }
+
+  test("node ids past 2^32 fail loudly instead of corrupting the packing") {
+    val big = edges((4294967296L, 1L))
+    val e = intercept[Exception] {
+      Graph.randomWalks(big, 1, seed = 0L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("higher-degree hubs outrank leaves after one iteration of a star") {
     val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
     val r = Graph.pageRank(star, iters = 1, canonical = true)

@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_lm_perplexity", "q_collocations", "q_dedup_incremental",
       // graph ops: the edge list (triangles) / per-round edge and rank
       // tables (kcore, pagerank) are executor-resident checkpoints
-      "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank")
+      "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank",
+      "q_graph_walks")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -232,7 +233,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // derivation and the two degree joins ran once at construction
       "q_graph_triangles" -> 5,
       "q_graph_kcore" -> 1, // per-round peels are construction-time jobs; final core-degree agg
-      "q_graph_pagerank" -> 0) // pure select over the checkpointed rank table
+      "q_graph_pagerank" -> 0, // pure select over the checkpointed rank table
+      "q_graph_walks" -> 12, // 4 hops x (state join + min-hash fold + walk re-key)
+      "q_inverted_index" -> 2, // (term,doc) tf agg + k-bounded per-term fold
+      // stats fold (1) + hash-distinct Expand pass (2, partial+final);
+      // the two one-row results cross-join without an exchange. The
+      // extra exchange over a fused pass buys away a full sort of
+      // #cols x |table| expanded rows (string min/max can't hash-agg)
+      "q_table_profile" -> 3)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
