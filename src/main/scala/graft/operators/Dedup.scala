@@ -216,7 +216,7 @@ object Dedup {
       numHashes: Int = 32,
       shingleSize: Int = 3,
       bands: Int = 8,
-      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+      maxBucket: Int = 1000): (DataFrame, DataFrame) =
     // LAZY-checkpoint the batch signatures: they feed BOTH the
     // touched-band probe and the membership union, and Spark shares no
     // uncached subplan across branches — without this the batch text
@@ -224,19 +224,37 @@ object Dedup {
     // batch is hashed (once)" contract. Lazy (not eager) so merely
     // constructing the frames launches no job; the backing RDD
     // materializes once on the first action and both branches read it.
-    val newSigs = bandSignatures(incoming, textCol, idCol,
-      numHashes, shingleSize, bands)
-      .localCheckpoint(false)
+    incrementalCandidatesFromSigs(corpusSigs,
+      bandSignatures(incoming, textCol, idCol, numHashes, shingleSize, bands)
+        .localCheckpoint(false),
+      maxBucket)
+
+  /** [[incrementalCandidates]] over ALREADY-computed batch signatures
+    * (`(id, band)`, one row per band) — the seam that lets a streaming
+    * writer compute a batch's signatures once and use them for BOTH
+    * candidate pairing and the signature-store append
+    * ([[graft.streaming.StreamingDedup.incrementalDedupBatch]]).
+    * Callers should hand in a materialized/checkpointed frame; the
+    * signatures are read by two branches here.
+    */
+  def incrementalCandidatesFromSigs(
+      corpusSigs: DataFrame,
+      batchSigs: DataFrame,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val newSigs = batchSigs
       .select(col("band"), struct(col("id"), lit(true).as("is_new")).as("m"))
     val touched = newSigs.select("band").distinct()
     val corpusMembers = corpusSigs
       .join(touched, Seq("band"), "left_semi")
       .select(col("band"), struct(col("id"), lit(false).as("is_new")).as("m"))
     // sort_array on (id, is_new) structs orders by id — the same a < b
-    // enumeration the full run uses
+    // enumeration the full run uses. Lazy-checkpointed because pairs
+    // AND dropped are usually consumed as two separate actions — the
+    // store scan, semi-join and bucket grouping must not run twice.
     val grouped = corpusMembers.unionByName(newSigs)
       .groupBy("band")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .localCheckpoint(false)
     val dropped = grouped.filter(size(col("ms")) > maxBucket)
       .select(col("band"), size(col("ms")).cast("long").as("bucket_n"))
     val pairs = grouped

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * corpus-graph shapes that [[ConnectedComponents]] does not cover:
   * triangle counting (local clustering / community density over a
   * near-dup or co-occurrence graph), k-core decomposition (dense-core
-  * extraction, the standard spam/boilerplate-cluster signal), and a
+  * extraction, the standard spam/boilerplate-cluster signal), a
   * deterministic integer PageRank (authority weighting for
-  * quality-aware sampling).
+  * quality-aware sampling), and deterministic random walks
+  * (DeepWalk-style positive-pair generation for embedding training).
   *
   * All three are exact-integer algorithms end to end, so their results
   * are engine-portable without an epsilon: PageRank runs in scaled
@@ -203,9 +204,10 @@ object Graph {
     * share and the damping — so the result is bit-identical across
     * engines and partitionings (no double fold-order sensitivity), at
     * ~1e-12 relative precision for the default scale. ANSI mode makes
-    * any overflow loud; the documented bound is
-    * `85 * |V| * scale < 2^63` (|V| up to ~1e8 at the default scale —
-    * shrink `scale` for larger graphs).
+    * any overflow loud; the bound is `85 * |V| * scale < 2^63`, i.e.
+    * |V| up to ~1e5 at the default scale — shrink `scale`
+    * proportionally for larger graphs (the bound is linear in it:
+    * scale = 1e9 admits |V| ~ 1e8 at ~1e-9 relative precision).
     *
     * Per iteration: one join of the materialized edge list with the
     * rank table (node-keyed), one map-side-combined sum to the

@@ -32,15 +32,7 @@ object InvertedIndex {
     require(k > 0, s"k must be positive, got $k")
 
     private def insert(buf: Seq[Long], n: Long): Seq[Long] =
-      if (buf.size >= k && buf.last <= n) buf
-      else {
-        val idx = buf.indexWhere(_ > n) match {
-          case -1 => buf.size
-          case i => i
-        }
-        val grown = (buf.take(idx) :+ n) ++ buf.drop(idx)
-        if (grown.size > k) grown.take(k) else grown
-      }
+      TopK.boundedInsert[Long](k, _ < _)(buf, n)
 
     override def zero: Seq[Long] = Vector.empty
     override def reduce(buf: Seq[Long], a: (Long, Long)): Seq[Long] =

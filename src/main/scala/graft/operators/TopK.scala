@@ -19,6 +19,24 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object TopK {
 
+  /** Shared k-bounded sorted-buffer insert (`better(a, b)` = a ranks
+    * strictly ahead of b; buffer sorted best-first, capped at k). The
+    * one subtle piece of every bounded aggregator in this package —
+    * kept in exactly one place ([[TopKAggregator]],
+    * [[InvertedIndex.MinKAggregator]]).
+    */
+  private[operators] def boundedInsert[T](
+      k: Int, better: (T, T) => Boolean)(buf: Seq[T], n: T): Seq[T] =
+    if (buf.size >= k && better(buf.last, n)) buf
+    else {
+      val idx = buf.indexWhere(x => better(n, x)) match {
+        case -1 => buf.size
+        case i => i
+      }
+      val grown = (buf.take(idx) :+ n) ++ buf.drop(idx)
+      if (grown.size > k) grown.take(k) else grown
+    }
+
   final case class Scored(id: Long, score: Double)
 
   /** Insert keeping the k best by (score desc, id asc); the buffer is a
@@ -37,17 +55,8 @@ object TopK {
       c > 0 || (c == 0 && a.id < b.id)
     }
 
-    private def insert(buf: Seq[Scored], n: Scored): Seq[Scored] = {
-      if (buf.size >= k && better(buf.last, n)) buf
-      else {
-        val idx = buf.indexWhere(x => better(n, x)) match {
-          case -1 => buf.size
-          case i => i
-        }
-        val grown = (buf.take(idx) :+ n) ++ buf.drop(idx)
-        if (grown.size > k) grown.take(k) else grown
-      }
-    }
+    private def insert(buf: Seq[Scored], n: Scored): Seq[Scored] =
+      boundedInsert(k, better)(buf, n)
 
     override def zero: Seq[Scored] = Vector.empty
 

@@ -43,17 +43,20 @@ object StreamingDedup {
 
   /** Incremental streaming near-dup detection: a foreachBatch writer
     * that pairs each micro-batch against the PERSISTED signature store
-    * ([[graft.operators.Dedup.incrementalCandidates]]) and then adds
-    * the batch's signatures to the store — so every document is
-    * shingled and hashed exactly once, ever, and a pair is emitted in
-    * the batch where its LATER document arrives.
+    * ([[graft.operators.Dedup.incrementalCandidatesFromSigs]]) and
+    * then adds the batch's signatures to the store. The batch is
+    * shingled and hashed ONCE — the same lazily-checkpointed signature
+    * frame feeds the candidate join and the store append — so every
+    * document is hashed exactly once over the stream's lifetime, and a
+    * pair is emitted in the batch where its LATER document arrives.
     *
-    * Idempotent replay: pairs and signatures both land in
-    * `batch_id=N` partition directories (overwrite), and the store
-    * read excludes the replaying batch's own ids (left anti on the
-    * batch), so a re-delivered batch recomputes byte-identical output
-    * against the same pre-batch state. Ids must be globally unique
-    * across batches (the corpus contract everywhere else).
+    * Idempotent replay, including backfill of an EARLIER batch id:
+    * pairs and signatures land in `batch_id=N` partition directories
+    * (overwrite), and the store read takes only `batch_id < N` — a
+    * partition-pruned scan, not a directory listing plus anti-join —
+    * so a re-run of ANY batch id sees exactly the pre-batch store
+    * state and rewrites byte-identical output. Ids must be globally
+    * unique across batches (the corpus contract everywhere else).
     */
   def incrementalDedupBatch(
       storeDir: String,
@@ -66,20 +69,29 @@ object StreamingDedup {
       maxBucket: Int = 1000)(batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val empty = Dedup.bandSignatures(
-      batch.limit(0), textCol, idCol, numHashes, shingleSize, bands)
+    // URI-aware existence probe: java.io.File would silently report
+    // "missing" for any non-local store (hdfs://, s3a://, ...) and
+    // every batch would dedup against an empty corpus
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(storePath) &&
+      fs.listStatus(storePath).exists(_.getPath.getName.startsWith("batch_id="))
     val store =
-      if (new java.io.File(storeDir).isDirectory)
-        spark.read.parquet(storeDir).select("id", "band")
-          .join(broadcast(batch.select(col(idCol).as("id")).distinct()),
-            Seq("id"), "left_anti")
-      else empty
-    val (pairs, dropped) = Dedup.incrementalCandidates(
-      store, batch, textCol, idCol, numHashes, shingleSize, bands, maxBucket)
+      if (hasStore)
+        spark.read.parquet(storeDir)
+          .filter(col("batch_id") < batchId)
+          .select("id", "band")
+      else
+        Dedup.bandSignatures(
+          batch.limit(0), textCol, idCol, numHashes, shingleSize, bands)
+    val sigs = Dedup.bandSignatures(
+      batch, textCol, idCol, numHashes, shingleSize, bands)
+      .localCheckpoint(false)
+    val (pairs, dropped) =
+      Dedup.incrementalCandidatesFromSigs(store, sigs, maxBucket)
     pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     dropped.write.mode("overwrite").parquet(s"$pairsDir/__dropped__/batch_id=$batchId")
-    Dedup.bandSignatures(batch, textCol, idCol, numHashes, shingleSize, bands)
-      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
   /** Attach dedup signatures on ingest: exact fingerprint, simhash, and

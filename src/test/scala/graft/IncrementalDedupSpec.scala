@@ -72,11 +72,18 @@ class IncrementalDedupSpec extends SparkSpec {
       "union of per-batch pair outputs must equal the full-corpus run")
 
     // replay the LAST batch: its store partition already exists, yet
-    // output must be byte-identical (anti-join restores pre-batch state)
+    // output must be byte-identical (the batch_id < N store read
+    // restores pre-batch state)
     val before = streamed
     merge(waves(2), 2L)
     val after = pairSet(spark.read.parquet(pairsDir).select("id_a", "id_b"))
     assert(after == before, "replayed batch must be idempotent")
+
+    // backfill an EARLIER batch: batches 1 and 2's store partitions are
+    // newer than the replayed id and must be invisible to it
+    merge(waves(0), 0L)
+    val afterBackfill = pairSet(spark.read.parquet(pairsDir).select("id_a", "id_b"))
+    assert(afterBackfill == before, "backfilled earlier batch must be idempotent")
   }
 
   test("maxBucket counts the full bucket (corpus + batch members)") {
