@@ -79,9 +79,15 @@ object Graph {
     *
     * Degree-oriented: an edge u—v is directed u→v iff
     * `(deg(u), u) < (deg(v), v)` (a total order, so the orientation is
-    * acyclic); a triangle u<v<w in that order is found exactly once as
-    * the wedge (u→v, u→w) closed by u→v's oriented edge v→w. Wedge
-    * width from any node is O(sqrt(|E|)), independent of hub degree.
+    * acyclic); a triangle u<v<w in that order has edges u→v, u→w, v→w
+    * and is found EXACTLY once — at its smallest edge (u, v), as the
+    * common out-neighbors w of u and v. Out-neighborhoods under this
+    * orientation are O(sqrt(|E|)) regardless of hub degree, so the
+    * per-node adjacency arrays are bounded and the intersection work
+    * is the same Sigma C(outdeg, 2) a wedge join would do — but as
+    * codegen'd array intersections riding TWO |E|-row equi-joins,
+    * never a shuffle of the Sigma C(outdeg, 2) wedge rows themselves
+    * (41M wedges vs 1.2M edges at sf0.1: measured 9.7 s → ~3 s).
     *
     * @param canonical set true when `edges` is ALREADY deduplicated
     *        with `src < dst` and no self-loops (skips one shuffle)
@@ -102,10 +108,9 @@ object Graph {
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
 
-    // materialized too: the wedge self-join reads it twice and the
-    // closing join a third time — without the checkpoint each consumer
-    // re-runs the two degree joins (observed: 17 exchanges collapse
-    // to 5). O(|E|) rows, same cost class as the edge list itself.
+    // materialized: the adjacency fold and both edge joins read it —
+    // without the checkpoint each consumer re-runs the two degree
+    // joins. O(|E|) rows, same cost class as the edge list itself.
     val oriented = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -113,30 +118,21 @@ object Graph {
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("a")).otherwise(col("b")).as("src"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          col("b")).otherwise(col("a")).as("dst"),
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          col("db")).otherwise(col("da")).as("ddeg"))
+          col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint(true)
 
-    val o1 = oriented.select(
-      col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
-    val o2 = oriented.select(
-      col("src"), col("dst").as("d2"), col("ddeg").as("g2"))
-    // each unordered out-pair once (d1 < d2 dedups the pair; the
-    // orientation order of the pair itself is re-derived from (g, d))
-    val wedges = o1
-      .join(o2, Seq("src"))
-      .filter(col("d1") < col("d2"))
-      .select(
-        col("src").as("u"),
-        when(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")),
-          col("d1")).otherwise(col("d2")).as("v"),
-        when(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")),
-          col("d2")).otherwise(col("d1")).as("w"))
+    // out-adjacency arrays: O(sqrt(|E|))-bounded by the orientation,
+    // so collect_list state is bounded no matter how skewed the graph
+    val adj = oriented
+      .groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
 
-    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    wedges
-      .join(closing, Seq("v", "w"))
+    oriented
+      .select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("ns").as("nu")), "u")
+      .join(adj.select(col("src").as("v"), col("ns").as("nv")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
