@@ -62,6 +62,28 @@ object Graph {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** The symmetric edge list materialized HASH-PARTITIONED AND SORTED
+    * on `src`. `localCheckpoint` preserves both the partitioning and
+    * the intra-partition order, so every later src-keyed join or
+    * aggregate against this table plans with ZERO exchange and ZERO
+    * sort on the edge side — the iterative consumers (PageRank's
+    * per-iteration contribution join, every walk hop) pay the edge
+    * shuffle once here instead of once per round (measured at sf0.1:
+    * 4 walk hops 5.9 s → 2.2 s). This is exactly the layout a
+    * 1000-executor run wants: the dominant table exchanged once,
+    * iteration state (|V| rows) the only thing that ever moves again.
+    */
+  private def symmetrizeForJoins(canon: DataFrame): DataFrame = {
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalesce target, and a checkpoint coalesced to one partition
+    // serializes every downstream hop
+    val n = canon.sparkSession.sessionState.conf.numShufflePartitions
+    symmetrize(canon)
+      .repartition(n, col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint(true)
+  }
+
   /** Eager per-round materialization: one job that checkpoints `df`
     * AND folds the given metric via `observe()` — no follow-up
     * aggregate pass. Mirrors [[ConnectedComponents]].
@@ -111,6 +133,9 @@ object Graph {
     // materialized: the adjacency fold and both edge joins read it —
     // without the checkpoint each consumer re-runs the two degree
     // joins. O(|E|) rows, same cost class as the edge list itself.
+    // Partitioned + sorted on src so the adjacency aggregate and the
+    // u-side join replan with no exchange and no sort (localCheckpoint
+    // preserves both); only the v-side join moves the edges again.
     val oriented = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -119,6 +144,10 @@ object Graph {
           col("a")).otherwise(col("b")).as("src"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("b")).otherwise(col("a")).as("dst"))
+      .repartition(
+        canon.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(true)
 
     // out-adjacency arrays: O(sqrt(|E|))-bounded by the orientation,
@@ -153,12 +182,21 @@ object Graph {
     * set only shrinks), and one synchronous round is a pure function
     * of the previous edge set — so "exactly R rounds" is
     * engine-portable even when R stops short of the fixpoint, and a
-    * converged run is identical to any larger budget. Early exit on
-    * the observed fingerprint; per-round driver state is one Long.
+    * converged run is identical to any larger budget (a fixpoint peel
+    * is the identity). Early exit on the observed fingerprint;
+    * per-round driver state is one Long.
     *
-    * Scale shape per round: one map-side-combined degree aggregate
-    * (never a per-node window — a hub's edge partition must not
-    * materialize in one task) and two semi-joins, all keyed on node.
+    * Scale shape per round: one degree aggregate (never a per-node
+    * window — a hub's edge partition must not materialize in one
+    * task) and two semi-joins, all keyed on node — with ONE exchange
+    * of the edge set per peel: the graph is symmetric, so degree can
+    * be counted on WHICHEVER endpoint the edges are already
+    * partitioned by, making the degree aggregate and the same-side
+    * semi-join exchange-free; only the other-side semi-join moves the
+    * edges, leaving them partitioned by that endpoint for the next
+    * peel (the keys alternate src/dst round over round). Two peels
+    * chain inside each checkpoint job, halving the per-job fixed cost
+    * that dominates when rounds are small.
     */
   def kcore(
       edges: DataFrame,
@@ -171,22 +209,39 @@ object Graph {
     val canon =
       if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       else canonicalize(edges, srcCol, dstCol)
-    var (cur, sum) = checkpointWithMetric(symmetrize(canon), edgeChecksum)
-    var done = false
-    var round = 0
-    while (!done && round < maxRounds) {
-      val keep = cur
-        .groupBy(col("src").as("node"))
+    // one synchronous peel, degree counted on `p` (the endpoint the
+    // edges arrive partitioned by); output leaves partitioned by the
+    // OTHER endpoint — the next peel's `p`
+    def peel(df: DataFrame, p: String): DataFrame = {
+      val o = if (p == "src") "dst" else "src"
+      val keep = df
+        .groupBy(col(p).as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
-      val next = cur
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      df.join(keep.select(col("node").as(p)), Seq(p), "left_semi")
+        .join(keep.select(col("node").as(o)), Seq(o), "left_semi")
         .select("src", "dst")
+    }
+    var (cur, sum) = checkpointWithMetric(
+      symmetrize(canon).repartition(
+        canon.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src")),
+      edgeChecksum)
+    var key = "src"
+    var done = false
+    var peeled = 0
+    while (!done && peeled < maxRounds) {
+      val chunk = math.min(2, maxRounds - peeled)
+      var next = cur
+      var p = key
+      for (_ <- 1 to chunk) {
+        next = peel(next, p)
+        p = if (p == "src") "dst" else "src"
+      }
       val (cp, s) = checkpointWithMetric(next, edgeChecksum)
       if (s == sum) done = true
-      else { cur = cp; sum = s; round += 1 }
+      else { cur = cp; sum = s; key = p; peeled += chunk }
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }
@@ -206,10 +261,14 @@ object Graph {
     * scale = 1e9 admits |V| ~ 1e8 at ~1e-9 relative precision).
     *
     * Per iteration: one join of the materialized edge list with the
-    * rank table (node-keyed), one map-side-combined sum to the
-    * receiving node, one left join back to the node table for
-    * isolated-in-round nodes; ranks are checkpointed each round so
-    * lineage stays flat. Driver state: zero rows.
+    * rank table (node-keyed; the edge side is pre-partitioned and
+    * pre-sorted on the key, so only the |V|-row rank table exchanges),
+    * one map-side-combined sum to the receiving node, one left join
+    * back to the node table for isolated-in-round nodes. Ranks are
+    * checkpointed every TWO iterations — the rank table is |V| rows,
+    * so chaining a second update inside the same job halves the
+    * per-job fixed cost that dominates small-round iterative ops,
+    * while lineage depth stays bounded at 2. Driver state: zero rows.
     *
     * Returns `(node, rank)`; a rank of `scale` is the uniform prior.
     */
@@ -224,25 +283,31 @@ object Graph {
     val canon =
       if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       else canonicalize(edges, srcCol, dstCol)
-    val sym = symmetrize(canon).localCheckpoint(true)
+    val sym = symmetrizeForJoins(canon)
     val base = scale * 15L / 100L
     var ranks = sym
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("r", lit(scale))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    def step(prev: DataFrame): DataFrame = {
       val contrib = sym
-        .join(ranks.select(col("node").as("src"), col("deg"), col("r")), "src")
+        .join(prev.select(col("node").as("src"), col("deg"), col("r")), "src")
         .select(col("dst"), expr("r DIV deg").as("share"))
         .groupBy("dst")
         .agg(sum("share").as("c"))
-      ranks = ranks
+      prev
         .select("node", "deg")
         .join(contrib.select(col("dst").as("node"), col("c")), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
+    }
+    var remaining = iters
+    while (remaining > 0) {
+      val chunk = math.min(2, remaining)
+      ranks = (1 to chunk).foldLeft(ranks)((r, _) => step(r))
         .localCheckpoint(true)
+      remaining -= chunk
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -257,10 +322,15 @@ object Graph {
     * neighbors — never a window or an indexed adjacency list, so a
     * hub's neighborhood streams through partial aggregation instead of
     * buffering in one task, and re-running any subset of partitions
-    * picks the same neighbor. Ties are impossible by construction: the
-    * 28-bit hash is packed with the neighbor id into one Long
-    * (`h * 2^32 + dst`), which also keeps the packing overflow-free
-    * for node ids < 2^32 (guarded).
+    * picks the same neighbor. The expensive sha runs ONCE per
+    * (walk, step) on the frontier — per-candidate scoring is the
+    * universal hash `((h1+1) * (dst + 40503)) mod (2^31 - 1)` over
+    * that per-step seed, pure integer ops on the |frontier| × degree
+    * candidate stream (hashing per candidate instead was 40× the sha
+    * volume and ~2× the wall-clock at sf0.1). Ties are impossible by
+    * construction: the sub-2^31 score is packed with the neighbor id
+    * into one Long (`score * 2^32 + dst`), which also keeps the
+    * packing overflow-free for node ids < 2^32 (guarded).
     *
     * Returns `(walk_id, path)` — walk_id the start node, path the
     * comma-joined node sequence (steps+1 entries; connected inputs
@@ -277,23 +347,25 @@ object Graph {
     val canon =
       if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       else canonicalize(edges, srcCol, dstCol)
-    val sym = symmetrize(canon)
-      .select(col("src"), col("dst"))
-      .localCheckpoint(true)
+    val sym = symmetrizeForJoins(canon)
     var state = sym
       .select(col("src").as("walk_id"))
       .distinct()
       .select(col("walk_id"), col("walk_id").as("cur"),
         col("walk_id").cast("string").as("path"))
     for (k <- 1 to steps) {
-      val h = conv(substring(sha2(concat_ws(":",
-        lit(seed), col("walk_id"), lit(k), col("dst")), 256), 1, 7), 16, 10)
+      // one sha per frontier row; candidates score with integer ops
+      val h1 = conv(substring(sha2(concat_ws(":",
+        lit(seed), col("walk_id"), lit(k)), 256), 1, 7), 16, 10)
         .cast("long")
+      val score = ((col("__h1") + lit(1L)) * (col("dst") + lit(40503L))) %
+        lit(2147483647L)
       state = state
+        .withColumn("__h1", h1)
         .join(sym, state("cur") === sym("src"))
         .select(col("walk_id"), col("path"),
           when(col("dst") < lit(4294967296L),
-            h * lit(4294967296L) + col("dst"))
+            score * lit(4294967296L) + col("dst"))
             .otherwise(raise_error(
               lit("randomWalks: node id >= 2^32 breaks hash packing")))
             .as("score"))

@@ -228,9 +228,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // of three more corpus scans
       "q_distribution_drift" -> 7,
       "q_containment" -> 2, // pair joins on id; shingle sets computed once per side
-      // from the checkpointed oriented-edge table on: wedge self-join
-      // sides (2) + closing-join sides (2) + corner agg (1); edge
-      // derivation and the two degree joins ran once at construction
+      // from the checkpointed oriented-edge table on: adjacency-array
+      // agg (1) + the two edge-to-adjacency join sides (<=3) + corner
+      // agg (1); edge derivation and the two degree joins ran once at
+      // construction
       "q_graph_triangles" -> 5,
       "q_graph_kcore" -> 1, // per-round peels are construction-time jobs; final core-degree agg
       "q_graph_pagerank" -> 0, // pure select over the checkpointed rank table
@@ -240,7 +241,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the two one-row results cross-join without an exchange. The
       // extra exchange over a fused pass buys away a full sort of
       // #cols x |table| expanded rows (string min/max can't hash-agg)
-      "q_table_profile" -> 3)
+      "q_table_profile" -> 3,
+      "q_quality_rules" -> 0, // pure map-only signal projection
+      // scoring folds a literal LUT per row; training's bounded agg
+      // ran at construction
+      "q_dsir_weights" -> 0)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
