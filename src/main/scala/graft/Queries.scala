@@ -2752,22 +2752,23 @@ object Queries {
 
   /** The shared graph fixture: the co-order part graph — parts linked
     * when some order contains both. Canonical by construction
-    * (`a < b` + distinct), ~116k edges at sf0.01. Built by folding
-    * each order's part set into a sorted array and exploding its
-    * `a < b` pairs — ONE exchange of the lineitem keys plus the pair
-    * distinct, vs. a key-equal self-join's sort-join and its double
-    * scan (measured 1.8× faster at sf0.1, identical output; per-order
-    * arrays are bounded by order size, so the fold never skews).
+    * (`a < b` + distinct), ~116k edges at sf0.01. The self-join's two
+    * sides are the same subplan, so the scan and its exchange are
+    * planned once and reused. (An array-fold build — collect each
+    * order's part set, explode its pairs — was tried and REVERTED:
+    * isolated quiet-machine benches showed it 2× slower end-to-end on
+    * the walk workload, the object-heavy collect_set + nested-array
+    * explode losing to the codegen'd sort-merge self-join.)
     */
-  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("x")
+      .join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .distinct()
+  }
 
   private val coOrderEdgesSql: String =
     """  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -2948,6 +2949,268 @@ object Queries {
       .map(one).mkString("\nUNION ALL\n")
   }
 
+  /** Snapshot reconciliation ([[graft.operators.SnapshotDiff]]): the
+    * per-customer current-order view at two time boundaries, diffed —
+    * one full-outer sort-merge join, drift-proportional output. The
+    * window choice ([1995-,) vs (-,1997)) exercises all three change
+    * classes: customers active only before 1995 are `removed`, only
+    * from 1997 `added`, and anyone whose latest order moved between
+    * the windows is `changed` with the moved columns named.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus")
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val old = latest(o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+    val cur = latest(o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")))
+    graft.operators.SnapshotDiff.diff(old, cur, Seq("o_custkey"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') WHERE rn = 1),
+      |cur AS (SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01') WHERE rn = 1),
+      |j AS (SELECT coalesce(o.o_custkey, c.o_custkey) AS o_custkey,
+      |  CASE WHEN o.o_custkey IS NULL THEN 'added'
+      |       WHEN c.o_custkey IS NULL THEN 'removed'
+      |       WHEN o.o_orderkey IS DISTINCT FROM c.o_orderkey
+      |         OR o.o_orderdate IS DISTINCT FROM c.o_orderdate
+      |         OR o.o_totalprice IS DISTINCT FROM c.o_totalprice
+      |         OR o.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+      |       THEN 'changed' END AS change_type,
+      |  concat_ws(',',
+      |    CASE WHEN o.o_orderkey IS DISTINCT FROM c.o_orderkey THEN 'o_orderkey' END,
+      |    CASE WHEN o.o_orderdate IS DISTINCT FROM c.o_orderdate THEN 'o_orderdate' END,
+      |    CASE WHEN o.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'o_totalprice' END,
+      |    CASE WHEN o.o_orderstatus IS DISTINCT FROM c.o_orderstatus THEN 'o_orderstatus' END)
+      |    AS cols
+      |  FROM old o FULL JOIN cur c ON o.o_custkey = c.o_custkey)
+      |SELECT o_custkey, change_type,
+      |  CASE WHEN change_type = 'changed' THEN cols ELSE '' END AS changed_cols
+      |FROM j WHERE change_type IS NOT NULL""".stripMargin
+
+  /** One-pass Pearson correlation matrix over the lineitem pricing
+    * columns — the repo's exact-integer-moment pattern
+    * ([[graft.operators.Regression]]): every sum is a DECIMAL fold of
+    * cents-scaled integers (order-independent, engine-exact), the
+    * correlation formula runs in doubles with a pinned op order, and
+    * the 6 pairs unpivot from the single aggregate row. Correlation is
+    * scale-invariant, so the cents grid drops out mathematically; both
+    * engines see identical doubles.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def fp(c: String) = round(col(c) * 100L, 0).cast("decimal(38,0)")
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(fp(c)).as(s"s_$c")) ++
+        (for { i <- cols.indices; j <- i until cols.length } yield
+          sum(fp(cols(i)) * fp(cols(j))).as(s"p_${cols(i)}_${cols(j)}"))
+    val agg = t(s, dir, "lineitem").agg(sums.head, sums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.length } yield {
+      val (a, b) = (cols(i), cols(j))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((n * d(s"p_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+          sqrt(n * d(s"p_${a}_$a") - d(s"s_$a") * d(s"s_$a")) /
+          sqrt(n * d(s"p_${b}_$b") - d(s"s_$b") * d(s"s_$b")), 6).as("corr"))
+    }
+    agg.select(explode(array(pairs: _*)).as("t"))
+      .select(col("t.col_a").as("col_a"), col("t.col_b").as("col_b"),
+        col("t.corr").as("corr"))
+  }
+
+  val corrMatrixSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val fp = (c: String) => s"CAST(round($c * 100, 0) AS HUGEINT)"
+    val sums =
+      (Seq("CAST(count(*) AS BIGINT) AS n") ++
+        cols.map(c => s"sum(${fp(c)}) AS s_$c") ++
+        (for { i <- cols.indices; j <- i until cols.length } yield
+          s"sum(${fp(cols(i))} * ${fp(cols(j))}) AS p_${cols(i)}_${cols(j)}"))
+        .mkString(",\n  ")
+    val d = (c: String) => s"CAST($c AS DOUBLE)"
+    val pairRows = (for { i <- cols.indices; j <- i + 1 until cols.length } yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+        |  round((${d("n")} * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")}) /
+        |    sqrt(${d("n")} * ${d(s"p_${a}_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}) /
+        |    sqrt(${d("n")} * ${d(s"p_${b}_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")}), 6)
+        |    + 0.0 AS corr FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"WITH m AS (SELECT\n  $sums\nFROM lineitem)\n$pairRows"
+  }
+
+  /** In-plan 2-feature OLS ([[graft.operators.Regression.fit2Df]]):
+    * extendedprice regressed on quantity and discount — one exact
+    * decimal moment pass, Cramer's rule in pinned-order doubles, R²
+    * by the algebraic identity. The DuckDB oracle replays the solve
+    * token for token.
+    */
+  def olsCoeffs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.fit2Df(
+      t(s, dir, "lineitem"), "l_extendedprice", "l_quantity", "l_discount")
+
+  val olsCoeffsSql: String =
+    """WITH m AS (SELECT
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS s1,
+      |  sum(CAST(round(l_discount * 100, 0) AS HUGEINT)) AS s2,
+      |  sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) * CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS s11,
+      |  sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) * CAST(round(l_discount * 100, 0) AS HUGEINT)) AS s12,
+      |  sum(CAST(round(l_discount * 100, 0) AS HUGEINT) * CAST(round(l_discount * 100, 0) AS HUGEINT)) AS s22,
+      |  sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS s1y,
+      |  sum(CAST(round(l_discount * 100, 0) AS HUGEINT) * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS s2y,
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sy,
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT) * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS syy
+      |FROM lineitem),
+      |v AS (SELECT CAST(n AS DOUBLE) AS n,
+      |  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |  CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+      |  CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+      |  CAST(sy AS DOUBLE) AS sy, CAST(syy AS DOUBLE) AS syy FROM m),
+      |b AS (SELECT n, sy, s1y, s2y, syy,
+      |  (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b0s,
+      |  (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1s,
+      |  (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2s
+      |  FROM v)
+      |SELECT 'intercept' AS stat, round(b0s / 100, 6) + 0.0 AS value FROM b
+      |UNION ALL SELECT 'l_quantity', round(b1s, 6) + 0.0 FROM b
+      |UNION ALL SELECT 'l_discount', round(b2s, 6) + 0.0 FROM b
+      |UNION ALL SELECT 'r2',
+      |  round(1.0 - (syy - (b0s * sy + b1s * s1y + b2s * s2y)) / (syy - sy * sy / n), 6) + 0.0 FROM b""".stripMargin
+
+  /** PCA moment pass ([[graft.operators.Pca.covarianceDf]]): the
+    * sample covariance of the first 16 embedding dimensions on the
+    * 2^20 quantization grid — ONE [[graft.plans.VectorSumLong]]
+    * aggregation (a 152-long vector per partition crosses the
+    * exchange, never a row), exploded back to (i, j, cov). The
+    * eigensolve/projection on top is spec-gated (PcaSpec); this query
+    * pins the whole data-touching pass to the DuckDB oracle. (The
+    * oracle adds `+ 0.0` after rounding: Spark's round goes through
+    * BigDecimal, which has no signed zero, so a tiny negative entry
+    * is +0.0 in Spark and −0.0 raw in DuckDB — the add normalizes
+    * only that value, every other double is unchanged. Same guard on
+    * the corr/OLS oracles.)
+    */
+  def pcaCov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.covarianceDf(t(s, dir, "embeddings"), "embedding", 16)
+
+  val pcaCovSql: String =
+    """WITH q AS (SELECT list_transform(embedding[1:16],
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |lin AS (SELECT i.i AS i, sum(qv[i.i]) AS s
+      |  FROM q, range(1, 17) i(i) GROUP BY 1),
+      |quad AS (SELECT a.i AS i, b.j AS j, sum(qv[a.i] * qv[b.j]) AS p
+      |  FROM q, range(1, 17) a(i), range(1, 17) b(j) WHERE b.j >= a.i
+      |  GROUP BY 1, 2),
+      |nn AS (SELECT count(*) AS n FROM q)
+      |SELECT CAST(quad.i AS BIGINT) AS i, CAST(quad.j AS BIGINT) AS j,
+      |  round((CAST(quad.p AS DOUBLE) -
+      |      CAST(li.s AS DOUBLE) * CAST(lj.s AS DOUBLE) / n) /
+      |    (n - 1) / 1099511627776.0, 6) + 0.0 AS cov
+      |FROM quad
+      |JOIN lin li ON li.i = quad.i
+      |JOIN lin lj ON lj.i = quad.j
+      |CROSS JOIN nn""".stripMargin
+
+  /** Robust per-group outlier stats: median / MAD (median absolute
+    * deviation) per return flag, plus the count beyond 3×MAD — the
+    * outlier gate that survives heavy tails where z-scores
+    * (q_group_outliers) saturate. Exact medians ride the proven
+    * `percentile` ≡ DuckDB `quantile_cont` parity
+    * (q_group_percentiles); deviations are exact double differences of
+    * 2-dp values, so the second median interpolates identical inputs.
+    * Three staged passes by necessity (median → deviations → gate) —
+    * group stats travel back via broadcast, never a row shuffle; the
+    * sketch percentile (q_group_percentiles_approx) is the documented
+    * single-digit-pass scale variant.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("__dev", abs(col("l_extendedprice") - col("median_price")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        round(first(col("median_price")), 6).as("median_price"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(col("__dev") > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.5) AS median_price
+      |  FROM lineitem GROUP BY 1),
+      |dev AS (SELECT li.l_returnflag, median_price,
+      |    abs(l_extendedprice - median_price) AS d
+      |  FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag),
+      |mad AS (SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.l_returnflag,
+      |  round(any_value(dev.median_price), 6) AS median_price,
+      |  round(any_value(mad.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+      |GROUP BY 1""".stripMargin
+
+  /** Per-label embedding centroids via the native vector-sum aggregate
+    * ([[graft.plans.VectorSumLong]]) in GROUPED mode: one exchange of
+    * 64-long vectors (one per group per partition after map-side
+    * combine — rows never shuffle), exact integer sums on the PCA
+    * quantization grid, means in pinned-order doubles. The prototype
+    * table classifier-distillation and SemDeDup-style seeding read.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    val grid = graft.operators.Pca.Grid
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * lit(grid), 0).cast("long"))
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("__n"),
+        graft.plans.NativeAgg.vectorSumLong(q).as("__s"))
+      .select(col("label").cast("long").as("label"), col("__n"),
+        posexplode(col("__s")).as(Seq("__pos", "__v")))
+      .select(col("label"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__v").cast("double") / col("__n") / lit(grid), 6)
+          .as("centroid"))
+  }
+
+  val embeddingCentroidsSql: String =
+    """WITH q AS (SELECT label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |g AS (SELECT label, count(*) AS n FROM q GROUP BY 1)
+      |SELECT CAST(q.label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS dim,
+      |  round(CAST(sum(qv[d.d]) AS DOUBLE) / any_value(g.n) / 1048576.0, 6)
+      |    + 0.0 AS centroid
+      |FROM q JOIN g ON q.label = g.label, range(1, 65) d(d)
+      |GROUP BY q.label, d.d""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -3049,7 +3312,13 @@ object Queries {
     "q_inverted_index" -> (invertedIndex _),
     "q_table_profile" -> (tableProfile _),
     "q_quality_rules" -> (qualityRules _),
-    "q_dsir_weights" -> (dsirWeights _))
+    "q_dsir_weights" -> (dsirWeights _),
+    "q_snapshot_diff" -> (snapshotDiff _),
+    "q_corr_matrix" -> (corrMatrix _),
+    "q_ols_coeffs" -> (olsCoeffs _),
+    "q_pca_cov" -> (pcaCov _),
+    "q_mad_outliers" -> (madOutliers _),
+    "q_embedding_centroids" -> (embeddingCentroids _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
     * driver's weaker rows-only check — currently every query is
@@ -3154,5 +3423,11 @@ object Queries {
     "q_inverted_index" -> invertedIndexSql,
     "q_table_profile" -> tableProfileSql,
     "q_quality_rules" -> qualityRulesSql,
-    "q_dsir_weights" -> dsirWeightsSql)
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_corr_matrix" -> corrMatrixSql,
+    "q_ols_coeffs" -> olsCoeffsSql,
+    "q_pca_cov" -> pcaCovSql,
+    "q_mad_outliers" -> madOutliersSql,
+    "q_embedding_centroids" -> embeddingCentroidsSql)
 }

@@ -31,11 +31,16 @@ import graft.plans.NativeText
   * state on the executors, 100 TB scored without a single exchange.
   *
   * Determinism / oracle parity: the per-bucket log-ratio is computed
-  * IN SPARK expressions (counts are exact longs; the single division,
-  * `ln`, and `round(·, 7)` see bit-identical doubles in any IEEE
-  * engine) and folded as a fixed-point long (×10⁷), so per-document
-  * sums are exact and order-independent — the DuckDB oracle replays
-  * the weight to the last digit.
+  * IN SPARK expressions from exact long counts; division and the ×10⁷
+  * rounding are IEEE-exact cross-engine, and `ln` is within 1 ulp on
+  * both (JVM `Math.log`, libm `log` — transcendentals are NOT
+  * correctly-rounded by IEEE, so bit equality is not guaranteed). A
+  * cross-engine flip therefore needs a bucket's pre-rounding value
+  * within ~1 ulp of a 0.5e-7 boundary — probability ≈ 1e-9 per
+  * bucket, ~2.6e-7 per 256-bucket model; the log-ratios are folded as
+  * fixed-point longs, so away from that boundary per-document sums
+  * are exact, order-independent, and replayed by the DuckDB oracle to
+  * the last digit. (Same accepted-risk class as [[NgramLm]]'s ln.)
   */
 object Dsir {
 
@@ -102,6 +107,10 @@ object Dsir {
     * Output: (id, n_feats, dsir_weight_e7) — the weight in ×10⁻⁷
     * fixed point (an exact long; dividing back to a double would
     * reintroduce the tie-rounding ambiguity the fold just avoided).
+    * Null-text rows are dropped, matching the oracle's unnest (which
+    * yields no feature rows for a null), and [[train]]'s explode
+    * (which never counts them) — a null document has no features to
+    * weight.
     */
   def score(
       model: Model,
@@ -114,9 +123,10 @@ object Dsir {
     val feats = features(col(textCol))
     val sumFp = aggregate(feats, lit(0L),
       (acc, h) => acc + element_at(lut, (pmod(h, b) + lit(1)).cast("int")))
-    df.select(
-      col(idCol).as("id"),
-      size(feats).cast("long").as("n_feats"),
-      sumFp.as("dsir_weight_e7"))
+    df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        size(feats).cast("long").as("n_feats"),
+        sumFp.as("dsir_weight_e7"))
   }
 }

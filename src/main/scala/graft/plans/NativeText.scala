@@ -239,6 +239,66 @@ object NativeText {
     *     n_words, the when() otherwise-branch for the fractions
     * See [[TextRepetitionStats]].
     */
+  /** The fixed stopword set [[QualityTextStats]] counts (top English
+    * function words — the Gopher/C4 filters' intent). Single source:
+    * [[graft.operators.QualityRules.Stopwords]] re-exports this.
+    */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
+
+  private val qualityStopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    QualityStopwords.foreach(s.add)
+    s
+  }
+
+  /** Raw text -> (n_words, sum_word_len, stop_count, distinct_count,
+    * top_count) in ONE pass — the exact counts behind the five
+    * Gopher/C4 quality ratios. Same normalization/tokenization
+    * contract as [[textRepetitionEval]]; word length counts CODE
+    * POINTS (Spark `length` ≡ DuckDB `length`), never UTF-16 units.
+    * Null text -> all-null counts, so the downstream ratio and gate
+    * expressions null-propagate exactly like the HOF formulation.
+    */
+  def qualityStatsEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, null, null, null))
+    }
+    val norm0 = wsPattern.matcher(text.toLowerCase.toString).replaceAll(" ")
+    var lo = 0
+    var hi = norm0.length
+    while (lo < hi && norm0.charAt(lo) == ' ') lo += 1
+    while (hi > lo && norm0.charAt(hi - 1) == ' ') hi -= 1
+    val norm = norm0.substring(lo, hi)
+    val words = norm.split(" ", -1) // "" -> Array(""), like Spark's split
+    val counts = new java.util.HashMap[String, Int](words.length * 2)
+    var sumLen = 0L
+    var stop = 0L
+    var top = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sumLen += w.codePointCount(0, w.length)
+      if (qualityStopSet.contains(w)) stop += 1
+      val c = counts.merge(w, 1, (x, y) => x + y)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words.length.toLong, sumLen, stop, counts.size.toLong, top.toLong))
+  }
+
+  /** Column API for [[QualityTextStats]] — built directly into the
+    * Column (no registry slot; the expression is stateless but the
+    * direct form keeps analysis independent of session registration
+    * order).
+    */
+  def qualityTextStats(text: Column): Column =
+    org.apache.spark.sql.classic.GraftPlanApi.column(
+      QualityTextStats(
+        org.apache.spark.sql.classic.GraftPlanApi.expression(text)))
+
   def textRepetitionEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     if (text == null) {
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -556,6 +616,51 @@ case class TextRepetitionStats(text: Expression)
   * which is what makes the untrained classifier oracle-replayable
   * order-independently.
   */
+/** Single-pass quality-signal counts for the Gopher/C4 gate
+  * ([[graft.operators.QualityRules]]): one traversal of the
+  * normalized token stream replaces five higher-order-function
+  * expression trees (each re-normalizing and re-splitting the text —
+  * lambda-bearing trees are excluded from subexpression elimination,
+  * so the HOF form repeated that work per signal AND again in the
+  * pass predicate). Struct output; consumers extract fields, and
+  * whole-stage codegen CSEs the single call.
+  */
+case class QualityTextStats(text: Expression)
+    extends UnaryExpression {
+
+  override def child: Expression = text
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = true),
+    StructField("sum_word_len", LongType, nullable = true),
+    StructField("stop_count", LongType, nullable = true),
+    StructField("distinct_count", LongType, nullable = true),
+    StructField("top_count", LongType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = text.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft quality stats requires a string column")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    NativeText.qualityStatsEval(text.eval(input).asInstanceOf[UTF8String])
+
+  // null text is data (all-null counts), handled inside the evaluator
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = text.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = false;
+      $javaType ${ev.value} = graft.plans.NativeText.qualityStatsEval(
+        ${childGen.isNull} ? null : ${childGen.value});""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
+}
+
 case class HashWeightSum(hashes: Expression, weights: Array[Double])
     extends UnaryExpression {
   require(weights.nonEmpty, "weights must be non-empty")

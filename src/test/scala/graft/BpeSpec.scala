@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic Sennrich corpus: low x5, lower x2, newest x6, widest x3
+  private def corpus = Seq(
+    ("low " * 5).trim,
+    ("lower " * 2).trim,
+    ("newest " * 6).trim,
+    ("widest " * 3).trim
+  ).toDF("text")
+
+  test("train reproduces the hand-computed merge sequence") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    assert(m.merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("training is deterministic across runs") {
+    val a = Bpe.train(corpus, "text", numMerges = 5)
+    val b = Bpe.train(corpus, "text", numMerges = 5)
+    assert(a.merges === b.merges)
+  }
+
+  test("applyMerges tokenizes an unseen word with trained subwords") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val toks = Bpe.applyMerges(m, Seq("lowest").toDF("text"), "text")
+      .select("tokens").as[Seq[String]].head()
+    assert(toks === Seq("low", "est</w>"))
+  }
+
+  test("merge application is greedy left-to-right within a pass") {
+    // merge (a,a) over 'aaaa' must give [aa, aa], over 'aaa' [aa, a, </w>-joined]
+    val m = Bpe.Model(Seq(("a", "a")))
+    val toks = Bpe.applyMerges(m, Seq("aaaa", "aaa").toDF("text"), "text")
+      .select("tokens").as[Seq[String]].collect()
+    assert(toks(0) === Seq("aa", "aa", "</w>"))
+    assert(toks(1) === Seq("aa", "a", "</w>"))
+  }
+
+  test("merged tokens keep merging across ranks (chain to whole word)") {
+    val m = Bpe.Model(Seq(("a", "b"), ("ab", "c"), ("abc", "</w>")))
+    val toks = Bpe.applyMerges(m, Seq("abc").toDF("text"), "text")
+      .select("tokens").as[Seq[String]].head()
+    assert(toks === Seq("abc</w>"))
+  }
+
+  test("tokenCount matches the applied tokenization size") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val df = Seq("the lowest and newest", "wide widest low").toDF("text")
+    val counted = df.select(Bpe.tokenCount(m, col("text")).as("n"))
+      .as[Int].collect()
+    val applied = Bpe.applyMerges(m, df, "text")
+      .select(size(col("tokens"))).as[Int].collect()
+    assert(counted === applied)
+  }
+
+  test("more merges never increase the token count") {
+    val short = Bpe.train(corpus, "text", numMerges = 2)
+    val long = Bpe.train(corpus, "text", numMerges = 8)
+    val doc = Seq(("newest lowest widest")).toDF("text")
+    val a = doc.select(Bpe.tokenCount(short, col("text"))).as[Int].head()
+    val b = doc.select(Bpe.tokenCount(long, col("text"))).as[Int].head()
+    assert(b <= a)
+  }
+
+  test("minCount stops training when no pair is frequent enough") {
+    val tiny = Seq("ab").toDF("text")
+    val m = Bpe.train(tiny, "text", numMerges = 10, minCount = 2L)
+    assert(m.merges.isEmpty)
+    val all = Bpe.train(tiny, "text", numMerges = 10, minCount = 1L)
+    // a-b, then ab-</w>: two merges exhaust the single word
+    assert(all.merges === Seq(("a", "b"), ("ab", "</w>")))
+  }
+}

@@ -61,4 +61,15 @@ class DsirSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case e: ShuffleExchangeExec => e
     }.isEmpty, "DSIR scoring must not exchange")
   }
+
+  test("null-text rows are dropped by score, matching train and the oracle") {
+    val corpus = docs(
+      (1L, "alpha beta alpha", "en"),
+      (2L, null, "en"),
+      (3L, "zig zag", "xx"))
+    val model = Dsir.train(corpus, "text", col("lang") === "en", numBuckets = 16)
+    val ids = Dsir.score(model, corpus, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 3L))
+  }
 }

@@ -80,7 +80,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // graph ops: the edge list (triangles) / per-round edge and rank
       // tables (kcore, pagerank) are executor-resident checkpoints
       "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank",
-      "q_graph_walks")
+      "q_graph_walks",
+      // the ONE-row moment vector both covariance branches read
+      "q_pca_cov")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -245,7 +247,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_quality_rules" -> 0, // pure map-only signal projection
       // scoring folds a literal LUT per row; training's bounded agg
       // ran at construction
-      "q_dsir_weights" -> 0)
+      "q_dsir_weights" -> 0,
+      // two per-customer windows + the full-outer merge join reusing
+      // their key partitioning (ceiling leaves room for AQE's take)
+      "q_snapshot_diff" -> 4,
+      "q_corr_matrix" -> 1, // one exact-moment grand agg
+      "q_ols_coeffs" -> 1, // same single moment pass
+      // one vector-fold agg; the entry explode and index joins ride
+      // the single aggregated row (broadcast, no exchange)
+      "q_pca_cov" -> 2,
+      // median agg + MAD agg + gate agg; the med/mad exchanges are
+      // plan-identical subtrees, reused not recomputed; group stats
+      // travel back by broadcast only
+      "q_mad_outliers" -> 4,
+      // ONE grouped vector-fold exchange; rows never shuffle
+      "q_embedding_centroids" -> 1)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

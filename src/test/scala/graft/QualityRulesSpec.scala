@@ -63,4 +63,16 @@ class QualityRulesSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case e: ShuffleExchangeExec => e
     }.isEmpty, "quality gate must fuse into the scan")
   }
+
+  test("null text null-propagates through every signal and the gate") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]),
+      (2L, "the quick brown fox jumps over the lazy dog again and again now"))
+      .toDF("doc_id", "text")
+    val rows = QualityRules.signals(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(6),
+      "null text -> null signals and null pass")
+    assert(!rows(1).isNullAt(1) && !rows(1).isNullAt(6))
+  }
 }
