@@ -3211,6 +3211,49 @@ object Queries {
       |FROM q JOIN g ON q.label = g.label, range(1, 65) d(d)
       |GROUP BY q.label, d.d""".stripMargin
 
+  /** Leakage-safe train/val/test split: the hash-range splitter
+    * ([[graft.operators.Sampling.split]]) keyed on the NEAR-DUP
+    * CLUSTER instead of the document — a plain per-doc split leaks
+    * eval data whenever a test document's near-duplicate lands in
+    * train (exactly what the planted variants here do), so the whole
+    * [[graft.operators.ConnectedComponents]] cluster moves as one
+    * unit. Singletons (no candidate pair) key on their own id. Scale
+    * shape: clustering is the audited q_dedup_clusters path; the
+    * extra work on top is one id-keyed join and a map-only hash tag.
+    */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents.resolve(
+      dedupMinHash(s, dir), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val withCluster = nearDupCorpus(s, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    graft.operators.Sampling.split(withCluster, "cluster", seed = 13L,
+      fractions = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+  }
+
+  val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY 1),
+       |alldocs AS ($nearDupCorpusSql),
+       |cl AS (SELECT c.doc_id, coalesce(l.component, c.doc_id) AS cluster
+       |  FROM alldocs c LEFT JOIN labels l ON c.doc_id = l.doc_id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN u < 0.75 THEN 'train'
+       |       WHEN u < 0.875 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster,
+       |  CAST(('0x' || substr(sha256('13:' || CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    / 4294967296.0 AS u
+       |FROM cl)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -3318,7 +3361,8 @@ object Queries {
     "q_ols_coeffs" -> (olsCoeffs _),
     "q_pca_cov" -> (pcaCov _),
     "q_mad_outliers" -> (madOutliers _),
-    "q_embedding_centroids" -> (embeddingCentroids _))
+    "q_embedding_centroids" -> (embeddingCentroids _),
+    "q_split_leakage_safe" -> (splitLeakageSafe _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
     * driver's weaker rows-only check — currently every query is
@@ -3429,5 +3473,6 @@ object Queries {
     "q_ols_coeffs" -> olsCoeffsSql,
     "q_pca_cov" -> pcaCovSql,
     "q_mad_outliers" -> madOutliersSql,
-    "q_embedding_centroids" -> embeddingCentroidsSql)
+    "q_embedding_centroids" -> embeddingCentroidsSql,
+    "q_split_leakage_safe" -> splitLeakageSafeSql)
 }

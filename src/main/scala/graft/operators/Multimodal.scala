@@ -343,4 +343,112 @@ object Multimodal {
     df.repartition(
       parallelism,
       pmod(xxhash64(col(idCol), col(sizeCol)), lit(parallelism)))
+
+  // ------------------------------------------------------- perceptual hash
+
+  /** 64-bit average-hash (aHash) of an image payload: REAL JDK decode,
+    * 8×8 integer block-average grayscale, threshold on the global
+    * mean. Bit (8·row + col) is set iff that cell's mean gray exceeds
+    * the image mean — the classic perceptual fingerprint: robust to
+    * re-encode/resize/small edits, and every step is integer
+    * arithmetic over decoded pixels (no Graphics2D rescale, whose
+    * filtering is JVM-implementation-dependent), so the hash is
+    * deterministic across JVMs and re-runs. Requires both dimensions
+    * ≥ 8; undecodable payloads fail loudly.
+    */
+  def imageAHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val cells = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 8) {
+        val x0 = c * w / 8; val x1 = (c + 1) * w / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(r * 8 + c) = sum / ((y1 - y0).toLong * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-image aHash table (media_id, ahash) — the mapPartitions codec
+    * seam (same exception class as [[decodeFeatures]]: a pixel decoder
+    * cannot live in an Expression), scattered first so byte-size
+    * clustering never straggles the decode stage.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => (m.media_id, imageAHash(m.payload))))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs from an aHash table: split the 64-bit
+    * hash into `bands` equal bit-bands and bucket-join — by pigeonhole
+    * any pair within Hamming distance < bands shares at least one
+    * band, so candidate generation never compares all pairs (same
+    * maxBucket degeneracy bound as [[Dedup.minHashCandidates]]; a
+    * corpus of identical monochrome thumbnails caps instead of
+    * exploding). Exact `bit_count(xor)` then keeps pairs within
+    * `maxHamming`. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64 (and be >= 2), got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    val width = 64 / bands
+    // mask, not %: a long remainder depends on the sign bit, so two
+    // hashes sharing a band's bits could land in different buckets
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("ahash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("v")).as(s"b$b"))
+    val buckets = hashes
+      .select(col("media_id").as("id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.v").as("v"))
+    val grouped = buckets
+      .groupBy("band", "v")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+      .join(hashes.select(col("media_id").as("id_a"), col("ahash").as("__ha")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"), col("ahash").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

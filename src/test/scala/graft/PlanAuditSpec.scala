@@ -82,7 +82,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank",
       "q_graph_walks",
       // the ONE-row moment vector both covariance branches read
-      "q_pca_cov")
+      "q_pca_cov",
+      // rides the q_dedup_clusters CC label table
+      "q_split_leakage_safe")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a

@@ -93,4 +93,16 @@ class SamplingSpec extends SparkSpec {
       assert(same.count() == 0)
     } finally out.unpersist()
   }
+
+  test("cluster-keyed split is leakage-safe: one split per cluster") {
+    import spark.implicits._
+    // 3 clusters of 4 docs; keying the split on the cluster must put
+    // every member of a cluster in the same split
+    val docs = (0L until 12L).map(i => (i, i % 3)).toDF("doc_id", "cluster")
+    val out = graft.operators.Sampling.split(docs, "cluster", seed = 13L,
+      fractions = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val perCluster = out.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).select("n").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "a cluster straddled two splits")
+  }
 }
