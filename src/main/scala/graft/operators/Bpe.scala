@@ -112,38 +112,39 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
+        val prev = words
         words = words
           .withColumn("tokens", mergePass(col("tokens"), a, b))
           .localCheckpoint(true)
+        // only the newest word table is ever read again; at the
+        // advertised 1000-merge scale, leaving every round's
+        // checkpoint pinned would grow executor storage linearly
+        prev.unpersist()
       }
     }
     Model(merges.toSeq)
   }
 
-  /** Tokenize a text column with a trained model: map-only — each
-    * word's characters fold through the merge table in rank order.
-    * Appends `tokens`: the subword sequence with the published
-    * sentinel rendering (`low</w>`, or a bare `</w>` when the
-    * sentinel never merged).
+  /** Tokenize a text column with a trained model: map-only — ONE
+    * native pass applies the whole merge table per row
+    * ([[graft.plans.BpeEncodeExpr]]; the per-merge expression-fold
+    * alternative nests one lambda per merge and breaks codegen at
+    * real vocabulary sizes). Appends `tokens`: the subword sequence
+    * with the published sentinel rendering (`low</w>`, or a bare
+    * `</w>` when the sentinel never merged).
     */
-  def applyMerges(model: Model, df: DataFrame, textCol: String): DataFrame = {
-    val words = split(normalizeText(col(textCol)), " ")
-    val tokenized = transform(filter(words, w => length(w) > 0), w =>
-      model.merges.foldLeft(charTokens(w))((t, m) =>
-        mergePass(t, m._1, m._2)))
-    df.withColumn("tokens", flatten(tokenized))
-  }
+  def applyMerges(model: Model, df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("tokens",
+      graft.plans.NativeText.bpeEncode(
+        filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0),
+        model.merges))
 
   /** Subword token count per document — the budget number a tokenizer
-    * feeds into packing ([[Packing]]) — without materializing token
-    * arrays outside the fold: map-only.
+    * feeds into packing ([[Packing]]): size of the same native
+    * encode, map-only.
     */
-  def tokenCount(model: Model, text: Column): Column = {
-    val words = split(normalizeText(text), " ")
-    aggregate(
-      transform(filter(words, w => length(w) > 0), w =>
-        size(model.merges.foldLeft(charTokens(w))((t, m) =>
-          mergePass(t, m._1, m._2)))),
-      lit(0), (acc, n) => acc + n)
-  }
+  def tokenCount(model: Model, text: Column): Column =
+    size(graft.plans.NativeText.bpeEncode(
+      filter(split(normalizeText(text), " "), w => length(w) > 0),
+      model.merges))
 }

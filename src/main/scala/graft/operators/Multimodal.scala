@@ -424,6 +424,12 @@ object Multimodal {
     require(bands >= 2 && 64 % bands == 0, s"bands must divide 64 (and be >= 2), got $bands")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    // materialized once: the bucket build and both hash-lookup joins
+    // read this — without it a hashes plan fed straight from
+    // [[imageHashes]] re-runs the ImageIO decode three times (the
+    // joins key on different columns, so no exchange is reusable).
+    // Two longs per image: same cost class as the output itself.
+    val hashTable = hashes.localCheckpoint(true)
     val width = 64 / bands
     // mask, not %: a long remainder depends on the sign bit, so two
     // hashes sharing a band's bits could land in different buckets
@@ -431,7 +437,7 @@ object Multimodal {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("ahash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("v")).as(s"b$b"))
-    val buckets = hashes
+    val buckets = hashTable
       .select(col("media_id").as("id"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.v").as("v"))
@@ -445,8 +451,8 @@ object Multimodal {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-      .join(hashes.select(col("media_id").as("id_a"), col("ahash").as("__ha")), "id_a")
-      .join(hashes.select(col("media_id").as("id_b"), col("ahash").as("__hb")), "id_b")
+      .join(hashTable.select(col("media_id").as("id_a"), col("ahash").as("__ha")), "id_a")
+      .join(hashTable.select(col("media_id").as("id_b"), col("ahash").as("__hb")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)

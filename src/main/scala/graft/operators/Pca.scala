@@ -189,8 +189,11 @@ object Pca {
         off = math.max(off, math.abs(a(p)(q)))
         if (math.abs(a(p)(q)) > tol) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) /
-            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          // sign(0) must be +1: equal diagonal entries (theta == 0)
+          // need the full 45-degree rotation, not a zero rotation
+          // that would stall the sweep on a still-nonzero off-diagonal
+          val sgn = if (theta >= 0.0) 1.0 else -1.0
+          val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           for (i <- 0 until d) {

@@ -76,6 +76,10 @@ object Regression {
     val rhs = (sy +: sxy.toSeq).map(_.toDouble)
     val sse = syy.toDouble - bScaled.zip(rhs).map { case (b, s) => b * s }.sum
     val sst = syy.toDouble - sy.toDouble * sy.toDouble / n
+    // exact moments make SST exactly 0 for a constant label — fail
+    // loudly (repo convention, cf. the singular-matrix require) rather
+    // than returning a silent NaN that false-fails r2 thresholds
+    require(sst != 0.0, "constant label (zero variance): r2 undefined")
     1.0 - sse / sst
   }
 

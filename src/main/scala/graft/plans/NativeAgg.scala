@@ -45,7 +45,12 @@ case class VectorSumLong(
       s"vector_sum_long needs array<bigint>, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+  // `null` is the UNINITIALIZED buffer sentinel — an actual Array of
+  // length 0 means "saw zero-length input rows", which is a legal
+  // vector width. Conflating the two would let a length-0 row slip
+  // past the ragged-input guard and make an all-empty-arrays column
+  // eval to SQL NULL instead of an empty vector.
+  override def createAggregationBuffer(): Array[Long] = null
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -53,7 +58,7 @@ case class VectorSumLong(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val acc = if (buf.isEmpty) new Array[Long](n) else buf
+      val acc = if (buf == null) new Array[Long](n) else buf
       require(acc.length == n,
         s"vector_sum_long: ragged input (${acc.length} vs $n elements)")
       var i = 0
@@ -63,8 +68,8 @@ case class VectorSumLong(
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    if (a.isEmpty) b
-    else if (b.isEmpty) a
+    if (a == null) b
+    else if (b == null) a
     else {
       require(a.length == b.length,
         s"vector_sum_long: ragged partials (${a.length} vs ${b.length})")
@@ -74,10 +79,12 @@ case class VectorSumLong(
     }
 
   override def eval(buf: Array[Long]): Any =
-    if (buf.isEmpty) null else new GenericArrayData(buf)
+    if (buf == null) null else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    if (buf == null) return Array[Byte](0)
+    val bb = ByteBuffer.allocate(1 + 4 + 8 * buf.length)
+    bb.put(1: Byte)
     bb.putInt(buf.length)
     buf.foreach(bb.putLong)
     bb.array()
@@ -85,6 +92,7 @@ case class VectorSumLong(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
+    if (bb.get() == 0) return null
     val out = new Array[Long](bb.getInt)
     var i = 0
     while (i < out.length) { out(i) = bb.getLong; i += 1 }

@@ -299,6 +299,62 @@ object NativeText {
       QualityTextStats(
         org.apache.spark.sql.classic.GraftPlanApi.expression(text)))
 
+  /** Apply an ordered BPE merge table to a word array: every word
+    * becomes char tokens + `</w>`, then each merge runs one greedy
+    * left-to-right pass (identical semantics to
+    * [[graft.operators.Bpe]]'s per-round fold — a token merged in a
+    * pass matches later occurrences of that pass only in combined
+    * form). ONE JVM loop regardless of vocabulary size — the
+    * expression-fold formulation nested one lambda PER MERGE, so a
+    * 1000-merge model built a 1000-deep tree that broke codegen at
+    * exactly the scale training targets. `merges` is flattened
+    * [a0, b0, a1, b1, …].
+    */
+  def bpeEncodeEval(words: ArrayData, merges: Array[String]): ArrayData = {
+    if (words == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.numElements()) {
+      val w = words.getUTF8String(wi).toString
+      var tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        tokens += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      tokens += "</w>"
+      var mi = 0
+      while (mi < merges.length) {
+        val a = merges(mi); val b = merges(mi + 1); val ab = a + b
+        val next = new scala.collection.mutable.ArrayBuffer[String](tokens.length)
+        var ti = 0
+        while (ti < tokens.length) {
+          val t = tokens(ti)
+          if (next.nonEmpty && next.last == a && t == b)
+            next(next.length - 1) = ab
+          else next += t
+          ti += 1
+        }
+        tokens = next
+        mi += 2
+      }
+      tokens.foreach(t => out += UTF8String.fromString(t))
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column API for [[BpeEncodeExpr]] (merge table inlined into the
+    * expression — model-bound, so no registry slot; see the
+    * HashWeightSum precedent).
+    */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.classic.GraftPlanApi.column(
+      BpeEncodeExpr(
+        org.apache.spark.sql.classic.GraftPlanApi.expression(words),
+        merges.flatMap(m => Seq(m._1, m._2)).toArray))
+
   def textRepetitionEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     if (text == null) {
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -616,6 +672,37 @@ case class TextRepetitionStats(text: Expression)
   * which is what makes the untrained classifier oracle-replayable
   * order-independently.
   */
+/** BPE merge application over a word array — one JVM pass per row for
+  * any vocabulary size (see [[NativeText.bpeEncodeEval]]). `merges` is
+  * the flattened ordered pair table; it rides the expression as a
+  * reference object, not per-row data.
+  */
+case class BpeEncodeExpr(words: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def child: Expression = words
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = words.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe encode requires array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(w: Any): Any =
+    NativeText.bpeEncodeEval(w.asInstanceOf[ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges,
+      classOf[Array[String]].getName)
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.plans.NativeText.bpeEncodeEval($w, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(words = c)
+}
+
 /** Single-pass quality-signal counts for the Gopher/C4 gate
   * ([[graft.operators.QualityRules]]): one traversal of the
   * normalized token stream replaces five higher-order-function

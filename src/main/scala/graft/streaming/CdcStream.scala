@@ -52,20 +52,27 @@ object CdcStream {
         .filter(_.startsWith("batch_id="))
         .map(_.stripPrefix("batch_id=").toLong)
         .filter(_ < batchId)
+    // persist the snapshot FIRST and diff from the just-written
+    // parquet: the incoming batch plan (a 100 TB snapshot scan) is
+    // evaluated exactly once, and the emitted changes provably come
+    // from the same bytes the state now holds. Replay stays
+    // idempotent — a re-run overwrites the same partition and diffs
+    // against the same pre-batch state.
+    batch.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/batch_id=$batchId")
+    val stored = spark.read.parquet(s"$stateDir/batch_id=$batchId")
     val changes = priorIds match {
       case ids if ids.nonEmpty =>
         val prior = spark.read.parquet(s"$stateDir/batch_id=${ids.max}")
-        SnapshotDiff.diff(prior, batch, keyCols, compareCols)
+        SnapshotDiff.diff(prior, stored, keyCols, compareCols)
       case _ =>
         // bootstrap: everything is new
-        batch.select(keyCols.map(col): _*)
+        stored.select(keyCols.map(col): _*)
           .withColumn("change_type", lit("added"))
           .withColumn("changed_cols", lit(""))
     }
     changes.write.mode(SaveMode.Overwrite)
       .parquet(s"$changesDir/batch_id=$batchId")
-    batch.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/batch_id=$batchId")
   }
 
   /** Wire the writer onto a streaming snapshot source. One snapshot

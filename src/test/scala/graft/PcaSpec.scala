@@ -130,4 +130,18 @@ class PcaSpec extends SparkSpec {
     // grid quantization perturbs the covariance at ~1e-6 relative
     assert(math.abs(v - m.eigenvalues(0)) < 1e-2)
   }
+
+  test("vector_sum_long: zero-length rows are a real width, not 'uninitialized'") {
+    // all-empty input -> an empty vector (not SQL NULL)
+    val empties = spark.range(5).select(array().cast("array<long>").as("v"))
+    val r = empties.agg(NativeAgg.vectorSumLong(col("v"))).collect()(0)
+    assert(!r.isNullAt(0) && r.getSeq[Long](0).isEmpty)
+    // empty mixed with 2-wide is ragged and fails loudly
+    val mixed = spark.range(4).select(
+      when(col("id") === 0, array().cast("array<long>"))
+        .otherwise(array(lit(1L), lit(2L))).as("v"))
+    intercept[Exception] {
+      mixed.coalesce(1).agg(NativeAgg.vectorSumLong(col("v"))).collect()
+    }
+  }
 }

@@ -77,4 +77,12 @@ class RegressionSpec extends SparkSpec {
       .select(max(abs(col("prediction") - col("y")))).as[Double].head()
     assert(worst < 1e-9)
   }
+
+  test("constant label fails loudly instead of returning NaN r2") {
+    val const = plane.withColumn("y", lit(7.0))
+    val e = intercept[IllegalArgumentException] {
+      Regression.fit(const, "y", Seq("x1", "x2"))
+    }
+    assert(e.getMessage.contains("constant label"))
+  }
 }
