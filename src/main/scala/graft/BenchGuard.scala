@@ -134,7 +134,10 @@ object BenchGuard {
       .getOrElse("bench/floors.json")
     if (overrides.nonEmpty) {
       val floors = readFloors(floorsPath)
-      val unknown = overrides.keySet -- floors.queries.keySet
+      // typo guard against the QUERY REGISTRY, not the floor file — a
+      // brand-new query's first measured floor can then land via
+      // --set-floor without waiting on a full --update sweep
+      val unknown = overrides.keySet -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"--set-floor for unknown queries: $unknown")
       writeFloors(floorsPath, floors.copy(queries = floors.queries ++ overrides))
       overrides.foreach { case (q, s) =>

@@ -3178,6 +3178,46 @@ object Queries {
       |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
       |GROUP BY 1""".stripMargin
 
+  /** The scale companion to q_mad_outliers: sketch (GK) medians for
+    * both stages — per-task state bounded by the sketch, never the
+    * group — with the q_group_percentiles_approx verification
+    * contract: the output carries rank-interval BOOLEANS checked
+    * in-engine (εn + 1 slack), so the driver's hash gate fails if
+    * either sketch ever leaves its guarantee, while the oracle only
+    * replays the exact group counts.
+    */
+  def madOutliersApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val med = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).as("amed"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("__dev", abs(col("l_extendedprice") - col("amed")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(percentile_approx(col("__dev"), lit(0.5), lit(acc)).as("amad"))
+    def ok(le: Column, lt: Column, n: Column): Column = {
+      val slack = n.cast("double") / acc + 1d
+      val target = n.cast("double") * 0.5
+      (le.cast("double") >= target - slack) && (lt.cast("double") <= target + slack)
+    }
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("amed"), 1L).otherwise(0L)).as("lem"),
+        sum(when(col("l_extendedprice") < col("amed"), 1L).otherwise(0L)).as("ltm"),
+        sum(when(col("__dev") <= col("amad"), 1L).otherwise(0L)).as("led"),
+        sum(when(col("__dev") < col("amad"), 1L).otherwise(0L)).as("ltd"))
+      .select(col("l_returnflag"), col("n"),
+        ok(col("lem"), col("ltm"), col("n")).as("med_in_bound"),
+        ok(col("led"), col("ltd"), col("n")).as("mad_in_bound"))
+  }
+
+  val madOutliersApproxSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS med_in_bound, true AS mad_in_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Per-label embedding centroids via the native vector-sum aggregate
     * ([[graft.plans.VectorSumLong]]) in GROUPED mode: one exchange of
     * 64-long vectors (one per group per partition after map-side
@@ -3361,6 +3401,7 @@ object Queries {
     "q_ols_coeffs" -> (olsCoeffs _),
     "q_pca_cov" -> (pcaCov _),
     "q_mad_outliers" -> (madOutliers _),
+    "q_mad_outliers_approx" -> (madOutliersApprox _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_split_leakage_safe" -> (splitLeakageSafe _))
 
@@ -3473,6 +3514,7 @@ object Queries {
     "q_ols_coeffs" -> olsCoeffsSql,
     "q_pca_cov" -> pcaCovSql,
     "q_mad_outliers" -> madOutliersSql,
+    "q_mad_outliers_approx" -> madOutliersApproxSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_split_leakage_safe" -> splitLeakageSafeSql)
 }

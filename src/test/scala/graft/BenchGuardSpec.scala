@@ -77,16 +77,23 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("--set-floor rewrites one entry in place and rejects unknown queries") {
+  test("--set-floor rewrites or ADDS an entry; unknown-to-the-registry rejects") {
     val path = java.nio.file.Files.createTempFile("floors_set", ".json").toString
-    BenchGuard.writeFloors(path, floors)
-    BenchGuard.main(Array("--set-floor", "q_a=9.5", path))
+    // the typo guard validates against SparkEntry.queries (so a new
+    // query's first floor can land without a full sweep) — use a real
+    // registry name in the fixture
+    val real = floors.copy(queries = floors.queries + ("q_agg_pricing" -> 1.0))
+    BenchGuard.writeFloors(path, real)
+    BenchGuard.main(Array("--set-floor", "q_agg_pricing=9.5", path))
     val back = BenchGuard.readFloors(path)
-    assert(math.abs(back.queries("q_a") - 9.5) < 1e-4, "override must apply")
-    (floors.queries - "q_a").foreach { case (k, v) =>
+    assert(math.abs(back.queries("q_agg_pricing") - 9.5) < 1e-4, "override must apply")
+    (real.queries - "q_agg_pricing").foreach { case (k, v) =>
       assert(math.abs(back.queries(k) - v) < 1e-4, s"$k must be untouched")
     }
-    assert(math.abs(back.calibration - floors.calibration) < 1e-4)
+    assert(math.abs(back.calibration - real.calibration) < 1e-4)
+    // a registry query with NO existing floor is added, not rejected
+    BenchGuard.main(Array("--set-floor", "q_when_case=0.5", path))
+    assert(math.abs(BenchGuard.readFloors(path).queries("q_when_case") - 0.5) < 1e-4)
     intercept[IllegalArgumentException] {
       BenchGuard.main(Array("--set-floor", "q_nonexistent=1.0", path))
     }

@@ -262,6 +262,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // plan-identical subtrees, reused not recomputed; group stats
       // travel back by broadcast only
       "q_mad_outliers" -> 4,
+      // same staged shape, sketch state instead of group buffers
+      "q_mad_outliers_approx" -> 4,
       // ONE grouped vector-fold exchange; rows never shuffle
       "q_embedding_centroids" -> 1)
     val over = budget.flatMap { case (name, max) =>
