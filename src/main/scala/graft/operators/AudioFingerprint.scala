@@ -77,6 +77,35 @@ object AudioFingerprint {
     }
   }
 
+  /** The canonical fingerprint rate: every clip is linear-resampled
+    * here before framing, so the same audio at 22.05/48/96 kHz lands
+    * on the same frequency bins AND the same frame boundaries (frames
+    * are fixed sample counts — without rate canonicalization a
+    * transcode shifts every peak bin and halves/doubles frame
+    * indices, and nothing ever matches).
+    */
+  val CanonicalRate = 44100.0
+
+  /** Deterministic linear resampling (sufficient for peak-bin
+    * detection; interpolation error is far below the band-peak
+    * decision margin).
+    */
+  def resampleLinear(samples: Array[Double], from: Double, to: Double): Array[Double] = {
+    if (from == to || samples.isEmpty) return samples
+    val n = math.max(1, math.round(samples.length * to / from).toInt)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val pos = i * from / to
+      val lo = math.min(samples.length - 1, pos.toInt)
+      val hi = math.min(samples.length - 1, lo + 1)
+      val frac = pos - lo
+      out(i) = samples(lo) * (1.0 - frac) + samples(hi) * frac
+      i += 1
+    }
+    out
+  }
+
   /** Decode 16-bit PCM to mono doubles in [-1, 1] (channel-averaged);
     * the same JDK parser as [[Multimodal.audioDecode]].
     */
@@ -113,12 +142,18 @@ object AudioFingerprint {
   }
 
   /** Landmark config: 1024-sample Hann frames, hop 512; log-spaced
-    * peak bands over the positive spectrum. Four peaks × 10 bits +
-    * the frame's band-energy ordering make the 64-bit landmark.
+    * peak bands over the positive spectrum. The landmark is the four
+    * peak bins at 10 bits each — 40 discriminating bits (the top 24
+    * are zero).
     */
   val FrameSize = 1024
   val Hop = 512
   val Bands: Array[(Int, Int)] = Array((1, 8), (8, 32), (32, 128), (128, 512))
+
+  // the window is a constant — recomputing cos() per sample per frame
+  // put ~5M transcendental calls per minute of audio on the hot path
+  private val HannWindow: Array[Double] = Array.tabulate(FrameSize)(i =>
+    0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FrameSize - 1))))
 
   /** Per-frame spectral landmarks of one clip: (frame_idx, landmark).
     * Frames shorter than [[FrameSize]] are zero-padded; a clip shorter
@@ -135,8 +170,7 @@ object AudioFingerprint {
       var i = 0
       while (i < FrameSize) {
         val idx = f * Hop + i
-        val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FrameSize - 1)))
-        re(i) = if (idx < samples.length) samples(idx) * w else 0.0
+        re(i) = if (idx < samples.length) samples(idx) * HannWindow(i) else 0.0
         i += 1
       }
       fft(re, im)
@@ -162,9 +196,13 @@ object AudioFingerprint {
   }
 
   /** Fingerprint table for audio-mime rows: (media_id, frame_idx,
-    * landmark) — the thing a pipeline PERSISTS next to the corpus so
-    * matching never re-decodes (same contract as the minhash signature
-    * store). Non-audio rows are filtered, not errored.
+    * landmark) at the canonical rate — the thing a pipeline PERSISTS
+    * next to the corpus so matching never re-decodes (same contract
+    * as the minhash signature store). Non-audio rows are filtered;
+    * audio the JDK parses but that is not 16-bit PCM yields NO
+    * fingerprints instead of failing the job — the same graceful
+    * degradation as [[Multimodal.audioFeatures]]' NaN RMS (an
+    * unfingerprinted clip is simply unmatchable).
     */
   def fingerprints(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
@@ -172,33 +210,44 @@ object AudioFingerprint {
       .filter(m => m.meta != null && m.meta.mime != null &&
         m.meta.mime.startsWith("audio/") && m.payload != null)
       .mapPartitions(_.flatMap { m =>
-        landmarks(monoSamples(m.payload)._1)
-          .map { case (f, lm) => (m.media_id, f, lm) }
+        scala.util.Try {
+          val (samples, sr) = monoSamples(m.payload)
+          landmarks(resampleLinear(samples, sr.toDouble, CanonicalRate))
+            .map { case (f, lm) => (m.media_id, f, lm) }
+        }.getOrElse(Array.empty[(Long, Int, Long)])
       })
       .toDF("media_id", "frame_idx", "landmark")
   }
 
-  /** Near-duplicate clip pairs: landmark-bucket join (bounded; buckets
-    * past `maxBucket` ids are dropped as degenerate, the
-    * [[Dedup.minHashCandidates]] rule) then a per-pair count of
-    * matching (frame, landmark) observations; pairs with at least
-    * `minMatches` co-occurring frames survive. Output: (id_a, id_b,
-    * n_matches), id_a < id_b.
+  /** Near-duplicate clip pairs, OFFSET-INVARIANT: bucket by landmark
+    * VALUE only, pair the (id, frame) observations inside each bucket,
+    * and score a pair by its best frame-delta — `n_matches` is the
+    * number of co-occurring landmarks at ONE CONSISTENT time offset
+    * (the Wang 2003 delta-histogram idea), so a trimmed lead-in or
+    * codec padding shifts every frame index and still matches, while
+    * coincidental single-landmark collisions scatter across deltas
+    * and never accumulate. Buckets past `maxBucket` observations drop
+    * as degenerate ([[Dedup.minHashCandidates]] rule — silence is the
+    * audio equivalent of an all-identical corpus). Output: (id_a,
+    * id_b, n_matches), id_a < id_b.
     */
   def nearDupPairs(
       prints: DataFrame,
       minMatches: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     val byLandmark = prints
-      .groupBy("frame_idx", "landmark")
-      .agg(sort_array(collect_set(col("media_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .groupBy("landmark")
+      .agg(sort_array(collect_list(struct(col("media_id").as("id"),
+        col("frame_idx").as("f")))).as("obs"))
+      .filter(size(col("obs")).between(2, maxBucket))
     byLandmark
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(Dedup.orderedPairs(col("obs")).as("p"))
+      .filter(col("p.a.id") < col("p.b.id"))
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        (col("p.a.f") - col("p.b.f")).as("__delta"))
       .agg(count(lit(1)).as("n_matches"))
+      .groupBy("id_a", "id_b")
+      .agg(max("n_matches").as("n_matches"))
       .filter(col("n_matches") >= minMatches)
   }
 }

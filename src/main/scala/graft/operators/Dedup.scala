@@ -112,6 +112,20 @@ object Dedup {
     * for the second side. `maxBucket` bounds per-bucket memory and the
     * quadratic pair blow-up of degenerate corpora.
     */
+  /** All ordered (a, b) element pairs (a strictly before b) of a
+    * sorted array column, exploded — the shared bucket-to-candidate-
+    * pairs kernel (image/audio near-dup, winnowing, source overlap and
+    * the streaming store all bucket then pair this way). The `i + 2`
+    * is the 1-based slice start of the element AFTER the 0-based
+    * transform index; getting it wrong silently self-pairs or drops
+    * neighbors, so the indexing lives in exactly one place. Works for
+    * any element type (ids or structs).
+    */
+  def orderedPairs(arr: Column): Column =
+    explode(flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, size(arr)), y =>
+        struct(x.as("a"), y.as("b"))))))
+
   def minHashCandidates(
       df: DataFrame,
       textCol: String,
@@ -131,9 +145,7 @@ object Dedup {
       .select(col("band"), size(col("ids")).cast("long").as("bucket_n"))
     val pairs = grouped
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(Dedup.orderedPairs(col("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     (pairs, dropped)
@@ -259,9 +271,7 @@ object Dedup {
       .select(col("band"), size(col("ms")).cast("long").as("bucket_n"))
     val pairs = grouped
       .filter(size(col("ms")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(Dedup.orderedPairs(col("ms")).as("p"))
       .filter((col("p.a.is_new") || col("p.b.is_new")) &&
         col("p.a.id") =!= col("p.b.id")) // an id present on both sides
                                          // must not self-pair

@@ -446,9 +446,7 @@ object Multimodal {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     grouped
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.operators.Dedup.orderedPairs(col("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
       .join(hashTable.select(col("media_id").as("id_a"), col("ahash").as("__ha")), "id_a")

@@ -54,9 +54,7 @@ object SourceOverlap {
     val totals = typedLit(perSource)
     val pairs = grouped
       .filter(size(col("srcs")) >= 2)
-      .select(explode(flatten(transform(col("srcs"), (x, i) =>
-        transform(slice(col("srcs"), i + 2, size(col("srcs"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.operators.Dedup.orderedPairs(col("srcs")).as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
     pairs

@@ -71,9 +71,7 @@ object Winnowing {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.operators.Dedup.orderedPairs(col("ids")).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

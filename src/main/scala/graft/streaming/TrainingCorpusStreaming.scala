@@ -175,9 +175,7 @@ object TrainingCorpusStreaming {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val pairs = grouped
       .filter(size(col("ids")).between(2, cfg.maxBucket))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.operators.Dedup.orderedPairs(col("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     val losers = ConnectedComponents.resolve(pairs, "id_a", "id_b")
