@@ -2660,34 +2660,10 @@ object Queries {
     * source × bucket cross of two tiny aggregates.
     */
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("source"),
-      least(floor(col("n_chars") / lit(50.0)), lit(11L)).cast("long").as("bucket"))
-    val obs = d.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
-    // the coarser totals are exact roll-ups of obs — deriving them
-    // from the same aggregate makes the obs exchange subtree identical
-    // in all four places, so ReuseExchange collapses the plan to ONE
-    // corpus scan + shuffle instead of four scans
-    val srcTotals = obs.groupBy("source").agg(sum("o").as("src_n"))
-    val buckets = obs.groupBy("bucket").agg(sum("o").as("bucket_n"))
-    val total = obs.agg(sum("o").as("all_n"))
-    // the bucket domain is static (0..11 by construction), so the
-    // source × bucket grid is an explode + equi join on the observed
-    // buckets — no cross join; the 1-row grand total rides the audited
-    // broadcast-cross pattern
-    val grid = srcTotals
-      .withColumn("bucket", explode(sequence(lit(0L), lit(11L))))
-      .join(broadcast(buckets), "bucket")
-      .crossJoin(broadcast(total))
-    grid.join(obs, Seq("source", "bucket"), "left")
-      .select(col("source"), col("src_n"),
-        coalesce(col("o"), lit(0L)).as("o"),
-        (col("src_n").cast("double") * col("bucket_n") / col("all_n")).as("e"))
-      .select(col("source"), col("src_n"),
-        (((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
-          .cast("decimal(27,10)")).as("term"))
-      .groupBy("source")
-      .agg(max("src_n").as("n_docs"),
-        round(sum(col("term")).cast("double"), 6).as("chi2"))
+    val d = graft.operators.Drift.lengthBuckets(
+      t(s, dir, "documents"), "source", "n_chars")
+    graft.operators.Drift.chi2FromCounts(
+      d.groupBy("source", "bucket").agg(count(lit(1)).as("o")))
   }
 
   val distributionDriftSql: String =
