@@ -1,0 +1,94 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.operators.{Multimodal, VideoFrames}
+import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+
+class VideoFramesSpec extends SparkSpec {
+
+  private def jpegFrame(invertRow: Int, phase: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val cellOn = (x / 4 + y / 4 + phase) % 2 == 0
+      val inverted = y / 4 == invertRow
+      img.setRGB(x, y, if (cellOn ^ inverted) 0xffffff else 0x000000)
+    }
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def le32(n: Int): Array[Byte] =
+    Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    ascii(id) ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  /** Minimal MJPEG AVI: RIFF('AVI ' JUNK LIST('movi' frames…)), with
+    * the LAST frame wrapped in a nested LIST('rec ') to exercise
+    * interleave groups.
+    */
+  private def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val (plain, grouped) = frames.splitAt(math.max(0, frames.length - 1))
+    val moviBody = ascii("movi") ++
+      plain.flatMap(f => chunk("00dc", f)).toArray ++
+      grouped.flatMap(f =>
+        chunk("LIST", ascii("rec ") ++ chunk("00dc", f))).toArray
+    val payload = ascii("AVI ") ++
+      chunk("JUNK", Array.fill(13)(0.toByte)) ++ // odd size: pad path
+      chunk("LIST", moviBody)
+    ascii("RIFF") ++ le32(payload.length) ++ payload
+  }
+
+  private val framesA = (0 until 8).map(jpegFrame(_))
+
+  test("the RIFF walk recovers every frame byte-for-byte") {
+    val got = VideoFrames.aviMjpegFrames(avi(framesA))
+    assert(got.length === 8)
+    got.zip(framesA).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("non-AVI bytes fail loudly; fingerprints degrade to empty") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      VideoFrames.aviMjpegFrames("not a riff at all".getBytes)
+    }
+    val media = Seq(MediaRecord(1L, "junk-bytes-here!".getBytes,
+      MediaMeta("video/avi", "t", 16L))).toDS()
+    assert(VideoFrames.fingerprints(media).isEmpty)
+  }
+
+  test("frame hashes are real decodes: distinct frames, distinct hashes") {
+    val prints = framesA.map(Multimodal.imageAHash)
+    assert(prints.distinct.length === 8, "every frame must hash distinctly")
+  }
+
+  test("near-dup: a lead-trimmed copy matches at a consistent delta; a phase-flipped clip does not") {
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) =
+      MediaRecord(id, bytes, MediaMeta("video/avi", "t", bytes.length.toLong))
+    val media = Seq(
+      rec(1L, avi(framesA)),
+      rec(2L, avi(framesA.drop(2))), // first two frames trimmed
+      rec(3L, avi((0 until 8).map(jpegFrame(_, phase = 1))))).toDS()
+    val prints = VideoFrames.fingerprints(media)
+    val pairs = VideoFrames.nearDupPairs(prints, minMatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 === 6L, "six shared frames at delta 2")
+  }
+
+  test("stride and maxFrames bound the sampled fingerprint set") {
+    import spark.implicits._
+    val media = Seq(MediaRecord(1L, avi(framesA),
+      MediaMeta("video/avi", "t", 1L))).toDS()
+    assert(VideoFrames.fingerprints(media, stride = 2).count() === 4L)
+    assert(VideoFrames.fingerprints(media, maxFrames = 3).count() === 3L)
+  }
+}
