@@ -35,7 +35,13 @@ object Drift {
     * explode + broadcast equi-join (no cross join), and the 1-row
     * grand total rides the audited broadcast-cross pattern.
     */
-  def chi2FromCounts(obs: DataFrame, maxBucket: Long = 11L): DataFrame = {
+  def chi2FromCounts(obs0: DataFrame, maxBucket: Long = 11L): DataFrame = {
+    // rows outside the declared domain are excluded ENTIRELY — from
+    // the totals as well as the terms. Without this, a caller whose
+    // bucketing isn't capped (unlike lengthBuckets) would inflate
+    // src_n/all_n with rows the grid join silently drops from the
+    // chi-square sum, understating drift with no warning.
+    val obs = obs0.filter(col("bucket").between(0L, maxBucket))
     val srcTotals = obs.groupBy("source").agg(sum("o").as("src_n"))
     val buckets = obs.groupBy("bucket").agg(sum("o").as("bucket_n"))
     val total = obs.agg(sum("o").as("all_n"))

@@ -29,11 +29,20 @@ import graft.operators.Multimodal.MediaRecord
   */
 object VideoFrames {
 
-  /** All MJPEG frame payloads of an AVI, in stream order. Fails
-    * loudly on non-RIFF/non-AVI bytes; zero-length (dropped) frames
-    * are skipped.
+  /** MJPEG frame payloads of an AVI in stream order, SAMPLED DURING
+    * THE WALK: every `stride`-th frame chunk is copied, at most
+    * `maxFrames` of them, and the walk stops as soon as the budget is
+    * met — a 30-minute clip never materializes 54k frame copies to
+    * keep 64. Fails loudly on non-RIFF/non-AVI bytes AND on corrupt
+    * chunk sizes (a negative 32-bit size would otherwise stall the
+    * cursor — an executor hang, which no Try can catch); zero-length
+    * (dropped) frames are skipped without consuming stride positions.
     */
-  def aviMjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+  def aviMjpegFrames(
+      payload: Array[Byte],
+      stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): Vector[Array[Byte]] = {
+    require(stride >= 1 && maxFrames >= 1, "stride and maxFrames must be >= 1")
     require(payload.length >= 12, "not an AVI: too short")
     def fourcc(o: Int): String =
       new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -43,12 +52,15 @@ object VideoFrames {
     require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
       s"not an AVI: ${fourcc(0)}/${fourcc(8)}")
     val frames = Vector.newBuilder[Array[Byte]]
+    var kept = 0
+    var seen = 0
     // walk chunks in [from, until); descend into LIST movi / rec
     def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
       var o = from
-      while (o + 8 <= until) {
+      while (o + 8 <= until && kept < maxFrames) {
         val id = fourcc(o)
         val size = le32(o + 4).toInt
+        require(size >= 0, s"corrupt chunk size at offset $o")
         val dataStart = o + 8
         val dataEnd = math.min(until, dataStart + size)
         if (id == "LIST" && size >= 4) {
@@ -57,7 +69,11 @@ object VideoFrames {
             walk(dataStart + 4, dataEnd, inMovi = true)
         } else if (inMovi && size > 0 && id.length == 4 &&
             (id.endsWith("dc") || id.endsWith("db"))) {
-          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+          if (seen % stride == 0) {
+            frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+            kept += 1
+          }
+          seen += 1
         }
         // chunks are word-aligned: odd sizes carry one pad byte
         o = dataStart + size + (size & 1)
@@ -69,11 +85,21 @@ object VideoFrames {
 
   /** Per-clip frame-hash fingerprints: every `stride`-th MJPEG frame
     * (up to `maxFrames`) decoded for real and reduced to its
-    * [[Multimodal.imageAHash]] — (media_id, frame_idx, landmark),
-    * frame_idx in SAMPLED order so a trimmed lead-in shifts indices
-    * by a constant and the delta matcher still fires. Video rows the
-    * parser or decoder rejects yield no fingerprints (the
-    * [[AudioFingerprint.fingerprints]] degradation contract).
+    * [[Multimodal.imageAHash]] — (media_id, frame_idx, landmark) in
+    * sampled order. With the default stride = 1 a trimmed lead-in
+    * shifts every index by a constant, exactly what the delta
+    * matcher absorbs; a coarser stride trades that robustness for
+    * decode cost (only trims divisible by the stride still align).
+    *
+    * Degradation is PER FRAME: an undecodable frame (truncated final
+    * chunk of an interrupted upload) is skipped while every intact
+    * frame keeps its sampled index, so the clip still matches on what
+    * survived; only a clip whose CONTAINER fails to parse yields no
+    * fingerprints (the [[AudioFingerprint.fingerprints]] contract).
+    * Uniform frames (black lead-ins, title cards, fades) all hash to
+    * the same constant and carry no identifying evidence — they are
+    * excluded so two unrelated clips can never "match" on their fade
+    * frames.
     */
   def fingerprints(
       media: Dataset[MediaRecord],
@@ -85,14 +111,14 @@ object VideoFrames {
       .filter(m => m.meta != null && m.meta.mime != null &&
         m.meta.mime.startsWith("video/") && m.payload != null)
       .mapPartitions(_.flatMap { m =>
-        scala.util.Try {
-          aviMjpegFrames(m.payload)
-            .grouped(stride).map(_.head).take(maxFrames)
-            .zipWithIndex
-            .map { case (jpeg, i) =>
-              (m.media_id, i, Multimodal.imageAHash(jpeg))
-            }.toSeq
-        }.getOrElse(Seq.empty)
+        scala.util.Try(aviMjpegFrames(m.payload, stride, maxFrames))
+          .getOrElse(Vector.empty)
+          .iterator.zipWithIndex
+          .flatMap { case (jpeg, i) =>
+            scala.util.Try(Multimodal.imageAHash(jpeg)).toOption
+              .filter(_ != 0L) // a flat frame's hash: zero evidence
+              .map(h => (m.media_id, i, h))
+          }
       })
       .toDF("media_id", "frame_idx", "landmark")
   }

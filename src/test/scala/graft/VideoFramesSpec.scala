@@ -90,5 +90,57 @@ class VideoFramesSpec extends SparkSpec {
       MediaMeta("video/avi", "t", 1L))).toDS()
     assert(VideoFrames.fingerprints(media, stride = 2).count() === 4L)
     assert(VideoFrames.fingerprints(media, maxFrames = 3).count() === 3L)
+    // sampling happens IN the walk: the budget stops the copy early
+    assert(VideoFrames.aviMjpegFrames(avi(framesA), maxFrames = 2).length === 2)
+  }
+
+  test("a corrupt negative chunk size fails loudly instead of hanging the walk") {
+    val bytes = avi(framesA)
+    // the JUNK chunk's size field lives at offset 16 (RIFF hdr 12 + id 4)
+    bytes(16) = 0xf8.toByte; bytes(17) = 0xff.toByte
+    bytes(18) = 0xff.toByte; bytes(19) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] {
+      VideoFrames.aviMjpegFrames(bytes)
+    }
+    assert(e.getMessage.contains("corrupt chunk size"))
+  }
+
+  test("a truncated final frame is skipped; intact frames keep matching") {
+    import spark.implicits._
+    val whole = avi(framesA)
+    // leave only 10 bytes of the final frame's JPEG — not even a
+    // complete marker segment, so the decoder genuinely fails (JPEG
+    // readers tolerate shallow tail truncation by padding gray)
+    val truncated = java.util.Arrays.copyOfRange(
+      whole, 0, whole.length - framesA.last.length + 10)
+    val media = Seq(
+      MediaRecord(1L, avi(framesA), MediaMeta("video/avi", "t", 1L)),
+      MediaRecord(2L, truncated, MediaMeta("video/avi", "t", 1L))).toDS()
+    val prints = VideoFrames.fingerprints(media)
+    assert(prints.filter("media_id = 2").count() === 7L,
+      "7 intact frames must survive the torn 8th")
+    val pairs = VideoFrames.nearDupPairs(prints, minMatches = 4).collect()
+    assert(pairs.length === 1 && pairs(0).getLong(2) === 7L)
+  }
+
+  test("flat frames carry no evidence: fade-heavy unrelated clips do not match") {
+    import spark.implicits._
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    assert(Multimodal.imageAHash(flat(0x000000)) === 0L)
+    val blackLead = Seq.fill(5)(flat(0x000000))
+    val clipX = avi(blackLead ++ framesA.take(2))
+    val clipY = avi(blackLead ++ (0 until 2).map(jpegFrame(_, phase = 1)))
+    val media = Seq(
+      MediaRecord(1L, clipX, MediaMeta("video/avi", "t", 1L)),
+      MediaRecord(2L, clipY, MediaMeta("video/avi", "t", 1L))).toDS()
+    assert(VideoFrames.nearDupPairs(
+      VideoFrames.fingerprints(media), minMatches = 4).isEmpty,
+      "shared black lead-ins must not count as a match")
   }
 }
