@@ -3270,6 +3270,40 @@ object Queries {
        |    / 4294967296.0 AS u
        |FROM cl)""".stripMargin
 
+  /** Dictionary blocklist gate ([[graft.operators.Blocklist]]): one
+    * Aho–Corasick pass per document vs O(terms) substring scans. The
+    * term list deliberately nests ("scan" inside "slow scan") to
+    * exercise output-closure hits, and every term is borderless (no
+    * proper prefix equals a suffix), so occurrences cannot overlap
+    * themselves and the oracle's single-pass `replace` count equals
+    * the automaton's every-end-position count exactly.
+    */
+  val blocklistTerms: Seq[String] = Seq(
+    "slow scan", "scan", "big table", "hash join", "merge batch",
+    "stream", "vector")
+
+  def blocklistGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.score(
+      t(s, dir, "documents"), "doc_id", "text", blocklistTerms)
+
+  val blocklistGateSql: String = {
+    // documents text is ASCII, so DuckDB's char-counting length()
+    // agrees with the automaton's byte walk
+    val hits = blocklistTerms.map(term =>
+      s"(length(t) - length(replace(t, '$term', ''))) // ${term.length}")
+      .mkString("\n|    + ")
+    val present = blocklistTerms.map(term =>
+      s"CAST(contains(t, '$term') AS BIGINT)").mkString("\n|    + ")
+    s"""WITH n AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents)
+       |SELECT doc_id AS id,
+       |  $hits AS n_hits,
+       |  $present AS n_terms,
+       |  ($present) > 0 AS blocked
+       |FROM n""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -3379,7 +3413,8 @@ object Queries {
     "q_mad_outliers" -> (madOutliers _),
     "q_mad_outliers_approx" -> (madOutliersApprox _),
     "q_embedding_centroids" -> (embeddingCentroids _),
-    "q_split_leakage_safe" -> (splitLeakageSafe _))
+    "q_split_leakage_safe" -> (splitLeakageSafe _),
+    "q_blocklist" -> (blocklistGate _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
     * driver's weaker rows-only check — currently every query is
@@ -3492,5 +3527,6 @@ object Queries {
     "q_mad_outliers" -> madOutliersSql,
     "q_mad_outliers_approx" -> madOutliersApproxSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
-    "q_split_leakage_safe" -> splitLeakageSafeSql)
+    "q_split_leakage_safe" -> splitLeakageSafeSql,
+    "q_blocklist" -> blocklistGateSql)
 }
