@@ -930,19 +930,30 @@ object Queries {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Exact interpolated percentiles per group (corpus distribution
-    * stats). Spark's `percentile` and DuckDB's `quantile_cont` both
-    * implement the standard (n-1)*p interpolation over the sorted
-    * values — exact, order-independent, so the hash oracle holds
-    * (rounded to 6 dp to absorb last-ulp interpolation differences).
+    * stats), computed by distinct-value histogram
+    * ([[graft.operators.Percentiles.exactByHistogram]]) instead of
+    * Spark's `percentile` aggregate — same (n-1)*p interpolation to
+    * the bit, but partials are plain counted rows with map-side
+    * combine rather than per-task value→count maps. DuckDB's
+    * `quantile_cont` implements the identical interpolation, so the
+    * hash oracle holds (rounded to 6 dp to absorb last-ulp
+    * interpolation differences).
     */
-  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"),
-        count(lit(1)).as("n"))
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = graft.operators.Percentiles.exactByHistogram(
+      li, Seq("l_returnflag"), "l_quantity",
+      Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+    val price = graft.operators.Percentiles.exactByHistogram(
+      li, Seq("l_returnflag"), "l_extendedprice",
+      Seq("p99_price" -> 0.99))
+    qty.join(price, "l_returnflag").select(
+      col("l_returnflag"),
+      round(col("p50_qty"), 6).as("p50_qty"),
+      round(col("p90_qty"), 6).as("p90_qty"),
+      round(col("p99_price"), 6).as("p99_price"),
+      col("n_l_quantity").as("n"))
+  }
 
   val groupPercentilesSql: String =
     """SELECT l_returnflag,
@@ -3304,6 +3315,65 @@ object Queries {
        |FROM n""".stripMargin
   }
 
+  /** KMV/theta-sketch source-overlap estimates
+    * ([[graft.operators.ThetaSketch]]) — the bounded-state companion
+    * of q_source_overlap's exact matrix. The sketch (k smallest
+    * distinct portable shingle hashes per source) is deterministic
+    * and order-independent, so the ESTIMATES replay bit-identically
+    * in DuckDB: same k-min sets, same θ, same divisions.
+    */
+  def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ThetaSketch.overlapMatrix(
+      t(s, dir, "documents"), "source", "text", n = 8, k = 256)
+
+  val sourceOverlapSketchSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, unnest(string_split(nt, ' ')) AS w,
+      |    generate_subscripts(string_split(nt, ' '), 1) AS p
+      |  FROM norm),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(sha256(
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+      |      lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+      |      lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+      |      lead(w, 7) OVER win), 1, 8)) AS BIGINT) AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+      |  QUALIFY lead(w, 7) OVER win IS NOT NULL),
+      |r AS (SELECT source, gram,
+      |    row_number() OVER (PARTITION BY source ORDER BY gram) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nd
+      |  FROM grams),
+      |th AS (SELECT source, max(nd) AS nd,
+      |    CASE WHEN max(nd) >= 256
+      |      THEN (max(CASE WHEN rn = 256 THEN gram END) + 1) / 4294967296.0
+      |      ELSE 1.0 END AS theta
+      |  FROM r GROUP BY source),
+      |samp AS (SELECT r.source, r.gram
+      |  FROM r JOIN th ON r.source = th.source
+      |  WHERE r.rn <= CASE WHEN th.nd >= 256 THEN 255 ELSE th.nd END),
+      |prs AS (SELECT a.source AS sa, b.source AS sb,
+      |    least(a.theta, b.theta) AS theta
+      |  FROM th a JOIN th b ON a.source < b.source),
+      |flt AS (SELECT p.sa, p.sb, p.theta, s.gram, s.source
+      |  FROM prs p JOIN samp s ON (s.source = p.sa OR s.source = p.sb)
+      |    AND (s.gram + 1) / 4294967296.0 < p.theta),
+      |per AS (SELECT sa, sb, theta, gram, count(DISTINCT source) AS cs
+      |  FROM flt GROUP BY 1, 2, 3, 4),
+      |agg AS (SELECT sa, sb, theta,
+      |    CAST(sum(CASE WHEN cs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ci,
+      |    count(*) AS cu
+      |  FROM per GROUP BY 1, 2, 3)
+      |SELECT p.sa AS src_a, p.sb AS src_b,
+      |  round(coalesce(a.ci, 0) / p.theta, 6) AS est_shared,
+      |  round(coalesce(a.cu, 0) / p.theta, 6) AS est_union,
+      |  CASE WHEN coalesce(a.cu, 0) = 0 THEN 0.0
+      |    ELSE round(CAST(a.ci AS DOUBLE) / a.cu, 6) END AS est_jaccard
+      |FROM prs p LEFT JOIN agg a ON p.sa = a.sa AND p.sb = a.sb""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -3414,7 +3484,8 @@ object Queries {
     "q_mad_outliers_approx" -> (madOutliersApprox _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
-    "q_blocklist" -> (blocklistGate _))
+    "q_blocklist" -> (blocklistGate _),
+    "q_source_overlap_sketch" -> (sourceOverlapSketch _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
     * driver's weaker rows-only check — currently every query is
@@ -3528,5 +3599,6 @@ object Queries {
     "q_mad_outliers_approx" -> madOutliersApproxSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_split_leakage_safe" -> splitLeakageSafeSql,
-    "q_blocklist" -> blocklistGateSql)
+    "q_blocklist" -> blocklistGateSql,
+    "q_source_overlap_sketch" -> sourceOverlapSketchSql)
 }
