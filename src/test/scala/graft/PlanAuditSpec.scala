@@ -84,7 +84,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the ONE-row moment vector both covariance branches read
       "q_pca_cov",
       // rides the q_dedup_clusters CC label table
-      "q_split_leakage_safe")
+      "q_split_leakage_safe",
+      // the pair matrix is computed on the driver from collected
+      // per-source KMV sketches — bounded by construction (S sources x
+      // k longs, data-volume-independent); the sketch aggregation
+      // itself ran as a distributed bounded-state job
+      "q_source_overlap_sketch")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -156,7 +161,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_range_join" -> 3, // bucket join sides + final agg (AQE may broadcast one)
       "q_doc_packing" -> 1, // per-shard window
       "q_event_windows" -> 1,
-      "q_group_percentiles" -> 1,
+      // histogram path: per measure column, (group,value) count agg +
+      // per-group window over distinct values; the final per-group agg
+      // rides the window's partitioning and the two 3-row measure
+      // frames broadcast-join. 2 exchanges x 2 measure columns — each
+      // over DISTINCT VALUES, never rows (the old percentile() budget
+      // of 1 bought per-task value->count maps in every partial)
+      "q_group_percentiles" -> 4,
+      "q_blocklist" -> 0, // map-only automaton projection
+      // final frame is the driver-built pair matrix (see the
+      // checkpoint allowlist); the sketch agg ran at construction
+      "q_source_overlap_sketch" -> 0,
       "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
       "q_decontaminate" -> 2, // hit-count agg + report join
