@@ -26,18 +26,30 @@ import graft.operators.{Dedup, Graph, InvertedIndex, NgramLm, Profile, Scd, ScdM
   */
 object Queries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Loads a fixture table and normalizes the `ts` column of the events
+    * fixture to TIMESTAMP (LTZ) regardless of which encoding the fixture
+    * generator used. Three encodings have been observed across fixture
+    * generations:
+    *   - TIMESTAMP(NANOS) → Spark reads a long (with
+    *     spark.sql.legacy.parquet.nanosAsLong=true, set in every session
+    *     this engine builds). Converted with exact integer division
+    *     (ns-since-epoch exceeds 2^53, so double math would corrupt low
+    *     bits); the oracle's TIMESTAMP_NS → TIMESTAMP cast truncates
+    *     identically.
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=0 → Spark 4 reads
+    *     TIMESTAMP_NTZ. Cast to TIMESTAMP — exact, because the session
+    *     timezone is pinned to UTC in every session this engine builds.
+    *   - TIMESTAMP_MICROS adjusted to UTC → already TIMESTAMP; no-op.
+    */
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events fixture stores TIMESTAMP(NANOS), which Spark reads only
-    // as a long (spark.sql.legacy.parquet.nanosAsLong=true — set in every
-    // session this engine builds). Convert to a microsecond timestamp
-    // with exact integer division (ns-since-epoch exceeds 2^53, so a
-    // double division would corrupt low bits); the oracle casts its
-    // TIMESTAMP_NS to TIMESTAMP, which truncates identically.
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case None => df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 
@@ -2323,7 +2335,7 @@ object Queries {
 
   val lengthHistogramSql: String =
     """SELECT CAST(least(floor(n_chars / 50.0), 11) AS BIGINT) AS bucket,
-      |  count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 

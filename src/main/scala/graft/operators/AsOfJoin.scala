@@ -101,14 +101,32 @@ object AsOfJoin {
     * composed form requires them inside `rightValueCols`).
     */
   def asOfJoinNative(
-      left: DataFrame,
-      right: DataFrame,
+      left0: DataFrame,
+      right0: DataFrame,
       keyCols: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
       rightValueCols: Seq[String],
       tieBreak: Seq[String] = Nil,
       strict: Boolean = false): DataFrame = {
+    // Coerce columns that differ between sides only in timestamp flavor
+    // (TIMESTAMP vs TIMESTAMP_NTZ — e.g. one side read from a parquet
+    // file written without isAdjustedToUTC): cast the NTZ side to the
+    // session-timezone TIMESTAMP. Exact when the session TZ is UTC (as
+    // this engine pins); both sides then order identically in the merge.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def coerce(l: DataFrame, r: DataFrame, lc: String, rc: String)
+        : (DataFrame, DataFrame) =
+      (l.schema(lc).dataType, r.schema(rc).dataType) match {
+        case (TimestampNTZType, TimestampType) =>
+          (l.withColumn(lc, col(lc).cast(TimestampType)), r)
+        case (TimestampType, TimestampNTZType) =>
+          (l, r.withColumn(rc, col(rc).cast(TimestampType)))
+        case _ => (l, r)
+      }
+    val (left, right) = (keyCols.map(k => (k, k)) :+ (leftTimeCol, rightTimeCol))
+      .foldLeft((left0, right0)) { case ((l, r), (lc, rc)) => coerce(l, r, lc, rc) }
+
     val spark = left.sparkSession
     GraftPlanApi.ensureStrategy(spark, AsOfJoinStrategy)
 

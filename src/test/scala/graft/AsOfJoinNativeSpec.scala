@@ -124,6 +124,26 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         df.queryExecution.executedPlan)
   }
 
+  test("mixed NTZ/LTZ timestamp sides coerce and join (fixture-regen seam)") {
+    // one side read from parquet written without isAdjustedToUTC arrives
+    // as TIMESTAMP_NTZ; the other as TIMESTAMP. The native join must
+    // coerce rather than fail resolution (this exact mix crashed
+    // q_asof_join_native when the events fixture was regenerated).
+    val l = left.withColumn("t", to_timestamp(from_unixtime($"t" * 3600)))
+    val rLtz = right.withColumn("rt", to_timestamp(from_unixtime($"rt" * 3600)))
+    val rNtz = rLtz.withColumn("rt", $"rt".cast("timestamp_ntz"))
+    assert(rNtz.schema("rt").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val expected = canon(AsOfJoin.asOfJoinNative(
+      l, rLtz, Seq("k"), "t", "rt", Seq("v", "amt")))
+    // NTZ on the right, LTZ on the left — and the reverse
+    assert(canon(AsOfJoin.asOfJoinNative(
+      l, rNtz, Seq("k"), "t", "rt", Seq("v", "amt"))) == expected)
+    val lNtz = l.withColumn("t", $"t".cast("timestamp_ntz"))
+    assert(canon(AsOfJoin.asOfJoinNative(
+      lNtz, rLtz, Seq("k"), "t", "rt", Seq("v", "amt"))) == expected)
+  }
+
   test("mismatched time types fail fast with a clear message") {
     val badRight = right.withColumn("rt", $"rt".cast("int"))
     val ex = intercept[IllegalArgumentException] {

@@ -13,8 +13,7 @@ class EventAggregatesSpec extends SparkSpec {
 
   test("watermarked windowed counts aggregate the events fixture") {
     // batch-mode execution of the same streaming-capable plan
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = Queries.t(spark, "/root/testdata/sf0.001", "events")
     val out = EventAggregates.windowedCounts(events, "1 hour", "1 hour")
     val total = out.agg(sum("n_events")).head().getLong(0)
     assert(total == events.count())

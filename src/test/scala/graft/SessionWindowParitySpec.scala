@@ -30,8 +30,7 @@ class SessionWindowParitySpec extends SparkSpec {
         (r.getTimestamp(2).getTime - gapMs, r.getLong(3)))
       .toMap
 
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = Queries.t(spark, dir, "events")
       .select("event_id", "ts", "user_id")
       .as[Event]
       .collect()
@@ -83,8 +82,7 @@ class SessionWindowParitySpec extends SparkSpec {
         r.getTimestamp(2).getTime, r.getLong(3)))
       .toSet
 
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = Queries.t(spark, dir, "events")
       .select("event_id", "ts", "user_id")
       .as[Event]
       .collect()

@@ -13,12 +13,11 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpec {
 
-  private lazy val events = spark.read
-    .parquet("/root/testdata/sf0.001/events.parquet")
+  private lazy val events = Queries.t(spark, "/root/testdata/sf0.001", "events")
 
   test("per-day sketches merge to the global estimate") {
     val daily = events
-      .groupBy(expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").as("day"))
+      .groupBy(expr("CAST(ts AS DATE)").as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val merged = daily
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
