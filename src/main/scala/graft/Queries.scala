@@ -3386,6 +3386,166 @@ object Queries {
       |    ELSE round(CAST(a.ci AS DOUBLE) / a.cu, 6) END AS est_jaccard
       |FROM prs p LEFT JOIN agg a ON p.sa = a.sa AND p.sb = a.sb""".stripMargin
 
+  /** ANN index-quality evaluation: recall@5 of the IVF probe
+    * ([[simsearchIvf]]) against the exact brute-force ground truth
+    * ([[simsearchTopK]]), per query vector. The standard acceptance
+    * gate before swapping an approximate index into a retrieval
+    * pipeline — run on a sampled query set, it prices the
+    * nprobe/recall trade with real corpus geometry instead of trusting
+    * the index's own training loss.
+    *
+    * Scale shape: both sides are k-bounded per query (k rows each), so
+    * the hit join and the per-query rollup move k×|queries| rows — the
+    * corpus-sized work happens inside the two audited search operators.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val exact = simsearchTopK(s, dir).select("query_id", "neighbor_id")
+    val approx = simsearchIvf(s, dir).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_5", round(col("n_hits") / lit(k.toDouble), 6))
+  }
+
+  val annRecallSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      |ex_scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, n.nv), 6) AS cos_sim
+      |  FROM q, n WHERE n.vec_id <> query_id),
+      |ex_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ex_scored),
+      |ex AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rn <= 5),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |assigned AS (SELECT n.vec_id, n.nv,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n),
+      |probes AS (SELECT q.query_id, q.qv, p.cell
+      |  FROM q, LATERAL (SELECT c.cell FROM cent c
+      |    ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell LIMIT 4) p),
+      |iv_scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.qv, a.nv), 6) AS cos_sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |iv_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM iv_scored),
+      |iv AS (SELECT query_id, neighbor_id FROM iv_ranked WHERE rn <= 5),
+      |hits AS (SELECT e.query_id, count(*) AS n
+      |  FROM ex e JOIN iv i ON e.query_id = i.query_id
+      |    AND e.neighbor_id = i.neighbor_id
+      |  GROUP BY 1)
+      |SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+      |  round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
+      |FROM q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]]): 100 documents
+    * drawn proportional to character count — the corpus subsample
+    * whose TOKEN mass, not doc count, is representative. Key order
+    * (`ln(u)/w`) replays in DuckDB from the same portable hash; the
+    * key itself stays out of the output so the comparison is over
+    * membership, not transcendental bit patterns.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      t(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 100, seed = 17L)
+      .withColumnRenamed("n_chars", "weight")
+
+  val weightedSampleSql: String =
+    """SELECT doc_id, n_chars AS weight FROM (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST(('0x' || substr(sha256('17:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS es_key
+      |  FROM documents)
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Unicode NFC normalization ([[graft.plans.NativeNorm]]): the
+    * canonical-composition pass every hash/dedup pipeline needs before
+    * signatures (composed "é" and decomposed "e"+U+0301 are different
+    * bytes for the same text). The fixture corpus is ASCII, so a
+    * deterministic decomposed suffix is appended on BOTH engines to
+    * prove the kernel recomposes: lengths shrink by exactly the two
+    * combining marks and the recomposed tail hashes identically.
+    */
+  def unicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    val decomposed = concat(col("text"), lit("é Å"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(decomposed).cast("long").as("n_raw"),
+      length(graft.plans.NativeNorm.nfc(decomposed)).cast("long").as("n_nfc"),
+      substring(graft.plans.NativeNorm.nfc(decomposed), -3, 3).as("nfc_tail"))
+  }
+
+  val unicodeNormSql: String =
+    """SELECT doc_id,
+      |  length(text || 'e' || chr(769) || ' A' || chr(778)) AS n_raw,
+      |  length(nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778))) AS n_nfc,
+      |  right(nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778)), 3) AS nfc_tail
+      |FROM documents""".stripMargin
+
+  /** Freshness-decayed per-user activity: each event contributes
+    * `value · 2^-age_days` (age capped at 20 days), the standard
+    * recency weighting for data-curation priority and user-activity
+    * features. The decay factor is a power of two and the value is
+    * decimal-quantized to cents, so every contribution is an exact
+    * integer — the fold is order-independent and engine-portable with
+    * no floating-point epsilon, the same trick the correlation/OLS
+    * moment passes use. One scan + one grouped agg; the global max
+    * timestamp broadcasts as a one-row aggregate.
+    */
+  def decayWeights(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val mx = e.agg(max("ts").as("max_ts"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("days", least(
+        expr("(unix_timestamp(max_ts) - unix_timestamp(ts)) DIV 86400"),
+        lit(20L)))
+      .withColumn("contrib", expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(20 - days AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("contrib").as("sc"))
+      // 100 (cents) * 2^20 (full-weight shift) = 104857600
+      .select(col("user_id"), col("n_events"),
+        round(col("sc") / lit(104857600.0), 6).as("decayed_activity"))
+  }
+
+  val decayWeightsSql: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |d AS (SELECT user_id,
+      |    least(date_diff('second', ts, (SELECT m FROM mx)) // 86400, 20) AS days,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(vc * CAST(power(2, 20 - days) AS BIGINT)) / 104857600.0, 6)
+      |    AS decayed_activity
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** Deflate compression ratio per document
+    * ([[graft.plans.NativeNorm.compressionRatio]]): the cheap
+    * low-entropy/boilerplate proxy quality filters run beside the
+    * Gopher rules. No SQL-expressible oracle (DuckDB exposes no
+    * deflate), so the driver records the rows-only check; the kernel's
+    * semantics are spec-anchored (NativeNormSpec: repetitive text
+    * compresses measurably below shuffled text, determinism, null and
+    * empty behavior).
+    */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(graft.plans.NativeNorm.compressionRatio(col("text")), 6)
+        .as("compression_ratio"))
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -3497,10 +3657,17 @@ object Queries {
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_blocklist" -> (blocklistGate _),
-    "q_source_overlap_sketch" -> (sourceOverlapSketch _))
+    "q_source_overlap_sketch" -> (sourceOverlapSketch _),
+    "q_ann_recall" -> (annRecall _),
+    "q_weighted_sample" -> (weightedSample _),
+    "q_unicode_norm" -> (unicodeNorm _),
+    "q_decay_weights" -> (decayWeights _),
+    "q_compression_ratio" -> (compressionRatio _))
 
   /** name -> DuckDB oracle SQL (queries absent here would get the
-    * driver's weaker rows-only check — currently every query is
+    * driver's weaker rows-only check — q_compression_ratio is the one
+    * deliberate omission (DuckDB has no deflate; NativeNormSpec anchors
+    * the kernel); every other query is
     * oracled, including the LSH path since its planes became
     * sha-256-derived and DuckDB-reproducible).
     */
@@ -3612,5 +3779,9 @@ object Queries {
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_split_leakage_safe" -> splitLeakageSafeSql,
     "q_blocklist" -> blocklistGateSql,
-    "q_source_overlap_sketch" -> sourceOverlapSketchSql)
+    "q_source_overlap_sketch" -> sourceOverlapSketchSql,
+    "q_ann_recall" -> annRecallSql,
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_unicode_norm" -> unicodeNormSql,
+    "q_decay_weights" -> decayWeightsSql)
 }

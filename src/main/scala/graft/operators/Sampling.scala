@@ -110,6 +110,44 @@ object Sampling {
     df.withColumn("split", tagged)
   }
 
+  /** Uniform (0, 1) value — strictly positive, so its logarithm is
+    * finite — derived like [[hashUnit]] but offset by half a hash step.
+    */
+  def hashUnitOpen(idCol: Column, seed: Long): Column =
+    (TextFunctions.portableHash32(
+      concat_ws(":", lit(seed), idCol.cast("string"))) + lit(0.5)) /
+      lit(4294967296.0)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * exactly `k` rows, each row's inclusion probability proportional to
+    * its weight, deterministic forever. Every row draws the key
+    * `u^(1/w)` (compared as `ln(u)/w` — same order, no overflow for
+    * tiny weights) from the portable hash; the k largest keys win.
+    *
+    * The standard one-pass corpus subsampler when documents should be
+    * drawn proportional to token count (or any quality score): a
+    * uniform doc sample under-represents long documents by token mass.
+    *
+    * Scale shape: the key is a map-only codegen'd projection and the
+    * selection is a global top-k (`TakeOrderedAndProject`) — each task
+    * keeps its k best rows, the driver merges P×k candidates. No
+    * shuffle, no sort of the corpus; identical to [[exactSample]]'s
+    * guarantees but weight-aware.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
+    df.withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Weighted mixture of corpora: down-sample each source to
     * `weights(name)` and union, tagging provenance. The standard
     * "training mix" step; deterministic end to end.

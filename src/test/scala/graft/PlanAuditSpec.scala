@@ -47,9 +47,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // LUT — the ADC analogue of the brute-force shape, bounded the same way
   // q_hard_negatives is the same bounded-probe brute-force shape with a
   // label-inequality predicate riding the join condition
+  // q_ann_recall embeds the brute-force operator as its ground-truth
+  // side — the same bounded probe set by construction
   private val boundedProbeQueries =
     Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq",
-      "q_hard_negatives")
+      "q_hard_negatives", "q_ann_recall")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -89,7 +91,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // per-source KMV sketches — bounded by construction (S sources x
       // k longs, data-volume-independent); the sketch aggregation
       // itself ran as a distributed bounded-state job
-      "q_source_overlap_sketch")
+      "q_source_overlap_sketch",
+      // embeds the IVF probe's checkpointed index/centroid tables
+      "q_ann_recall")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -280,7 +284,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // same staged shape, sketch state instead of group buffers
       "q_mad_outliers_approx" -> 4,
       // ONE grouped vector-fold exchange; rows never shuffle
-      "q_embedding_centroids" -> 1)
+      "q_embedding_centroids" -> 1,
+      "q_weighted_sample" -> 0, // TakeOrderedAndProject, no exchange node
+      "q_unicode_norm" -> 0, // map-only codegen'd normalization
+      "q_compression_ratio" -> 0, // map-only deflate kernel
+      // one-row global-max agg (broadcasts back) + per-user agg
+      "q_decay_weights" -> 2,
+      // exact side: bounded-probe join + k-bounded agg; ivf side rides
+      // its checkpointed index; hit join + per-query rollup + the
+      // distinct query set — all k-bounded per query
+      "q_ann_recall" -> 8)
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e

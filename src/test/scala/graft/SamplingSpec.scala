@@ -94,6 +94,44 @@ class SamplingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("weightedSample: exactly k, deterministic, layout-independent") {
+    val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50, seed = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(
+      docs.repartition(13), "doc_id", "n_chars", k = 50, seed = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "selection must not depend on layout")
+    assert(a.size == 50)
+  }
+
+  test("weightedSample: inclusion tracks weight") {
+    // one row carries essentially all the weight: it must always win
+    val skew = (0L until 1000L)
+      .map(i => (i, if (i == 42L) 1e9 else 1.0)).toDF("id", "w")
+    val out = Sampling.weightedSample(skew, "id", "w", k = 10, seed = 5)
+      .select("id").as[Long].collect().toSet
+    assert(out.contains(42L), "the dominant-weight row must be sampled")
+    // across seeds, heavy rows (w=100) appear far more often than light
+    // (w=1) — Efraimidis–Spirakis inclusion is weight-proportional
+    val mixed = (0L until 200L)
+      .map(i => (i, if (i < 100L) 100.0 else 1.0)).toDF("id", "w")
+    val heavyHits = (1 to 10).map { seed =>
+      Sampling.weightedSample(mixed, "id", "w", k = 20, seed = seed)
+        .filter($"id" < 100).count()
+    }.sum
+    assert(heavyHits > 150, s"heavy rows should dominate 10x20 draws, got $heavyHits")
+  }
+
+  test("weightedSample plans as a global top-k — no shuffle, no sort of the corpus") {
+    val df = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50, seed = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"global top-k must not exchange:\n$plan")
+  }
+
   test("cluster-keyed split is leakage-safe: one split per cluster") {
     import spark.implicits._
     // 3 clusters of 4 docs; keying the split on the cluster must put
