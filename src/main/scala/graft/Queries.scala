@@ -3469,6 +3469,28 @@ object Queries {
       |  FROM documents)
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Per-source weighted sampling
+    * ([[graft.operators.Sampling.weightedSampleGrouped]]): the k best
+    * Efraimidis–Spirakis keys within each source — the per-stratum
+    * form the streaming reservoir ([[graft.streaming.ReservoirStream]])
+    * converges to exactly. One exchange on the stratum key.
+    */
+  def weightedSampleGrouped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSampleGrouped(
+      t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+      "source", "doc_id", "n_chars", k = 20, seed = 17L)
+      .withColumnRenamed("n_chars", "weight")
+
+  val weightedSampleGroupedSql: String =
+    """SELECT source, doc_id, n_chars AS weight, CAST(rn AS BIGINT) AS sample_rank
+      |FROM (SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      ln((CAST(('0x' || substr(sha256('17:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+      |      doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20""".stripMargin
+
   /** Unicode NFC normalization ([[graft.plans.NativeNorm]]): the
     * canonical-composition pass every hash/dedup pipeline needs before
     * signatures (composed "é" and decomposed "e"+U+0301 are different
@@ -3660,6 +3682,7 @@ object Queries {
     "q_source_overlap_sketch" -> (sourceOverlapSketch _),
     "q_ann_recall" -> (annRecall _),
     "q_weighted_sample" -> (weightedSample _),
+    "q_weighted_sample_grouped" -> (weightedSampleGrouped _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_decay_weights" -> (decayWeights _),
     "q_compression_ratio" -> (compressionRatio _))
@@ -3782,6 +3805,7 @@ object Queries {
     "q_source_overlap_sketch" -> sourceOverlapSketchSql,
     "q_ann_recall" -> annRecallSql,
     "q_weighted_sample" -> weightedSampleSql,
+    "q_weighted_sample_grouped" -> weightedSampleGroupedSql,
     "q_unicode_norm" -> unicodeNormSql,
     "q_decay_weights" -> decayWeightsSql)
 }

@@ -148,6 +148,38 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /** Per-stratum weighted sampling without replacement: [[weightedSample]]
+    * independently within each `groupCol` value (k best Efraimidis–
+    * Spirakis keys per stratum). ONE exchange on the stratum key; a hot
+    * stratum ranks in one task — for pathological stratum skew the
+    * k-bounded aggregator form ([[Curation.sourceCaps]] with the ES key
+    * as the score) is the same operator with map-side state.
+    *
+    * Duplicate ids within a stratum draw identical keys (the key is a
+    * pure function of (seed, id, weight)), so callers feeding replayed
+    * or unioned data should dedup on (group, id) first — the streaming
+    * wrapper ([[graft.streaming.ReservoirStream]]) does exactly that.
+    */
+  def weightedSampleGrouped(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
+    df.withColumn("__es_key", key)
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(groupCol)
+            .orderBy(col("__es_key").desc, col(idCol)))
+          .cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__es_key")
+  }
+
   /** Weighted mixture of corpora: down-sample each source to
     * `weights(name)` and union, tagging provenance. The standard
     * "training mix" step; deterministic end to end.

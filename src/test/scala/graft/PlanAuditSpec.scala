@@ -286,6 +286,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // ONE grouped vector-fold exchange; rows never shuffle
       "q_embedding_centroids" -> 1,
       "q_weighted_sample" -> 0, // TakeOrderedAndProject, no exchange node
+      "q_weighted_sample_grouped" -> 1, // per-stratum window
       "q_unicode_norm" -> 0, // map-only codegen'd normalization
       "q_compression_ratio" -> 0, // map-only deflate kernel
       // one-row global-max agg (broadcasts back) + per-user agg
