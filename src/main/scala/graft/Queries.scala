@@ -1956,6 +1956,52 @@ object Queries {
       |  round(exp(-(CAST(sum(nlp) AS DOUBLE) / count(*))), 6) AS perplexity
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney perplexity ([[NgramLm.scoreKn]]): the
+    * smoothing real perplexity filters use, over the same en-reference
+    * train/score split as q_lm_perplexity. Same decimal-fold oracle
+    * discipline; the KN interpolation's float expression trees are
+    * parenthesized identically on both engines.
+    */
+  def lmPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = NgramLm.trainKn(docs.filter(col("lang") === "en"), "text")
+    NgramLm.scoreKn(model, docs, "doc_id", "text")
+  }
+
+  val lmPerplexityKnSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w,
+      |    generate_subscripts(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS p
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang, p, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM tok QUALIFY w2 IS NOT NULL),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n_after FROM c12 GROUP BY 1),
+      |nb AS (SELECT w2, count(*) AS n_before FROM c12 GROUP BY 1),
+      |b AS (SELECT count(*) AS b FROM c12),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok WHERE lang = 'en'),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CAST(round(ln(CASE WHEN c1.c1 IS NULL
+      |      THEN (coalesce(nb.n_before, 0) + 0.5) / (b.b + 0.5 * v.v)
+      |      ELSE (greatest(coalesce(c12.c12, 0) - 0.75, 0.0) / c1.c1) +
+      |        (((0.75 * c1.n_after) / c1.c1) *
+      |          ((coalesce(nb.n_before, 0) + 0.5) / (b.b + 0.5 * v.v)))
+      |      END), 7) AS DECIMAL(27,7)) AS nlp
+      |  FROM bi bg
+      |  LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      |  LEFT JOIN c1 ON bg.w1 = c1.w1
+      |  LEFT JOIN nb ON bg.w2 = nb.w2
+      |  CROSS JOIN b CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+      |  round(-(CAST(sum(nlp) AS DOUBLE) / count(*)), 6) AS avg_neg_logp,
+      |  round(exp(-(CAST(sum(nlp) AS DOUBLE) / count(*))), 6) AS perplexity
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   /** Gopher/C4-style rule-based quality gate
     * ([[graft.operators.QualityRules]]): five token-stream signals and
     * the conjunctive pass flag, as a zero-shuffle map-only pass — the
@@ -3637,6 +3683,7 @@ object Queries {
     "q_text_chunks" -> (textChunks _),
     "q_lang_id" -> (langId _),
     "q_lm_perplexity" -> (lmPerplexity _),
+    "q_lm_perplexity_kn" -> (lmPerplexityKn _),
     "q_dup_spans" -> (dupSpans _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_collocations" -> (collocations _),
@@ -3760,6 +3807,7 @@ object Queries {
     "q_text_chunks" -> textChunksSql,
     "q_lang_id" -> langIdSql,
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_lm_perplexity_kn" -> lmPerplexityKnSql,
     "q_dup_spans" -> dupSpansSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_collocations" -> collocationsSql,

@@ -125,6 +125,87 @@ object NgramLm {
           .as("perplexity"))
   }
 
+  /** Kneser–Ney model: the additive model's count tables plus the
+    * continuation counts interpolated KN needs. All four tables are
+    * bounded by reference-bigram vocabulary (derived from the same
+    * eagerly checkpointed count table, so training still explodes the
+    * reference corpus exactly once).
+    */
+  final case class KnModel(
+      bigrams: DataFrame,    // (w1, w2, c12)
+      prefixes: DataFrame,   // (w1, c1)       — Σ c12 over continuations
+      contAfter: DataFrame,  // (w1, n_after)  — N1+(w1 ·), distinct continuations
+      contBefore: DataFrame, // (w2, n_before) — N1+(· w2), distinct left contexts
+      bigramTypes: Long,     // N1+(· ·), total distinct bigram types
+      vocabSize: Long)
+
+  /** Train the interpolated Kneser–Ney tables on `ref`. */
+  def trainKn(ref: DataFrame, textCol: String): KnModel = {
+    val counts = docBigrams(ref, textCol, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    KnModel(
+      bigrams = counts,
+      prefixes = counts.groupBy("w1").agg(sum(col("c12")).as("c1")),
+      contAfter = counts.groupBy("w1").agg(count(lit(1)).as("n_after")),
+      contBefore = counts.groupBy("w2").agg(count(lit(1)).as("n_before")),
+      bigramTypes = counts.count(),
+      vocabSize = ref.select(explode(words(col(textCol))).as("w"))
+        .agg(count_distinct(col("w"))).head().getLong(0))
+  }
+
+  /** Interpolated Kneser–Ney scoring — the smoothing KenLM-style
+    * perplexity filters actually use, vs [[score]]'s additive baseline:
+    * seen bigrams keep their discounted evidence, and the backoff mass
+    * goes to words by how many CONTEXTS they follow (continuation
+    * probability), not raw frequency — so boilerplate tokens that are
+    * frequent in one context stop looking universally probable.
+    *
+    *   P(w|v) = (max(c(vw) − D, 0) / c(v)) + ((D · N1+(v·)) / c(v)) · Pc(w)
+    *   Pc(w)  = (N1+(·w) + a) / (B + a·V)      (a > 0 keeps OOV finite)
+    *   unseen context v:  P(w|v) = Pc(w)
+    *
+    * Same fold discipline as [[score]] (per-bigram `ln p` rounded to
+    * 7 dp, summed through DECIMAL(27,7)), so the DuckDB oracle replays
+    * the result exactly; the float expression trees are parenthesized
+    * identically on both engines. Output schema matches [[score]].
+    */
+  def scoreKn(
+      model: KnModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      alpha: Double = 0.5,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bi = docBigrams(docs, textCol, Seq(col(idCol)))
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val pcont = (coalesce(col("n_before"), lit(0L)) + lit(alpha)) /
+      lit(model.bigramTypes + alpha * model.vocabSize)
+    // explicit coalesce: the two engines disagree on greatest(NULL, x)
+    val seen = (greatest(coalesce(col("c12"), lit(0L)) - lit(discount), lit(0.0)) / col("c1")) +
+      (((lit(discount) * col("n_after")) / col("c1")) * pcont)
+    val prob = when(col("c1").isNull, pcont).otherwise(seen)
+    bi.join(side(model.bigrams), Seq("w1", "w2"), "left")
+      .join(side(model.prefixes), Seq("w1"), "left")
+      .join(side(model.contAfter), Seq("w1"), "left")
+      .join(side(model.contBefore), Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("c12").isNull, 1L).otherwise(0L).as("__oov"),
+        round(log(prob), 7).cast("decimal(27,7)").as("__nlp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__oov")).as("oov_bigrams"),
+        sum(col("__nlp")).as("__lp_sum"))
+      .select(col(idCol), col("n_bigrams"), col("oov_bigrams"),
+        round(-(col("__lp_sum").cast("double") / col("n_bigrams")), 6)
+          .as("avg_neg_logp"),
+        round(exp(-(col("__lp_sum").cast("double") / col("n_bigrams"))), 6)
+          .as("perplexity"))
+  }
+
   /** Map-only scoring: the model rides as literal maps inside per-row
     * expressions — zero joins, zero shuffles, no aggregation state, so
     * the identical projection scores an unbounded STREAM (append mode,

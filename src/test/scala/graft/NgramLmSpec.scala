@@ -85,6 +85,67 @@ class NgramLmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Kneser-Ney: hand-computed interpolated probability") {
+    // ref "a b a c a b": c12 = {ab:2, ba:1, ac:1, ca:1}, B = 4 types,
+    // V = 3; c(a) = 3, N1+(a·) = 2, N1+(·b) = 1
+    // Pc(b) = (1 + 0.5)/(4 + 0.5·3) = 1.5/5.5
+    // P(b|a) = (2 − 0.75)/3 + (0.75·2/3)·Pc(b) = 0.4166667 + 0.1363636
+    val m = NgramLm.trainKn(Seq("a b a c a b").toDF("text"), "text")
+    assert(m.bigramTypes == 4L && m.vocabSize == 3L)
+    val out = NgramLm.scoreKn(m, Seq((1L, "a b")).toDF("id", "text"), "id", "text")
+      .select("avg_neg_logp").as[Double].head()
+    val expected = -math.log(1.25 / 3.0 + (0.75 * 2.0 / 3.0) * (1.5 / 5.5))
+    assert(math.abs(out - expected) < 1e-6, s"got $out, want $expected")
+  }
+
+  test("Kneser-Ney: probabilities over the vocabulary sum to 1 for a seen context") {
+    // Σ_w P(w|v) = 1 exactly: the discounted mass D·N1+(v·)/c(v) is
+    // redistributed by Pc, and Σ_w Pc(w) = (B + 0.5·V)/(B + 0.5·V) = 1
+    val m = NgramLm.trainKn(Seq("a b a c a b").toDF("text"), "text")
+    val probs = Seq((1L, "a a"), (2L, "a b"), (3L, "a c"))
+      .toDF("id", "text")
+    val nlps = NgramLm.scoreKn(m, probs, "id", "text")
+      .select("avg_neg_logp").as[Double].collect()
+    val total = nlps.map(nlp => math.exp(-nlp)).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"P(a|a)+P(b|a)+P(c|a) = $total")
+  }
+
+  test("Kneser-Ney: unseen context backs off to the continuation distribution") {
+    val m = NgramLm.trainKn(Seq("a b a c a b").toDF("text"), "text")
+    // "z a": context z unseen -> P = Pc(a) = (2 + 0.5)/5.5
+    val out = NgramLm.scoreKn(m, Seq((1L, "z a")).toDF("id", "text"), "id", "text")
+      .select("oov_bigrams", "avg_neg_logp").as[(Long, Double)].head()
+    assert(out._1 == 1L)
+    assert(math.abs(out._2 - -math.log(2.5 / 5.5)) < 1e-6)
+  }
+
+  test("Kneser-Ney: continuation weighting demotes single-context words") {
+    // "only" follows exactly one context in the reference even though
+    // it is frequent; a word with many left contexts must get a higher
+    // continuation probability than the equally frequent one-context word
+    val ref = Seq("x only x only x only y z w z u z").toDF("text")
+    val m = NgramLm.trainKn(ref, "text")
+    val nb = m.contBefore.as[(String, Long)].collect().toMap
+    assert(nb("only") == 1L, "frequent but single-context")
+    assert(nb("z") == 3L, "appears after y, w, u")
+    // under an UNSEEN context, z must be more probable than only
+    val out = NgramLm.scoreKn(m,
+      Seq((1L, "qq only"), (2L, "qq z")).toDF("id", "text"), "id", "text")
+      .select("id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(out(2L) < out(1L),
+      s"many-context word must score better: ${out(2L)} vs ${out(1L)}")
+  }
+
+  test("Kneser-Ney: shuffle-join scoring equals the broadcast path") {
+    val docs = Seq((1L, "a b c"), (2L, "a z b"), (3L, "c a b a")).toDF("id", "text")
+    val m = NgramLm.trainKn(Seq("a b a c a b", "b c").toDF("text"), "text")
+    val bc = NgramLm.scoreKn(m, docs, "id", "text", broadcastModel = true)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val sh = NgramLm.scoreKn(m, docs, "id", "text", broadcastModel = false)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(bc === sh)
+  }
+
   test("minCount prunes rare bigrams but keeps exact prefix mass") {
     val m = NgramLm.train(Seq("a b a b", "a c").toDF("text"), "text", minCount = 2L)
     val bi = m.bigrams.as[(String, String, Long)].collect().toSet

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
       "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
-      "q_lm_perplexity", "q_collocations", "q_dedup_incremental",
+      "q_lm_perplexity", "q_lm_perplexity_kn", "q_collocations",
+      "q_dedup_incremental",
       // graph ops: the edge list (triangles) / per-round edge and rank
       // tables (kcore, pagerank) are executor-resident checkpoints
       "q_graph_triangles", "q_graph_kcore", "q_graph_pagerank",
@@ -210,6 +211,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // count table + per-doc reagg; training explodes the reference
       // slice once at construction (same pattern as q_heavy_hitters)
       "q_lm_perplexity" -> 2,
+      // same checkpointed-count-table shape; the three KN side tables
+      // re-aggregate the bounded bigram table (not the corpus) and
+      // enter the scoring join by broadcast
+      "q_lm_perplexity_kn" -> 5,
       // repeated-gram agg (min!=max, ONE exchange — not count-distinct,
       // which would pay a second on (hash,doc)) + join exchanges + ONE
       // per-doc window exchange — both island groupBys ride the
