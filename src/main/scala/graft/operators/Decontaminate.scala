@@ -52,6 +52,42 @@ object Decontaminate {
     report(cs, hits, threshold)
   }
 
+  /** [[overlapReport]] against an already-hashed benchmark shingle set
+    * (one `h: long` column, distinct) — the entry point for callers
+    * that maintain the benchmark store themselves, e.g. the live
+    * eval-set stream ([[graft.streaming.DecontaminationStream]]).
+    * Identical output to [[overlapReport]] when `benchHashes` equals
+    * the benchmark's distinct shingle hashes.
+    */
+  def overlapReportHashes(
+      corpus: DataFrame,
+      benchHashes: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val cs = corpusShingles(corpus, idCol, textCol, shingleSize)
+    val bench = benchHashes.select(col("h")).distinct()
+    val hits = cs.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    report(cs, hits, threshold)
+  }
+
+  /** The benchmark side of [[shinglePrep]] alone: the distinct shingle
+    * hashes of a document set — what a benchmark store persists.
+    */
+  def benchmarkHashes(
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    graft.plans.NativeText.register(benchmark.sparkSession)
+    corpusShingles(benchmark, idCol, textCol, shingleSize)
+      .select(explode(col("sh")).as("h")).distinct()
+  }
+
   /** [[overlapReport]] for benchmark sets too big to broadcast (a
     * union of every eval suite, or decontaminating against another
     * corpus shard): identical output, different join strategy.
@@ -116,19 +152,28 @@ object Decontaminate {
       shingleSize: Int): (DataFrame, DataFrame) = {
     graft.plans.NativeText.register(corpus.sparkSession)
     graft.plans.NativeText.register(benchmark.sparkSession)
+    val cs = corpusShingles(corpus, idCol, textCol, shingleSize)
+    val bench = corpusShingles(benchmark, idCol, textCol, shingleSize)
+      .select(explode(col("sh")).as("h")).distinct()
+    (cs, bench)
+  }
+
+  /** (doc_id, sh: distinct shingle hashes, n_shingles) per document.
+    * Callers must have [[graft.plans.NativeText.register]]ed the
+    * frame's session (the public entry points above do).
+    */
+  private def corpusShingles(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    graft.plans.NativeText.register(df.sparkSession)
     val emptyLongs = array().cast("array<long>")
-    def distinctShingles(df: DataFrame) = df.select(
+    df.select(
       col(idCol).as("doc_id"),
       array_distinct(coalesce(
         graft.plans.NativeText.shingleHash32(
           split(graft.functions.TextFunctions.normalizeText(col(textCol)), " "),
           shingleSize),
         emptyLongs)).as("sh"))
-    val cs = distinctShingles(corpus)
       .withColumn("n_shingles", size(col("sh")).cast("long"))
-    val bench = distinctShingles(benchmark)
-      .select(explode(col("sh")).as("h")).distinct()
-    (cs, bench)
   }
 
   private def report(
