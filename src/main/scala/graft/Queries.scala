@@ -1301,6 +1301,44 @@ object Queries {
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
        |FROM pairs JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id""".stripMargin
 
+  /** LSH candidate-recall audit ([[Dedup.lshRecall]]): exact-Jaccard
+    * ground-truth pairs on a deterministic half-sample, each tagged
+    * with whether the production banding surfaced it — the dedup
+    * analogue of q_ann_recall, measuring the LSH s-curve against real
+    * corpus geometry. Banding is per-document, so sample candidates
+    * are exactly the full-corpus candidate set restricted to the
+    * sample.
+    */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecall(nearDupCorpus(s, dir), "text", "doc_id",
+      sampleFraction = 0.5, seed = 23L, minJaccard = 0.4,
+      numHashes = MinHashNumHashes, shingleSize = MinHashShingle,
+      bands = MinHashBands)
+
+  val dedupRecallSql: String =
+    s"""WITH $minHashPairsCtes,
+       |su AS (SELECT doc_id, text FROM corpus
+       |  WHERE CAST(('0x' || substr(sha256('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) / 4294967296.0 < 0.5),
+       |ssets AS (SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |    s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT))) AS sh
+       |  FROM (SELECT doc_id,
+       |      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |    FROM su)),
+       |tj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+       |      AS jaccard
+       |  FROM ssets a JOIN ssets b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+       |SELECT t.id_a, t.id_b, t.inter, t.uni, t.jaccard,
+       |  (p.id_a IS NOT NULL) AS is_candidate
+       |FROM tj t LEFT JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b
+       |WHERE t.jaccard >= 0.4""".stripMargin
+
   /** Winnowing partial-duplicate candidates
     * ([[graft.operators.Winnowing.overlapCandidates]]): documents
     * sharing >= 2 winnowed fingerprints (bigram hashes, window 4,
@@ -3671,6 +3709,7 @@ object Queries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_dedup_recall" -> (dedupRecall _),
     "q_winnow_overlap" -> (winnowOverlap _),
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
@@ -3852,6 +3891,7 @@ object Queries {
     "q_blocklist" -> blocklistGateSql,
     "q_source_overlap_sketch" -> sourceOverlapSketchSql,
     "q_ann_recall" -> annRecallSql,
+    "q_dedup_recall" -> dedupRecallSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_weighted_sample_grouped" -> weightedSampleGroupedSql,
     "q_unicode_norm" -> unicodeNormSql,

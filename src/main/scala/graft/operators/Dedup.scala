@@ -354,6 +354,66 @@ object Dedup {
           .otherwise(lit(0.0)).as("cont_b"))
   }
 
+  /** LSH candidate-recall audit on a deterministic sample: the
+    * acceptance gate for banding parameters, mirroring what
+    * [[graft.Queries.annRecall]] does for the ANN index. Ground truth
+    * is the exact shingle Jaccard of every sample pair at or above
+    * `minJaccard`; each truth pair is tagged with whether the
+    * production LSH would have surfaced it. Banding is per-document,
+    * so candidates computed ON the sample are exactly the full-corpus
+    * candidate set restricted to sample pairs — the audit measures the
+    * production pipeline, not a scaled-down variant.
+    *
+    * Scale shape: truth-pair discovery is a gram-keyed equi-join over
+    * the SAMPLE's exploded shingles (pairs sharing zero grams cannot
+    * reach any positive threshold, so no all-pairs stage), and the
+    * sample fraction is the knob that bounds the audit's cost
+    * independent of corpus size.
+    */
+  def lshRecall(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      sampleFraction: Double,
+      seed: Long,
+      minJaccard: Double,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction out of (0,1]: $sampleFraction")
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard out of (0,1]: $minJaccard")
+    import graft.plans.NativeText
+    NativeText.register(corpus.sparkSession)
+    val sample = corpus.filter(
+      Sampling.hashUnit(col(idCol), seed) < sampleFraction)
+    val sets = sample.select(
+      col(idCol).as("id"),
+      array_distinct(NativeText.shingleHash32(
+        split(normalizeText(col(textCol)), " "), shingleSize)).as("sh"))
+    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n"))
+    // gram-keyed pair intersections: only pairs sharing >= 1 shingle appear
+    val grams = sets.select(col("id"), explode(col("sh")).as("h"))
+    val inter = grams.alias("a").join(grams.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+    val (cand, _) = minHashCandidates(sample, textCol, idCol,
+      numHashes = numHashes, shingleSize = shingleSize, bands = bands)
+    truth
+      .join(cand.withColumn("__c", lit(true)), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        col("jaccard"), coalesce(col("__c"), lit(false)).as("is_candidate"))
+  }
+
   private def jaccardOnSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
