@@ -299,7 +299,36 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // exact side: bounded-probe join + k-bounded agg; ivf side rides
       // its checkpointed index; hit join + per-query rollup + the
       // distinct query set — all k-bounded per query
-      "q_ann_recall" -> 8)
+      "q_ann_recall" -> 8,
+      "q_agg_rollup" -> 1, // Expand + ONE shuffle
+      "q_bm25" -> 1, // (doc,term) tf agg; df/avgdl ride broadcast
+      "q_dedup_clusters" -> 0, // pure select over checkpointed labels
+      "q_dedup_clusters_stars" -> 1, // final star-table reagg
+      "q_dedup_minhash" -> 3, // band explode + bucket group + pair distinct
+      // sample gram self-join + pair agg + size joins + candidate subtree
+      "q_dedup_recall" -> 4,
+      "q_distinct_flags" -> 1,
+      "q_embedding_neardup" -> 3, // LSH bucket group + pair + dedup verify
+      "q_global_max_stamp" -> 2, // one-row grand agg + broadcast back
+      "q_join_revenue" -> 1, // dims broadcast; ONE fact agg exchange
+      "q_ngram_jaccard" -> 0, // planted-pair join rides broadcast sets
+      "q_scd_merge_current" -> 4, // history window + merge join sides
+      "q_scd_status" -> 3, // islands windows share the entity exchange
+      "q_semantic_dedup" -> 2, // bounded cells: cell group + prune pass
+      "q_simsearch_ivf" -> 1, // probe-cell equi-join + k-bounded agg
+      "q_simsearch_ivfpq" -> 1,
+      "q_simsearch_lsh" -> 2, // bucket group + k-bounded agg
+      "q_simsearch_pq" -> 1,
+      "q_simsearch_topk" -> 1, // k-bounded aggregator after broadcast probe
+      "q_split_leakage_safe" -> 0, // rides the checkpointed CC labels
+      "q_text_chunks" -> 0, // map-only explode
+      "q_text_repetition" -> 0, // map-only native struct
+      "q_union_dedup" -> 1) // dedup window on the union key
+    // every registered query must carry an explicit ceiling — a new
+    // query cannot land unaudited
+    val unbudgeted = Queries.all.keySet -- budget.keySet
+    assert(unbudgeted.isEmpty,
+      s"queries without a shuffle budget: ${unbudgeted.toSeq.sorted.mkString(", ")}")
     val over = budget.flatMap { case (name, max) =>
       val n = collectWithSubqueries(plans(name)) {
         case e: ShuffleExchangeExec => e
