@@ -141,8 +141,11 @@ object Sampling {
       k: Int,
       seed: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // non-positive weight = excluded, by definition (a negative weight
+    // would flip the key's sign and ALWAYS win the top-k otherwise)
     val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
-    df.withColumn("__es_key", key)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", key)
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)
       .drop("__es_key")
@@ -169,7 +172,8 @@ object Sampling {
       seed: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
-    df.withColumn("__es_key", key)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", key)
       .withColumn("sample_rank",
         org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window

@@ -87,10 +87,13 @@ object ReservoirStream {
       !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
       return Seq.empty[(String, Long, Double, Long)]
         .toDF("source", "id", "weight", "sample_rank")
+    // max-weight dedup instead of dropDuplicates: replayed rows are
+    // identical either way, but if a document is RE-SCORED in a later
+    // batch the survivor must not depend on partition order — the best
+    // known weight wins, deterministically
     Sampling.weightedSampleGrouped(
       spark.read.parquet(stateDir)
-        .select("source", "id", "weight")
-        .dropDuplicates("source", "id"),
+        .groupBy("source", "id").agg(max("weight").as("weight")),
       "source", "id", "weight", cfg.k, cfg.seed)
   }
 }

@@ -122,6 +122,16 @@ class SamplingSpec extends SparkSpec {
     assert(heavyHits > 150, s"heavy rows should dominate 10x20 draws, got $heavyHits")
   }
 
+  test("weightedSample: non-positive weights are excluded, not inverted") {
+    // a negative weight flips the ES key's sign; it must never win
+    val rows = ((0L until 50L).map(i => (i, 1.0)) ++
+      Seq((97L, -5.0), (98L, 0.0))).toDF("id", "w")
+    val out = Sampling.weightedSample(rows, "id", "w", k = 52, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(!out.contains(97L) && !out.contains(98L))
+    assert(out.size == 50)
+  }
+
   test("weightedSample plans as a global top-k — no shuffle, no sort of the corpus") {
     val df = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50, seed = 3)
     df.collect()
