@@ -2278,6 +2278,75 @@ object Queries {
       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Contrastive training-triplet mining: (anchor, positive, negative)
+    * rows for embedding-model training — positives are near-duplicate
+    * variants above a Jaccard floor (the audited
+    * [[Dedup.ngramJaccard]] path), negatives are each anchor's hardest
+    * different-label embedding neighbor (the audited
+    * [[graft.operators.SimilaritySearch.hardNegatives]] path). The
+    * composition is the point: the mined pairs and the embedding
+    * space come from two different proven operators, joined on the
+    * anchor. At corpus scale the negative side routes through the
+    * LSH/IVF probe instead of the bounded brute-force used here.
+    */
+  def trainingTriplets(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = t(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000).as("id_b"))
+    val pos = Dedup.ngramJaccard(corpus, pairs, "text", "doc_id", MinHashShingle)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+        col("jaccard").as("pos_jaccard"))
+    val e = t(s, dir, "embeddings")
+    val anchors = e.join(
+      pos.select(col("anchor_id").as("vec_id")).distinct(), "vec_id")
+    val neg = SimilaritySearch.hardNegatives(
+      anchors, e, "vec_id", "embedding", "label", k = 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"),
+        col("cos_sim").as("neg_cos_sim"))
+    pos.join(neg, "anchor_id")
+      .select("anchor_id", "positive_id", "pos_jaccard",
+        "negative_id", "neg_cos_sim")
+  }
+
+  val trainingTripletsSql: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |words AS (SELECT doc_id,
+       |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |    s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)))
+       |  AS sh FROM words),
+       |pr AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |pos AS (SELECT * FROM (
+       |  SELECT id_a AS anchor_id, id_b AS positive_id,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+       |      AS pos_jaccard
+       |  FROM pr JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id)
+       |  WHERE pos_jaccard >= 0.5),
+       |n AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                   CAST(embedding AS DOUBLE[])))) AS nv
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, nv AS qv FROM n
+       |  WHERE vec_id IN (SELECT anchor_id FROM pos)),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_dot_product(qv, nv), 6) AS cos_sim
+       |  FROM q, n WHERE query_id <> vec_id AND q_label <> label),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+       |SELECT p.anchor_id, p.positive_id, p.pos_jaccard,
+       |  r.neighbor_id AS negative_id, r.cos_sim AS neg_cos_sim
+       |FROM pos p JOIN ranked r ON r.query_id = p.anchor_id AND r.rn = 1""".stripMargin
+
   /** Curriculum binning ([[graft.operators.Curriculum.exactBins]]):
     * per-language quality-quantile bins (ntile + percent_rank over the
     * total (score, doc_id) order). The quality score is the engine's
@@ -3728,6 +3797,7 @@ object Queries {
     "q_collocations" -> (collocations _),
     "q_token_budget" -> (tokenBudget _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_training_triplets" -> (trainingTriplets _),
     "q_curriculum_bins" -> (curriculumBins _),
     "q_shard_assign" -> (shardAssign _),
     "q_source_caps" -> (sourceCaps _),
@@ -3852,6 +3922,7 @@ object Queries {
     "q_collocations" -> collocationsSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_training_triplets" -> trainingTripletsSql,
     "q_curriculum_bins" -> curriculumBinsSql,
     "q_shard_assign" -> shardAssignSql,
     "q_source_caps" -> sourceCapsSql,

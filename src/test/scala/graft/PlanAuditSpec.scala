@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // side — the same bounded probe set by construction
   private val boundedProbeQueries =
     Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq",
-      "q_hard_negatives", "q_ann_recall")
+      "q_hard_negatives", "q_ann_recall",
+      // negatives ride the bounded brute-force hard-negative probe
+      "q_training_triplets")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -323,7 +325,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_split_leakage_safe" -> 0, // rides the checkpointed CC labels
       "q_text_chunks" -> 0, // map-only explode
       "q_text_repetition" -> 0, // map-only native struct
-      "q_union_dedup" -> 1) // dedup window on the union key
+      "q_union_dedup" -> 1, // dedup window on the union key
+      // positive-pair jaccard joins ride broadcast sets; negatives are
+      // the bounded hard-negative probe + k-bounded agg + anchor join
+      "q_training_triplets" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
