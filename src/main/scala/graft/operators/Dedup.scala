@@ -361,8 +361,12 @@ object Dedup {
     * `minJaccard`; each truth pair is tagged with whether the
     * production LSH would have surfaced it. Banding is per-document,
     * so candidates computed ON the sample are exactly the full-corpus
-    * candidate set restricted to sample pairs — the audit measures the
-    * production pipeline, not a scaled-down variant.
+    * BANDING's candidate set restricted to sample pairs — the audit
+    * measures the banding semantics, not a scaled-down variant. The
+    * capacity guard (`maxBucket`) is deliberately disabled here: it is
+    * a production load shed whose bucket sizes differ between sample
+    * and corpus, so letting it fire would tag pairs the full-corpus
+    * run sheds (or vice versa) and silently skew the recall estimate.
     *
     * Scale shape: truth-pair discovery is a gram-keyed equi-join over
     * the SAMPLE's exploded shingles (pairs sharing zero grams cannot
@@ -407,7 +411,8 @@ object Dedup {
         round(col("inter").cast("double") / col("uni").cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
     val (cand, _) = minHashCandidates(sample, textCol, idCol,
-      numHashes = numHashes, shingleSize = shingleSize, bands = bands)
+      numHashes = numHashes, shingleSize = shingleSize, bands = bands,
+      maxBucket = Int.MaxValue)
     truth
       .join(cand.withColumn("__c", lit(true)), Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),

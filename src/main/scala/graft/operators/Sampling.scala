@@ -141,10 +141,12 @@ object Sampling {
       k: Int,
       seed: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // non-positive weight = excluded, by definition (a negative weight
-    // would flip the key's sign and ALWAYS win the top-k otherwise)
+    // non-positive and NaN weights = excluded, by definition (a negative
+    // weight would flip the key's sign and ALWAYS win the top-k; NaN
+    // passes `> 0` under Spark's NaN-greatest ordering and a NaN key
+    // would also sort first under desc)
     val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
-    df.filter(col(weightCol) > 0)
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("__es_key", key)
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)
@@ -172,7 +174,7 @@ object Sampling {
       seed: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val key = log(hashUnitOpen(col(idCol), seed)) / col(weightCol).cast("double")
-    df.filter(col(weightCol) > 0)
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("__es_key", key)
       .withColumn("sample_rank",
         org.apache.spark.sql.functions.row_number().over(

@@ -61,6 +61,13 @@ object NativeNorm {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  // one native Deflater per executor thread, reset() per row — a
+  // per-row ctor/end() pair would pay a native malloc/free for every
+  // document, dominating the deflate itself on short texts. Bounded by
+  // executor thread count, held for the executor's lifetime.
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
   /** deflate(bytes).length / bytes.length at level 6 (raw deflate, no
     * zlib header, so tiny inputs aren't dominated by framing). Empty
     * text reports 1.0 (incompressible by convention). Values well
@@ -69,15 +76,14 @@ object NativeNorm {
   def compressionRatioEval(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }
 

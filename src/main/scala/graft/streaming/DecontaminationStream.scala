@@ -65,17 +65,18 @@ object DecontaminationStream {
     */
   def hashes(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      return Seq.empty[Long].toDF("h")
-    spark.read.parquet(stateDir).select("h").distinct()
+    BatchState.read(spark, stateDir) match {
+      case None => Seq.empty[Long].toDF("h")
+      case Some(state) => state.select("h").distinct()
+    }
   }
 
   /** Gate a corpus against the CURRENT store — identical output to
     * [[Decontaminate.overlapReport]] run against the union of every
-    * benchmark batch ever streamed.
+    * benchmark batch ever streamed. Passes the RAW store through:
+    * [[Decontaminate.overlapReportHashes]] distincts its probe side
+    * once, so distincting here too would aggregate the whole store
+    * twice per gate call.
     */
   def overlapReport(
       corpus: DataFrame,
@@ -83,8 +84,11 @@ object DecontaminationStream {
       stateDir: String,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()): DataFrame =
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val raw = BatchState.read(spark, stateDir)
+      .map(_.select("h")).getOrElse(Seq.empty[Long].toDF("h"))
     Decontaminate.overlapReportHashes(
-      corpus, hashes(spark, stateDir), idCol, textCol,
-      cfg.shingleSize, cfg.threshold)
+      corpus, raw, idCol, textCol, cfg.shingleSize, cfg.threshold)
+  }
 }

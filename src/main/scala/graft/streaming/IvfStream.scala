@@ -23,8 +23,11 @@ import graft.operators.IvfIndex
   * normalized form).
   *
   * Scale shape: each micro-batch pays one map-only assignment over its
-  * own rows plus a cell-partitioned write; search reads only the
-  * probed cells (partition pruning over cell=N directories), the same
+  * own rows plus a cell-partitioned write. While multiple batch
+  * directories exist, reads resolve latest-per-id first (one exchange
+  * over the accumulated state); [[compact]] collapses the store to a
+  * single resolved batch, after which reads skip the resolution and
+  * the probed cells prune at the cell=N directory level, the same
   * pruning [[IvfIndex.save]] buys for the batch index.
   */
 object IvfStream {
@@ -61,21 +64,66 @@ object IvfStream {
       }
       .start()
 
-  /** The live index: every streamed assignment, deduped on id (replay
-    * and redelivery produce byte-identical rows, so any survivor is
-    * THE assignment). Shaped like [[IvfIndex.index]] for
+  /** The live index: every streamed assignment, resolved to the
+    * LATEST batch per id — deterministic under replay (byte-identical
+    * rows) AND under re-embedding (a corrected vector in a later batch
+    * wins; `dropDuplicates` would keep a partition-order-dependent
+    * survivor). Shaped like [[IvfIndex.index]] for
     * [[IvfIndex.searchIndex]]. Empty state yields an empty frame.
+    *
+    * Cost note: the latest-wins resolution aggregates the whole
+    * accumulated state before the search's cell join, which blocks
+    * cell-level partition pruning while more than one batch directory
+    * exists. [[compact]] collapses the store to a single batch so
+    * steady-state reads skip the aggregation entirely.
     */
   def index(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      return Seq.empty[(Long, Seq[Double], Int)].toDF("id", "nv", "cell")
-    spark.read.parquet(stateDir)
-      .select(col("id"), col("nv"), col("cell").cast("int").as("cell"))
-      .dropDuplicates("id")
+    BatchState.read(spark, stateDir) match {
+      case None =>
+        Seq.empty[(Long, Seq[Double], Int)].toDF("id", "nv", "cell")
+      case Some(state) =>
+        val base = state
+          .select(col("id"), col("nv"), col("cell").cast("int").as("cell"),
+            col("batch_id"))
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val nBatches = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+          .count(_.getPath.getName.startsWith("batch_id="))
+        if (nBatches == 1) base.drop("batch_id") // already unique per id
+        else base
+          .withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("id").orderBy(col("batch_id").desc)))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "batch_id")
+    }
+  }
+
+  /** Collapse the accumulated batch directories into ONE resolved
+    * batch (keyed max(batch_id), so later streamed batches keep
+    * winning), staged through a temp directory and an atomic swap —
+    * a crash mid-compact or a concurrent reader never sees a
+    * half-written store. After compaction, [[index]] takes its
+    * single-batch fast path: no aggregation, and the probed cells
+    * prune at the directory level again.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    import graft.sources.AtomicDir
+    val dest = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (BatchState.read(spark, stateDir).isEmpty) return
+    val maxBatch = fs.listStatus(dest)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).max
+    val resolved = index(spark, stateDir)
+    val tmp = AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    resolved.write.mode("overwrite").partitionBy("cell")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, s"batch_id=$maxBatch").toString)
+    AtomicDir.commit(fs, dest)
   }
 
   /** Search the live index — same contract as [[IvfIndex.search]] over

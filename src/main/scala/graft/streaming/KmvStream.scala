@@ -70,18 +70,16 @@ object KmvStream {
     */
   def merged(spark: SparkSession, stateDir: String, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      return Seq.empty[(String, Seq[Long])].toDF("source", "sketch")
-    spark.read.parquet(stateDir)
-      .select(col("source"), explode(col("sketch")).as("h"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new ThetaSketch.KmvAggregator(cfg.k).toColumn.name("sketch"))
-      .toDF("source", "sketch")
+    BatchState.read(spark, stateDir) match {
+      case None => Seq.empty[(String, Seq[Long])].toDF("source", "sketch")
+      case Some(state) => state
+        .select(col("source"), explode(col("sketch")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new ThetaSketch.KmvAggregator(cfg.k).toColumn.name("sketch"))
+        .toDF("source", "sketch")
+    }
   }
 
   /** Live overlap matrix from the streamed state (driver-side pair

@@ -45,11 +45,17 @@ object ReservoirStream {
       cfg: Config,
       batchId: Long): Unit = {
     if (batch.isEmpty) return
+    // intra-batch dedup BEFORE the top-k: an at-least-once source can
+    // deliver a (source, id) twice within one micro-batch, and the two
+    // identical keys would occupy two of the k slots — permanently
+    // evicting the k-th distinct candidate from state. Max-weight, as
+    // in [[sample]].
     val candidates = Sampling.weightedSampleGrouped(
       batch.select(
         col(sourceCol).as("source"),
         col(idCol).as("id"),
-        col(weightCol).cast("double").as("weight")),
+        col(weightCol).cast("double").as("weight"))
+        .groupBy("source", "id").agg(max("weight").as("weight")),
       "source", "id", "weight", cfg.k, cfg.seed)
       .drop("sample_rank")
     candidates.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
@@ -81,19 +87,18 @@ object ReservoirStream {
     */
   def sample(spark: SparkSession, stateDir: String, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      return Seq.empty[(String, Long, Double, Long)]
-        .toDF("source", "id", "weight", "sample_rank")
-    // max-weight dedup instead of dropDuplicates: replayed rows are
-    // identical either way, but if a document is RE-SCORED in a later
-    // batch the survivor must not depend on partition order — the best
-    // known weight wins, deterministically
-    Sampling.weightedSampleGrouped(
-      spark.read.parquet(stateDir)
-        .groupBy("source", "id").agg(max("weight").as("weight")),
-      "source", "id", "weight", cfg.k, cfg.seed)
+    BatchState.read(spark, stateDir) match {
+      case None =>
+        Seq.empty[(String, Long, Double, Long)]
+          .toDF("source", "id", "weight", "sample_rank")
+      case Some(state) =>
+        // max-weight dedup instead of dropDuplicates: replayed rows are
+        // identical either way, but if a document is RE-SCORED in a
+        // later batch the survivor must not depend on partition order —
+        // the best known weight wins, deterministically
+        Sampling.weightedSampleGrouped(
+          state.groupBy("source", "id").agg(max("weight").as("weight")),
+          "source", "id", "weight", cfg.k, cfg.seed)
+    }
   }
 }

@@ -69,21 +69,16 @@ object StreamingDedup {
       maxBucket: Int = 1000)(batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    // URI-aware existence probe: java.io.File would silently report
-    // "missing" for any non-local store (hdfs://, s3a://, ...) and
-    // every batch would dedup against an empty corpus
-    val storePath = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasStore = fs.exists(storePath) &&
-      fs.listStatus(storePath).exists(_.getPath.getName.startsWith("batch_id="))
-    val store =
-      if (hasStore)
-        spark.read.parquet(storeDir)
-          .filter(col("batch_id") < batchId)
-          .select("id", "band")
-      else
+    // BatchState probes through the Hadoop FS API: java.io.File would
+    // silently report "missing" for any non-local store (hdfs://,
+    // s3a://, ...) and every batch would dedup against an empty corpus
+    val store = BatchState.read(spark, storeDir) match {
+      case Some(state) =>
+        state.filter(col("batch_id") < batchId).select("id", "band")
+      case None =>
         Dedup.bandSignatures(
           batch.limit(0), textCol, idCol, numHashes, shingleSize, bands)
+    }
     val sigs = Dedup.bandSignatures(
       batch, textCol, idCol, numHashes, shingleSize, bands)
       .localCheckpoint(false)

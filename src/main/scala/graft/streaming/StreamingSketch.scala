@@ -83,15 +83,8 @@ object StreamingSketch {
     * B sketch blobs, KBs each.
     */
   def merged(spark: SparkSession, stateDir: String): Option[(CountMinSketch, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing-but-batchless dir (fresh checkpoint, all-empty
-    // batches) has no schema to infer — treat it as no state
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      return None
-    val rows = spark.read.parquet(stateDir)
-      .select("sketch", "n").collect()
+    val state = BatchState.read(spark, stateDir).getOrElse(return None)
+    val rows = state.select("sketch", "n").collect()
     if (rows.isEmpty) return None
     val sketches = rows.map(r =>
       CountMinSketch.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](0))))

@@ -59,6 +59,51 @@ class IvfStreamSpec extends SparkSpec {
     assert(idx.select("id").distinct().count() == before)
   }
 
+  test("a re-embedded id resolves to the LATEST batch's assignment") {
+    val dir = Files.createTempDirectory("ivfstate").toString
+    val v1 = emb.filter(col("vec_id") < 50)
+    // batch 1 re-embeds id 7 with a different vector (another row's
+    // embedding) — its assignment may move cells; the later batch wins
+    val v2 = emb.filter(col("vec_id") === 300)
+      .withColumn("vec_id", lit(7L))
+    IvfStream.mergeBatch(v1, "vec_id", "embedding", model, dir, 0L)
+    IvfStream.mergeBatch(v2, "vec_id", "embedding", model, dir, 1L)
+    val idx = IvfStream.index(spark, dir)
+    assert(idx.filter(col("id") === 7L).count() == 1)
+    val expected = graft.operators.IvfIndex
+      .assign(v2, "vec_id", "embedding", model)
+      .select("cell").head().getInt(0)
+    assert(idx.filter(col("id") === 7L).select("cell").head().getInt(0)
+      == expected, "the later batch's assignment must win")
+  }
+
+  test("compact collapses the store to one batch with identical search results") {
+    val dir = Files.createTempDirectory("ivfstate").toString
+    (0L until 3L).foreach { b =>
+      IvfStream.mergeBatch(
+        emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+        model, dir, b)
+    }
+    val before = results(IvfStream.search(
+      queries, spark, dir, "vec_id", "embedding", model,
+      kNeighbors = 5, nprobe = 3))
+    IvfStream.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+    assert(dirs.length == 1, s"expected one batch dir, got ${dirs.toSeq}")
+    val after = results(IvfStream.search(
+      queries, spark, dir, "vec_id", "embedding", model,
+      kNeighbors = 5, nprobe = 3))
+    assert(after == before)
+    // a post-compaction batch still wins over compacted state
+    IvfStream.mergeBatch(
+      emb.filter(col("vec_id") === 300).withColumn("vec_id", lit(7L)),
+      "vec_id", "embedding", model, dir, 9L)
+    assert(IvfStream.index(spark, dir).filter(col("id") === 7L).count() == 1)
+  }
+
   test("empty state yields an empty index; empty batches write nothing") {
     val dir = Files.createTempDirectory("ivfstate").toString
     assert(IvfStream.index(spark, dir).isEmpty)

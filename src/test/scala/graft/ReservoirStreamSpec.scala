@@ -54,6 +54,22 @@ class ReservoirStreamSpec extends SparkSpec {
     assert(before == after && before.nonEmpty)
   }
 
+  test("an intra-batch duplicate occupies one slot, not two") {
+    // an at-least-once source delivering (s, id) twice WITHIN a batch
+    // must not let the duplicate's identical key take two of the k
+    // slots and permanently evict the k-th distinct candidate
+    val dir = Files.createTempDirectory("resstate").toString
+    val cfg = ReservoirStream.Config(k = 3, seed = 9L)
+    val rows = ((0L until 6L).map(i => ("s", i, 1.0)) ++ Seq(("s", 0L, 1.0)))
+      .toDF("source", "id", "weight")
+    ReservoirStream.mergeBatch(rows, "source", "id", "weight", dir, cfg, 0L)
+    val out = ReservoirStream.sample(spark, dir, cfg)
+    assert(out.count() == 3)
+    assert(asSet(out) == asSet(Sampling.weightedSampleGrouped(
+      rows.dropDuplicates("source", "id"),
+      "source", "id", "weight", cfg.k, cfg.seed)))
+  }
+
   test("overlapping batches (same doc twice) cannot double-sample it") {
     val dir = Files.createTempDirectory("resstate").toString
     val cfg = ReservoirStream.Config(k = 5, seed = 3L)

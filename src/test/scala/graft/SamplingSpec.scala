@@ -124,11 +124,14 @@ class SamplingSpec extends SparkSpec {
 
   test("weightedSample: non-positive weights are excluded, not inverted") {
     // a negative weight flips the ES key's sign; it must never win
+    // a negative weight flips the key's sign, and NaN passes `> 0`
+    // under Spark's NaN-greatest ordering then sorts FIRST desc —
+    // either would deterministically steal a top-k slot
     val rows = ((0L until 50L).map(i => (i, 1.0)) ++
-      Seq((97L, -5.0), (98L, 0.0))).toDF("id", "w")
-    val out = Sampling.weightedSample(rows, "id", "w", k = 52, seed = 1)
+      Seq((97L, -5.0), (98L, 0.0), (99L, Double.NaN))).toDF("id", "w")
+    val out = Sampling.weightedSample(rows, "id", "w", k = 53, seed = 1)
       .select("id").as[Long].collect().toSet
-    assert(!out.contains(97L) && !out.contains(98L))
+    assert(!out.contains(97L) && !out.contains(98L) && !out.contains(99L))
     assert(out.size == 50)
   }
 
