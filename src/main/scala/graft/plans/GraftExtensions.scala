@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LiteralArgs.toInt(exprs(1)),
         LiteralArgs.toInt(exprs(2)))))
     e.injectFunction((
+      FunctionIdentifier(NativeNorm.NfcName),
+      info(NativeNorm.NfcName, "Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier(NativeNorm.CompressionRatioName),
+      info(NativeNorm.CompressionRatioName,
+        "deflate compression ratio (low-entropy/boilerplate signal)"),
+      (exprs: Seq[Expression]) => CompressionRatio(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_redact_pii"),
       info("graft_redact_pii", "replace emails/URLs/phone shapes with typed placeholders"),
       (exprs: Seq[Expression]) =>

@@ -49,6 +49,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_redact_pii('mail a@b.co or https://x.io now') AS r")
         .head().getString(0)
       assert(red == "mail <EMAIL> or <URL> now", red)
+      val nfc = spark.sql(
+        "SELECT graft_nfc('café') AS n").head().getString(0)
+      assert(nfc == "café", nfc)
+      val cr = spark.sql(
+        "SELECT graft_compression_ratio(repeat('ab', 200)) AS c")
+        .head().getDouble(0)
+      assert(cr > 0.0 && cr < 0.2, s"repetitive text must compress hard: $cr")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
