@@ -71,6 +71,16 @@ object DecontaminationStream {
     }
   }
 
+  /** Collapse the accumulated batch directories into one resolved
+    * batch holding the distinct shingle-hash union — lossless (the
+    * store is a set; distinct-union with future batches is unchanged).
+    * Atomic swap via [[BatchState.swap]].
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>
+      BatchState.swap(spark, stateDir, hashes(spark, stateDir), maxBatch)
+    }
+
   /** Gate a corpus against the CURRENT store — identical output to
     * [[Decontaminate.overlapReport]] run against the union of every
     * benchmark batch ever streamed. Passes the RAW store through:

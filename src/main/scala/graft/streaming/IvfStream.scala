@@ -109,22 +109,11 @@ object IvfStream {
     * single-batch fast path: no aggregation, and the probed cells
     * prune at the directory level again.
     */
-  def compact(spark: SparkSession, stateDir: String): Unit = {
-    import graft.sources.AtomicDir
-    val dest = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (BatchState.read(spark, stateDir).isEmpty) return
-    val maxBatch = fs.listStatus(dest)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).max
-    val resolved = index(spark, stateDir)
-    val tmp = AtomicDir.tmpPath(dest)
-    fs.delete(tmp, true)
-    resolved.write.mode("overwrite").partitionBy("cell")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, s"batch_id=$maxBatch").toString)
-    AtomicDir.commit(fs, dest)
-  }
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>
+      BatchState.swap(spark, stateDir, index(spark, stateDir),
+        maxBatch, partitionBy = Seq("cell"))
+    }
 
   /** Search the live index — same contract as [[IvfIndex.search]] over
     * everything ever streamed.

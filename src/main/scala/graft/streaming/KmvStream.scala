@@ -82,6 +82,18 @@ object KmvStream {
     }
   }
 
+  /** Collapse the accumulated batch directories into one resolved
+    * batch holding the merged per-source sketches — lossless for every
+    * future merge (a KMV sketch is a semilattice: merging with the
+    * already-merged state equals merging with the original batches).
+    * Atomic swap via [[BatchState.swap]]; batches streamed afterwards
+    * keep merging on read as before.
+    */
+  def compact(spark: SparkSession, stateDir: String, cfg: Config = Config()): Unit =
+    BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>
+      BatchState.swap(spark, stateDir, merged(spark, stateDir, cfg), maxBatch)
+    }
+
   /** Live overlap matrix from the streamed state (driver-side pair
     * loop over collected sketches, as in
     * [[ThetaSketch.overlapMatrix]]).

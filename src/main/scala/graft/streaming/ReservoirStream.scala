@@ -78,6 +78,21 @@ object ReservoirStream {
       }
       .start()
 
+  /** Collapse the accumulated batch directories into one resolved
+    * batch holding the CURRENT reservoir (the k best per source).
+    * Sound for future merges — top-k(top-k(A) ∪ B) = top-k(A ∪ B) —
+    * with one documented narrowing: max-weight re-score resolution
+    * afterwards only sees weights at or after the compaction (an
+    * already-EVICTED document's higher historical weight is gone; for
+    * retained documents the reservoir keeps their max weight).
+    * Atomic swap via [[BatchState.swap]].
+    */
+  def compact(spark: SparkSession, stateDir: String, cfg: Config = Config()): Unit =
+    BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>
+      BatchState.swap(spark, stateDir,
+        sample(spark, stateDir, cfg).drop("sample_rank"), maxBatch)
+    }
+
   /** The current reservoir: candidates of all completed batches,
     * deduped on (source, id) — a document seen in a replayed or
     * overlapping batch contributes one candidacy — and re-ranked by

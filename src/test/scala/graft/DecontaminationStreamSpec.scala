@@ -68,6 +68,27 @@ class DecontaminationStreamSpec extends SparkSpec {
     assert(before == after && before.nonEmpty)
   }
 
+  test("compact collapses the store losslessly and future releases keep extending it") {
+    val dir = Files.createTempDirectory("deconstate").toString
+    val cfg = DecontaminationStream.Config()
+    DecontaminationStream.mergeBatch(benchSlice(0), "doc_id", "text", dir, cfg, 0L)
+    DecontaminationStream.mergeBatch(benchSlice(1), "doc_id", "text", dir, cfg, 1L)
+    val before = DecontaminationStream.hashes(spark, dir).as[Long].collect().toSet
+    DecontaminationStream.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("batch_id=")) == 1)
+    assert(DecontaminationStream.hashes(spark, dir)
+      .as[Long].collect().toSet == before)
+    DecontaminationStream.mergeBatch(benchSlice(2), "doc_id", "text", dir, cfg, 2L)
+    val expected = Decontaminate.benchmarkHashes(
+      benchSlice(0).union(benchSlice(1)).union(benchSlice(2)), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(DecontaminationStream.hashes(spark, dir)
+      .as[Long].collect().toSet == expected)
+  }
+
   test("empty state flags nothing; empty batches write nothing") {
     val dir = Files.createTempDirectory("deconstate").toString
     val cfg = DecontaminationStream.Config()

@@ -47,6 +47,32 @@ class KmvStreamSpec extends SparkSpec {
     assert(before == after && before.nonEmpty)
   }
 
+  test("compact collapses the store losslessly and future batches keep merging") {
+    val dir = Files.createTempDirectory("kmvstate").toString
+    val cfg = KmvStream.Config(n = 8, k = 64)
+    val d = docs.cache()
+    try {
+      (0L until 2L).foreach { b =>
+        KmvStream.mergeBatch(
+          d.filter(col("doc_id") % 3 === b), "source", "text", dir, cfg, b)
+      }
+      val before = asMap(KmvStream.merged(spark, dir, cfg))
+      KmvStream.compact(spark, dir, cfg)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.startsWith("batch_id=")) == 1)
+      assert(asMap(KmvStream.merged(spark, dir, cfg)) == before)
+      // a batch streamed after compaction merges into the same state
+      // as if no compaction had happened
+      KmvStream.mergeBatch(
+        d.filter(col("doc_id") % 3 === 2), "source", "text", dir, cfg, 2L)
+      val oneShot = asMap(
+        ThetaSketch.sourceSketches(d, "source", "text", cfg.n, cfg.k))
+      assert(asMap(KmvStream.merged(spark, dir, cfg)) == oneShot)
+    } finally d.unpersist()
+  }
+
   test("empty state yields empty frames, empty batches write nothing") {
     val dir = Files.createTempDirectory("kmvstate").toString
     val cfg = KmvStream.Config()

@@ -85,6 +85,27 @@ class ReservoirStreamSpec extends SparkSpec {
       rows, "source", "id", "weight", cfg.k, cfg.seed)))
   }
 
+  test("compact keeps the reservoir identical and future batches keep competing") {
+    val dir = Files.createTempDirectory("resstate").toString
+    val cfg = ReservoirStream.Config(k = 25, seed = 11L)
+    (0L until 3L).foreach { b =>
+      ReservoirStream.mergeBatch(
+        docs.filter(col("id") % 4 === b), "source", "id", "weight", dir, cfg, b)
+    }
+    val before = asSet(ReservoirStream.sample(spark, dir, cfg))
+    ReservoirStream.compact(spark, dir, cfg)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("batch_id=")) == 1)
+    assert(asSet(ReservoirStream.sample(spark, dir, cfg)) == before)
+    // top-k(top-k(A) ∪ B) == top-k(A ∪ B): the final batch after
+    // compaction converges to the full batch sample
+    ReservoirStream.mergeBatch(
+      docs.filter(col("id") % 4 === 3), "source", "id", "weight", dir, cfg, 3L)
+    assert(asSet(ReservoirStream.sample(spark, dir, cfg)) == asSet(batchSample(cfg)))
+  }
+
   test("empty state yields an empty frame; empty batches write nothing") {
     val dir = Files.createTempDirectory("resstate").toString
     val cfg = ReservoirStream.Config()
