@@ -206,6 +206,84 @@ object NgramLm {
           .as("perplexity"))
   }
 
+  /** [[KnModel]] as driver-held maps — the broadcastable form for
+    * map-only KN scoring. Bounded by reference-bigram vocabulary.
+    */
+  final case class KnLiteModel(
+      bigrams: Map[String, Long],
+      prefixes: Map[String, Long],
+      contAfter: Map[String, Long],
+      contBefore: Map[String, Long],
+      bigramTypes: Long,
+      vocabSize: Long)
+
+  /** Collect a trained KN model into broadcastable maps. */
+  def collectKn(model: KnModel): KnLiteModel = KnLiteModel(
+    bigrams = model.bigrams.collect()
+      .map(r => s"${r.getString(0)}$KeySep${r.getString(1)}" -> r.getLong(2)).toMap,
+    prefixes = model.prefixes.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+    contAfter = model.contAfter.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+    contBefore = model.contBefore.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+    bigramTypes = model.bigramTypes,
+    vocabSize = model.vocabSize)
+
+  /** Map-only Kneser–Ney scoring — [[scoreKn]]'s literal-map twin,
+    * zero joins and zero shuffles, so the identical projection scores
+    * an unbounded STREAM (append mode, no state store) or a 100 TB
+    * batch as pure map tasks. Same scaled-integer `ln p` fold as
+    * [[scoreMapOnly]], so the result equals [[scoreKn]] bit-for-bit.
+    * Same output schema and row set.
+    */
+  def scoreKnMapOnly(
+      model: KnLiteModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      alpha: Double = 0.5): DataFrame = {
+    require(model.bigrams.nonEmpty && model.prefixes.nonEmpty,
+      "empty model: trainKn() saw no bigrams")
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bmap = typedLit(model.bigrams)
+    val pmap = typedLit(model.prefixes)
+    val amap = typedLit(model.contAfter)
+    val nbmap = typedLit(model.contBefore)
+    def bcount(p: Column): Column =
+      element_at(bmap, concat(p.getField("w1"), lit(KeySep), p.getField("w2")))
+    def prob(p: Column): Column = {
+      val c1 = element_at(pmap, p.getField("w1"))
+      val pcont = (coalesce(element_at(nbmap, p.getField("w2")), lit(0L)) +
+        lit(alpha)) / lit(model.bigramTypes + alpha * model.vocabSize)
+      val seen = (greatest(coalesce(bcount(p), lit(0L)) - lit(discount),
+        lit(0.0)) / c1) +
+        (((lit(discount) * element_at(amap, p.getField("w1"))) / c1) * pcont)
+      when(c1.isNull, pcont).otherwise(seen)
+    }
+    docs
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("__w")) - 1), i =>
+          struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2"))).as("__p"))
+      .select(col(idCol),
+        size(col("__p")).cast("long").as("n_bigrams"),
+        size(filter(col("__p"), p => bcount(p).isNull))
+          .cast("long").as("oov_bigrams"),
+        aggregate(col("__p"), lit(0L), (acc, p) =>
+          acc + round(round(log(prob(p)), 7) * lit(1e7)).cast("long"))
+          .as("__k"))
+      .select(col(idCol), col("n_bigrams"), col("oov_bigrams"),
+        round(-((col("__k").cast("double") / lit(1e7)) / col("n_bigrams")), 6)
+          .as("avg_neg_logp"),
+        round(exp(-((col("__k").cast("double") / lit(1e7)) / col("n_bigrams"))), 6)
+          .as("perplexity"))
+  }
+
   /** Map-only scoring: the model rides as literal maps inside per-row
     * expressions — zero joins, zero shuffles, no aggregation state, so
     * the identical projection scores an unbounded STREAM (append mode,

@@ -136,6 +136,21 @@ class NgramLmSpec extends SparkSpec {
       s"many-context word must score better: ${out(2L)} vs ${out(1L)}")
   }
 
+  test("Kneser-Ney: map-only scoring equals the join-based scorer bit-for-bit") {
+    val docs = Seq((1L, "a b c"), (2L, "a z b"), (3L, "c a b a"), (4L, "z q"))
+      .toDF("id", "text")
+    val m = NgramLm.trainKn(Seq("a b a c a b", "b c").toDF("text"), "text")
+    val joined = NgramLm.scoreKn(m, docs, "id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val mapOnly = NgramLm.scoreKnMapOnly(NgramLm.collectKn(m), docs, "id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(mapOnly === joined)
+    // genuinely map-only: no exchange anywhere in the plan
+    val plan = NgramLm.scoreKnMapOnly(NgramLm.collectKn(m), docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-only KN plan must not shuffle:\n$plan")
+  }
+
   test("Kneser-Ney: shuffle-join scoring equals the broadcast path") {
     val docs = Seq((1L, "a b c"), (2L, "a z b"), (3L, "c a b a")).toDF("id", "text")
     val m = NgramLm.trainKn(Seq("a b a c a b", "b c").toDF("text"), "text")
