@@ -57,4 +57,58 @@ object Sharding {
     assigned
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
+
+  /** Export an assigned corpus as `outDir/corpus/shard=N` plus a
+    * one-file `outDir/manifest` — the index a data loader reads before
+    * touching any shard: per shard its row count, max position
+    * (== row count iff positions are contiguous), optional token
+    * total, and an order-independent id checksum (sum of the portable
+    * id hashes, overflow-wrapping — layout changes can't move it,
+    * corpus changes can't keep it). The whole tree stages through
+    * [[graft.sources.AtomicDir]]: a crash mid-export or a concurrent
+    * reader never sees a corpus without its manifest or a manifest for
+    * a half-written corpus.
+    */
+  def writeShards(
+      assigned: DataFrame,
+      idCol: String,
+      outDir: String,
+      tokenCountCol: Option[String] = None): Unit = {
+    import graft.sources.AtomicDir
+    val spark = assigned.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    shardLayout(assigned).write.mode("overwrite").partitionBy("shard")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "corpus").toString)
+    val tokenAgg = tokenCountCol
+      .map(c => sum(col(c)).cast("long"))
+      .getOrElse(lit(null).cast("long"))
+    assigned
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        max("shard_pos").as("max_pos"),
+        tokenAgg.as("n_tokens"),
+        sum(TextFunctions.portableHash32(col(idCol).cast("string")))
+          .cast("long").as("id_checksum"))
+      .coalesce(1) // numShards rows by construction
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "manifest").toString)
+    AtomicDir.commit(fs, dest)
+  }
+
+  /** Load a [[writeShards]] export: (corpus, manifest). Repairs an
+    * interrupted export first.
+    */
+  def readShards(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import graft.sources.AtomicDir
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, dest)
+    (spark.read.parquet(new org.apache.hadoop.fs.Path(dest, "corpus").toString),
+      spark.read.parquet(new org.apache.hadoop.fs.Path(dest, "manifest").toString))
+  }
 }

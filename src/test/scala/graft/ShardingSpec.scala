@@ -82,4 +82,40 @@ class ShardingSpec extends SparkSpec {
         "rows not contiguous/sorted by (shard, pos) within task")
     }
   }
+
+  test("writeShards exports corpus + manifest that survives a recount") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+    val assigned = Sharding.shardAssign(docs, "doc_id", numShards = 4, seed = 5L)
+    Sharding.writeShards(assigned, "doc_id", dir, tokenCountCol = Some("n_chars"))
+    val (corpus, manifest) = Sharding.readShards(spark, dir)
+    assert(corpus.count() == docs.count())
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(df.columns.map(c => col(c).cast("long")).toSeq: _*)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val m = asMap(manifest)
+    assert(m.keySet == Set(0L, 1L, 2L, 3L))
+    // recount from the written corpus: every manifest cell must agree
+    // (the corpus' shard comes back as a partition-discovered int)
+    val recount = asMap(corpus.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mp"),
+        sum("n_chars").cast("long").as("tok"),
+        sum(graft.functions.TextFunctions.portableHash32(
+          col("doc_id").cast("string"))).cast("long").as("ck")))
+    assert(recount == m, s"manifest/recount divergence:\n$m\nvs\n$recount")
+    // contiguity: max position equals row count per shard
+    m.foreach { case (s, (n, mp, _, _)) => assert(n == mp, s"shard $s has gaps") }
+    // a second export over a CHANGED corpus moves the checksum (the
+    // atomic swap replaces the whole tree, so re-read, don't reuse the
+    // first frame's file listing)
+    Sharding.writeShards(
+      Sharding.shardAssign(docs.filter(col("doc_id") =!= 0L), "doc_id", 4, 5L),
+      "doc_id", dir, Some("n_chars"))
+    val m2 = asMap(Sharding.readShards(spark, dir)._2)
+    assert(m2.map(_._2._4) != m.map(_._2._4),
+      "removing a document must move at least one shard checksum")
+  }
 }
