@@ -2860,6 +2860,40 @@ object Queries {
       |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2
       |FROM terms GROUP BY 1""".stripMargin
 
+  /** Population Stability Index companion of q_distribution_drift
+    * ([[graft.operators.Drift.psiFromCounts]]): the banded drift score
+    * model-risk dashboards alarm on, over the identical count table.
+    * `ln` is made engine-exact by the perplexity family's
+    * round-to-7dp-then-decimal-fold discipline.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.Drift.lengthBuckets(
+      t(s, dir, "documents"), "source", "n_chars")
+    graft.operators.Drift.psiFromCounts(
+      d.groupBy("source", "bucket").agg(count(lit(1)).as("o")))
+  }
+
+  val psiDriftSql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(least(floor(n_chars / 50.0), 11) AS BIGINT) AS bucket
+      |  FROM documents),
+      |obs AS (SELECT source, bucket, count(*) AS o FROM d GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS src_n FROM d GROUP BY 1),
+      |bk AS (SELECT bucket, count(*) AS bucket_n FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS all_n FROM d),
+      |grid AS (SELECT source, src_n, bucket, bucket_n, all_n FROM st, bk, tot),
+      |probs AS (SELECT g.source, g.src_n,
+      |    (coalesce(o, 0) + 0.5) / (g.src_n + 6.0) AS p_src,
+      |    (g.bucket_n + 0.5) / (g.all_n + 6.0) AS p_all
+      |  FROM grid g
+      |  LEFT JOIN obs ON g.source = obs.source AND g.bucket = obs.bucket),
+      |terms AS (SELECT source, src_n,
+      |    CAST(round((p_src - p_all) * ln(p_src / p_all), 7) AS DECIMAL(27,7)) AS term
+      |  FROM probs)
+      |SELECT source, max(src_n) AS n_docs,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY 1""".stripMargin
+
   /** Asymmetric containment on the known (original, prefix-variant)
     * pairs ([[graft.operators.Dedup.ngramContainment]]): the variant
     * is a prefix of the original, so cont_b ≈ 1 while Jaccard is
@@ -3816,6 +3850,7 @@ object Queries {
     "q_bpe_merges" -> (bpeMerges _),
     "q_edit_distance" -> (editDistancePairs _),
     "q_distribution_drift" -> (distributionDrift _),
+    "q_psi_drift" -> (psiDrift _),
     "q_containment" -> (containmentPairs _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_graph_triangles" -> (graphTriangles _),
@@ -3941,6 +3976,7 @@ object Queries {
     "q_bpe_merges" -> bpeMergesSql,
     "q_edit_distance" -> editDistancePairsSql,
     "q_distribution_drift" -> distributionDriftSql,
+    "q_psi_drift" -> psiDriftSql,
     "q_containment" -> containmentPairsSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_graph_triangles" -> graphTrianglesSql,

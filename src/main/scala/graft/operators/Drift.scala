@@ -35,6 +35,43 @@ object Drift {
     * explode + broadcast equi-join (no cross join), and the 1-row
     * grand total rides the audited broadcast-cross pattern.
     */
+  /** Per-source Population Stability Index from the same (source,
+    * bucket, o) count table — the industry drift score model-risk
+    * teams alarm on (conventional bands: < 0.1 stable, 0.1–0.25
+    * investigate, > 0.25 shifted). PSI does need `ln`, which
+    * chi-square avoids on portability grounds — the same
+    * round-to-7dp-then-decimal-fold discipline the perplexity family
+    * proves keeps it engine-exact: each term's ln runs on
+    * bit-identical double inputs and rounding collapses any last-ulp
+    * libm difference before the order-independent sum. Zero buckets
+    * are count-smoothed (+0.5 per cell on BOTH distributions), so
+    * every term is finite and a missing bucket still registers as
+    * drift.
+    */
+  def psiFromCounts(obs0: DataFrame, maxBucket: Long = 11L): DataFrame = {
+    val obs = obs0.filter(col("bucket").between(0L, maxBucket))
+    val nb = (maxBucket + 1).toDouble
+    val srcTotals = obs.groupBy("source").agg(sum("o").as("src_n"))
+    val buckets = obs.groupBy("bucket").agg(sum("o").as("bucket_n"))
+    val total = obs.agg(sum("o").as("all_n"))
+    val grid = srcTotals
+      .withColumn("bucket", explode(sequence(lit(0L), lit(maxBucket))))
+      .join(broadcast(buckets), "bucket")
+      .crossJoin(broadcast(total))
+    grid.join(obs, Seq("source", "bucket"), "left")
+      .select(col("source"), col("src_n"),
+        ((coalesce(col("o"), lit(0L)) + lit(0.5)) /
+          (col("src_n") + lit(0.5 * nb))).as("p_src"),
+        ((col("bucket_n") + lit(0.5)) /
+          (col("all_n") + lit(0.5 * nb))).as("p_all"))
+      .select(col("source"), col("src_n"),
+        round((col("p_src") - col("p_all")) * log(col("p_src") / col("p_all")), 7)
+          .cast("decimal(27,7)").as("term"))
+      .groupBy("source")
+      .agg(max("src_n").as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
   def chi2FromCounts(obs0: DataFrame, maxBucket: Long = 11L): DataFrame = {
     // rows outside the declared domain are excluded ENTIRELY — from
     // the totals as well as the terms. Without this, a caller whose

@@ -257,6 +257,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (source, bucket) output, costing extra small exchanges instead
       // of three more corpus scans
       "q_distribution_drift" -> 7,
+      "q_psi_drift" -> 7, // same reused-obs roll-up shape as chi-square
       "q_containment" -> 2, // pair joins on id; shingle sets computed once per side
       // from the checkpointed oriented-edge table on: adjacency-array
       // agg (1) + the two edge-to-adjacency join sides (<=3) + corner
