@@ -70,4 +70,22 @@ object DriftStream {
       .option("basePath", driftDir)
       .parquet(driftDir)
       .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** Live PSI over the SAME cumulative count store the chi-square
+    * monitor writes — counts are the mergeable representation, so any
+    * metric over them comes free of extra streaming state. Equals the
+    * batch [[Drift.psiFromCounts]] over the union of batches 0..N.
+    */
+  def psi(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      maxBucket: Long = 11L): DataFrame =
+    BatchState.read(spark, storeDir) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Long, Double)].toDF("source", "n_docs", "psi")
+      case Some(state) =>
+        Drift.psiFromCounts(
+          state.groupBy("source", "bucket").agg(sum("o").as("o")), maxBucket)
+    }
 }

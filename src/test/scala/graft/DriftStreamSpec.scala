@@ -41,6 +41,24 @@ class DriftStreamSpec extends SparkSpec {
     }
   }
 
+  test("live PSI over the streamed count store equals the batch PSI on the union") {
+    val dir = Files.createTempDirectory("drift").toString
+    val write = DriftStream.driftBatch(s"$dir/store", s"$dir/drift") _
+    val batches = Seq(slice(1, 300), slice(5, 200), slice(9, 400))
+    batches.zipWithIndex.foreach { case (b, i) => write(b, i.toLong) }
+    val expect = Drift.psiFromCounts(
+      batches.reduce(_ unionAll _)
+        .groupBy("source", "bucket").agg(count(lit(1)).as("o")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = DriftStream.psi(spark, s"$dir/store")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expect)
+    assert(got.values.forall(v => v._2 >= 0.0), "PSI is non-negative")
+    // batchless store -> empty frame, not a crash
+    assert(DriftStream.psi(
+      spark, Files.createTempDirectory("nodrift").toString).isEmpty)
+  }
+
   test("replaying a middle batch is idempotent") {
     val dir = Files.createTempDirectory("drift").toString
     val write = DriftStream.driftBatch(s"$dir/store", s"$dir/drift") _
