@@ -1265,6 +1265,64 @@ object Queries {
 
   val dedupClustersStarsSql: String = dedupClustersSql
 
+  /** Canonical representative per near-dup cluster: instead of the
+    * arbitrary keep-min-id policy, each cluster keeps its BEST-quality
+    * member (engine-portable [[TextFunctions.qualityScore]], ties to
+    * the low id) — the curation policy that decides which variant of a
+    * duplicated page actually enters the corpus. Singletons (no
+    * candidate pair) represent themselves. Rides the audited
+    * q_dedup_clusters label table + one cluster-keyed window.
+    */
+  def clusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(s, dir)
+    val scored = nearDupCorpus(s, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"))
+    val w = Window.partitionBy("cluster")
+    scored.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_doc_id"),
+        col("quality_score").as("rep_quality"), col("n_members"))
+  }
+
+  val clusterRepresentativesSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY 1),
+       |base AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS n_chr
+       |  FROM corpus),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+       |      (CASE WHEN awl BETWEEN 3 AND 10 THEN 1.0
+       |            WHEN awl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality_score
+       |  FROM (SELECT *, CASE WHEN n_tok > 0
+       |          THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+       |          ELSE 0.0 END AS awl FROM base)),
+       |cl AS (SELECT s.doc_id, s.quality_score,
+       |    coalesce(l.component, s.doc_id) AS cluster
+       |  FROM scored s LEFT JOIN labels l ON s.doc_id = l.doc_id),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY quality_score DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS nm
+       |  FROM cl)
+       |SELECT cluster, doc_id AS rep_doc_id, quality_score AS rep_quality,
+       |  CAST(nm AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** n-gram Jaccard over the known (original, variant) pairs, on
     * hash-compared shingle sets (see [[Dedup.ngramJaccard]]).
     */
@@ -3811,6 +3869,7 @@ object Queries {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
+    "q_cluster_representatives" -> (clusterRepresentatives _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_recall" -> (dedupRecall _),
     "q_winnow_overlap" -> (winnowOverlap _),
@@ -3977,6 +4036,7 @@ object Queries {
     "q_edit_distance" -> editDistancePairsSql,
     "q_distribution_drift" -> distributionDriftSql,
     "q_psi_drift" -> psiDriftSql,
+    "q_cluster_representatives" -> clusterRepresentativesSql,
     "q_containment" -> containmentPairsSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_graph_triangles" -> graphTrianglesSql,

@@ -88,8 +88,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_graph_walks",
       // the ONE-row moment vector both covariance branches read
       "q_pca_cov",
-      // rides the q_dedup_clusters CC label table
-      "q_split_leakage_safe",
+      // ride the q_dedup_clusters CC label table
+      "q_split_leakage_safe", "q_cluster_representatives",
       // the pair matrix is computed on the driver from collected
       // per-source KMV sketches — bounded by construction (S sources x
       // k longs, data-volume-independent); the sketch aggregation
@@ -306,6 +306,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_agg_rollup" -> 1, // Expand + ONE shuffle
       "q_bm25" -> 1, // (doc,term) tf agg; df/avgdl ride broadcast
       "q_dedup_clusters" -> 0, // pure select over checkpointed labels
+      // label join (labels are the checkpointed CC table) + ONE
+      // cluster-keyed window; both window functions share the exchange
+      "q_cluster_representatives" -> 2,
       "q_dedup_clusters_stars" -> 1, // final star-table reagg
       "q_dedup_minhash" -> 3, // band explode + bucket group + pair distinct
       // sample gram self-join + pair agg + size joins + candidate subtree
