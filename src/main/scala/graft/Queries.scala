@@ -1822,6 +1822,59 @@ object Queries {
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Multi-probe LSH ([[SimilaritySearch.lshTopKMultiProbe]]): the
+    * query side additionally probes every Hamming-1 neighbor bucket —
+    * recall rises toward the brute-force truth without more tables or
+    * signature storage, at numBits+1 probe buckets per query per
+    * table. Candidate indexing is untouched.
+    */
+  def simsearchLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.lshTopKMultiProbe(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val simsearchLshMultiProbeSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) > 0),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT tt.t AS t, bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:' || CAST(42 + tt.t * 7919 AS VARCHAR) || ':' ||
+      |          CAST(bb.b AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 2) AS tt(t) CROSS JOIN range(0, 12) AS bb(b) CROSS JOIN d),
+      |sigs AS (
+      |  SELECT n.vec_id, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, p.t),
+      |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+      |  1024, 2048]) AS mask),
+      |q AS (SELECT s.vec_id AS query_id, n.nv AS qv,
+      |      CAST(s.t AS VARCHAR) || ':' || CAST(xor(s.sig, m.mask) AS VARCHAR) AS bucket
+      |      FROM sigs s JOIN n USING (vec_id) CROSS JOIN masks m
+      |      WHERE s.vec_id < 10),
+      |c AS (SELECT s.vec_id AS neighbor_id, n.nv AS cv,
+      |      CAST(s.t AS VARCHAR) || ':' || CAST(s.sig AS VARCHAR) AS bucket
+      |      FROM sigs s JOIN n USING (vec_id)),
+      |pairs AS (SELECT DISTINCT query_id, neighbor_id,
+      |      round(list_dot_product(qv, cv), 6) AS cos_sim
+      |      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      |      FROM pairs)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   /** Repetition quality signals: fraction of words / bigrams /
@@ -3876,6 +3929,7 @@ object Queries {
     "q_dedup_simhash" -> (dedupSimHash _),
     "q_simsearch_topk" -> (simsearchTopK _),
     "q_simsearch_lsh" -> (simsearchLsh _),
+    "q_simsearch_lsh_mp" -> (simsearchLshMultiProbe _),
     "q_simsearch_ivf" -> (simsearchIvf _),
     "q_embedding_quantized" -> (embeddingQuantized _),
     "q_embedding_neardup" -> (embeddingNearDup _),
@@ -4002,6 +4056,7 @@ object Queries {
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_simsearch_topk" -> simsearchTopKSql,
     "q_simsearch_lsh" -> simsearchLshSql,
+    "q_simsearch_lsh_mp" -> simsearchLshMultiProbeSql,
     "q_simsearch_ivf" -> simsearchIvfSql,
     "q_embedding_quantized" -> embeddingQuantizedSql,
     "q_embedding_neardup" -> embeddingNearDupSql,

@@ -172,6 +172,58 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Multi-probe variant of [[lshTopK]]: each QUERY additionally
+    * probes every Hamming-1 neighbor bucket (its signature with one
+    * bit flipped) in every table — the standard way to buy LSH recall
+    * without more tables, because a near-miss neighbor usually sits
+    * just across one hyperplane. Candidates still index exactly one
+    * bucket per table; only the bounded query side fans out
+    * (numBits + 1 buckets per query per table), so the probe stays a
+    * broadcast and the candidate side is untouched. Candidate sets are
+    * a strict superset of the single-probe search's, so recall can
+    * only rise.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 12,
+      numTables: Int = 2): DataFrame = {
+    def sig(vec: Column, t: Int) =
+      NativeVector.hyperplaneSig(vec, numBits, seed = 42L + t * 7919L)
+    // query buckets: base signature + every single-bit flip (static
+    // unroll — numBits is plan-literal, so the masks are literals and
+    // the whole fan-out stays one codegen'd projection)
+    val qBuckets = (0 until numTables).flatMap { t =>
+      val s = sig(col("q_vec"), t)
+      concat_ws(":", lit(t), s) +: (0 until numBits).map { b =>
+        concat_ws(":", lit(t), s.bitwiseXOR(lit(1L << b)))
+      }
+    }
+    val q = normalizedSide(queries, idCol, "query_id", vecCol, "q_vec")
+      .select(col("query_id"), col("q_vec"),
+        explode(array(qBuckets: _*)).as("bucket"))
+    val c = normalizedSide(candidates, idCol, "neighbor_id", vecCol, "c_vec")
+      .select(col("neighbor_id"), col("c_vec"),
+        explode(array((0 until numTables).map { t =>
+          concat_ws(":", lit(t), sig(col("c_vec"), t))
+        }: _*)).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(NativeVector.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Embedding-based near-duplicate detection: per row, how many OTHER
     * vectors exceed `threshold` cosine similarity (0 for unique rows).
     * Exact all-pairs within the provided frame — small-scale truth for

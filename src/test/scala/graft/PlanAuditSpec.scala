@@ -324,6 +324,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_simsearch_ivf" -> 1, // probe-cell equi-join + k-bounded agg
       "q_simsearch_ivfpq" -> 1,
       "q_simsearch_lsh" -> 2, // bucket group + k-bounded agg
+      // same shape; only the broadcast query side fans out per probe
+      "q_simsearch_lsh_mp" -> 2,
       "q_simsearch_pq" -> 1,
       "q_simsearch_topk" -> 1, // k-bounded aggregator after broadcast probe
       "q_split_leakage_safe" -> 0, // rides the checkpointed CC labels

@@ -73,6 +73,24 @@ class SimilaritySearchSpec extends SparkSpec {
       s"LSH candidates not similarity-biased: lsh=$lshMean vs all=$allMean")
   }
 
+  test("multi-probe LSH recall dominates single-probe against brute-force truth") {
+    val queries = emb.filter($"vec_id" < 20)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = hits(SimilaritySearch.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val single = hits(SimilaritySearch.lshTopK(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val multi = hits(SimilaritySearch.lshTopKMultiProbe(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val rs = (single & truth).size
+    val rm = (multi & truth).size
+    assert(rm >= rs,
+      s"Hamming-1 probing cannot lower recall: multi $rm vs single $rs of ${truth.size}")
+    assert(rm > rs,
+      s"on near-random fixtures the extra 12x probes must surface new truth pairs ($rm vs $rs)")
+  }
+
   test("cosineNearDupCounts is symmetric and self-free") {
     val out = SimilaritySearch.cosineNearDupCounts(
       emb.limit(100), "vec_id", "embedding", threshold = 0.8)
