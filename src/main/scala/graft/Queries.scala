@@ -3764,7 +3764,7 @@ object Queries {
       |  SELECT doc_id, n_chars,
       |    ln((CAST(('0x' || substr(sha256('17:' || CAST(doc_id AS VARCHAR)), 1, 8))
       |         AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS es_key
-      |  FROM documents)
+      |  FROM documents WHERE n_chars > 0)
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 
   /** Per-source weighted sampling
@@ -3786,7 +3786,7 @@ object Queries {
       |      ln((CAST(('0x' || substr(sha256('17:' || CAST(doc_id AS VARCHAR)), 1, 8))
       |           AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
       |      doc_id) AS rn
-      |  FROM documents)
+      |  FROM documents WHERE n_chars > 0)
       |WHERE rn <= 20""".stripMargin
 
   /** Unicode NFC normalization ([[graft.plans.NativeNorm]]): the

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared read guard for the per-batch state stores every streamed
@@ -10,15 +11,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet schema to infer, so readers must distinguish "no state"
   * from "state"; this is that single decision point (it used to be
   * copy-pasted per store).
+  *
+  * Crash safety: [[swap]] (compaction) stages through
+  * [[graft.sources.AtomicDir]], and every read/write entry point calls
+  * [[recover]] first, so an interrupted compaction is repaired before
+  * the store is read — or, worse, recreated by the next micro-batch
+  * write, which would permanently orphan the displaced `.__old__`
+  * state and silently reset the store to empty (for a decontamination
+  * store that is a safety false-negative: a clean-corpus report over
+  * vanished hashes).
   */
 private[graft] object BatchState {
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def batchIds(fs: FileSystem, p: Path): Seq[Long] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+
+  /** Repair an interrupted [[swap]]. Two crash windows exist:
+    *
+    *   - dest renamed to `.__old__`, tmp not yet renamed in →
+    *     [[graft.sources.AtomicDir.recover]] restores the old store;
+    *   - tmp renamed in, late-batch re-attach or `.__old__` cleanup not
+    *     finished → any `batch_id=N` directory in `.__old__` NEWER than
+    *     everything in dest is a micro-batch that a live stream wrote
+    *     during the compaction; it is moved back before the leftover is
+    *     deleted, so compacting under a running stream loses nothing.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.AtomicDir
+    val (fs, dest) = fsOf(spark, dir)
+    val old = AtomicDir.oldPath(dest)
+    if (fs.exists(dest) && fs.exists(old)) {
+      val destMax = batchIds(fs, dest).maxOption
+      batchIds(fs, old).filter(id => destMax.forall(_ < id)).foreach { id =>
+        val from = new Path(old, s"batch_id=$id")
+        if (!fs.rename(from, new Path(dest, s"batch_id=$id")))
+          throw new java.io.IOException(s"re-attach $from -> $dest failed")
+      }
+    }
+    AtomicDir.recover(fs, dest)
+  }
+
+  /** Target directory for one micro-batch's state write. Runs
+    * [[recover]] first: a write after an interrupted compaction must
+    * repair the store, not recreate it beside the displaced data.
+    */
+  def batchDir(spark: SparkSession, dir: String, batchId: Long): String = {
+    recover(spark, dir)
+    s"$dir/batch_id=$batchId"
+  }
 
   /** The store under `dir` as one frame (batch_id surfaces as a
     * partition column), or None when no batch has committed yet.
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    val (fs, p) = fsOf(spark, dir)
     if (fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
       Some(spark.read.parquet(dir))
@@ -27,14 +82,9 @@ private[graft] object BatchState {
 
   /** The highest committed batch id under `dir` (None when batchless). */
   def maxBatchId(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val ids = fs.listStatus(p)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    if (ids.isEmpty) None else Some(ids.max)
+    recover(spark, dir)
+    val (fs, p) = fsOf(spark, dir)
+    batchIds(fs, p).maxOption
   }
 
   /** Replace the ENTIRE store with `resolved` as one batch directory
@@ -44,6 +94,12 @@ private[graft] object BatchState {
     * concurrent reader never observes a half-written store. Keeping
     * the MAX committed batch id means batches streamed after the
     * compaction still sort later and win any latest-wins resolution.
+    *
+    * Safe under a live stream: a `batch_id=N` directory written by a
+    * concurrent foreachBatch between the caller's read of the store
+    * and the swap lands in the displaced `.__old__`; every id above
+    * `keepBatchId` is re-attached to the new store before cleanup
+    * (and [[recover]] finishes the re-attach after a crash).
     */
   def swap(
       spark: SparkSession,
@@ -52,13 +108,29 @@ private[graft] object BatchState {
       keepBatchId: Long,
       partitionBy: Seq[String] = Nil): Unit = {
     import graft.sources.AtomicDir
-    val dest = new org.apache.hadoop.fs.Path(dir)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, dest) = fsOf(spark, dir)
+    recover(spark, dir)
     val tmp = AtomicDir.tmpPath(dest)
     fs.delete(tmp, true)
+    // materializes `resolved` (which typically reads `dest`) BEFORE any
+    // rename touches the store
     val w = resolved.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(new org.apache.hadoop.fs.Path(tmp, s"batch_id=$keepBatchId").toString)
-    AtomicDir.commit(fs, dest)
+      .parquet(new Path(tmp, s"batch_id=$keepBatchId").toString)
+    val old = AtomicDir.oldPath(dest)
+    fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"rename $dest -> $old failed")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    if (fs.exists(old)) {
+      batchIds(fs, old).filter(_ > keepBatchId).foreach { id =>
+        val from = new Path(old, s"batch_id=$id")
+        if (!fs.rename(from, new Path(dest, s"batch_id=$id")))
+          throw new java.io.IOException(s"re-attach $from -> $dest failed")
+      }
+    }
+    fs.delete(old, true)
+    ()
   }
 }

@@ -42,7 +42,8 @@ object DecontaminationStream {
       batchId: Long): Unit = {
     if (batch.isEmpty) return
     Decontaminate.benchmarkHashes(batch, idCol, textCol, cfg.shingleSize)
-      .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      .write.mode("overwrite")
+      .parquet(BatchState.batchDir(batch.sparkSession, stateDir, batchId))
   }
 
   /** Attach the per-batch reducer to a streaming benchmark feed. */

@@ -46,7 +46,7 @@ object IvfStream {
     IvfIndex.assign(batch, idCol, vecCol, model)
       .select(col("id"), col("nv"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$stateDir/batch_id=$batchId")
+      .parquet(BatchState.batchDir(batch.sparkSession, stateDir, batchId))
   }
 
   /** Attach the per-batch assigner to a streaming embedding feed. */
@@ -86,11 +86,14 @@ object IvfStream {
         val base = state
           .select(col("id"), col("nv"), col("cell").cast("int").as("cell"),
             col("batch_id"))
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val nBatches = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
-          .count(_.getPath.getName.startsWith("batch_id="))
-        if (nBatches == 1) base.drop("batch_id") // already unique per id
+        // fast-path decision from the frame's OWN file-index snapshot
+        // (not a second filesystem listing, which could disagree with
+        // the scanned files if a compaction or batch write lands
+        // between the two listings)
+        val nBatches = state.inputFiles
+          .flatMap(_.split('/').find(_.startsWith("batch_id=")))
+          .distinct.length
+        if (nBatches <= 1) base.drop("batch_id") // already unique per id
         else base
           .withColumn("__rn",
             org.apache.spark.sql.functions.row_number().over(

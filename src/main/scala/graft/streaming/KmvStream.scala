@@ -43,7 +43,8 @@ object KmvStream {
     val sketches = ThetaSketch.sourceSketches(
       batch, sourceCol, textCol, cfg.n, cfg.k)
     if (!sketches.isEmpty) {
-      sketches.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      sketches.write.mode("overwrite")
+        .parquet(BatchState.batchDir(batch.sparkSession, stateDir, batchId))
     }
   }
 

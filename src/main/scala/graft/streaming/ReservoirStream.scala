@@ -58,7 +58,8 @@ object ReservoirStream {
         .groupBy("source", "id").agg(max("weight").as("weight")),
       "source", "id", "weight", cfg.k, cfg.seed)
       .drop("sample_rank")
-    candidates.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+    candidates.write.mode("overwrite")
+      .parquet(BatchState.batchDir(batch.sparkSession, stateDir, batchId))
   }
 
   /** Attach the per-batch reducer to a streaming Dataset. */
