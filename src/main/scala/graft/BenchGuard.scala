@@ -5,14 +5,18 @@ import scala.jdk.CollectionConverters._
 /** Per-query performance regression guard.
   *
   * The driver's bench numbers are load-sensitive: round 3 reported a
-  * 15.9 s query that measured 2.46 s on a quiet machine. min-of-N
-  * damps a spike but not a sustained-load episode that covers every
-  * sample. This guard makes the distinction structural:
+  * 15.9 s query that measured 2.46 s on a quiet machine; round 8's
+  * driver sweep flagged 8 queries 3–6× over floors that re-measured AT
+  * floor an hour later. min-of-N damps a spike but not a sustained-load
+  * episode. This guard makes the distinction structural:
   *
   *   - `bench/floors.json` is the committed best-known quiet-machine
   *     time per query (plus a calibration time for a fixed scan+agg
   *     probe whose plan never changes);
-  *   - a fresh run measures the same queries AND the probe;
+  *   - a fresh run measures the same queries AND the probe — via the
+  *     EXACT measurement pass [[Bench]] uses (one harness; there is no
+  *     second sweep implementation to disagree with the driver's), and
+  *     it leaves the same `bench/last_run.json` artifact behind;
   *   - each query's ratio vs its floor is divided by the probe's ratio
   *     vs its floor (the load factor). Uniform machine load inflates
   *     probe and queries alike and cancels out; a plan regression
@@ -25,9 +29,17 @@ import scala.jdk.CollectionConverters._
   *     a lost broadcast) add seconds, not tenths.
   *
   * Run: `sbt 'runMain graft.BenchGuard'` (env as Bench: SPARK_GRAFT_SF_DIR
-  * etc.). `--update` rewrites the floor file with min(floor, fresh)
-  * after a faster run — floors only ever go down, so they stay
-  * quiet-machine numbers.
+  * etc.).
+  *
+  * `--from-last-run` skips the sweep and evaluates the numbers already
+  * in `bench/last_run.json` — the reconciliation path: after a
+  * `graft.Bench` run (local or the driver's), the guard grades THOSE
+  * numbers, so the guard's verdict and the driver artifact can never
+  * diverge silently.
+  *
+  * `--update` rewrites the floor file with min(floor, fresh) after a
+  * faster run — floors only ever go down, so they stay quiet-machine
+  * numbers — and stamps `source` with the run it ratcheted from.
   *
   * DELIBERATE SLOWDOWNS: because `--update` only ratchets floors DOWN,
   * a change that intentionally costs performance (e.g. a correctness
@@ -49,7 +61,8 @@ object BenchGuard {
       tolerance: Double,
       minExcessSec: Double,
       calibration: Double,
-      queries: Map[String, Double])
+      queries: Map[String, Double],
+      source: String = "")
 
   final case class Verdict(
       query: String, seconds: Double, floor: Double, normalizedRatio: Double, flagged: Boolean)
@@ -85,7 +98,7 @@ object BenchGuard {
       retiredQueries = floors.queries.keys.filterNot(fresh.contains).toSeq.sorted)
   }
 
-  // --- floors file I/O (Jackson is on the Spark classpath) ---
+  // --- floors / last-run file I/O (Jackson is on the Spark classpath) ---
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -97,7 +110,8 @@ object BenchGuard {
       minExcessSec = root.path("min_excess_sec").asDouble(0.5),
       calibration = root.path("calibration").asDouble(0.0),
       queries = root.path("queries").properties().asScala
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap,
+      source = root.path("source").asText(""))
   }
 
   def writeFloors(path: String, floors: Floors): Unit = {
@@ -107,6 +121,8 @@ object BenchGuard {
     sb.append(s"""  "tolerance": ${floors.tolerance},\n""")
     sb.append(s"""  "min_excess_sec": ${floors.minExcessSec},\n""")
     sb.append(f"""  "calibration": ${floors.calibration}%.4f,\n""")
+    if (floors.source.nonEmpty)
+      sb.append(s"""  "source": "${floors.source}",\n""")
     sb.append("  \"queries\": {\n")
     sb.append(floors.queries.toSeq.sorted.map { case (k, v) =>
       f"""    "$k": $v%.4f"""
@@ -118,8 +134,26 @@ object BenchGuard {
     ()
   }
 
+  /** A persisted `graft.Bench` run (`bench/last_run.json`). */
+  final case class LastRun(
+      queries: Map[String, Double],
+      calibration: Double,
+      sf: String,
+      writtenAt: String)
+
+  def readLastRun(path: String): LastRun = {
+    val root = mapper.readTree(new java.io.File(path))
+    LastRun(
+      queries = root.path("queries").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap,
+      calibration = root.path("calibration").asDouble(0.0),
+      sf = root.path("sf").asText(""),
+      writtenAt = root.path("written_at").asText(""))
+  }
+
   def main(args: Array[String]): Unit = {
     val update = args.contains("--update")
+    val fromLastRun = args.contains("--from-last-run")
     // --set-floor q=secs: accept a deliberate perf cost by raising one
     // query's floor in place (no bench run). Repeatable.
     val overrides = args.zip(args.drop(1) :+ "").collect {
@@ -139,7 +173,10 @@ object BenchGuard {
       // --set-floor without waiting on a full --update sweep
       val unknown = overrides.keySet -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"--set-floor for unknown queries: $unknown")
-      writeFloors(floorsPath, floors.copy(queries = floors.queries ++ overrides))
+      writeFloors(floorsPath, floors.copy(
+        queries = floors.queries ++ overrides,
+        source = (floors.source + s"; set-floor ${overrides.keys.toSeq.sorted.mkString(",")}")
+          .stripPrefix("; ")))
       overrides.foreach { case (q, s) =>
         System.err.println(f"[guard] floor override: $q = $s%.4f s")
       }
@@ -150,13 +187,44 @@ object BenchGuard {
       .getOrElse(2).max(1)
     val floors = readFloors(floorsPath)
 
-    val spark = Bench.buildSession()
-    val calibPre = Bench.warmupAndCalibrate(spark, sfDir)
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val fresh = Bench.measureAll(spark, sfDir, runs, only = None, errors).toMap
-    // probe again: load that arrived mid-sweep inflates this one
-    val calibration = math.max(calibPre, Bench.timedCalibration(spark, sfDir))
-    spark.stop()
+    // --rebaseline: floors := the persisted run, verbatim — the reset
+    // path after the floor file and fresh measurements have drifted
+    // apart (e.g. floors ratcheted from unrepresentatively warm runs).
+    // The committed floors and the committed last_run.json then agree
+    // exactly, by construction.
+    if (args.contains("--rebaseline")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench")
+      val run = readLastRun(s"$dir/last_run.json")
+      val ok = run.queries.filter(_._2 >= 0)
+      writeFloors(floorsPath, Floors(
+        sf = run.sf.split('/').last,
+        tolerance = floors.tolerance,
+        minExcessSec = floors.minExcessSec,
+        calibration = run.calibration,
+        queries = ok,
+        source = s"rebaseline last_run ${run.writtenAt} ${run.sf}"))
+      System.err.println(
+        s"[guard] floors rebaselined from last_run (${ok.size} queries)")
+      return
+    }
+
+    // one measurement system: either re-grade the persisted Bench run,
+    // or run Bench's own sweep (which persists the same artifact)
+    val (fresh, calibration, errors, sourceTag) =
+      if (fromLastRun) {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench")
+        val run = readLastRun(s"$dir/last_run.json")
+        (run.queries, run.calibration, Map.empty[String, String],
+          s"last_run ${run.writtenAt} ${run.sf}")
+      } else {
+        val spark = Bench.buildSession()
+        val s = Bench.sweep(spark, sfDir, runs, only = None)
+        val written = Bench.writeLastRun(s, sfDir)
+        spark.stop()
+        written.foreach(p => System.err.println(s"[guard] wrote $p"))
+        (s.results.toMap, s.calibration, s.errors.toMap,
+          s"sweep ${java.time.Instant.now()} $sfDir")
+      }
 
     val report = evaluate(floors, fresh, calibration)
     System.err.println(f"[guard] load factor ${report.loadFactor}%.2f " +
@@ -183,7 +251,8 @@ object BenchGuard {
             q -> math.min(
               floors.queries.getOrElse(q, Double.MaxValue),
               fresh.get(q).filter(_ >= 0).getOrElse(Double.MaxValue))
-        }.toMap)
+        }.toMap,
+        source = sourceTag)
       writeFloors(floorsPath, merged)
       System.err.println(s"[guard] floors updated: $floorsPath")
     }

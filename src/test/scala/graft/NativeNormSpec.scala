@@ -73,4 +73,21 @@ class NativeNormSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected a map-only plan:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("the registered query reproduces the oracle's pinned constants") {
+    // THE q_compression_ratio adjudication: the oracle SQL carries
+    // these exact (case_id, n_bytes, ratio) rows as VALUES, so any
+    // JVM/zlib drift in the deflate kernel fails here locally before
+    // it can fail the driver's hash compare
+    val got = Queries.all("q_compression_ratio")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val pinned = Set(
+      ("c1_empty", 0L, 1.0),
+      ("c2_single_char", 1L, 3.0),
+      ("c3_run_4096", 4096L, 0.005371),
+      ("c4_phrase_repeat", 4320L, 0.016898),
+      ("c5_prose", 484L, 0.595041),
+      ("c6_hex_chain", 2048L, 0.561035))
+    assert(got == pinned, s"kernel drifted from the pinned oracle: $got")
+  }
 }
