@@ -96,7 +96,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // itself ran as a distributed bounded-state job
       "q_source_overlap_sketch",
       // embeds the IVF probe's checkpointed index/centroid tables
-      "q_ann_recall")
+      "q_ann_recall",
+      // six PINNED literal rows (the deflate-kernel adjudication
+      // cases — DuckDB has no deflate, so the oracle compares pinned
+      // constants); nothing fixture-sized crosses the driver
+      "q_compression_ratio")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
