@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, InvertedIndex, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
+import graft.operators.{Dedup, Divergence, Graph, InvertedIndex, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
 
 /** The engine's query inventory: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
@@ -3908,6 +3908,89 @@ object Queries {
       |  ('c6_hex_chain',    CAST(2048 AS BIGINT), CAST(0.561035 AS DOUBLE))
       |) AS t(case_id, n_bytes, compression_ratio)""".stripMargin
 
+  /** Pairwise source redundancy ([[graft.operators.Divergence
+    * .jsDivergence]]): Jensen–Shannon divergence between the unigram
+    * distributions of every source pair — the mixture-design signal
+    * behind sampling weights (near-zero JS ⇒ distributionally
+    * redundant sources; near ln 2 ⇒ disjoint). Vocab-bounded
+    * aggregates; decimal-folded contributions replay exactly.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame =
+    Divergence.jsDivergence(t(s, dir, "documents"), "source", "text")
+
+  val sourceDivergenceSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      |wp AS (SELECT c.source, c.w, c.c, t.t FROM cnt c JOIN tot t ON t.source = c.source),
+      |shared AS (
+      |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared,
+      |    sum(CAST(round(
+      |      ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE)) *
+      |         ln((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE)) * 2.0 /
+      |            ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE)) +
+      |             (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)))) +
+      |       (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)) *
+      |         ln((CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)) * 2.0 /
+      |            ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE)) +
+      |             (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE))))) * 0.5,
+      |      7) AS DECIMAL(27,7))) AS j_shared,
+      |    sum(CAST(round(CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE), 7)
+      |      AS DECIMAL(27,7))) AS pa_shared,
+      |    sum(CAST(round(CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE), 7)
+      |      AS DECIMAL(27,7))) AS pb_shared
+      |  FROM wp a JOIN wp b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY 1),
+      |pairs AS (SELECT a.source AS sa, a.v AS va, b.source AS sb, b.v AS vb
+      |  FROM vocab a, vocab b WHERE a.source < b.source)
+      |SELECT p.sa AS source_a, p.sb AS source_b,
+      |  CAST(p.va + p.vb - coalesce(s.n_shared, 0) AS BIGINT) AS n_terms,
+      |  round(coalesce(CAST(s.j_shared AS DOUBLE), 0.0) +
+      |    0.5 * 0.6931471805599453 * (2.0 -
+      |      coalesce(CAST(s.pa_shared AS DOUBLE), 0.0) -
+      |      coalesce(CAST(s.pb_shared AS DOUBLE), 0.0)), 6) AS js_divergence
+      |FROM pairs p LEFT JOIN shared s ON s.sa = p.sa AND s.sb = p.sb""".stripMargin
+
+  /** Per-source Zipf slope ([[graft.operators.Divergence.zipfSlope]]):
+    * OLS slope of ln(freq) on ln(rank) over each source's top-200
+    * terms — the naturalness audit (prose ≈ −1; templated text
+    * flattens). Rank order is total (count desc, term asc), so both
+    * engines rank identically; moments fold through DECIMAL(27,7).
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    Divergence.zipfSlope(t(s, dir, "documents"), "source", "text")
+
+  val zipfSlopeSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |ranked AS (SELECT source, w, c,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+      |  FROM cnt),
+      |pts AS (SELECT source,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)), 7) AS DECIMAL(27,7)) AS x,
+      |    CAST(round(ln(CAST(c AS DOUBLE)), 7) AS DECIMAL(27,7)) AS y,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 7)
+      |      AS DECIMAL(27,7)) AS xx,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 7)
+      |      AS DECIMAL(27,7)) AS xy
+      |  FROM ranked WHERE rank <= 200),
+      |m AS (SELECT source, count(*) AS n_terms,
+      |    sum(x) AS sx, sum(y) AS sy, sum(xx) AS sxx, sum(xy) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT source, n_terms,
+      |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4031,7 +4114,9 @@ object Queries {
     "q_weighted_sample_grouped" -> (weightedSampleGrouped _),
     "q_unicode_norm" -> (unicodeNorm _),
     "q_decay_weights" -> (decayWeights _),
-    "q_compression_ratio" -> (compressionRatio _))
+    "q_compression_ratio" -> (compressionRatio _),
+    "q_source_divergence" -> (sourceDivergence _),
+    "q_zipf_slope" -> (zipfSlope _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4040,6 +4125,8 @@ object Queries {
     */
   val oracles: Map[String, String] = Map(
     "q_compression_ratio" -> compressionRatioSql,
+    "q_source_divergence" -> sourceDivergenceSql,
+    "q_zipf_slope" -> zipfSlopeSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -53,7 +53,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Set("q_simsearch_topk", "q_embedding_quantized", "q_simsearch_pq",
       "q_hard_negatives", "q_ann_recall",
       // negatives ride the bounded brute-force hard-negative probe
-      "q_training_triplets")
+      "q_training_triplets",
+      // the |sources|² pair enumeration (two grouped-aggregate outputs
+      // crossed) — bounded by the source DIMENSION like
+      // q_source_overlap_sketch's pair matrix, never by data volume;
+      // all per-term work rides the equi-join on the term
+      "q_source_divergence")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -100,7 +105,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // six PINNED literal rows (the deflate-kernel adjudication
       // cases — DuckDB has no deflate, so the oracle compares pinned
       // constants); nothing fixture-sized crosses the driver
-      "q_compression_ratio")
+      "q_compression_ratio",
+      // the vocab-bounded unigram count table feeds the self-join,
+      // vocab sizes and totals — materialized once, executor-resident
+      "q_source_divergence")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -183,6 +191,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // final frame is the driver-built pair matrix (see the
       // checkpoint allowlist); the sketch agg ran at construction
       "q_source_overlap_sketch" -> 0,
+      // totals + vocab aggs over the checkpointed count table, the
+      // shared-term self-join's two sides, the per-pair agg, and one
+      // AQE-planned exchange on the pair join — all vocab- or
+      // source-bounded streams, never the corpus
+      "q_source_divergence" -> 6,
+      "q_zipf_slope" -> 2, // count agg + rank window (final agg reuses the window's partitioning)
       "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
       "q_decontaminate" -> 2, // hit-count agg + report join
