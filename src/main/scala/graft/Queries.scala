@@ -3955,6 +3955,40 @@ object Queries {
       |      coalesce(CAST(s.pb_shared AS DOUBLE), 0.0)), 6) AS js_divergence
       |FROM pairs p LEFT JOIN shared s ON s.sa = p.sa AND s.sb = p.sb""".stripMargin
 
+  /** Diversity-aware subset selection
+    * ([[graft.operators.SimilaritySearch.kCenterSelect]]): greedy
+    * k-center over the embedding corpus — 8 centers covering the
+    * space, the post-dedup "don't sample the dense blob twice"
+    * selector. Per-pair cosine rounds to 6 dp before every min/argmax,
+    * so the greedy trajectory is a total order DuckDB replays exactly
+    * (recursive CTE).
+    */
+  def diverseSubset(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.kCenterSelect(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
+  val diverseSubsetSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id AS id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |sel(rank, id, min_dist, ids) AS (
+      |  SELECT 1, (SELECT min(id) FROM n), CAST(NULL AS DOUBLE),
+      |    [(SELECT min(id) FROM n)]
+      |  UNION ALL
+      |  SELECT s.rank + 1, w.id, w.d, list_append(s.ids, w.id)
+      |  FROM sel s, LATERAL (
+      |    SELECT p.id, 1 - max(round(list_dot_product(p.nv, c.nv), 6)) AS d
+      |    FROM n p, n c
+      |    WHERE list_contains(s.ids, c.id) AND NOT list_contains(s.ids, p.id)
+      |    GROUP BY p.id ORDER BY d DESC, p.id LIMIT 1) w
+      |  WHERE s.rank < 8)
+      |SELECT rank AS center_rank, id AS vec_id, round(min_dist, 6) AS min_dist
+      |FROM sel""".stripMargin
+
   /** Per-source Zipf slope ([[graft.operators.Divergence.zipfSlope]]):
     * OLS slope of ln(freq) on ln(rank) over each source's top-200
     * terms — the naturalness audit (prose ≈ −1; templated text
@@ -4116,7 +4150,8 @@ object Queries {
     "q_decay_weights" -> (decayWeights _),
     "q_compression_ratio" -> (compressionRatio _),
     "q_source_divergence" -> (sourceDivergence _),
-    "q_zipf_slope" -> (zipfSlope _))
+    "q_zipf_slope" -> (zipfSlope _),
+    "q_diverse_subset" -> (diverseSubset _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4127,6 +4162,7 @@ object Queries {
     "q_compression_ratio" -> compressionRatioSql,
     "q_source_divergence" -> sourceDivergenceSql,
     "q_zipf_slope" -> zipfSlopeSql,
+    "q_diverse_subset" -> diverseSubsetSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

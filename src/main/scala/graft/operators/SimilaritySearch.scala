@@ -289,4 +289,69 @@ object SimilaritySearch {
       .join(hits, col("id") === col("id_a"), "left")
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_near_dups"))
   }
+
+  /** Diversity-aware subset selection: greedy k-center (farthest-point
+    * traversal) over cosine distance — the classic 2-approximation to
+    * the k-center coreset, the "cover the embedding space, don't
+    * sample the dense blob twice" selector training-data pipelines run
+    * after dedup. Seeded at the smallest id; each round picks the
+    * point FARTHEST from the chosen set (max over points of min over
+    * centers of `1 − cos`), ties broken by smallest id.
+    *
+    * Deterministic cross-engine: per-pair cosine rounds to 6 dp before
+    * the min/argmax, so center choice is a total order both engines
+    * reproduce bit-for-bit (an ulp of libm drift cannot flip the
+    * argmax). Output: (center_rank, vec_id, min_dist) — min_dist is
+    * the selection-time distance (null for the seed), a coverage-radius
+    * curve read directly off the result.
+    *
+    * Scale shape: the normalized corpus materializes once; each of the
+    * k−1 rounds is ONE map-only pass (the ≤k chosen vectors ride the
+    * closure as literals — KBs) into a TakeOrderedAndProject(1), so
+    * nothing but one row ever reaches the driver per round. O(k²·N)
+    * dot products total — the regime where greedy k-center is used
+    * (k in the tens/hundreds); for k beyond that, keep a running
+    * min-distance column checkpointed per round instead (O(k·N)).
+    */
+  def kCenterSelect(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = normalizedSide(corpus, idCol, "id", vecCol, "nv")
+      .select(col("id").cast("long").as("id"), col("nv"))
+      .localCheckpoint()
+    val seed = n.orderBy("id").limit(1)
+      .as[(Long, Seq[Double])].collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterSelect: no non-zero vectors to select from"))
+    // driver state: at most k (rank, id, dist, vector) rows — bounded
+    // by k·dim doubles, the same class as a trained codebook
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1, seed._1, Option.empty[Double], seed._2))
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
+      val sims = centers.map { case (_, _, _, cv) =>
+        round(NativeVector.dot(col("nv"), typedLit(cv)), 6) }.toSeq
+      val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val next = n
+        .filter(!col("id").isInCollection(centers.map(_._2)))
+        .select(col("id"), (lit(1.0) - maxSim).as("d"), col("nv"))
+        .orderBy(col("d").desc, col("id"))
+        .limit(1)
+        .as[(Long, Double, Seq[Double])].collect().headOption
+      next match {
+        case Some((id, d, nv)) =>
+          centers += ((centers.size + 1, id, Some(d), nv))
+        case None => exhausted = true // corpus smaller than k
+      }
+    }
+    centers.toSeq
+      .map { case (rank, id, d, _) => (rank, id, d) }
+      .toDF("center_rank", "vec_id", "min_dist")
+      .withColumn("min_dist", round(col("min_dist"), 6))
+  }
 }

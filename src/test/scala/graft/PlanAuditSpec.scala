@@ -108,7 +108,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_compression_ratio",
       // the vocab-bounded unigram count table feeds the self-join,
       // vocab sizes and totals — materialized once, executor-resident
-      "q_source_divergence")
+      "q_source_divergence",
+      // final frame is the k-row center table the greedy traversal
+      // built (one TakeOrderedAndProject(1) row per round crossed the
+      // driver — bounded by k, like the sketch pair matrix)
+      "q_diverse_subset")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -197,6 +201,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // source-bounded streams, never the corpus
       "q_source_divergence" -> 6,
       "q_zipf_slope" -> 2, // count agg + rank window (final agg reuses the window's partitioning)
+      "q_diverse_subset" -> 0, // k-row driver-built center table (selection jobs ran at construction)
       "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
       "q_decontaminate" -> 2, // hit-count agg + report join
