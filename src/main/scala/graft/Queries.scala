@@ -3989,6 +3989,36 @@ object Queries {
       |SELECT rank AS center_rank, id AS vec_id, round(min_dist, 6) AS min_dist
       |FROM sel""".stripMargin
 
+  /** Temperature-scaled mixture plan
+    * ([[graft.operators.Curation.mixturePlan]]): per-source sampling
+    * weights `mass^(1/T)` renormalized (T = 2), plus integer document
+    * quotas summing exactly to the 1000-doc budget via
+    * largest-remainder apportionment — the multilingual rebalancing
+    * step that lifts low-resource sources. One corpus aggregate;
+    * everything else runs on the |sources|-row table.
+    */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.mixturePlan(
+      t(s, dir, "documents"), "source", "n_chars",
+      temperature = 2.0, totalQuota = 1000L)
+
+  val mixturePlanSql: String =
+    """WITH agg AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
+      |s AS (SELECT *, CAST(round(power(CAST(mass AS DOUBLE), 0.5), 6)
+      |    AS DECIMAL(27,6)) AS sc FROM agg),
+      |t AS (SELECT *, sum(sc) OVER () AS tot FROM s),
+      |e AS (SELECT *, 1000.0 * (CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE)) AS ex
+      |  FROM t),
+      |b AS (SELECT *, CAST(floor(ex) AS BIGINT) AS base,
+      |    ex - CAST(floor(ex) AS BIGINT) AS rem FROM e),
+      |r AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+      |SELECT source, n_docs, mass,
+      |  round(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM r""".stripMargin
+
   /** Per-source Zipf slope ([[graft.operators.Divergence.zipfSlope]]):
     * OLS slope of ln(freq) on ln(rank) over each source's top-200
     * terms — the naturalness audit (prose ≈ −1; templated text
@@ -4151,7 +4181,8 @@ object Queries {
     "q_compression_ratio" -> (compressionRatio _),
     "q_source_divergence" -> (sourceDivergence _),
     "q_zipf_slope" -> (zipfSlope _),
-    "q_diverse_subset" -> (diverseSubset _))
+    "q_diverse_subset" -> (diverseSubset _),
+    "q_mixture_plan" -> (mixturePlan _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4163,6 +4194,7 @@ object Queries {
     "q_source_divergence" -> sourceDivergenceSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_diverse_subset" -> diverseSubsetSql,
+    "q_mixture_plan" -> mixturePlanSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

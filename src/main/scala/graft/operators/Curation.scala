@@ -65,4 +65,52 @@ object Curation {
         .drop(sourceCol), // id is unique; rejoin on it alone
       Seq(idCol))
   }
+
+  /** Temperature-scaled mixture plan: per-source sampling weights
+    * `w_i = m_i^(1/T) / Σ m_j^(1/T)` over the source token masses, and
+    * integer document quotas for a total budget that sum EXACTLY to it
+    * via largest-remainder apportionment — the standard multilingual /
+    * multi-source rebalancing step (T = 1 keeps natural proportions,
+    * T → ∞ approaches uniform; XLM-style pipelines use T ≈ 2–5 to lift
+    * low-resource sources without flattening the mix).
+    *
+    * Determinism: the scaled mass rounds to 6 dp into DECIMAL before
+    * the total, so the weight divides bit-identical operands on both
+    * engines; apportionment ranks (remainder desc, source asc) — a
+    * total order. Scale shape: one map-side-combined aggregate over
+    * the corpus; everything after runs on the |sources|-row table
+    * (the global windows sort dozens of rows, not data).
+    *
+    * Output: (source, n_docs, mass, weight, quota), Σ quota = budget.
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      sourceCol: String,
+      massCol: String,
+      temperature: Double,
+      totalQuota: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(totalQuota >= 0, s"totalQuota must be >= 0, got $totalQuota")
+    val agg = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(massCol).cast("long")).as("mass"))
+    val all = Window.partitionBy(lit(1))
+    val scaled = agg.withColumn("__s",
+      round(pow(col("mass").cast("double"), lit(1.0 / temperature)), 6)
+        .cast("decimal(27,6)"))
+      .withColumn("__tot", sum(col("__s")).over(all))
+    val w = col("__s").cast("double") / col("__tot").cast("double")
+    val exact = lit(totalQuota.toDouble) * w
+    scaled
+      .withColumn("__exact", exact)
+      .withColumn("__base", floor(col("__exact")).cast("long"))
+      .withColumn("__rem", col("__exact") - col("__base").cast("double"))
+      .withColumn("__left", lit(totalQuota) - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(
+        all.orderBy(col("__rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("mass"),
+        round(w, 6).as("weight"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("quota"))
+  }
 }

@@ -202,6 +202,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_source_divergence" -> 6,
       "q_zipf_slope" -> 2, // count agg + rank window (final agg reuses the window's partitioning)
       "q_diverse_subset" -> 0, // k-row driver-built center table (selection jobs ran at construction)
+      "q_mixture_plan" -> 2, // corpus agg + the |sources|-row apportionment windows
       "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
       "q_decontaminate" -> 2, // hit-count agg + report join
