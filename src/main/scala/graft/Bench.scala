@@ -36,13 +36,24 @@ object Bench {
       errors: collection.Map[String, String],
       calibration: Double)
 
-  /** Timed full materialization of every column. */
+  /** Timed full materialization of every column. After the write, every
+    * persistent RDD (the localCheckpoint blocks many operators create at
+    * construction) is dropped: nothing reads them once the query has
+    * materialized, and letting 130+ queries' blocks accumulate in the
+    * block manager makes LATE queries measure the EARLY queries' memory
+    * pressure — the graph suite (alphabetically late, GC-sensitive
+    * iterative jobs) measured 1.5-2x slower in a full sweep than
+    * isolated, from exactly this.
+    */
   private def materialize(
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val s = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    s
   }
 
   private[graft] def buildSession(): SparkSession = {

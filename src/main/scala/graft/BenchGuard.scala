@@ -208,6 +208,27 @@ object BenchGuard {
       return
     }
 
+    // Footgun guard: floors are only comparable to a sweep run with the
+    // SAME parallelism as the run they were baselined from (a local[4]
+    // sweep of a local[32] floor file flags every shuffle-heavy query).
+    // Compare the committed artifact's cpus with this process' env and
+    // refuse to ratchet across a mismatch.
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench")
+    val committedCpus = scala.util.Try(
+      mapper.readTree(new java.io.File(s"$benchDir/last_run.json"))
+        .path("cpus").asText("")).getOrElse("")
+    val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    if (committedCpus.nonEmpty && committedCpus != cpusNow && !fromLastRun) {
+      System.err.println(
+        s"[guard] CPU-COUNT MISMATCH: committed last_run.json was measured " +
+          s"at SPARK_GRAFT_CPUS=$committedCpus but this run has " +
+          s"SPARK_GRAFT_CPUS=$cpusNow — times are not comparable to floors")
+      require(!update,
+        s"refusing --update across a cpu-count change " +
+          s"($committedCpus -> $cpusNow); re-run with SPARK_GRAFT_CPUS=" +
+          s"$committedCpus, or delete bench/last_run.json to rebase on purpose")
+    }
+
     // one measurement system: either re-grade the persisted Bench run,
     // or run Bench's own sweep (which persists the same artifact)
     val (fresh, calibration, errors, sourceTag) =

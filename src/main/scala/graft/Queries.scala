@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Divergence, Graph, InvertedIndex, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup}
+import graft.operators.{Dedup, Divergence, EventFlow, Graph, InvertedIndex, Lexicon, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup, VectorStats}
 
 /** The engine's query inventory: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
@@ -4055,6 +4055,301 @@ object Queries {
       |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM m""".stripMargin
 
+  /** Vocabulary coverage ([[graft.operators.Lexicon.vocabCoverage]]):
+    * per-document OOV rate against the corpus' own top-K unigram
+    * vocabulary — the "would a K-entry tokenizer cover this document"
+    * audit. K = 16 here so the fixture's 31-term vocabulary actually
+    * splits (a K above the corpus vocab would make every rate 0).
+    * Vocab membership is a total order (count desc, term asc); the
+    * K-row vocab broadcasts into the membership join.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Lexicon.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 16)
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      |vocab AS (SELECT w FROM (
+      |  SELECT w, count(*) AS c FROM tk GROUP BY 1
+      |  ORDER BY c DESC, w LIMIT 16)),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM tk t LEFT JOIN vocab v ON v.w = t.w GROUP BY 1)
+      |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+      |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+      |FROM per""".stripMargin
+
+  /** Source-distinctive terms
+    * ([[graft.operators.Lexicon.distinctiveTerms]]): Monroe et al.
+    * log-odds z-score with an informative Dirichlet prior (alpha0 =
+    * 100 scaled by global frequency), top-10 terms per source — WHAT
+    * each source contributes lexically. Ranking is on the 6-dp-rounded
+    * z with a term tie-break, a total order both engines replay.
+    */
+  def distinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    Lexicon.distinctiveTerms(t(s, dir, "documents"), "source", "text")
+
+  val distinctiveTermsSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |g AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cnt GROUP BY 1),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+      |j AS (SELECT c.source, c.w, c.c, g.cw, st.ns, tot.nn
+      |  FROM cnt c JOIN g USING (w) JOIN st USING (source) CROSS JOIN tot),
+      |z AS (SELECT source, w AS term, c AS c_source,
+      |  CAST(cw - c AS BIGINT) AS c_rest,
+      |  round((ln((CAST(c AS DOUBLE) +
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(ns AS DOUBLE) + 100.0 - CAST(c AS DOUBLE) -
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE))) -
+      |     ln((CAST(cw AS DOUBLE) - CAST(c AS DOUBLE) +
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE) + 100.0 -
+      |        (CAST(cw AS DOUBLE) - CAST(c AS DOUBLE)) -
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)))) /
+      |    sqrt(1.0 / (CAST(c AS DOUBLE) +
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) +
+      |      1.0 / (CAST(cw AS DOUBLE) - CAST(c AS DOUBLE) +
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE))), 6) AS keyness
+      |  FROM j),
+      |r AS (SELECT *, row_number() OVER (
+      |  PARTITION BY source ORDER BY keyness DESC, term) AS rk FROM z)
+      |SELECT source, CAST(rk AS BIGINT) AS rank, term, c_source, c_rest, keyness
+      |FROM r WHERE rk <= 10""".stripMargin
+
+  /** Lexical diversity ([[graft.operators.Lexicon.tokenEntropy]]):
+    * per-document unigram Shannon entropy (nats) and type–token
+    * ratio — the template/spam signal character-level repetition
+    * misses. Per-term `c·ln c` folds through DECIMAL(27,7).
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    Lexicon.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+
+  val tokenEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tc AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 7)
+      |      AS DECIMAL(27,7))) AS s
+      |  FROM tc GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_types,
+      |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+      |  round(ln(CAST(n_tokens AS DOUBLE)) -
+      |    CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy
+      |FROM p""".stripMargin
+
+  /** Behavioral transition matrix
+    * ([[graft.operators.EventFlow.transitions]]): first-order Markov
+    * transition counts, conditional probabilities, and PMI between
+    * consecutive event types per user — the flow audit behind
+    * sessionization/funnels. One user-keyed exchange for the lag;
+    * everything after is |types|²-bounded.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    EventFlow.transitions(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |pairs AS (SELECT prev AS prev_type, event_type AS next_type,
+      |    count(*) AS n_trans
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |o AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_out
+      |  FROM pairs GROUP BY 1),
+      |i AS (SELECT next_type, CAST(sum(n_trans) AS BIGINT) AS n_in
+      |  FROM pairs GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_trans) AS BIGINT) AS n_total FROM pairs)
+      |SELECT p.prev_type, p.next_type, p.n_trans,
+      |  round(CAST(p.n_trans AS DOUBLE) / CAST(o.n_out AS DOUBLE), 6) AS p_cond,
+      |  round(ln(CAST(p.n_trans AS DOUBLE) * CAST(t.n_total AS DOUBLE) /
+      |    (CAST(o.n_out AS DOUBLE) * CAST(i.n_in AS DOUBLE))), 6) AS pmi
+      |FROM pairs p JOIN o USING (prev_type) JOIN i USING (next_type)
+      |CROSS JOIN t""".stripMargin
+
+  /** Embedding dimension profile
+    * ([[graft.operators.VectorStats.dimProfile]]): per-dimension
+    * n/mean/std/min/max over the corpus — the standardization /
+    * whitening parameter table (dead or scale-dominant dimensions
+    * distort every cosine). Exact [[graft.operators.Pca.Grid]]
+    * integer-grid sums, so every statistic replays bit-for-bit.
+    */
+  def dimProfile(s: SparkSession, dir: String): DataFrame =
+    VectorStats.dimProfile(t(s, dir, "embeddings"), "embedding")
+
+  val dimProfileSql: String =
+    """WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x * 1048576.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT i.i AS dim, qv[i.i] AS qx FROM q, range(1, 65) i(i)),
+      |m AS (SELECT dim, count(*) AS n,
+      |    sum(CAST(qx AS DECIMAL(38,0))) AS s,
+      |    sum(CAST(qx * qx AS DECIMAL(38,0))) AS s2,
+      |    min(qx) AS mn, max(qx) AS mx
+      |  FROM e GROUP BY 1)
+      |SELECT CAST(dim AS BIGINT) AS dim, n,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0, 6) AS mean,
+      |  round(sqrt((CAST(s2 AS DOUBLE) -
+      |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    CAST(n AS DOUBLE)) / 1048576.0, 6) AS std,
+      |  round(CAST(mn AS DOUBLE) / 1048576.0, 6) AS dim_min,
+      |  round(CAST(mx AS DOUBLE) / 1048576.0, 6) AS dim_max
+      |FROM m""".stripMargin
+
+  /** Per-label centroid outliers
+    * ([[graft.operators.VectorStats.centroidOutliers]]): cosine
+    * distance of every vector to its label's mean embedding, top-5
+    * per label — the mislabeled / off-manifold candidates pruned
+    * before training. Centroid means round to 6 dp before any
+    * product; per-vector folds run through DECIMAL(27,7).
+    */
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame =
+    VectorStats.centroidOutliers(
+      t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+
+  val centroidOutliersSql: String =
+    """WITH q AS (SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1048576.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, i.i AS i, qv[i.i] AS qx
+      |  FROM q, range(1, 65) i(i)),
+      |c AS (SELECT label, i,
+      |    round(CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) / 1048576.0, 6) AS cv
+      |  FROM e GROUP BY 1, 2),
+      |d AS (SELECT e.vec_id, e.label,
+      |    sum(CAST(round((CAST(e.qx AS DOUBLE) / 1048576.0) * c.cv, 7)
+      |      AS DECIMAL(27,7))) AS sxc,
+      |    sum(CAST(round((CAST(e.qx AS DOUBLE) / 1048576.0) *
+      |        (CAST(e.qx AS DOUBLE) / 1048576.0), 7)
+      |      AS DECIMAL(27,7))) AS sxx,
+      |    sum(CAST(round(c.cv * c.cv, 7) AS DECIMAL(27,7))) AS scc
+      |  FROM e JOIN c ON c.label = e.label AND c.i = e.i GROUP BY 1, 2),
+      |r AS (SELECT label, vec_id,
+      |    round(1.0 - CAST(sxc AS DOUBLE) /
+      |      sqrt(CAST(sxx AS DOUBLE) * CAST(scc AS DOUBLE)), 6) AS cos_dist
+      |  FROM d
+      |  WHERE CAST(sxx AS DOUBLE) > 0 AND CAST(scc AS DOUBLE) > 0),
+      |k AS (SELECT *, row_number() OVER (
+      |  PARTITION BY label ORDER BY cos_dist DESC, vec_id) AS rk FROM r)
+      |SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, cos_dist
+      |FROM k WHERE rk <= 5""".stripMargin
+
+  /** MinHash-LSH banding planner ([[graft.operators.Dedup.lshPlan]]):
+    * the MMDS design table for a 128-minhash signature at target
+    * Jaccard 0.5 — S-curve inflection, candidate probability at the
+    * threshold, false-positive rate at 0.375 and miss rate at 0.625
+    * for every bands×rows factorization. Data-independent (like
+    * q_compression_ratio's pinned kernel rows) but engine-replayed:
+    * both sides exponentiate the same exact binary doubles.
+    */
+  def lshPlanQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshPlan(s, sigLen = 128, threshold = 0.5)
+
+  val lshPlanSql: String =
+    """SELECT b AS bands, CAST(128 / b AS BIGINT) AS rows_per_band,
+      |  round(power(1.0 / CAST(b AS DOUBLE),
+      |    1.0 / (128.0 / CAST(b AS DOUBLE))), 6) AS est_threshold,
+      |  round(1.0 - power(1.0 - power(0.5, 128.0 / CAST(b AS DOUBLE)),
+      |    CAST(b AS DOUBLE)), 6) AS p_at_threshold,
+      |  round(1.0 - power(1.0 - power(0.375, 128.0 / CAST(b AS DOUBLE)),
+      |    CAST(b AS DOUBLE)), 6) AS fp_below,
+      |  round(1.0 - (1.0 - power(1.0 - power(0.625, 128.0 / CAST(b AS DOUBLE)),
+      |    CAST(b AS DOUBLE))), 6) AS miss_above
+      |FROM range(1, 129) t(b) WHERE 128 % b = 0""".stripMargin
+
+  /** Per-source quality calibration
+    * ([[graft.operators.Curation.calibrateQuality]]): percent-rank of
+    * the quality score within each source, plus the keep flag for a
+    * calibrated keep-best-half gate — so a global threshold compares
+    * like with like instead of keeping only the "easiest" sources.
+    * Rank order is (6-dp score, doc_id) — total, engine-portable.
+    */
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Curation.calibrateQuality(
+      d, "doc_id", "source", TextFunctions.qualityScore(col("text")))
+  }
+
+  val qualityCalibratedSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM documents),
+      |awl AS (
+      |  SELECT *,
+      |    CASE WHEN n_tok > 0 THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |         ELSE 0.0 END AS avg_wl
+      |  FROM base),
+      |sc AS (
+      |  SELECT doc_id, source,
+      |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |      (CASE WHEN avg_wl BETWEEN 3 AND 10 THEN 1.0
+      |            WHEN avg_wl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS score
+      |  FROM awl),
+      |pr AS (
+      |  SELECT doc_id, source, score,
+      |    round(percent_rank() OVER (
+      |      PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank
+      |  FROM sc)
+      |SELECT doc_id, source, score, pct_rank, pct_rank >= 0.5 AS keep
+      |FROM pr""".stripMargin
+
+  /** Fuzzy decontamination
+    * ([[graft.operators.Decontaminate.fuzzyOverlapReport]]): corpus
+    * docs that are minhash-band NEAR-duplicates of a benchmark item,
+    * verified with exact shingle Jaccard — the paraphrased/truncated
+    * eval leakage the exact-overlap gate underestimates. Benchmark =
+    * the near-dup fixture's planted truncated variants (ids ≥ 1e6);
+    * corpus = the originals. Signatures are sha-derived, so the
+    * oracle replays the identical candidate set and similarities.
+    */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val all = nearDupCorpus(s, dir)
+    graft.operators.Decontaminate.fuzzyOverlapReport(
+      all.filter(col("doc_id") < 1000000),
+      all.filter(col("doc_id") >= 1000000),
+      "doc_id", "text", numHashes = MinHashNumHashes,
+      shingleSize = MinHashShingle, bands = MinHashBands, threshold = 0.5)
+  }
+
+  val decontaminateFuzzySql: String =
+    s"""WITH $minHashPairsCtes,
+       |cand AS (SELECT id_a AS doc_id, id_b AS bench_id FROM pairs
+       |  WHERE id_a < 1000000 AND id_b >= 1000000),
+       |sets AS (SELECT doc_id, list_distinct(hashes) AS hs FROM hs),
+       |j AS (SELECT c.doc_id, c.bench_id,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    CAST(len(a.hs) + len(b.hs) AS BIGINT) AS su
+       |  FROM cand c JOIN sets a ON a.doc_id = c.doc_id
+       |  JOIN sets b ON b.doc_id = c.bench_id),
+       |r AS (SELECT doc_id, bench_id, inter, su - inter AS uni,
+       |    round(CASE WHEN su - inter > 0
+       |      THEN CAST(inter AS DOUBLE) / CAST(su - inter AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS jaccard
+       |  FROM j)
+       |SELECT doc_id, bench_id, inter, uni, jaccard,
+       |  jaccard >= 0.5 AS contaminated
+       |FROM r""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4182,7 +4477,16 @@ object Queries {
     "q_source_divergence" -> (sourceDivergence _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_diverse_subset" -> (diverseSubset _),
-    "q_mixture_plan" -> (mixturePlan _))
+    "q_mixture_plan" -> (mixturePlan _),
+    "q_vocab_coverage" -> (vocabCoverage _),
+    "q_distinctive_terms" -> (distinctiveTerms _),
+    "q_token_entropy" -> (tokenEntropy _),
+    "q_event_transitions" -> (eventTransitions _),
+    "q_dim_profile" -> (dimProfile _),
+    "q_centroid_outliers" -> (centroidOutliers _),
+    "q_lsh_plan" -> (lshPlanQuery _),
+    "q_quality_calibrated" -> (qualityCalibrated _),
+    "q_decontaminate_fuzzy" -> (decontaminateFuzzy _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4195,6 +4499,15 @@ object Queries {
     "q_zipf_slope" -> zipfSlopeSql,
     "q_diverse_subset" -> diverseSubsetSql,
     "q_mixture_plan" -> mixturePlanSql,
+    "q_vocab_coverage" -> vocabCoverageSql,
+    "q_distinctive_terms" -> distinctiveTermsSql,
+    "q_token_entropy" -> tokenEntropySql,
+    "q_event_transitions" -> eventTransitionsSql,
+    "q_dim_profile" -> dimProfileSql,
+    "q_centroid_outliers" -> centroidOutliersSql,
+    "q_lsh_plan" -> lshPlanSql,
+    "q_quality_calibrated" -> qualityCalibratedSql,
+    "q_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

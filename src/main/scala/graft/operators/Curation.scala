@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,36 @@ object Curation {
         round(w, 6).as("weight"),
         (col("__base") +
           when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("quota"))
+  }
+
+  /** Per-source quality calibration: each document's percent-rank of
+    * `scoreCol` WITHIN its source — so a single global threshold
+    * compares like with like (a raw-score cut keeps only the
+    * "easiest" sources; the calibrated cut keeps each source's best
+    * half). Standard practice before a corpus-wide quality gate.
+    *
+    * Output: (id, source, score, pct_rank, keep) with
+    * `keep = pct_rank >= 1 − keepFraction`. The rank order is
+    * (6-dp score, id) — a total order, so ranks (hence keep flags)
+    * replay on any engine.
+    *
+    * Scale shape: ONE source-keyed window over the corpus (the same
+    * exchange any per-source top-k pays); no joins, no driver state.
+    */
+  def calibrateQuality(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      scoreCol: Column,
+      keepFraction: Double = 0.5): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val score = round(scoreCol, 6)
+    docs
+      .select(col(idCol), col(sourceCol), score.as("score"))
+      .withColumn("pct_rank", round(percent_rank().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("score").asc, col(idCol).asc)), 6))
+      .withColumn("keep", col("pct_rank") >= lit(1.0 - keepFraction))
   }
 }

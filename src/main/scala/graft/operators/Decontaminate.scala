@@ -176,6 +176,60 @@ object Decontaminate {
       .withColumn("n_shingles", size(col("sh")).cast("long"))
   }
 
+  /** FUZZY decontamination: corpus documents that are NEAR-duplicates
+    * of a benchmark item — paraphrased or truncated eval leakage the
+    * exact-shingle [[overlapReport]] underestimates (a doc sharing 40%
+    * of its shingles with a rephrased test item can slip an 0.8
+    * exact-overlap threshold). MinHash band collision proposes
+    * (doc, bench) candidates; exact n-gram Jaccard verifies each, so
+    * the output carries a true similarity, never an LSH guess.
+    *
+    * Scale shape: the corpus is hashed map-only
+    * ([[Dedup.bandSignatures]]), the benchmark's band rows and shingle
+    * sets BROADCAST (eval sets are MBs against 100 TB), candidates are
+    * one distinct, and the verify joins shingle sets only for
+    * colliding pairs — never all-pairs, never corpus-vs-corpus.
+    *
+    * @return (doc_id, bench_id, inter, uni, jaccard, contaminated) —
+    *         one row per band-colliding candidate pair
+    */
+  def fuzzyOverlapReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val cBands = Dedup.bandSignatures(
+      corpus, textCol, idCol, numHashes, shingleSize, bands)
+    val bBands = Dedup.bandSignatures(
+      benchmark, textCol, idCol, numHashes, shingleSize, bands)
+      .select(col("id").as("bench_id"), col("band")).distinct()
+    val cand = cBands
+      .join(broadcast(bBands), "band")
+      .select(col("id").as("doc_id"), col("bench_id")).distinct()
+    val cSets = corpusShingles(corpus, idCol, textCol, shingleSize)
+      .select(col("doc_id"), col("sh").as("sh_a"))
+    val bSets = corpusShingles(benchmark, idCol, textCol, shingleSize)
+      .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    cand
+      .join(cSets, "doc_id")
+      .join(broadcast(bSets), "bench_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard",
+        round(when(col("uni") > 0,
+          col("inter").cast("double") / col("uni").cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .select(col("doc_id"), col("bench_id"), col("inter"), col("uni"),
+        col("jaccard"), (col("jaccard") >= threshold).as("contaminated"))
+  }
+
   private def report(
       cs: DataFrame, hits: DataFrame, threshold: Double): DataFrame =
     cs.select("doc_id", "n_shingles")

@@ -466,4 +466,46 @@ object Dedup {
       NativeText.simHash32(
         NativeText.shingleHash32(split(normalizeText(col(textCol)), " "), 1)))
   }
+
+  /** MinHash-LSH banding planner (the MMDS ch.3 design table): for a
+    * signature of `sigLen` minhashes, every factorization into
+    * `bands × rows_per_band` with its S-curve characteristics —
+    * `est_threshold = (1/b)^(1/r)` (the curve's inflection), the
+    * candidate probability `1 − (1 − j^r)^b` AT the target Jaccard
+    * `threshold`, the false-positive rate at `threshold − margin`
+    * and the miss rate at `threshold + margin`. The design-time step
+    * before committing a banding to a 100 TB dedup run — the table is
+    * |divisors of sigLen| rows, data-independent, and every float
+    * rounds to 6 dp so both engines emit identical cells.
+    *
+    * Output: (bands, rows_per_band, est_threshold, p_at_threshold,
+    * fp_below, miss_above).
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      sigLen: Int,
+      threshold: Double,
+      margin: Double = 0.125): DataFrame = {
+    // default margin is 1/8: with a power-of-two threshold the probe
+    // points threshold±margin are exactly representable doubles, so an
+    // oracle's decimal literals parse to the SAME doubles both engines
+    // then exponentiate
+    require(sigLen >= 1, s"need sigLen >= 1, got $sigLen")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(margin > 0 && threshold - margin > 0 && threshold + margin < 1,
+      s"margin $margin must keep threshold±margin inside (0,1)")
+    val b = col("id").cast("double")
+    val r = lit(sigLen.toDouble) / b
+    def pCandidate(j: Double): Column =
+      lit(1.0) - pow(lit(1.0) - pow(lit(j), r), b)
+    spark.range(1, sigLen + 1L)
+      .filter(lit(sigLen) % col("id") === 0)
+      .select(
+        col("id").as("bands"),
+        (lit(sigLen.toLong) / col("id")).cast("long").as("rows_per_band"),
+        round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("est_threshold"),
+        round(pCandidate(threshold), 6).as("p_at_threshold"),
+        round(pCandidate(threshold - margin), 6).as("fp_below"),
+        round(lit(1.0) - pCandidate(threshold + margin), 6).as("miss_above"))
+  }
 }

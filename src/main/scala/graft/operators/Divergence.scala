@@ -33,10 +33,12 @@ object Divergence {
   private def words(textCol: Column): Column =
     split(TextFunctions.normalizeText(textCol), " ")
 
-  /** (source, w, c) unigram counts plus (source, total) — the
-    * vocab-bounded base both signals aggregate from.
+  /** (source, w, c) unigram counts — the vocab-bounded MERGEABLE base
+    * both signals aggregate from (any sum of such tables feeds the
+    * `fromCounts` twins below; the streaming store
+    * [[graft.streaming.LexiconStream]] persists exactly these).
     */
-  private def unigrams(
+  def unigrams(
       docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
     docs
       .select(col(sourceCol).as("source"),
@@ -63,8 +65,14 @@ object Divergence {
     * matrix as [[SourceOverlap]]'s sketch comparison).
     */
   def jsDivergence(
-      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val counts = unigrams(docs, sourceCol, textCol)
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    jsDivergenceFromCounts(unigrams(docs, sourceCol, textCol))
+
+  /** [[jsDivergence]] over a pre-aggregated (source, w, c) count
+    * table — one (source, w) per row (sum duplicates first).
+    */
+  def jsDivergenceFromCounts(counts0: DataFrame): DataFrame = {
+    val counts = counts0
       .localCheckpoint() // self-join sides, vocab and totals read it once
     val totals = counts.groupBy("source").agg(sum("c").as("t"))
     val withP = counts.join(totals, "source") // totals: |sources| rows → broadcast
@@ -122,9 +130,12 @@ object Divergence {
     */
   def zipfSlope(
       docs: DataFrame, sourceCol: String, textCol: String,
-      topK: Int = 200): DataFrame = {
+      topK: Int = 200): DataFrame =
+    zipfSlopeFromCounts(unigrams(docs, sourceCol, textCol), topK)
+
+  /** [[zipfSlope]] over a pre-aggregated (source, w, c) count table. */
+  def zipfSlopeFromCounts(counts: DataFrame, topK: Int = 200): DataFrame = {
     require(topK >= 2, s"need topK >= 2, got $topK")
-    val counts = unigrams(docs, sourceCol, textCol)
     val ranked = counts
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window

@@ -44,4 +44,48 @@ class CurationSpec extends SparkSpec {
     assert(ids.sameElements(ids.sorted), "tie-break must be id asc")
     assert(ids.head == 96L)
   }
+
+  // ----------------------------------------------- calibrateQuality
+
+  test("calibration keeps each source's best half regardless of raw scale") {
+    import org.apache.spark.sql.functions.col
+    // source a scores 1..4 (low scale), source b scores 11..14: a raw
+    // global cut at the median would drop ALL of a; calibration keeps
+    // the top half of each
+    val docs = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "b", 11.0), (6L, "b", 12.0), (7L, "b", 13.0), (8L, "b", 14.0))
+      .toDF("doc_id", "source", "q")
+    val r = graft.operators.Curation
+      .calibrateQuality(docs, "doc_id", "source", col("q"), keepFraction = 0.5)
+    val kept = r.filter(col("keep")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 7L, 8L), s"got $kept")
+  }
+
+  test("percent ranks are dense, tie-broken by id, and partition-independent") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 40).map(i => (i.toLong, s"s${i % 3}", (i % 7).toDouble))
+      .toDF("doc_id", "source", "q")
+    val one = graft.operators.Curation
+      .calibrateQuality(docs, "doc_id", "source", col("q"))
+      .orderBy("source", "doc_id").collect().toSeq
+    val many = graft.operators.Curation
+      .calibrateQuality(docs.repartition(9), "doc_id", "source", col("q"))
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(one == many)
+    one.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("registered calibrated-quality query keeps about half per source") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val r = Queries.all("q_quality_calibrated")(spark, "/root/testdata/sf0.001")
+    val fracs = r.groupBy("source")
+      .agg(avg(col("keep").cast("double")).as("f"))
+      .select("f").as[Double].collect()
+    assert(fracs.nonEmpty && fracs.forall(f => f > 0.3 && f < 0.7), fracs.toSeq)
+  }
 }

@@ -80,4 +80,55 @@ class DecontaminateSpec extends SparkSpec {
       .select(TextFunctions.redactPii($"text")).as[String].head()
     assert(out == s)
   }
+
+  // --------------------------------------------- fuzzyOverlapReport
+
+  test("a truncated near-copy of a benchmark item is caught fuzzily") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),                                     // near-copy (superset)
+      (2L, "totally different words about other things entirely here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base.split(' ').dropRight(3).mkString(" "))) // truncated item
+      .toDF("doc_id", "text")
+    val r = Decontaminate.fuzzyOverlapReport(
+      corpus, bench, "doc_id", "text").cache()
+    val hit = r.filter($"doc_id" === 1L && $"bench_id" === 100L).collect()
+    assert(hit.length == 1, "the near-copy pair must be a candidate")
+    assert(hit.head.getAs[Boolean]("contaminated"),
+      s"jaccard ${hit.head.getAs[Double]("jaccard")} must flag at 0.5")
+    assert(r.filter($"doc_id" === 2L).isEmpty,
+      "an unrelated doc must not even be a candidate")
+  }
+
+  test("jaccard equals the exact shingle-set computation") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "w1 w2 w3 w4 w5 w6 w7 wX wY wZ"
+    val corpus = Seq((1L, a)).toDF("doc_id", "text")
+    val bench = Seq((9L, b)).toDF("doc_id", "text")
+    val r = Decontaminate.fuzzyOverlapReport(
+      corpus, bench, "doc_id", "text", threshold = 0.1).collect()
+    if (r.nonEmpty) { // candidate only if a band collides
+      // shingle sets: 8 trigrams each, 5 shared -> j = 5/11
+      assert(r.head.getAs[Long]("inter") == 5L)
+      assert(r.head.getAs[Long]("uni") == 11L)
+      assert(math.abs(r.head.getAs[Double]("jaccard") - 5.0 / 11) < 1e-5)
+    }
+  }
+
+  test("registered fuzzy query flags the planted truncated variants") {
+    val r = Queries.all("q_decontaminate_fuzzy")(spark, "/root/testdata/sf0.001")
+      .cache()
+    // every planted bench item (id >= 1e6) is original_id + 1000000 and
+    // shares all but ~15 chars with its source doc: the (source, plant)
+    // pair must appear and flag
+    val selfPairs = r.filter($"bench_id" === $"doc_id" + 1000000L)
+    assert(selfPairs.count() > 0)
+    assert(selfPairs.filter(!$"contaminated").count() == 0,
+      "planted truncations must flag at jaccard >= 0.5")
+    val js = r.select("jaccard").as[Double].collect()
+    assert(js.forall(j => j >= 0.0 && j <= 1.0))
+  }
 }

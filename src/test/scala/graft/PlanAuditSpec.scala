@@ -112,7 +112,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // final frame is the k-row center table the greedy traversal
       // built (one TakeOrderedAndProject(1) row per round crossed the
       // driver — bounded by k, like the sketch pair matrix)
-      "q_diverse_subset")
+      "q_diverse_subset",
+      // the vocab-bounded (source, term) count table feeds four
+      // derived aggregates and the keyness join — materialized once
+      "q_distinctive_terms",
+      // the |types|²-bounded transition table feeds its own marginals
+      "q_event_transitions")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -358,7 +363,32 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_union_dedup" -> 1, // dedup window on the union key
       // positive-pair jaccard joins ride broadcast sets; negatives are
       // the bounded hard-negative probe + k-bounded agg + anchor join
-      "q_training_triplets" -> 4)
+      "q_training_triplets" -> 4,
+      // vocab count agg (the top-K itself is TakeOrdered + broadcast)
+      // + per-doc coverage agg — the corpus explodes once per side
+      "q_vocab_coverage" -> 2,
+      // over the checkpointed vocab-bounded count table: global term
+      // agg + its join back on the term + the per-source rank window
+      // + one grand-total row — never the corpus again
+      "q_distinctive_terms" -> 4,
+      // (doc, term) count agg + per-doc entropy fold
+      "q_token_entropy" -> 2,
+      // marginal/total re-aggs over the checkpointed |types|² pair
+      // table; the corpus paid ONE user-key window at construction
+      "q_event_transitions" -> 3,
+      // single dimension-keyed agg after the map-side posexplode fold
+      "q_dim_profile" -> 1,
+      // label-dim centroid agg + per-vector fold + per-label rank
+      // window; centroids travel back by broadcast only
+      "q_centroid_outliers" -> 3,
+      // data-independent divisor table from a Range leaf — pure
+      // codegen'd math, no exchange
+      "q_lsh_plan" -> 0,
+      // ONE source-keyed percent-rank window
+      "q_quality_calibrated" -> 1,
+      // candidate distinct + the verify join's two keyed sides + the
+      // small-input repartition spread; bench bands/sets broadcast
+      "q_decontaminate_fuzzy" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
