@@ -4350,6 +4350,141 @@ object Queries {
        |  jaccard >= 0.5 AS contaminated
        |FROM r""".stripMargin
 
+  /** End-to-end corpus curation — the pipeline composition a user of
+    * this engine actually ships, as ONE query: exact-dedup to cluster
+    * representatives ([[graft.operators.Dedup.exactDedup]]), per-source
+    * quality calibration keeping each source's best half
+    * ([[graft.operators.Curation.calibrateQuality]]), temperature-
+    * scaled mixture quotas over the survivors
+    * ([[graft.operators.Curation.mixturePlan]], T = 2, 1000-doc
+    * budget), and the final per-source selection by (score desc, id).
+    * Emits every gated survivor with its rank, quota and keep flag —
+    * the audit trail, not just the kept set.
+    *
+    * Every stage is individually oracled elsewhere; this query pins
+    * the COMPOSITION (the joins between stages are where a real
+    * pipeline silently loses rows). Scale shape: one fingerprint
+    * window, one doc-keyed join back for mass, two source-keyed
+    * windows, and |sources|-row quota tables broadcast — nothing new
+    * beyond the stages' own audited plans.
+    */
+  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val reps = graft.operators.Dedup.exactDedup(d, "text", "doc_id")
+      .filter(!col("is_duplicate"))
+      .select("doc_id", "source", "text", "n_chars")
+    val gated = graft.operators.Curation
+      .calibrateQuality(reps, "doc_id", "source",
+        TextFunctions.qualityScore(col("text")))
+      .filter(col("keep"))
+      .join(reps.select("doc_id", "n_chars"), "doc_id")
+    val quotas = graft.operators.Curation
+      .mixturePlan(gated, "source", "n_chars",
+        temperature = 2.0, totalQuota = 1000L)
+      .select("source", "quota")
+    gated
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .join(broadcast(quotas), "source")
+      .select(col("source"), col("doc_id"), col("score"), col("pct_rank"),
+        col("rk"), col("quota"), (col("rk") <= col("quota")).as("kept"))
+  }
+
+  val curateCorpusSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |reps AS (
+      |  SELECT doc_id, source, text, n_chars FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp)
+      |  WHERE doc_id = rep),
+      |base AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chr
+      |  FROM reps),
+      |awl AS (
+      |  SELECT *,
+      |    CASE WHEN n_tok > 0 THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+      |         ELSE 0.0 END AS avg_wl
+      |  FROM base),
+      |sc AS (
+      |  SELECT doc_id, source, n_chars,
+      |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+      |      (CASE WHEN avg_wl BETWEEN 3 AND 10 THEN 1.0
+      |            WHEN avg_wl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS score
+      |  FROM awl),
+      |pr AS (
+      |  SELECT *, round(percent_rank() OVER (
+      |    PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank
+      |  FROM sc),
+      |gated AS (SELECT * FROM pr WHERE pct_rank >= 0.5),
+      |agg AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS mass FROM gated GROUP BY 1),
+      |s AS (SELECT *, CAST(round(power(CAST(mass AS DOUBLE), 0.5), 6)
+      |    AS DECIMAL(27,6)) AS scw FROM agg),
+      |t AS (SELECT *, sum(scw) OVER () AS tot FROM s),
+      |e AS (SELECT *, 1000.0 * (CAST(scw AS DOUBLE) / CAST(tot AS DOUBLE)) AS ex
+      |  FROM t),
+      |b AS (SELECT *, CAST(floor(ex) AS BIGINT) AS base,
+      |    ex - CAST(floor(ex) AS BIGINT) AS rem FROM e),
+      |r AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rkq FROM b),
+      |quotas AS (SELECT source,
+      |    CAST(base + CASE WHEN rkq <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quota
+      |  FROM r),
+      |rk AS (SELECT source, doc_id, score, pct_rank,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |  FROM gated)
+      |SELECT k.source, k.doc_id, k.score, k.pct_rank, k.rk, q.quota,
+      |  k.rk <= q.quota AS kept
+      |FROM rk k JOIN quotas q USING (source)""".stripMargin
+
+  /** Near-dup provenance matrix: minhash-LSH candidate pairs rolled up
+    * to the UNORDERED source pair — which sources duplicate which (the
+    * dedup dashboard a curation team reads before deciding crawl
+    * exclusions; complements q_source_overlap's shingle-level matrix
+    * with a DOCUMENT-pair count). Planted near-dup variants inherit
+    * their original's source. Rides the audited minhash candidate
+    * path ([[graft.operators.Dedup.minHashCandidates]]); the roll-up
+    * is two keyed joins on the doc id and one |sources|²-bounded
+    * aggregate.
+    */
+  def sourceDedupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val (pairs, _) = graft.operators.Dedup.minHashCandidates(
+      corpus, "text", "doc_id", numHashes = MinHashNumHashes,
+      shingleSize = MinHashShingle, bands = MinHashBands)
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    def baseId(c: Column): Column =
+      when(c >= 1000000L, c - 1000000L).otherwise(c)
+    pairs
+      .withColumn("__ka", baseId(col("id_a")))
+      .withColumn("__kb", baseId(col("id_b")))
+      .join(src.select(col("doc_id").as("__ka"), col("source").as("__sa")), "__ka")
+      .join(src.select(col("doc_id").as("__kb"), col("source").as("__sb")), "__kb")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val sourceDedupMatrixSql: String =
+    s"""WITH $minHashPairsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |ps AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+       |  FROM pairs p
+       |  JOIN src da ON da.doc_id =
+       |    CASE WHEN p.id_a >= 1000000 THEN p.id_a - 1000000 ELSE p.id_a END
+       |  JOIN src db ON db.doc_id =
+       |    CASE WHEN p.id_b >= 1000000 THEN p.id_b - 1000000 ELSE p.id_b END)
+       |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM ps GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4486,7 +4621,9 @@ object Queries {
     "q_centroid_outliers" -> (centroidOutliers _),
     "q_lsh_plan" -> (lshPlanQuery _),
     "q_quality_calibrated" -> (qualityCalibrated _),
-    "q_decontaminate_fuzzy" -> (decontaminateFuzzy _))
+    "q_decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "q_curate_corpus" -> (curateCorpus _),
+    "q_source_dedup_matrix" -> (sourceDedupMatrix _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4508,6 +4645,8 @@ object Queries {
     "q_lsh_plan" -> lshPlanSql,
     "q_quality_calibrated" -> qualityCalibratedSql,
     "q_decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "q_curate_corpus" -> curateCorpusSql,
+    "q_source_dedup_matrix" -> sourceDedupMatrixSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -80,6 +80,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- curateCorpus (e2e)
+
+  test("curate pipeline: kept per source equals min(quota, survivors), budget respected") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val r = Queries.all("q_curate_corpus")(spark, "/root/testdata/sf0.001").cache()
+    val perSource = r.groupBy("source").agg(
+      sum(col("kept").cast("long")).as("n_kept"),
+      max("quota").as("quota"),
+      count(lit(1)).as("n_gated")).collect()
+    perSource.foreach { x =>
+      assert(x.getLong(1) == math.min(x.getLong(2), x.getLong(3)),
+        s"${x.getString(0)}: kept ${x.getLong(1)} != min(quota ${x.getLong(2)}, gated ${x.getLong(3)})")
+    }
+    val totalKept = r.filter(col("kept")).count()
+    assert(totalKept <= 1000L, s"budget exceeded: $totalKept")
+    // quotas sum exactly to the budget (largest remainder), so when
+    // every source has enough survivors the kept total IS the budget
+    val quotaSum = perSource.map(_.getLong(2)).sum
+    assert(quotaSum == 1000L, s"quota apportionment must sum to 1000, got $quotaSum")
+  }
+
+  test("curate pipeline drops exact duplicates before gating") {
+    import org.apache.spark.sql.functions.col
+    val r = Queries.all("q_curate_corpus")(spark, "/root/testdata/sf0.001")
+    val ids = r.select("doc_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "one row per surviving doc")
+  }
+
   test("registered calibrated-quality query keeps about half per source") {
     import org.apache.spark.sql.functions.{avg, col}
     val r = Queries.all("q_quality_calibrated")(spark, "/root/testdata/sf0.001")

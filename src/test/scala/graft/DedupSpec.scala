@@ -143,4 +143,24 @@ class DedupSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(got == Seq(0, 0, 0, 2))
   }
+
+  test("source dedup matrix: canonical pairs, and totals equal the pair count") {
+    val m = Queries.all("q_source_dedup_matrix")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered pair canonical order")
+      assert(r.getLong(2) > 0L)
+    }
+    // the matrix partitions the candidate pair set: totals must agree
+    val corpusPairs = Queries.all("q_dedup_minhash")(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(rows.map(_.getLong(2)).sum == corpusPairs,
+      "every candidate pair lands in exactly one matrix cell")
+    // planted near-dups inherit their original's source, so same-source
+    // cells must carry most of the mass on this fixture
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(diag * 2 >= corpusPairs, s"diagonal $diag of $corpusPairs")
+  }
 }

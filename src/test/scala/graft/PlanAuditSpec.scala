@@ -388,7 +388,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_quality_calibrated" -> 1,
       // candidate distinct + the verify join's two keyed sides + the
       // small-input repartition spread; bench bands/sets broadcast
-      "q_decontaminate_fuzzy" -> 4)
+      "q_decontaminate_fuzzy" -> 4,
+      // e2e composition: fingerprint-dedup window + calibration and
+      // rank windows on the source key + the doc-keyed mass join's
+      // sides + the |sources|-row quota aggregate chain; quotas come
+      // back by broadcast
+      "q_curate_corpus" -> 7,
+      // band bucket group + pair distinct (the audited minhash path)
+      // + the two source-lookup joins on the base doc id; the final
+      // |sources|² aggregate rides them
+      "q_source_dedup_matrix" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
