@@ -4485,6 +4485,51 @@ object Queries {
        |  count(*) AS n_pairs
        |FROM ps GROUP BY 1, 2""".stripMargin
 
+  /** Embedding drift ([[graft.operators.VectorStats.centroidShift]]):
+    * per-label centroid L2 shift and cosine between the even-id
+    * (reference) and odd-id (current) halves of the embedding corpus —
+    * the representation-space drift monitor count-based drift misses.
+    * Exact-grid means; decimal-folded cross terms.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    VectorStats.centroidShift(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "label", "embedding")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH q AS (SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1048576.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, i.i AS i, qv[i.i] AS qx
+      |  FROM q, range(1, 65) i(i)),
+      |ca AS (SELECT label, i, count(*) AS na,
+      |    round(CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) / 1048576.0, 6) AS cv
+      |  FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |cb AS (SELECT label, i, count(*) AS nb,
+      |    round(CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) / 1048576.0, 6) AS cv
+      |  FROM e WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+      |j AS (SELECT a.label, a.na, b.nb,
+      |    CAST(round((a.cv - b.cv) * (a.cv - b.cv), 7) AS DECIMAL(27,7)) AS dd,
+      |    CAST(round(a.cv * b.cv, 7) AS DECIMAL(27,7)) AS ab,
+      |    CAST(round(a.cv * a.cv, 7) AS DECIMAL(27,7)) AS aa,
+      |    CAST(round(b.cv * b.cv, 7) AS DECIMAL(27,7)) AS bb
+      |  FROM ca a JOIN cb b ON b.label = a.label AND b.i = a.i),
+      |m AS (SELECT label, max(na) AS n_ref, max(nb) AS n_cur,
+      |    sum(dd) AS sdd, sum(ab) AS sab, sum(aa) AS saa, sum(bb) AS sbb
+      |  FROM j GROUP BY 1)
+      |SELECT label, n_ref, n_cur,
+      |  round(sqrt(CAST(sdd AS DOUBLE)), 6) AS l2_shift,
+      |  round(CASE WHEN CAST(saa AS DOUBLE) > 0 AND CAST(sbb AS DOUBLE) > 0
+      |    THEN CAST(sab AS DOUBLE) /
+      |      sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))
+      |    ELSE NULL END, 6) AS cos_sim
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4623,7 +4668,8 @@ object Queries {
     "q_quality_calibrated" -> (qualityCalibrated _),
     "q_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "q_curate_corpus" -> (curateCorpus _),
-    "q_source_dedup_matrix" -> (sourceDedupMatrix _))
+    "q_source_dedup_matrix" -> (sourceDedupMatrix _),
+    "q_embedding_drift" -> (embeddingDrift _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4647,6 +4693,7 @@ object Queries {
     "q_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "q_curate_corpus" -> curateCorpusSql,
     "q_source_dedup_matrix" -> sourceDedupMatrixSql,
+    "q_embedding_drift" -> embeddingDriftSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -68,6 +68,9 @@ object VectorStats {
       .select("dim", "mean", "std").collect() // d rows — bounded by dim
       .map(r => (r.getLong(0).toInt, (r.getDouble(1), r.getDouble(2))))
       .sortBy(_._1).map(_._2)
+    if (prof.isEmpty) // empty corpus: no dims to standardize against
+      return df.select(col(idCol),
+        array().cast("array<double>").as("z")).limit(0)
     val means = array(prof.map(p => lit(p._1)): _*)
     val stds = array(prof.map(p => lit(p._2)): _*)
     df.select(col(idCol),
@@ -78,6 +81,57 @@ object VectorStats {
           when(sd > 0, round((x - element_at(means, i.cast("int") + 1)) / sd, 6))
             .otherwise(lit(0.0))
         }).as("z"))
+  }
+
+  /** Embedding drift between two corpus slices: per label, the L2
+    * shift and cosine similarity of the mean embedding — the
+    * model-monitoring signal that a re-crawled or re-embedded slice
+    * has MOVED in representation space (count-based drift like PSI is
+    * blind to it: identical label counts can hide a rotated space).
+    * Output: `(label, n_ref, n_cur, l2_shift, cos_sim)` for labels
+    * present on BOTH sides (a one-sided label has no shift to
+    * measure).
+    *
+    * Same exact-grid discipline as [[dimProfile]]: per-(label, dim)
+    * means from exact integer sums, rounded to 6 dp before any cross
+    * term; the per-label folds run through DECIMAL(27,7). Both sides
+    * reduce to |labels|·d rows before they meet — the comparison is
+    * dimension-bounded, never data-bounded.
+    */
+  def centroidShift(
+      ref: DataFrame, cur: DataFrame,
+      labelCol: String, vecCol: String): DataFrame = {
+    def cents(df: DataFrame, cCol: String, nCol: String): DataFrame =
+      df.select(col(labelCol).as("__lbl"),
+        posexplode(quantize(col(vecCol))).as(Seq("__i", "__qx")))
+        .groupBy("__lbl", "__i")
+        .agg(sum(col("__qx").cast("decimal(38,0)")).as("__s"),
+          count(lit(1)).as(nCol))
+        .select(col("__lbl"), col("__i"), col(nCol),
+          round(col("__s").cast("double") / col(nCol).cast("double") /
+            lit(Grid), 6).as(cCol))
+    def dec(c: Column): Column = round(c, 7).cast("decimal(27,7)")
+    val a = cents(ref, "__ca", "__na")
+    val b = cents(cur, "__cb", "__nb")
+    val joined = a.join(b, Seq("__lbl", "__i"))
+    val d = col("__ca") - col("__cb")
+    joined
+      .select(col("__lbl"), col("__na"), col("__nb"),
+        dec(d * d).as("__dd"),
+        dec(col("__ca") * col("__cb")).as("__ab"),
+        dec(col("__ca") * col("__ca")).as("__aa"),
+        dec(col("__cb") * col("__cb")).as("__bb"))
+      .groupBy(col("__lbl").as(labelCol))
+      .agg(max("__na").as("n_ref"), max("__nb").as("n_cur"),
+        sum("__dd").as("__sdd"), sum("__ab").as("__sab"),
+        sum("__aa").as("__saa"), sum("__bb").as("__sbb"))
+      .select(col(labelCol), col("n_ref"), col("n_cur"),
+        round(sqrt(col("__sdd").cast("double")), 6).as("l2_shift"),
+        round(when(
+          col("__saa").cast("double") > 0 && col("__sbb").cast("double") > 0,
+          col("__sab").cast("double") /
+            sqrt(col("__saa").cast("double") * col("__sbb").cast("double")))
+          .otherwise(lit(null)), 6).as("cos_sim"))
   }
 
   /** Per-label centroid outliers: for each vector, the cosine

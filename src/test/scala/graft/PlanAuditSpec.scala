@@ -397,7 +397,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // band bucket group + pair distinct (the audited minhash path)
       // + the two source-lookup joins on the base doc id; the final
       // |sources|² aggregate rides them
-      "q_source_dedup_matrix" -> 4)
+      "q_source_dedup_matrix" -> 4,
+      // one (label, dim) centroid agg per slice + the per-label fold
+      // riding their join — both sides dimension-bounded before meeting
+      "q_embedding_drift" -> 3)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

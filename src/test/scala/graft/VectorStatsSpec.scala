@@ -98,6 +98,71 @@ class VectorStatsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  // --------------------------------------------------- centroidShift
+
+  test("identical slices have zero shift and cosine 1") {
+    val rows = (1 to 20).map(i =>
+      (i.toLong, i % 2, Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+    val d = rows.toDF("vec_id", "label", "embedding")
+    val r = VectorStats.centroidShift(d, d, "label", "embedding")
+      .orderBy("label").collect()
+    assert(r.length == 2)
+    r.foreach { x =>
+      assert(x.getDouble(3) == 0.0, s"shift ${x.getDouble(3)}")
+      assert(math.abs(x.getDouble(4) - 1.0) < 1e-6)
+    }
+  }
+
+  test("a translated slice reports the translation as L2 shift") {
+    val ref = Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cur = Seq((3L, 0, Seq(1.0f, 4.0f)), (4L, 0, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = VectorStats.centroidShift(ref, cur, "label", "embedding").collect().head
+    // centroids (2,0) and (2,4): shift 4
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-4, s"${r.getDouble(3)}")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
+  test("one-sided labels are excluded; result is partition-independent") {
+    val ref = Seq((1L, 0, Seq(1.0f)), (2L, 7, Seq(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cur = Seq((3L, 0, Seq(2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = VectorStats.centroidShift(ref, cur, "label", "embedding")
+    assert(r.select("label").as[Int].collect().toSeq == Seq(0))
+    val rows = (1 to 40).map(i => (i.toLong, i % 3, Seq(i * 0.1f, -i * 0.05f)))
+    val a = rows.toDF("vec_id", "label", "embedding")
+    val one = VectorStats.centroidShift(
+      a.filter($"vec_id" % 2 === 0), a.filter($"vec_id" % 2 === 1),
+      "label", "embedding").orderBy("label").collect().toSeq
+    val many = VectorStats.centroidShift(
+      a.repartition(7).filter($"vec_id" % 2 === 0),
+      a.repartition(11).filter($"vec_id" % 2 === 1),
+      "label", "embedding").orderBy("label").collect().toSeq
+    assert(one == many)
+  }
+
+  test("registered embedding-drift query emits one row per shared label") {
+    val r = Queries.all("q_embedding_drift")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length == 10) // 10 labels, both parities populated
+    r.foreach { x =>
+      assert(x.getDouble(3) >= 0.0)
+      assert(math.abs(x.getDouble(4)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("empty corpora yield empty results, not crashes") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorStats.dimProfile(empty, "embedding").isEmpty)
+    assert(VectorStats.standardize(empty, "vec_id", "embedding").isEmpty)
+    val emptyLbl = Seq.empty[(Long, Int, Seq[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(VectorStats.centroidOutliers(
+      emptyLbl, "vec_id", "label", "embedding").isEmpty)
+  }
+
   test("registered queries produce sane rows on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val prof = Queries.all("q_dim_profile")(spark, dir).collect()
