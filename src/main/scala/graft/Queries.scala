@@ -4530,6 +4530,38 @@ object Queries {
       |    ELSE NULL END, 6) AS cos_sim
       |FROM m""".stripMargin
 
+  /** Term burstiness ([[graft.operators.Lexicon.termBurstiness]]):
+    * Church–Gale dispersion of the corpus' top-30 terms across the
+    * documents containing them — mean occurrences per containing doc
+    * and variance-to-mean ratio. Separates "everywhere" terms from
+    * "hammered by a few documents" terms; exact-long folds replay.
+    */
+  def termBurstiness(s: SparkSession, dir: String): DataFrame =
+    Lexicon.termBurstiness(t(s, dir, "documents"), "doc_id", "text")
+
+  val termBurstinessSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tc AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |pt AS (SELECT w, CAST(sum(c) AS DECIMAL(38,0)) AS cfd,
+      |    count(*) AS df,
+      |    CAST(sum(c * c) AS DECIMAL(38,0)) AS c2
+      |  FROM tc GROUP BY 1),
+      |r AS (SELECT w AS term, CAST(cfd AS BIGINT) AS cf, df,
+      |    round(CAST(cfd AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+      |    round(CASE WHEN CAST(cfd AS DOUBLE) / CAST(df AS DOUBLE) > 0
+      |      THEN ((CAST(c2 AS DOUBLE) -
+      |          CAST(cfd AS DOUBLE) * CAST(cfd AS DOUBLE) / CAST(df AS DOUBLE)) /
+      |        CAST(df AS DOUBLE)) /
+      |        (CAST(cfd AS DOUBLE) / CAST(df AS DOUBLE))
+      |      ELSE 0.0 END, 6) AS vmr
+      |  FROM pt),
+      |k AS (SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT)
+      |    AS rank FROM r)
+      |SELECT rank, term, cf, df, burstiness, vmr FROM k WHERE rank <= 30""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4669,7 +4701,8 @@ object Queries {
     "q_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "q_curate_corpus" -> (curateCorpus _),
     "q_source_dedup_matrix" -> (sourceDedupMatrix _),
-    "q_embedding_drift" -> (embeddingDrift _))
+    "q_embedding_drift" -> (embeddingDrift _),
+    "q_term_burstiness" -> (termBurstiness _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4694,6 +4727,7 @@ object Queries {
     "q_curate_corpus" -> curateCorpusSql,
     "q_source_dedup_matrix" -> sourceDedupMatrixSql,
     "q_embedding_drift" -> embeddingDriftSql,
+    "q_term_burstiness" -> termBurstinessSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

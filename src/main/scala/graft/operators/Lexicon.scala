@@ -141,6 +141,50 @@ object Lexicon {
         col("term"), col("c_source"), col("c_rest"), col("keyness"))
   }
 
+  /** Term burstiness (Church & Gale): for the corpus' top-`topK`
+    * terms, how the term's occurrences DISPERSE across the documents
+    * that contain it — `burstiness = cf/df` (mean occurrences per
+    * containing document) and the variance-to-mean ratio over those
+    * documents. Function words sit near VMR ≈ 1 (Poisson-like);
+    * topical and spam terms are bursty (VMR ≫ 1). The signal that
+    * separates "frequent because it is everywhere" from "frequent
+    * because a few documents hammer it" — which keyness (a
+    * between-source contrast) cannot see.
+    *
+    * Output: `(rank, term, cf, df, burstiness, vmr)`, rank by
+    * (cf desc, term) — a total order. One explode + (doc, term)
+    * count, one per-term fold over exact longs (Σc and Σc² as
+    * DECIMAL(38,0) — order-independent), TakeOrdered for the top-K.
+    */
+  def termBurstiness(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val perDoc = tokens(docs, idCol, textCol)
+      .groupBy("__id", "w")
+      .agg(count(lit(1)).as("c"))
+    val perTerm = perDoc
+      .groupBy("w")
+      .agg(sum(col("c").cast("decimal(38,0)")).as("__cf"),
+        count(lit(1)).as("df"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("__c2"))
+    val cf = col("__cf").cast("double")
+    val dfD = col("df").cast("double")
+    val mean = cf / dfD
+    val variance = (col("__c2").cast("double") - cf * cf / dfD) / dfD
+    perTerm
+      .select(col("w").as("term"),
+        col("__cf").cast("long").as("cf"), col("df"),
+        round(mean, 6).as("burstiness"),
+        round(when(mean > 0, variance / mean).otherwise(lit(0.0)), 6)
+          .as("vmr"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+      .select("rank", "term", "cf", "df", "burstiness", "vmr")
+  }
+
   /** Per-document lexical diversity: unigram Shannon entropy (nats)
     * and type–token ratio — `(id, n_tokens, n_types, ttr, entropy)`.
     * Low entropy at high length flags template/spam text that

@@ -104,6 +104,50 @@ class LexiconSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - want) < 1e-5, s"${r.getDouble(4)} vs $want")
   }
 
+  // ------------------------------------------------- termBurstiness
+
+  test("a uniformly-spread term has VMR 0 at one occurrence per doc") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the owl"))
+      .toDF("doc_id", "text")
+    val r = Lexicon.termBurstiness(docs, "doc_id", "text")
+      .filter($"term" === "the").collect().head
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 1.0) // one per containing doc
+    assert(r.getDouble(5) == 0.0) // zero dispersion
+  }
+
+  test("a hammered term is burstier than a spread term at equal cf") {
+    // both terms occur 6 times; "spam" in 1 doc, "the" across 6
+    val docs = (1L to 6L).map(i => (i, "the")).toDF("doc_id", "text")
+      .union(Seq((7L, "spam spam spam spam spam spam")).toDF("doc_id", "text"))
+    val r = Lexicon.termBurstiness(docs, "doc_id", "text")
+      .collect().map(x => x.getString(1) -> (x.getDouble(4), x.getDouble(5))).toMap
+    assert(r("spam")._1 == 6.0 && r("the")._1 == 1.0)
+    assert(r("spam")._1 > r("the")._1)
+  }
+
+  test("burstiness matches the closed form on a mixed case") {
+    // "x" counts per containing doc: {1, 3} -> mean 2, var 1, vmr 0.5
+    val docs = Seq((1L, "x y"), (2L, "x x x")).toDF("doc_id", "text")
+    val r = Lexicon.termBurstiness(docs, "doc_id", "text")
+      .filter($"term" === "x").collect().head
+    assert(r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 0.5)
+  }
+
+  test("ranks follow (cf desc, term) and are partitioning-independent") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(1 + i % 5)(s"w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Lexicon.termBurstiness(docs, "doc_id", "text").collect().toSeq
+    val many = Lexicon.termBurstiness(docs.repartition(9), "doc_id", "text")
+      .collect().toSeq
+    assert(one == many)
+    assert(one.map(_.getLong(0)) == (1L to one.length.toLong))
+    val cfs = one.map(_.getLong(2))
+    assert(cfs == cfs.sorted.reverse)
+  }
+
   // ------------------------------------------------------- fixture
 
   test("registered queries produce sane rows on the fixture") {

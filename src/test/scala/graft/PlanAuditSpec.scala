@@ -400,7 +400,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_source_dedup_matrix" -> 4,
       // one (label, dim) centroid agg per slice + the per-label fold
       // riding their join — both sides dimension-bounded before meeting
-      "q_embedding_drift" -> 3)
+      "q_embedding_drift" -> 3,
+      // (doc, term) count + per-term fold; top-30 is TakeOrdered and
+      // the rank window runs over those 30 rows
+      "q_term_burstiness" -> 3)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
