@@ -100,19 +100,43 @@ object VectorStats {
     */
   def centroidShift(
       ref: DataFrame, cur: DataFrame,
-      labelCol: String, vecCol: String): DataFrame = {
-    def cents(df: DataFrame, cCol: String, nCol: String): DataFrame =
-      df.select(col(labelCol).as("__lbl"),
-        posexplode(quantize(col(vecCol))).as(Seq("__i", "__qx")))
-        .groupBy("__lbl", "__i")
-        .agg(sum(col("__qx").cast("decimal(38,0)")).as("__s"),
-          count(lit(1)).as(nCol))
-        .select(col("__lbl"), col("__i"), col(nCol),
-          round(col("__s").cast("double") / col(nCol).cast("double") /
-            lit(Grid), 6).as(cCol))
+      labelCol: String, vecCol: String): DataFrame =
+    shiftFromCentroids(
+      centroidsFromSums(centroidSums(ref, labelCol, vecCol)),
+      centroidsFromSums(centroidSums(cur, labelCol, vecCol)))
+
+  /** Exact per-(label, dim) quantized sums — the MERGEABLE
+    * representation behind [[centroidShift]] (sum `s` and `n` across
+    * any partitioning of the corpus and the centroids are identical;
+    * [[graft.streaming.EmbeddingDriftStream]] persists exactly these).
+    * Output: `(label, dim, s, n)` with dim 0-based.
+    */
+  def centroidSums(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+      posexplode(quantize(col(vecCol))).as(Seq("dim", "qx")))
+      .groupBy("label", "dim")
+      .agg(sum(col("qx").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** (label, dim, n, centroid) from a (label, dim, s, n) sum table —
+    * one (label, dim) per row (merge duplicates by summing first).
+    * The 6-dp round here is THE rounding point both engines share.
+    */
+  def centroidsFromSums(sums: DataFrame): DataFrame =
+    sums.select(col("label"), col("dim"), col("n"),
+      round(col("s").cast("double") / col("n").cast("double") /
+        lit(Grid), 6).as("centroid"))
+
+  /** [[centroidShift]] on two pre-computed centroid tables
+    * (`(label, dim, n, centroid)` each).
+    */
+  def shiftFromCentroids(refC: DataFrame, curC: DataFrame): DataFrame = {
     def dec(c: Column): Column = round(c, 7).cast("decimal(27,7)")
-    val a = cents(ref, "__ca", "__na")
-    val b = cents(cur, "__cb", "__nb")
+    val a = refC.select(col("label").as("__lbl"), col("dim").as("__i"),
+      col("n").as("__na"), col("centroid").as("__ca"))
+    val b = curC.select(col("label").as("__lbl"), col("dim").as("__i"),
+      col("n").as("__nb"), col("centroid").as("__cb"))
     val joined = a.join(b, Seq("__lbl", "__i"))
     val d = col("__ca") - col("__cb")
     joined
@@ -121,11 +145,11 @@ object VectorStats {
         dec(col("__ca") * col("__cb")).as("__ab"),
         dec(col("__ca") * col("__ca")).as("__aa"),
         dec(col("__cb") * col("__cb")).as("__bb"))
-      .groupBy(col("__lbl").as(labelCol))
+      .groupBy(col("__lbl").as("label"))
       .agg(max("__na").as("n_ref"), max("__nb").as("n_cur"),
         sum("__dd").as("__sdd"), sum("__ab").as("__sab"),
         sum("__aa").as("__saa"), sum("__bb").as("__sbb"))
-      .select(col(labelCol), col("n_ref"), col("n_cur"),
+      .select(col("label"), col("n_ref"), col("n_cur"),
         round(sqrt(col("__sdd").cast("double")), 6).as("l2_shift"),
         round(when(
           col("__saa").cast("double") > 0 && col("__sbb").cast("double") > 0,
