@@ -159,7 +159,9 @@ object Bench {
     val path = dir.resolve("last_run.json")
     val body = renderJson(s, sfDir, Seq(
       "cpus" -> ("\"" + esc(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")) + "\""),
-      "runs" -> sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3"),
+      // parsed, not raw: a malformed env value spliced verbatim would
+      // produce invalid JSON and break every last_run consumer
+      "runs" -> runsFromEnv.toString,
       "written_at" -> ("\"" + java.time.Instant.now().toString + "\"")))
     java.nio.file.Files.write(path,
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -168,8 +170,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-      .getOrElse(2).max(1)
+    val runs = runsFromEnv
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset (the
     // driver never sets it, so driver runs always cover everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -62,7 +62,8 @@ object BenchGuard {
       minExcessSec: Double,
       calibration: Double,
       queries: Map[String, Double],
-      source: String = "")
+      source: String = "",
+      cpus: String = "") // SPARK_GRAFT_CPUS the floors were measured at
 
   final case class Verdict(
       query: String, seconds: Double, floor: Double, normalizedRatio: Double, flagged: Boolean)
@@ -111,7 +112,8 @@ object BenchGuard {
       calibration = root.path("calibration").asDouble(0.0),
       queries = root.path("queries").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap,
-      source = root.path("source").asText(""))
+      source = root.path("source").asText(""),
+      cpus = root.path("cpus").asText(""))
   }
 
   def writeFloors(path: String, floors: Floors): Unit = {
@@ -121,6 +123,8 @@ object BenchGuard {
     sb.append(s"""  "tolerance": ${floors.tolerance},\n""")
     sb.append(s"""  "min_excess_sec": ${floors.minExcessSec},\n""")
     sb.append(f"""  "calibration": ${floors.calibration}%.4f,\n""")
+    if (floors.cpus.nonEmpty)
+      sb.append(s"""  "cpus": "${floors.cpus}",\n""")
     if (floors.source.nonEmpty)
       sb.append(s"""  "source": "${floors.source}",\n""")
     sb.append("  \"queries\": {\n")
@@ -183,8 +187,7 @@ object BenchGuard {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-      .getOrElse(2).max(1)
+    val runs = Bench.runsFromEnv
     val floors = readFloors(floorsPath)
 
     // --rebaseline: floors := the persisted run, verbatim — the reset
@@ -202,7 +205,8 @@ object BenchGuard {
         minExcessSec = floors.minExcessSec,
         calibration = run.calibration,
         queries = ok,
-        source = s"rebaseline last_run ${run.writtenAt} ${run.sf}"))
+        source = s"rebaseline last_run ${run.writtenAt} ${run.sf}",
+        cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       System.err.println(
         s"[guard] floors rebaselined from last_run (${ok.size} queries)")
       return
@@ -211,22 +215,28 @@ object BenchGuard {
     // Footgun guard: floors are only comparable to a sweep run with the
     // SAME parallelism as the run they were baselined from (a local[4]
     // sweep of a local[32] floor file flags every shuffle-heavy query).
-    // Compare the committed artifact's cpus with this process' env and
-    // refuse to ratchet across a mismatch.
+    // Compare against the FLOOR file's recorded cpus — not
+    // last_run.json, which every sweep (including a mismatched one)
+    // overwrites, so a last_run comparison only fires once and then
+    // lets --update ratchet across the mismatch unchallenged.
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench")
-    val committedCpus = scala.util.Try(
-      mapper.readTree(new java.io.File(s"$benchDir/last_run.json"))
-        .path("cpus").asText("")).getOrElse("")
+    val committedCpus =
+      if (floors.cpus.nonEmpty) floors.cpus
+      else scala.util.Try( // pre-cpus-field floor files: last_run is
+        // the only provenance available (best effort)
+        mapper.readTree(new java.io.File(s"$benchDir/last_run.json"))
+          .path("cpus").asText("")).getOrElse("")
     val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (committedCpus.nonEmpty && committedCpus != cpusNow && !fromLastRun) {
       System.err.println(
-        s"[guard] CPU-COUNT MISMATCH: committed last_run.json was measured " +
-          s"at SPARK_GRAFT_CPUS=$committedCpus but this run has " +
+        s"[guard] CPU-COUNT MISMATCH: floors were measured at " +
+          s"SPARK_GRAFT_CPUS=$committedCpus but this run has " +
           s"SPARK_GRAFT_CPUS=$cpusNow — times are not comparable to floors")
       require(!update,
         s"refusing --update across a cpu-count change " +
           s"($committedCpus -> $cpusNow); re-run with SPARK_GRAFT_CPUS=" +
-          s"$committedCpus, or delete bench/last_run.json to rebase on purpose")
+          s"$committedCpus, or --rebaseline from a run at the new count " +
+          s"to rebase on purpose")
     }
 
     // one measurement system: either re-grade the persisted Bench run,
@@ -273,7 +283,8 @@ object BenchGuard {
               floors.queries.getOrElse(q, Double.MaxValue),
               fresh.get(q).filter(_ >= 0).getOrElse(Double.MaxValue))
         }.toMap,
-        source = sourceTag)
+        source = sourceTag,
+        cpus = cpusNow)
       writeFloors(floorsPath, merged)
       System.err.println(s"[guard] floors updated: $floorsPath")
     }

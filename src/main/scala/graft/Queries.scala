@@ -4308,9 +4308,13 @@ object Queries {
       |pr AS (
       |  SELECT doc_id, source, score,
       |    round(percent_rank() OVER (
-      |      PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank
+      |      PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank,
+      |    row_number() OVER (
+      |      PARTITION BY source ORDER BY score DESC, doc_id DESC) AS rkd,
+      |    count(*) OVER (PARTITION BY source) AS n
       |  FROM sc)
-      |SELECT doc_id, source, score, pct_rank, pct_rank >= 0.5 AS keep
+      |SELECT doc_id, source, score, pct_rank,
+      |  rkd <= CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) AS keep
       |FROM pr""".stripMargin
 
   /** Fuzzy decontamination
@@ -4418,9 +4422,13 @@ object Queries {
       |  FROM awl),
       |pr AS (
       |  SELECT *, round(percent_rank() OVER (
-      |    PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank
+      |    PARTITION BY source ORDER BY score, doc_id), 6) AS pct_rank,
+      |    row_number() OVER (
+      |      PARTITION BY source ORDER BY score DESC, doc_id DESC) AS rkd,
+      |    count(*) OVER (PARTITION BY source) AS ng
       |  FROM sc),
-      |gated AS (SELECT * FROM pr WHERE pct_rank >= 0.5),
+      |gated AS (SELECT * FROM pr
+      |  WHERE rkd <= CAST(ceil(CAST(ng AS DOUBLE) * 0.5) AS BIGINT)),
       |agg AS (SELECT source, count(*) AS n_docs,
       |    CAST(sum(n_chars) AS BIGINT) AS mass FROM gated GROUP BY 1),
       |s AS (SELECT *, CAST(round(power(CAST(mass AS DOUBLE), 0.5), 6)

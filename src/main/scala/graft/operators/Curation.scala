@@ -120,10 +120,12 @@ object Curation {
     * "easiest" sources; the calibrated cut keeps each source's best
     * half). Standard practice before a corpus-wide quality gate.
     *
-    * Output: (id, source, score, pct_rank, keep) with
-    * `keep = pct_rank >= 1 − keepFraction`. The rank order is
-    * (6-dp score, id) — a total order, so ranks (hence keep flags)
-    * replay on any engine.
+    * Output: (id, source, score, pct_rank, keep) with `keep` true for
+    * each source's best `ceil(n · keepFraction)` documents (rank-based,
+    * so a single-document source keeps its one document — a
+    * percent-rank threshold would drop it, pct_rank of a 1-row
+    * partition being 0). The rank order is (6-dp score, id) — a total
+    * order, so ranks (hence keep flags) replay on any engine.
     *
     * Scale shape: ONE source-keyed window over the corpus (the same
     * exchange any per-source top-k pays); no joins, no driver state.
@@ -137,11 +139,21 @@ object Curation {
     require(keepFraction > 0 && keepFraction <= 1,
       s"keepFraction must be in (0, 1], got $keepFraction")
     val score = round(scoreCol, 6)
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("score").asc, col(idCol).asc)
+    // keep decision is RANK-based (best ceil(n·keepFraction) rows), not
+    // a percent_rank threshold: percent_rank of a 1-row partition is 0,
+    // so a threshold test would silently eliminate every single-document
+    // source — the opposite of "keep each source's best half"
     docs
       .select(col(idCol), col(sourceCol), score.as("score"))
-      .withColumn("pct_rank", round(percent_rank().over(
-        Window.partitionBy(col(sourceCol))
-          .orderBy(col("score").asc, col(idCol).asc)), 6))
-      .withColumn("keep", col("pct_rank") >= lit(1.0 - keepFraction))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("__rk_desc",
+        row_number().over(Window.partitionBy(col(sourceCol))
+          .orderBy(col("score").desc, col(idCol).desc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(sourceCol))))
+      .withColumn("keep", col("__rk_desc") <=
+        ceil(col("__n").cast("double") * lit(keepFraction)).cast("long"))
+      .drop("__rk_desc", "__n")
   }
 }

@@ -87,6 +87,51 @@ private[graft] object BatchState {
     batchIds(fs, p).maxOption
   }
 
+  /** All committed batch ids under `dir`, ascending ([[recover]]ed
+    * first) — what ADDITIVE stores' compactions consult to fold every
+    * batch EXCEPT the newest: replaying the newest (the one batch
+    * Structured Streaming may redeliver after a crash-before-commit)
+    * then overwrites only its own partition; folding it into the
+    * compacted dir would let that replay erase the whole merged
+    * history.
+    */
+  def committedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    recover(spark, dir)
+    val (fs, p) = fsOf(spark, dir)
+    batchIds(fs, p).sorted
+  }
+
+  /** Compaction for ADDITIVE stores (counts/sums — state that merges
+    * by addition, where a replayed batch landing beside an
+    * already-folded copy of itself would double-count): fold every
+    * batch STRICTLY BELOW the newest into `batch_id = secondMax` via
+    * `resolve` (the store's merge aggregation, applied to the
+    * sub-store `batch_id < max`); the newest batch keeps its own
+    * directory ([[swap]] re-attaches ids above the keep id from the
+    * displaced store). A post-crash replay of the newest batch — the
+    * one delivery Structured Streaming repeats when it crashed before
+    * the checkpoint commit — then overwrites only its own partition;
+    * folding it in would let that replay silently erase the whole
+    * merged history. No-op with fewer than two committed batches.
+    *
+    * (The latest-wins and distinct-union stores keep their
+    * fold-everything compactions: re-delivered state is idempotent
+    * under their merges.)
+    */
+  def compactExceptNewest(spark: SparkSession, dir: String)(
+      resolve: DataFrame => DataFrame): Unit = {
+    val ids = committedBatchIds(spark, dir)
+    if (ids.size >= 2) {
+      val maxId = ids.last
+      val keep = ids(ids.size - 2)
+      read(spark, dir).foreach { st =>
+        swap(spark, dir,
+          resolve(st.filter(org.apache.spark.sql.functions.col("batch_id") < maxId)),
+          keep)
+      }
+    }
+  }
+
   /** Replace the ENTIRE store with `resolved` as one batch directory
     * keyed `batch_id=keepBatchId` — compaction for the per-batch
     * stores. Staged through a temp directory and an atomic swap

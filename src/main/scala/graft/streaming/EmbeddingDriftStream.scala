@@ -73,13 +73,12 @@ object EmbeddingDriftStream {
           VectorStats.centroidsFromSums(st))
     }
 
-  /** Compact the store to one resolved batch (atomic swap; lossless —
-    * sums and counts merge by addition).
+  /** Compact the store (atomic swap; lossless — sums and counts merge
+    * by addition). Additive state: every batch except the newest
+    * folds, so a post-crash replay of the newest overwrites only its
+    * own partition ([[BatchState.compactExceptNewest]]).
     */
   def compact(spark: SparkSession, storeDir: String): Unit =
-    BatchState.maxBatchId(spark, storeDir).foreach { keep =>
-      sums(spark, storeDir).foreach { st =>
-        BatchState.swap(spark, storeDir, st, keep)
-      }
-    }
+    BatchState.compactExceptNewest(spark, storeDir)(
+      _.groupBy("label", "dim").agg(sum("s").as("s"), sum("n").as("n")))
 }

@@ -83,15 +83,14 @@ object LexiconStream {
       case Some(c) => Lexicon.distinctiveTermsFromCounts(c, alpha0, topK)
     }
 
-  /** Compact the store to one resolved batch (atomic swap; lossless —
-    * counts merge by sum).
+  /** Compact the store (atomic swap; lossless — counts merge by sum).
+    * Additive state: every batch except the newest folds, so a
+    * post-crash replay of the newest overwrites only its own
+    * partition ([[BatchState.compactExceptNewest]]).
     */
   def compact(spark: SparkSession, storeDir: String): Unit =
-    BatchState.maxBatchId(spark, storeDir).foreach { keep =>
-      counts(spark, storeDir).foreach { c =>
-        BatchState.swap(spark, storeDir, c, keep)
-      }
-    }
+    BatchState.compactExceptNewest(spark, storeDir)(
+      _.groupBy("source", "w").agg(sum("c").as("c")))
 
   private def emptySlope(spark: SparkSession): DataFrame = {
     import spark.implicits._

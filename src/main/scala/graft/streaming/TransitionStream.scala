@@ -100,26 +100,21 @@ object TransitionStream {
             .agg(sum("n_trans").as("n_trans")))
     }
 
-  /** Compact both stores to one resolved batch each (atomic swap;
-    * lossless: pair counts merge by sum, last-events resolve
-    * latest-wins — the same results any later read would compute).
+  /** Compact both stores (atomic swap; lossless: pair counts merge by
+    * sum, last-events resolve latest-wins). Every batch EXCEPT the
+    * newest folds into one resolved partition; the newest batch keeps
+    * its own `batch_id` directory ([[BatchState.swap]] re-attaches
+    * ids above the keep id), so a post-crash REPLAY of that batch —
+    * the one delivery Structured Streaming may repeat — overwrites
+    * only its own partition instead of erasing the merged history.
     */
   def compact(spark: SparkSession, pairsDir: String, lastDir: String): Unit = {
-    BatchState.maxBatchId(spark, pairsDir).foreach { keep =>
-      BatchState.read(spark, pairsDir).foreach { st =>
-        BatchState.swap(spark, pairsDir,
-          st.groupBy("prev_type", "next_type")
-            .agg(sum("n_trans").as("n_trans")), keep)
-      }
-    }
-    BatchState.maxBatchId(spark, lastDir).foreach { keep =>
-      BatchState.read(spark, lastDir).foreach { st =>
-        BatchState.swap(spark, lastDir,
-          st.groupBy("user")
-            .agg(max(struct(col("ts"), col("tie"), col("etype"))).as("__l"))
-            .select(col("user"), col("__l.ts").as("ts"),
-              col("__l.tie").as("tie"), col("__l.etype").as("etype")), keep)
-      }
-    }
+    BatchState.compactExceptNewest(spark, pairsDir)(
+      _.groupBy("prev_type", "next_type").agg(sum("n_trans").as("n_trans")))
+    BatchState.compactExceptNewest(spark, lastDir)(
+      _.groupBy("user")
+        .agg(max(struct(col("ts"), col("tie"), col("etype"))).as("__l"))
+        .select(col("user"), col("__l.ts").as("ts"),
+          col("__l.tie").as("tie"), col("__l.etype").as("etype")))
   }
 }
