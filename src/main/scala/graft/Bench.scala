@@ -36,6 +36,15 @@ object Bench {
       errors: collection.Map[String, String],
       calibration: Double)
 
+  /** Pass count per query, from SPARK_GRAFT_BENCH_RUNS (default 3 —
+    * floors and last_run.json are baselined min-of-3). Parsed, never
+    * spliced raw: a malformed value falls back rather than breaking
+    * every consumer of the provenance JSON.
+    */
+  private[graft] def runsFromEnv: Int =
+    scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+      .getOrElse(3).max(1)
+
   /** Timed full materialization of every column. After the write, every
     * persistent RDD (the localCheckpoint blocks many operators create at
     * construction) is dropped: nothing reads them once the query has
