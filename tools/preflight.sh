@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Pre-snapshot preflight: refuse to commit a tree that does not compile.
+#
+# Round 9's snapshot commit referenced a helper whose definition was
+# never added; `sbt compile` failed and the driver adjudicated ZERO
+# queries that round. This gate makes that class of loss impossible:
+# run it before every commit that touches src/ (and always before the
+# end-of-round snapshot).
+#
+# Usage: tools/preflight.sh [--full]
+#   default : sbt Test/compile (main + test sources)
+#   --full  : also runs the CLI smoke (tools/cli_smoke.sh)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+sbt -batch Test/compile
+
+if [[ "${1:-}" == "--full" ]]; then
+  tools/cli_smoke.sh
+fi
+
+echo "[preflight] OK"
