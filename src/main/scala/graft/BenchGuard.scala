@@ -143,7 +143,8 @@ object BenchGuard {
       queries: Map[String, Double],
       calibration: Double,
       sf: String,
-      writtenAt: String)
+      writtenAt: String,
+      cpus: String = "") // SPARK_GRAFT_CPUS the run was measured at
 
   def readLastRun(path: String): LastRun = {
     val root = mapper.readTree(new java.io.File(path))
@@ -152,7 +153,8 @@ object BenchGuard {
         .map(e => e.getKey -> e.getValue.asDouble()).toMap,
       calibration = root.path("calibration").asDouble(0.0),
       sf = root.path("sf").asText(""),
-      writtenAt = root.path("written_at").asText(""))
+      writtenAt = root.path("written_at").asText(""),
+      cpus = root.path("cpus").asText(""))
   }
 
   def main(args: Array[String]): Unit = {
@@ -206,7 +208,11 @@ object BenchGuard {
         calibration = run.calibration,
         queries = ok,
         source = s"rebaseline last_run ${run.writtenAt} ${run.sf}",
-        cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
+        // provenance follows the RUN being rebaselined from, not the
+        // current shell: rebaselining a 32-cpu run from an env-less
+        // shell must not stamp cpus="4" next to 32-cpu times
+        cpus = if (run.cpus.nonEmpty) run.cpus
+               else sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       System.err.println(
         s"[guard] floors rebaselined from last_run (${ok.size} queries)")
       return
@@ -227,14 +233,20 @@ object BenchGuard {
         mapper.readTree(new java.io.File(s"$benchDir/last_run.json"))
           .path("cpus").asText("")).getOrElse("")
     val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    if (committedCpus.nonEmpty && committedCpus != cpusNow && !fromLastRun) {
+    // in --from-last-run mode the numbers being graded were measured at
+    // the cpu count RECORDED IN last_run.json, not in the current env
+    val lastRun: Option[LastRun] =
+      if (fromLastRun) Some(readLastRun(s"$benchDir/last_run.json")) else None
+    val measuredCpus =
+      lastRun.map(_.cpus).filter(_.nonEmpty).getOrElse(cpusNow)
+    if (committedCpus.nonEmpty && committedCpus != measuredCpus) {
       System.err.println(
         s"[guard] CPU-COUNT MISMATCH: floors were measured at " +
-          s"SPARK_GRAFT_CPUS=$committedCpus but this run has " +
-          s"SPARK_GRAFT_CPUS=$cpusNow — times are not comparable to floors")
+          s"SPARK_GRAFT_CPUS=$committedCpus but the graded run is at " +
+          s"SPARK_GRAFT_CPUS=$measuredCpus — times are not comparable to floors")
       require(!update,
         s"refusing --update across a cpu-count change " +
-          s"($committedCpus -> $cpusNow); re-run with SPARK_GRAFT_CPUS=" +
+          s"($committedCpus -> $measuredCpus); re-run with SPARK_GRAFT_CPUS=" +
           s"$committedCpus, or --rebaseline from a run at the new count " +
           s"to rebase on purpose")
     }
@@ -243,8 +255,7 @@ object BenchGuard {
     // or run Bench's own sweep (which persists the same artifact)
     val (fresh, calibration, errors, sourceTag) =
       if (fromLastRun) {
-        val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench")
-        val run = readLastRun(s"$dir/last_run.json")
+        val run = lastRun.get
         (run.queries, run.calibration, Map.empty[String, String],
           s"last_run ${run.writtenAt} ${run.sf}")
       } else {
@@ -284,7 +295,7 @@ object BenchGuard {
               fresh.get(q).filter(_ >= 0).getOrElse(Double.MaxValue))
         }.toMap,
         source = sourceTag,
-        cpus = cpusNow)
+        cpus = measuredCpus)
       writeFloors(floorsPath, merged)
       System.err.println(s"[guard] floors updated: $floorsPath")
     }

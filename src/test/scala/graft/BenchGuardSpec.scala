@@ -122,6 +122,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(run.writtenAt.nonEmpty, "last_run.json must carry provenance")
   }
 
+  test("last_run.json records the cpu count it was measured at") {
+    // the cpus field is the provenance --from-last-run and --rebaseline
+    // compare/stamp against; a committed run without it would let a
+    // mismatched re-grade or rebaseline slip through unchallenged
+    val run = BenchGuard.readLastRun("bench/last_run.json")
+    assert(run.cpus.nonEmpty, "last_run.json must record cpus")
+    val committed = BenchGuard.readFloors("bench/floors.json")
+    assert(committed.cpus === run.cpus,
+      "committed floors and last_run must agree on cpu provenance")
+  }
+
+  test("readLastRun tolerates a pre-cpus-field artifact") {
+    val path = java.nio.file.Files.createTempFile("last_run", ".json")
+    java.nio.file.Files.write(path,
+      """{"queries":{"q_a":1.0},"calibration":0.2,"sf":"sf0.1","written_at":"t"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val run = BenchGuard.readLastRun(path.toString)
+    assert(run.cpus === "")
+    assert(run.queries === Map("q_a" -> 1.0))
+  }
+
   test("floors carry the provenance of the run they were ratcheted from") {
     val committed = BenchGuard.readFloors("bench/floors.json")
     assert(committed.source.nonEmpty,
