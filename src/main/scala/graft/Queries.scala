@@ -4109,13 +4109,13 @@ object Queries {
       |  CAST(cw - c AS BIGINT) AS c_rest,
       |  round((ln((CAST(c AS DOUBLE) +
       |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) /
-      |      (CAST(ns AS DOUBLE) + 100.0 - CAST(c AS DOUBLE) -
-      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE))) -
+      |      greatest(CAST(ns AS DOUBLE) + 100.0 - CAST(c AS DOUBLE) -
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE), 1e-12)) -
       |     ln((CAST(cw AS DOUBLE) - CAST(c AS DOUBLE) +
       |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) /
-      |      (CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE) + 100.0 -
+      |      greatest(CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE) + 100.0 -
       |        (CAST(cw AS DOUBLE) - CAST(c AS DOUBLE)) -
-      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)))) /
+      |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE), 1e-12))) /
       |    sqrt(1.0 / (CAST(c AS DOUBLE) +
       |        100.0 * CAST(cw AS DOUBLE) / CAST(nn AS DOUBLE)) +
       |      1.0 / (CAST(cw AS DOUBLE) - CAST(c AS DOUBLE) +

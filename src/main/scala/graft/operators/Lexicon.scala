@@ -126,9 +126,14 @@ object Lexicon {
     val crw = col("cw").cast("double") - csw
     val ns = col("ns").cast("double")
     val nr = n - ns
+    // the denominators reach exactly 0 when ONE term carries the whole
+    // corpus count (csw == ns and aw == alpha0): log(+inf) would emit
+    // NaN/inf keyness and poison the rank window, so clamp — inert for
+    // any real vocabulary (denominators are otherwise O(alpha0))
+    val eps = lit(1e-12)
     val delta =
-      log((csw + aw) / (ns + lit(alpha0) - csw - aw)) -
-        log((crw + aw) / (nr + lit(alpha0) - crw - aw))
+      log((csw + aw) / greatest(ns + lit(alpha0) - csw - aw, eps)) -
+        log((crw + aw) / greatest(nr + lit(alpha0) - crw - aw, eps))
     val variance = lit(1.0) / (csw + aw) + lit(1.0) / (crw + aw)
     val z = round(delta / sqrt(variance), 6)
     joined

@@ -61,17 +61,17 @@ object EmbeddingDriftStream {
     * union of delivered batches.
     */
   def shift(
-      spark: SparkSession, storeDir: String, refSums: DataFrame): DataFrame =
-    sums(spark, storeDir) match {
-      case None =>
-        import spark.implicits._
-        Seq.empty[(Int, Long, Long, Double, Double)]
-          .toDF("label", "n_ref", "n_cur", "l2_shift", "cos_sim")
-      case Some(st) =>
-        VectorStats.shiftFromCentroids(
-          VectorStats.centroidsFromSums(refSums),
-          VectorStats.centroidsFromSums(st))
-    }
+      spark: SparkSession, storeDir: String, refSums: DataFrame): DataFrame = {
+    // before the first committed batch the current side is an empty
+    // slice OF refSums, not a literal frame: the label column's type
+    // must match the populated case (refSums's label type, typically
+    // string) or the reader's schema flips between the first and
+    // second read, breaking schema-sensitive sinks
+    val st = sums(spark, storeDir).getOrElse(refSums.limit(0))
+    VectorStats.shiftFromCentroids(
+      VectorStats.centroidsFromSums(refSums),
+      VectorStats.centroidsFromSums(st))
+  }
 
   /** Compact the store (atomic swap; lossless — sums and counts merge
     * by addition). Additive state: every batch except the newest

@@ -74,6 +74,22 @@ class EmbeddingDriftStreamSpec extends SparkSpec {
       spark, Files.createTempDirectory("noedrift").toString, refSums).isEmpty)
   }
 
+  test("shift schema is identical before and after the first batch") {
+    // a reader that writes both the empty and populated results to one
+    // parquet path needs the label column's TYPE stable, not just the
+    // column names — the empty case must derive it from refSums
+    val dir = Files.createTempDirectory("edrift").toString
+    val stringRef = ref.withColumn("label",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("lab_"), $"label"))
+    val refSums = EmbeddingDriftStream.referenceSums(stringRef, "label", "embedding")
+    val empty = EmbeddingDriftStream.shift(spark, s"$dir/store", refSums)
+    EmbeddingDriftStream.driftBatch("label", "embedding", s"$dir/store")(
+      stringRef.limit(10), 0L)
+    val populated = EmbeddingDriftStream.shift(spark, s"$dir/store", refSums)
+    assert(empty.schema === populated.schema)
+  }
+
   test("a real micro-batch stream through the query matches the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = Files.createTempDirectory("edrift").toString

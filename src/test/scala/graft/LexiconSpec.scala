@@ -67,6 +67,17 @@ class LexiconSpec extends SparkSpec {
     assert(r.getLong(3) == 2L && r.getLong(4) == 1L) // c_source=2, c_rest=1
   }
 
+  test("a one-term corpus yields finite keyness, not NaN/inf") {
+    // degenerate case: one term carries the whole corpus count, so the
+    // smoothed denominator ns + alpha0 - csw - aw hits exactly 0 —
+    // without the clamp, log(+inf) keyness poisons the rank window
+    val docs = Seq(("a", "x x x"), ("b", "x")).toDF("source", "text")
+    val r = Lexicon.distinctiveTerms(docs, "source", "text", topK = 1)
+      .collect().map(_.getDouble(5))
+    assert(r.length == 2)
+    assert(r.forall(k => !k.isNaN && !k.isInfinite), r.toSeq)
+  }
+
   test("keyness is partitioning-independent") {
     val docs = Seq(
       ("a", "x x y z"), ("b", "y y z w"), ("c", "z w w x"))
