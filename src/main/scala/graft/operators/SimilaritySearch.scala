@@ -305,14 +305,34 @@ object SimilaritySearch {
     * the selection-time distance (null for the seed), a coverage-radius
     * curve read directly off the result.
     *
-    * Scale shape: the normalized corpus materializes once; each of the
-    * k−1 rounds is ONE map-only pass (the ≤k chosen vectors ride the
-    * closure as literals — KBs) into a TakeOrderedAndProject(1), so
-    * nothing but one row ever reaches the driver per round. O(k²·N)
-    * dot products total — the regime where greedy k-center is used
-    * (k in the tens/hundreds); for k beyond that, keep a running
-    * min-distance column checkpointed per round instead (O(k·N)).
+    * Scale shape: the normalized corpus materializes once with a
+    * running min-distance-to-chosen-set column; each of the k−1 rounds
+    * is ONE map-only pass that dots every point against ONLY the
+    * newest center (riding the closure as a literal — KBs) and folds
+    * it into the running column via `least`, then a
+    * TakeOrderedAndProject(1) — nothing but one row ever reaches the
+    * driver per round, O(k·N) dot products total (not the naive
+    * O(k²·N) of re-evaluating every center every round). The running
+    * column localCheckpoints per round, so plan depth stays O(1) —
+    * identical trajectory to the naive form because each pair cosine
+    * still rounds to 6 dp BEFORE the min, and
+    * `least(dᵢ₋₁, 1 − sim)` ≡ `1 − greatest(sims)` exactly (the
+    * rounded sims differ by ≥1e-6, ten orders above double ulp).
     */
+  /** Free a `localCheckpoint`ed frame's storage blocks NOW instead of
+    * at query end. `Dataset.unpersist` can't (checkpoint RDDs never
+    * enter the cache manager), so walk to the materialized
+    * `LogicalRDD` leaf and unpersist the RDD itself — without this, a
+    * k-round loop holds k copies of the running state in the block
+    * manager at once.
+    */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def kCenterSelect(
       corpus: DataFrame,
       idCol: String,
@@ -328,29 +348,43 @@ object SimilaritySearch {
       .as[(Long, Seq[Double])].collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         "kCenterSelect: no non-zero vectors to select from"))
-    // driver state: at most k (rank, id, dist, vector) rows — bounded
-    // by k·dim doubles, the same class as a trained codebook
+    // driver state: at most k (rank, id, dist) rows plus the single
+    // newest center vector riding each round's closure
     val centers = scala.collection.mutable.ArrayBuffer(
-      (1, seed._1, Option.empty[Double], seed._2))
+      (1, seed._1, Option.empty[Double]))
+    def minusSeed(cv: Seq[Double]) =
+      lit(1.0) - round(NativeVector.dot(col("nv"), typedLit(cv)), 6)
+    // running min distance to the chosen set — updated against the
+    // NEWEST center only, checkpointed so lineage stays flat
+    var state = n.filter(col("id") =!= seed._1)
+      .select(col("id"), col("nv"), minusSeed(seed._2).as("d"))
+      .localCheckpoint()
     var exhausted = false
     while (centers.size < k && !exhausted) {
-      val sims = centers.map { case (_, _, _, cv) =>
-        round(NativeVector.dot(col("nv"), typedLit(cv)), 6) }.toSeq
-      val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
-      val next = n
-        .filter(!col("id").isInCollection(centers.map(_._2)))
-        .select(col("id"), (lit(1.0) - maxSim).as("d"), col("nv"))
+      val next = state
+        .select(col("id"), col("d"), col("nv"))
         .orderBy(col("d").desc, col("id"))
         .limit(1)
         .as[(Long, Double, Seq[Double])].collect().headOption
       next match {
         case Some((id, d, nv)) =>
-          centers += ((centers.size + 1, id, Some(d), nv))
+          centers += ((centers.size + 1, id, Some(d)))
+          if (centers.size < k) {
+            val prev = state
+            state = state.filter(col("id") =!= id)
+              .select(col("id"), col("nv"),
+                least(col("d"), minusSeed(nv)).as("d"))
+              .localCheckpoint() // eager: safe to drop prev's blocks below
+            dropCheckpointBlocks(prev)
+          }
         case None => exhausted = true // corpus smaller than k
       }
     }
+    // the result below is built from driver-side `centers` only —
+    // nothing reads the corpus or running state after the loop
+    dropCheckpointBlocks(state)
+    dropCheckpointBlocks(n)
     centers.toSeq
-      .map { case (rank, id, d, _) => (rank, id, d) }
       .toDF("center_rank", "vec_id", "min_dist")
       .withColumn("min_dist", round(col("min_dist"), 6))
   }

@@ -55,6 +55,42 @@ class KCenterSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(1L, 2L))
   }
 
+  test("incremental min-dist column matches the naive all-centers form") {
+    // driver-side replay of the O(k²·n) formulation (every round
+    // re-evaluates 1 − max over ALL centers of the 6-dp-rounded
+    // cosine): the incremental least()-fold must follow the exact same
+    // trajectory, distances included
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val k = 12
+    def norm(v: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(_.toDouble / n)
+    }
+    val nv = rows.map { case (id, v) => id -> norm(v) }.toMap
+    def rdot(a: Seq[Double], b: Seq[Double]): Double =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var naive = Vector((1, 0L, Option.empty[Double]))
+    while (naive.size < k) {
+      val chosen = naive.map(_._2).toSet
+      val (id, d) = rows.map(_._1).filterNot(chosen)
+        .map(id => id -> (1.0 - naive.map(c => rdot(nv(id), nv(c._2))).max))
+        .maxBy { case (id, d) => (d, -id) }
+      naive :+= ((naive.size + 1, id, Some(d)))
+    }
+    val got = select(rows, k)
+    assert(got.map(_._2).toSeq == naive.map(_._2))
+    got.zip(naive).foreach { case ((_, _, gd), (_, _, nd)) =>
+      (gd, nd) match {
+        case (Some(g), Some(n)) => assert(math.abs(g - n) < 1e-6, s"$g vs $n")
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
   test("the registered query returns k deterministic centers") {
     val a = Queries.all("q_diverse_subset")(spark, "/root/testdata/sf0.001")
       .collect().toSeq
