@@ -255,10 +255,16 @@ object Graph {
     * share and the damping — so the result is bit-identical across
     * engines and partitionings (no double fold-order sensitivity), at
     * ~1e-12 relative precision for the default scale. ANSI mode makes
-    * any overflow loud; the bound is `85 * |V| * scale < 2^63`, i.e.
-    * |V| up to ~1e5 at the default scale — shrink `scale`
-    * proportionally for larger graphs (the bound is linear in it:
-    * scale = 1e9 admits |V| ~ 1e8 at ~1e-9 relative precision).
+    * any overflow loud; the bound is `85 * |V| * scale < 2^63`.
+    * `scale = 0` (the default) derives the scale from the graph
+    * itself: the largest power of ten satisfying the bound, capped at
+    * 1e12 — so |V| ≲ 1e5 gets the full 1e-12 precision and a larger
+    * graph trades precision for range automatically (scale = 1e9
+    * admits |V| ~ 1e8 at ~1e-9 relative precision) instead of
+    * overflowing. An explicit scale is validated against the same
+    * bound with an actionable error. |V| comes off the degree table
+    * the algorithm aggregates anyway (one count on a checkpointed
+    * |V|-row frame).
     *
     * Per iteration: one join of the materialized edge list with the
     * rank table (node-keyed; the edge side is pre-partitioned and
@@ -277,19 +283,39 @@ object Graph {
       iters: Int,
       srcCol: String = "a",
       dstCol: String = "b",
-      scale: Long = 1000000000000L,
+      scale: Long = 0L,
       canonical: Boolean = false): DataFrame = {
-    require(iters >= 0 && scale >= 100, s"need iters >= 0, scale >= 100, got $iters, $scale")
+    require(iters >= 0 && (scale == 0L || scale >= 100),
+      s"need iters >= 0 and scale 0 (auto) or >= 100, got $iters, $scale")
     val canon =
       if (canonical) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       else canonicalize(edges, srcCol, dstCol)
     val sym = symmetrizeForJoins(canon)
-    val base = scale * 15L / 100L
-    var ranks = sym
+    val degrees = sym
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .withColumn("r", lit(scale))
       .localCheckpoint(true)
+    // worst case one node receives the entire rank mass |V|*scale, then
+    // multiplies by 85: keep 85 * |V| * scale inside Long
+    val nV = math.max(degrees.count(), 1L)
+    val maxScale = Long.MaxValue / 85L / nV
+    val effScale =
+      if (scale > 0L) {
+        require(scale <= maxScale,
+          s"pageRank fixed-point overflow: 85 * |V| * scale = " +
+            s"85 * $nV * $scale exceeds Long; pass scale <= $maxScale " +
+            s"(or scale = 0 to derive it)")
+        scale
+      } else {
+        var s = 1000000000000L
+        while (s > maxScale) s /= 10L
+        require(s >= 100L,
+          s"graph too large for Long fixed-point PageRank: |V| = $nV " +
+            s"admits scale <= $maxScale (< the 100 minimum)")
+        s
+      }
+    val base = effScale * 15L / 100L
+    var ranks = degrees.withColumn("r", lit(effScale))
     def step(prev: DataFrame): DataFrame = {
       val contrib = sym
         .join(prev.select(col("node").as("src"), col("deg"), col("r")), "src")

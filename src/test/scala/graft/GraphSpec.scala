@@ -123,6 +123,27 @@ class GraphSpec extends SparkSpec {
     assert(got == r)
   }
 
+  test("|V| > 1e5 derives a smaller scale instead of overflowing") {
+    // ring of 120k nodes: 85 * |V| * 1e12 would blow past 2^63, so the
+    // auto-scale drops to 1e11 (the largest power of ten fitting) and
+    // the run completes; a 2-regular ring is a fixed point, so every
+    // rank must sit exactly at the derived scale after the iterations
+    val n = 120000L
+    val ring = spark.range(n).selectExpr("id AS a", "(id + 1) % 120000 AS b")
+    val r = Graph.pageRank(ring, iters = 2, canonical = true)
+      .agg(org.apache.spark.sql.functions.min("rank"),
+        org.apache.spark.sql.functions.max("rank"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((100000000000L, 100000000000L, n)), r.toString)
+    // an explicit out-of-range scale is rejected with guidance, not a
+    // mid-job ANSI overflow
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(ring, iters = 1, scale = 1000000000000L, canonical = true)
+    }
+    assert(e.getMessage.contains("scale <="), e.getMessage)
+  }
+
   // ------------------------------------------------------------ walks
 
   test("walks start everywhere, have steps+1 hops, and follow edges") {
