@@ -63,6 +63,22 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(3L, 4L, 7L, 8L), s"got $kept")
   }
 
+  test("a single-document source keeps its one document") {
+    import org.apache.spark.sql.functions.col
+    // the rank-based rule exists for exactly this: percent_rank of a
+    // 1-row partition is 0, so a `pct_rank >= 1 - keepFraction`
+    // threshold would eliminate every lone-document source
+    val docs = Seq(
+      (1L, "solo", 0.1),
+      (2L, "big", 1.0), (3L, "big", 2.0), (4L, "big", 3.0), (5L, "big", 4.0))
+      .toDF("doc_id", "source", "q")
+    val r = graft.operators.Curation
+      .calibrateQuality(docs, "doc_id", "source", col("q"), keepFraction = 0.5)
+    val solo = r.filter(col("source") === "solo").collect()
+    assert(solo.length == 1)
+    assert(solo.head.getAs[Boolean]("keep"), "the lone document must be kept")
+  }
+
   test("percent ranks are dense, tie-broken by id, and partition-independent") {
     import org.apache.spark.sql.functions.col
     val docs = (1 to 40).map(i => (i.toLong, s"s${i % 3}", (i % 7).toDouble))
