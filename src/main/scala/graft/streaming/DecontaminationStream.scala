@@ -76,6 +76,10 @@ object DecontaminationStream {
     * batch holding the distinct shingle-hash union — lossless (the
     * store is a set; distinct-union with future batches is unchanged).
     * Atomic swap via [[BatchState.swap]].
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, stateDir: String): Unit =
     BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>

@@ -111,6 +111,10 @@ object IvfStream {
     * half-written store. After compaction, [[index]] takes its
     * single-batch fast path: no aggregation, and the probed cells
     * prune at the directory level again.
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, stateDir: String): Unit =
     BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>

@@ -89,6 +89,10 @@ object KmvStream {
     * already-merged state equals merging with the original batches).
     * Atomic swap via [[BatchState.swap]]; batches streamed afterwards
     * keep merging on read as before.
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, stateDir: String, cfg: Config = Config()): Unit =
     BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>

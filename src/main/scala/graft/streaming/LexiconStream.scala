@@ -87,6 +87,10 @@ object LexiconStream {
     * Additive state: every batch except the newest folds, so a
     * post-crash replay of the newest overwrites only its own
     * partition ([[BatchState.compactExceptNewest]]).
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, storeDir: String): Unit =
     BatchState.compactExceptNewest(spark, storeDir)(

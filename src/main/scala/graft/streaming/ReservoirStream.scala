@@ -87,6 +87,10 @@ object ReservoirStream {
     * already-EVICTED document's higher historical weight is gone; for
     * retained documents the reservoir keeps their max weight).
     * Atomic swap via [[BatchState.swap]].
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, stateDir: String, cfg: Config = Config()): Unit =
     BatchState.maxBatchId(spark, stateDir).foreach { maxBatch =>

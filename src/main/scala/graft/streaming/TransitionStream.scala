@@ -107,6 +107,10 @@ object TransitionStream {
     * ids above the keep id), so a post-crash REPLAY of that batch —
     * the one delivery Structured Streaming may repeat — overwrites
     * only its own partition instead of erasing the merged history.
+    * Single-writer: run at most ONE compaction against a store at a
+    * time — the swap protocol tolerates a live stream writer and
+    * crash/recovery, but two concurrent compactors race on the same
+    * rename sequence ([[BatchState.swap]]).
     */
   def compact(spark: SparkSession, pairsDir: String, lastDir: String): Unit = {
     BatchState.compactExceptNewest(spark, pairsDir)(
