@@ -360,7 +360,21 @@ object Multimodal {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
-    val (w, h) = (img.getWidth, img.getHeight)
+    blockAHash(img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    })
+  }
+
+  /** The aHash core over ANY gray-pixel accessor — shared by
+    * [[imageAHash]] (decoded RGB → luma) and
+    * [[VideoFrames.lumaAHash]] (a raw Y plane IS luma), so hashes
+    * from both pixel sources use the identical 8×8 block-average +
+    * global-mean-threshold construction.
+    */
+  private[operators] def blockAHash(
+      w: Int, h: Int, gray: (Int, Int) => Int): Long = {
     require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
     val cells = new Array[Long](64)
     var r = 0
@@ -374,9 +388,7 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
+            sum += gray(x, y)
             x += 1
           }
           y += 1

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal.MediaRecord
 
-/** REAL video frame extraction for the one container+codec pair the
-  * JVM can decode without native libraries: MJPEG-in-AVI, where every
-  * frame chunk is a complete JPEG that `ImageIO` reads. This upgrades
-  * a slice of the video seam from "honest stub" to real — general
-  * codecs (H.264 et al.) still route to [[Multimodal.stubDecode]],
-  * exactly like audio handles PCM natively and routes compressed
-  * codecs to the seam.
+/** REAL video frame extraction for the container+codec pairs the JVM
+  * can decode without native libraries: MJPEG-in-AVI (every frame
+  * chunk is a complete JPEG that `ImageIO` reads) and raw YUV4MPEG2
+  * / Y4M (uncompressed planar frames — no codec at all). This
+  * upgrades a slice of the video seam from "honest stub" to real —
+  * general codecs (H.264 et al.) still route to
+  * [[Multimodal.stubDecode]], exactly like audio handles PCM natively
+  * and routes compressed codecs to the seam.
   *
   * The RIFF walk mirrors the ISO-BMFF box walk in
   * [[Multimodal.mp4Meta]]: fourcc + little-endian size chunks, LIST
@@ -83,9 +84,110 @@ object VideoFrames {
     frames.result()
   }
 
-  /** Per-clip frame-hash fingerprints: every `stride`-th MJPEG frame
-    * (up to `maxFrames`) decoded for real and reduced to its
-    * [[Multimodal.imageAHash]] — (media_id, frame_idx, landmark) in
+  /** Luma planes of a YUV4MPEG2 (Y4M) stream in order, sampled during
+    * the walk exactly like [[aviMjpegFrames]] — the SECOND real
+    * container: raw uncompressed frames, the interchange format every
+    * encoder toolchain emits, needing no codec at all. Returns
+    * `(width, height, yPlane)` per sampled frame; chroma planes are
+    * skipped over but never copied (the fingerprint is luma-only,
+    * matching the luminance-weighted gray [[Multimodal.imageAHash]]
+    * computes from RGB). Fails loudly on non-Y4M bytes, unknown
+    * colorspaces, and non-positive dimensions; a truncated final
+    * frame (interrupted upload) is dropped, not padded.
+    */
+  def y4mFrames(
+      payload: Array[Byte],
+      stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): Vector[(Int, Int, Array[Byte])] = {
+    require(stride >= 1 && maxFrames >= 1, "stride and maxFrames must be >= 1")
+    val magic = "YUV4MPEG2"
+    require(payload.length > magic.length + 1 &&
+      new String(payload, 0, magic.length,
+        java.nio.charset.StandardCharsets.US_ASCII) == magic,
+      "not a Y4M stream")
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, "unterminated Y4M header line")
+      i
+    }
+    val hdrEnd = lineEnd(0)
+    val params = new String(payload, 0, hdrEnd,
+      java.nio.charset.StandardCharsets.US_ASCII).split(' ').drop(1)
+    def tag(t: Char): Option[String] =
+      params.collectFirst { case p if p.nonEmpty && p.head == t => p.tail }
+    val w = tag('W').map(_.toInt).getOrElse(0)
+    val h = tag('H').map(_.toInt).getOrElse(0)
+    require(w > 0 && h > 0, s"Y4M needs positive W/H tags, got ${w}x$h")
+    val cs = tag('C').getOrElse("420") // spec default
+    val lumaLen = w * h
+    val chromaLen = cs match {
+      case c if c.startsWith("420") => 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      case c if c.startsWith("422") => 2 * ((w + 1) / 2) * h
+      case c if c.startsWith("444") => 2 * w * h
+      case c if c.startsWith("mono") => 0
+      case other => throw new IllegalArgumentException(
+        s"unsupported Y4M colorspace C$other")
+    }
+    val frames = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var kept = 0
+    var seen = 0
+    var o = hdrEnd + 1
+    while (o < payload.length && kept < maxFrames) {
+      require(o + 5 <= payload.length &&
+        new String(payload, o, 5,
+          java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+        s"corrupt Y4M frame marker at offset $o")
+      val dataStart = lineEnd(o) + 1 // FRAME line may carry parameters
+      if (dataStart + lumaLen + chromaLen > payload.length) {
+        o = payload.length // truncated final frame: drop it
+      } else {
+        if (seen % stride == 0) {
+          frames += ((w, h,
+            java.util.Arrays.copyOfRange(payload, dataStart, dataStart + lumaLen)))
+          kept += 1
+        }
+        seen += 1
+        o = dataStart + lumaLen + chromaLen
+      }
+    }
+    frames.result()
+  }
+
+  /** [[Multimodal.blockAHash]] over a raw luma plane — the Y4M
+    * counterpart of [[Multimodal.imageAHash]] (a Y plane already IS
+    * the luminance that aHash grays RGB down to).
+    */
+  def lumaAHash(w: Int, h: Int, yPlane: Array[Byte]): Long = {
+    require(yPlane.length >= w * h, "short luma plane")
+    Multimodal.blockAHash(w, h, (x, y) => yPlane(y * w + x) & 0xff)
+  }
+
+  /** Container dispatch for [[fingerprints]]: `(sampled_idx, hash)`
+    * per decodable, non-flat frame. Magic-sniffed, not mime-trusted:
+    * RIFF/AVI → per-frame JPEG decode + [[Multimodal.imageAHash]];
+    * YUV4MPEG2 → raw luma + [[lumaAHash]].
+    */
+  private def frameHashes(
+      payload: Array[Byte], stride: Int, maxFrames: Int): Vector[(Int, Long)] =
+    if (payload.length >= 9 &&
+        new String(payload, 0, 9,
+          java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2")
+      y4mFrames(payload, stride, maxFrames).zipWithIndex.flatMap {
+        case ((w, h, yp), i) =>
+          scala.util.Try(lumaAHash(w, h, yp)).toOption
+            .filter(_ != 0L).map(hash => (i, hash))
+      }
+    else
+      aviMjpegFrames(payload, stride, maxFrames).zipWithIndex.flatMap {
+        case (jpeg, i) =>
+          scala.util.Try(Multimodal.imageAHash(jpeg)).toOption
+            .filter(_ != 0L).map(hash => (i, hash))
+      }
+
+  /** Per-clip frame-hash fingerprints: every `stride`-th frame (up to
+    * `maxFrames`) of an MJPEG-AVI or Y4M clip decoded for real and
+    * reduced to its aHash — (media_id, frame_idx, landmark) in
     * sampled order. With the default stride = 1 a trimmed lead-in
     * shifts every index by a constant, exactly what the delta
     * matcher absorbs; a coarser stride trades that robustness for
@@ -111,14 +213,10 @@ object VideoFrames {
       .filter(m => m.meta != null && m.meta.mime != null &&
         m.meta.mime.startsWith("video/") && m.payload != null)
       .mapPartitions(_.flatMap { m =>
-        scala.util.Try(aviMjpegFrames(m.payload, stride, maxFrames))
-          .getOrElse(Vector.empty)
-          .iterator.zipWithIndex
-          .flatMap { case (jpeg, i) =>
-            scala.util.Try(Multimodal.imageAHash(jpeg)).toOption
-              .filter(_ != 0L) // a flat frame's hash: zero evidence
-              .map(h => (m.media_id, i, h))
-          }
+        scala.util.Try(frameHashes(m.payload, stride, maxFrames))
+          .getOrElse(Vector.empty) // unparseable container: no prints
+          .iterator
+          .map { case (i, h) => (m.media_id, i, h) }
       })
       .toDF("media_id", "frame_idx", "landmark")
   }

@@ -143,4 +143,93 @@ class VideoFramesSpec extends SparkSpec {
       VideoFrames.fingerprints(media), minMatches = 4).isEmpty,
       "shared black lead-ins must not count as a match")
   }
+
+  // --------------------------------------------------------------- Y4M
+
+  /** 16×16 C420 luma pattern `p`: same checkerboard family as
+    * [[jpegFrame]] but written directly into a Y plane.
+    */
+  private def lumaPlane(invertRow: Int, phase: Int = 0): Array[Byte] = {
+    val y = new Array[Byte](16 * 16)
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val cellOn = (c / 2 + r / 2 + phase) % 2 == 0
+      val inverted = r / 2 == invertRow
+      y(r * 16 + c) = if (cellOn ^ inverted) 0xff.toByte else 0x00.toByte
+    }
+    y
+  }
+
+  private def y4m(lumas: Seq[Array[Byte]], cs: String = "420jpeg",
+      frameParams: String = ""): Array[Byte] = {
+    val chroma = new Array[Byte](2 * 8 * 8) // C420 at 16x16
+    val chromaLen = cs match {
+      case c if c.startsWith("mono") => 0
+      case c if c.startsWith("444") => 2 * 16 * 16
+      case _ => chroma.length
+    }
+    ascii(s"YUV4MPEG2 W16 H16 F30:1 Ip A1:1 C$cs\n") ++
+      lumas.flatMap(y =>
+        ascii(s"FRAME$frameParams\n") ++ y ++ new Array[Byte](chromaLen)).toArray
+  }
+
+  private val lumasA = (0 until 8).map(lumaPlane(_))
+
+  test("y4m: the walk recovers every luma plane byte-for-byte") {
+    val got = VideoFrames.y4mFrames(y4m(lumasA))
+    assert(got.length === 8)
+    got.zip(lumasA).foreach { case ((w, h, y), b) =>
+      assert(w === 16 && h === 16)
+      assert(y.sameElements(b))
+    }
+    // colorspace variants change only the skip distance, never the luma
+    for (cs <- Seq("mono", "444", "420mpeg2")) {
+      val v = VideoFrames.y4mFrames(y4m(lumasA, cs = cs))
+      assert(v.length === 8, cs)
+      v.zip(lumasA).foreach { case ((_, _, y), b) => assert(y.sameElements(b)) }
+    }
+    // FRAME lines may carry parameters; the payload starts after '\n'
+    val p = VideoFrames.y4mFrames(y4m(lumasA, frameParams = " Xparam"))
+    assert(p.length === 8)
+    p.zip(lumasA).foreach { case ((_, _, y), b) => assert(y.sameElements(b)) }
+  }
+
+  test("y4m: non-y4m bytes, bad colorspace, missing dims fail loudly") {
+    intercept[IllegalArgumentException] {
+      VideoFrames.y4mFrames("MPEG4 something".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      VideoFrames.y4mFrames(ascii("YUV4MPEG2 W16 H16 C999\nFRAME\n"))
+    }
+    intercept[IllegalArgumentException] {
+      VideoFrames.y4mFrames(ascii("YUV4MPEG2 F30:1\nFRAME\n"))
+    }
+  }
+
+  test("y4m: truncated final frame dropped; stride and maxFrames bound the walk") {
+    val whole = y4m(lumasA)
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, whole.length - 50)
+    assert(VideoFrames.y4mFrames(truncated).length === 7)
+    assert(VideoFrames.y4mFrames(whole, stride = 2).length === 4)
+    assert(VideoFrames.y4mFrames(whole, maxFrames = 3).length === 3)
+  }
+
+  test("y4m fingerprints match a lead-trimmed copy cross-container-style") {
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) =
+      MediaRecord(id, bytes, MediaMeta("video/x-y4m", "t", bytes.length.toLong))
+    val media = Seq(
+      rec(1L, y4m(lumasA)),
+      rec(2L, y4m(lumasA.drop(2))), // first two frames trimmed
+      rec(3L, y4m((0 until 8).map(lumaPlane(_, phase = 1))))).toDS()
+    val prints = VideoFrames.fingerprints(media)
+    assert(prints.filter("media_id = 1").count() === 8L)
+    val pairs = VideoFrames.nearDupPairs(prints, minMatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 === 6L, "six shared frames at delta 2")
+  }
+
+  test("y4m: a flat luma frame hashes to zero evidence, like a flat jpeg") {
+    assert(VideoFrames.lumaAHash(16, 16, new Array[Byte](256)) === 0L)
+  }
 }
