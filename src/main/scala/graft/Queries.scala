@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Divergence, EventFlow, Graph, InvertedIndex, Lexicon, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup, VectorStats}
+import graft.operators.{CorpusGrowth, Curation, Dedup, Divergence, EventFlow, Graph, InvertedIndex, Lexicon, NgramLm, Profile, Scd, ScdMerge, SimilaritySearch, SourceOverlap, SubstringDedup, VectorStats}
 
 /** The engine's query inventory: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions, each with an
@@ -4570,6 +4570,106 @@ object Queries {
       |    AS rank FROM r)
       |SELECT rank, term, cf, df, burstiness, vmr FROM k WHERE rank <= 30""".stripMargin
 
+  /** Per-document trigram novelty
+    * ([[graft.operators.CorpusGrowth.ngramNovelty]]): fraction of each
+    * document's distinct word trigrams first seen (smallest doc_id) in
+    * that document — the cross-document staleness signal
+    * within-document repetition cannot see. Two keyed aggregations
+    * (by n-gram, then by doc); no windows over data.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    CorpusGrowth.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+
+  val ngramNoveltySql: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents
+      |  WHERE length(regexp_extract_all(text, '\S+')) >= 3),
+      |g AS (SELECT DISTINCT doc_id, h FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> CAST(('0x' || substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+      |      1, 8)) AS BIGINT))) AS h FROM w)),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM g GROUP BY 1),
+      |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM (
+      |  SELECT h, min(doc_id) AS doc_id FROM g GROUP BY 1) GROUP BY 1)
+      |SELECT per.doc_id, per.n_ngrams,
+      |  coalesce(nov.n_novel, 0) AS n_novel,
+      |  round(CAST(coalesce(nov.n_novel, 0) AS DOUBLE) /
+      |    CAST(per.n_ngrams AS DOUBLE), 6) AS novelty
+      |FROM per LEFT JOIN nov USING (doc_id)""".stripMargin
+
+  /** Heaps'-law vocabulary growth
+    * ([[graft.operators.CorpusGrowth.vocabGrowth]]): cumulative tokens
+    * vs cumulative distinct vocabulary over 10 equal doc-id ranges,
+    * plus the local Heaps exponent between consecutive points — the
+    * tokenizer-sizing / source-exhaustion curve. First-occurrence
+    * attribution per word replaces 10 corpus rescans.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    CorpusGrowth.vocabGrowth(t(s, dir, "documents"), "doc_id", "text", buckets = 10)
+
+  val vocabGrowthSql: String =
+    """WITH b AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+      |    CAST(max(doc_id) AS BIGINT) - CAST(min(doc_id) AS BIGINT) + 1 AS span
+      |  FROM documents),
+      |d AS (SELECT ((CAST(doc_id AS BIGINT) - b.lo) * 10) // b.span + 1 AS bucket,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+      |    doc_id, text
+      |  FROM documents CROSS JOIN b),
+      |dt AS (SELECT bucket, CAST(sum(tok) AS BIGINT) AS toks FROM d GROUP BY 1),
+      |fw AS (SELECT w, min(bucket) AS bucket FROM (
+      |  SELECT bucket, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM d)
+      |  WHERE w <> '' GROUP BY 1),
+      |nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_words FROM fw GROUP BY 1),
+      |c AS (SELECT dt.bucket, dt.toks, coalesce(nw.new_words, 0) AS new_words
+      |  FROM dt LEFT JOIN nw USING (bucket)),
+      |cum AS (SELECT bucket,
+      |    sum(toks) OVER (ORDER BY bucket) AS cum_tokens,
+      |    sum(new_words) OVER (ORDER BY bucket) AS cum_vocab
+      |  FROM c),
+      |r AS (SELECT bucket, cum_tokens, cum_vocab,
+      |    lag(cum_tokens) OVER (ORDER BY bucket) AS pt,
+      |    lag(cum_vocab) OVER (ORDER BY bucket) AS pv
+      |  FROM cum)
+      |SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+      |  round(CASE WHEN pt IS NOT NULL AND cum_tokens > pt AND pv > 0
+      |    THEN (ln(CAST(cum_vocab AS DOUBLE)) - ln(CAST(pv AS DOUBLE))) /
+      |      (ln(CAST(cum_tokens AS DOUBLE)) - ln(CAST(pt AS DOUBLE)))
+      |    ELSE NULL END, 6) AS heaps_beta
+      |FROM r""".stripMargin
+
+  /** Data-constrained epoch allocation
+    * ([[graft.operators.Curation.epochAllocation]]): whole epochs per
+    * source under a 100k-token budget with value decaying 0.5× per
+    * repeat (Muennighoff et al. 2023) — greedy-by-marginal-value as a
+    * single ranking over the |sources|·8-row pair table.
+    */
+  def epochAllocation(s: SparkSession, dir: String): DataFrame =
+    Curation.epochAllocation(t(s, dir, "documents"), "source",
+      TextFunctions.tokenCount(col("text")),
+      budget = 100000L, maxEpochs = 8, delta = 0.5)
+
+  val epochAllocationSql: String =
+    """WITH m AS (SELECT source,
+      |    CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS u
+      |  FROM documents GROUP BY 1
+      |  HAVING sum(length(regexp_extract_all(text, '\S+'))) > 0),
+      |p AS (SELECT source, u, unnest(range(1, 9)) AS epoch FROM m),
+      |v AS (SELECT *, round(CAST(u AS DOUBLE) * power(0.5, epoch - 1), 6) AS val
+      |  FROM p),
+      |c AS (SELECT *, sum(u) OVER (ORDER BY val DESC, source, epoch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spent FROM v)
+      |SELECT source, u AS unique_tokens,
+      |  CAST(sum(CASE WHEN spent <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS epochs,
+      |  CAST(sum(CASE WHEN spent <= 100000 THEN 1 ELSE 0 END) * u AS BIGINT)
+      |    AS tokens_allocated,
+      |  round(CAST(u AS DOUBLE) *
+      |    (1 - power(0.5, sum(CASE WHEN spent <= 100000 THEN 1 ELSE 0 END))) /
+      |    0.5, 6) AS effective_value
+      |FROM c GROUP BY source, u""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4710,7 +4810,10 @@ object Queries {
     "q_curate_corpus" -> (curateCorpus _),
     "q_source_dedup_matrix" -> (sourceDedupMatrix _),
     "q_embedding_drift" -> (embeddingDrift _),
-    "q_term_burstiness" -> (termBurstiness _))
+    "q_term_burstiness" -> (termBurstiness _),
+    "q_ngram_novelty" -> (ngramNovelty _),
+    "q_vocab_growth" -> (vocabGrowth _),
+    "q_epoch_allocation" -> (epochAllocation _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4736,6 +4839,9 @@ object Queries {
     "q_source_dedup_matrix" -> sourceDedupMatrixSql,
     "q_embedding_drift" -> embeddingDriftSql,
     "q_term_burstiness" -> termBurstinessSql,
+    "q_ngram_novelty" -> ngramNoveltySql,
+    "q_vocab_growth" -> vocabGrowthSql,
+    "q_epoch_allocation" -> epochAllocationSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

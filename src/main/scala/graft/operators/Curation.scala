@@ -156,4 +156,64 @@ object Curation {
         ceil(col("__n").cast("double") * lit(keepFraction)).cast("long"))
       .drop("__rk_desc", "__n")
   }
+
+  /** Data-constrained epoch allocation: given per-source unique token
+    * mass and a total token budget, decide how many EPOCHS (full
+    * passes) of each source to train on, under geometrically decaying
+    * value for repeated data — the published data-constrained-scaling
+    * result that repeating a good source beats ingesting a worse one,
+    * up to a few epochs (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"; decay modeled as
+    * `value(source, epoch) = mass · delta^(epoch−1)`).
+    *
+    * Greedy by marginal value, expressed as ONE ranking — no loop:
+    * order all (source, epoch ≤ maxEpochs) pairs by (value desc,
+    * source, epoch) and keep the longest prefix whose token cost fits
+    * the budget. Because value decays in the epoch for a fixed
+    * source, any kept prefix allocates CONTIGUOUS epochs 1..k per
+    * source, so the greedy optimum is exactly "count kept pairs per
+    * source".
+    *
+    * Output: (source, unique_tokens, epochs, tokens_allocated,
+    * effective_value) — epochs ≥ 0, tokens_allocated = epochs ·
+    * unique_tokens, effective_value = mass·(1−delta^epochs)/(1−delta)
+    * rounded to 6 dp. Σ tokens_allocated ≤ budget always.
+    *
+    * Scale shape: one map-side-combined corpus aggregate to the
+    * |sources|-row table; the pair ranking and running sum windows
+    * sort |sources|·maxEpochs rows, never data.
+    */
+  def epochAllocation(
+      docs: DataFrame,
+      sourceCol: String,
+      tokenCol: Column,
+      budget: Long,
+      maxEpochs: Int = 8,
+      delta: Double = 0.5): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    val mass = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCol.cast("long")).as("unique_tokens"))
+      .filter(col("unique_tokens") > 0)
+    val pairs = mass.select(col("source"), col("unique_tokens"),
+      explode(sequence(lit(1), lit(maxEpochs))).as("epoch"))
+      .withColumn("__value",
+        round(col("unique_tokens").cast("double") *
+          pow(lit(delta), col("epoch") - lit(1)), 6))
+    val greedy = Window // |sources| × maxEpochs rows — not data
+      .partitionBy(lit(1))
+      .orderBy(col("__value").desc, col("source"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("__spent", sum("unique_tokens").over(greedy))
+      .groupBy("source", "unique_tokens")
+      .agg(sum(when(col("__spent") <= budget, 1L).otherwise(0L)).as("epochs"))
+      .select(col("source"), col("unique_tokens"), col("epochs"),
+        (col("epochs") * col("unique_tokens")).as("tokens_allocated"),
+        round(col("unique_tokens").cast("double") *
+          (lit(1.0) - pow(lit(delta), col("epochs").cast("double"))) /
+          lit(1.0 - delta), 6).as("effective_value"))
+  }
 }

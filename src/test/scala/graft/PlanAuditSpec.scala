@@ -403,7 +403,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_embedding_drift" -> 3,
       // (doc, term) count + per-term fold; top-30 is TakeOrdered and
       // the rank window runs over those 30 rows
-      "q_term_burstiness" -> 3)
+      "q_term_burstiness" -> 3,
+      // per-doc totals are map-only (size of the hash array); only the
+      // attribution explode shuffles: gram-hash min + per-doc count;
+      // totals come back by broadcast join
+      "q_ngram_novelty" -> 2,
+      // bucket token agg + per-word first-occurrence agg + its bucket
+      // rollup + the bucket join and the |buckets|-row curve window
+      "q_vocab_growth" -> 5,
+      // source mass agg + the |sources|·maxEpochs pair ranking window
+      // + the final per-source rollup
+      "q_epoch_allocation" -> 3)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
