@@ -54,20 +54,30 @@ object CorpusGrowth {
     * vocabulary-bounded and never joins back to the corpus text. No
     * windows over data, no driver state.
     */
-  def ngramNovelty(
-      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** `(doc_id, gs)` — each document's DISTINCT 32-bit shingle hashes
+    * as an array column, documents with fewer than `n` tokens
+    * dropped. The shared front half of [[ngramNovelty]] and
+    * [[graft.streaming.NoveltyStream]].
+    */
+  private[graft] def docShingleHashes(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
     graft.plans.NativeText.register(docs.sparkSession)
     // "has at least one n-gram" ⟺ "has at least n tokens": filter on
     // the CHEAP token count, not on size(shingle array) — a predicate
     // over the shingle expression gets pushed into the scan and
     // recomputes the whole construction per row just to filter it
-    val pre = docs
+    docs
       .filter(TextFunctions.tokenCount(
         TextFunctions.normalizeText(col(textCol))) >= n)
       .select(col(idCol).cast("long").as("doc_id"),
         array_distinct(graft.plans.NativeText.shingleHash32(
           split(TextFunctions.normalizeText(col(textCol)), " "), n)).as("gs"))
+  }
+
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val pre = docShingleHashes(docs, idCol, textCol, n)
     val perDoc = pre
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_ngrams"))
     val novel = pre.select(col("doc_id"), explode(col("gs")).as("g"))

@@ -326,7 +326,7 @@ object SimilaritySearch {
     * k-round loop holds k copies of the running state in the block
     * manager at once.
     */
-  private def dropCheckpointBlocks(df: DataFrame): Unit =
+  private[graft] def dropCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
