@@ -4670,6 +4670,122 @@ object Queries {
       |    0.5, 6) AS effective_value
       |FROM c GROUP BY source, u""".stripMargin
 
+  /** Per-source corpus scorecard — the curation dashboard as ONE
+    * query, composing the audited per-doc signals: document/token
+    * volume and share, exact-duplicate rate
+    * (fingerprint-first-owner), mean token entropy
+    * ([[graft.operators.Lexicon.tokenEntropy]]), mean trigram novelty
+    * ([[graft.operators.CorpusGrowth.ngramNovelty]]), and
+    * majority-language purity. Every mean folds the 6-dp-rounded
+    * per-doc values through DECIMAL(27,6) (exact sum, one double
+    * division) so the roll-up is fold-order-independent like its
+    * inputs. Per-doc frames meet on the doc key; per-source tables
+    * (lang mode, token total) come back by broadcast.
+    */
+  def corpusScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ent = Lexicon.tokenEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("entropy"))
+    val nov = CorpusGrowth.ngramNovelty(docs, "doc_id", "text")
+      .select(col("doc_id"), col("novelty"))
+    val slim = docs.select(col("doc_id"), col("source"), col("lang"),
+      TextFunctions.fingerprint(col("text")).as("__fp"))
+    val firsts = slim.groupBy("__fp").agg(min("doc_id").as("__first"))
+    val flagged = slim.join(firsts, Seq("__fp"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") === col("__first"), 0.0).otherwise(1.0).as("__dup"))
+    val perSource = flagged
+      .join(ent, Seq("doc_id"), "left")
+      .join(nov, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("__dup").as("__dups"),
+        sum(col("entropy").cast("decimal(27,6)")).as("__ents"),
+        count(col("entropy")).as("__entn"),
+        sum(col("novelty").cast("decimal(27,6)")).as("__novs"),
+        count(col("novelty")).as("__novn"))
+    val langTop = docs.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+      .groupBy("source").agg(max("__c").as("__top"))
+    // corpus token total map-only off the raw text (== Σ ent.n_tokens:
+    // \S+ runs survive normalization unchanged), so the denominator
+    // never re-runs the entropy pipeline
+    val total = docs.agg(
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("__tot"))
+    perSource
+      .join(broadcast(langTop), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot").cast("double"), 6)
+          .as("token_share"),
+        round(col("__dups") / col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("__ents").cast("double") / col("__entn").cast("double"), 6)
+          .as("mean_entropy"),
+        round(col("__novs").cast("double") / col("__novn").cast("double"), 6)
+          .as("mean_novelty"),
+        round(col("__top").cast("double") / col("n_docs").cast("double"), 6)
+          .as("lang_purity"))
+  }
+
+  val corpusScorecardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tc AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |ent AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    round(ln(CAST(sum(c) AS DOUBLE)) -
+      |      CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 7)
+      |        AS DECIMAL(27,7))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+      |  FROM tc GROUP BY 1),
+      |ws AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents
+      |  WHERE length(regexp_extract_all(text, '\S+')) >= 3),
+      |g AS (SELECT DISTINCT doc_id, h FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> CAST(('0x' || substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+      |      1, 8)) AS BIGINT))) AS h FROM ws)),
+      |nov AS (SELECT per.doc_id,
+      |    round(CAST(coalesce(f.n_novel, 0) AS DOUBLE) /
+      |      CAST(per.n AS DOUBLE), 6) AS novelty
+      |  FROM (SELECT doc_id, count(*) AS n FROM g GROUP BY 1) per
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n_novel FROM (
+      |    SELECT h, min(doc_id) AS doc_id FROM g GROUP BY 1) GROUP BY 1) f
+      |  USING (doc_id)),
+      |fp AS (SELECT doc_id, source, lang,
+      |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |d AS (SELECT f.doc_id, f.source, f.lang,
+      |    CASE WHEN f.doc_id = fi.first_id THEN 0.0 ELSE 1.0 END AS is_dup
+      |  FROM fp f JOIN (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1) fi
+      |  USING (fp)),
+      |lt AS (SELECT source, max(c) AS top FROM (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |  AS t FROM documents),
+      |agg AS (SELECT d.source, count(*) AS n_docs,
+      |    CAST(sum(ent.n_tokens) AS BIGINT) AS n_tokens,
+      |    sum(d.is_dup) AS dups,
+      |    sum(CAST(ent.entropy AS DECIMAL(27,6))) AS ents,
+      |    count(ent.entropy) AS entn,
+      |    sum(CAST(nov.novelty AS DECIMAL(27,6))) AS novs,
+      |    count(nov.novelty) AS novn
+      |  FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN nov USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT agg.source, agg.n_docs, agg.n_tokens,
+      |  round(CAST(agg.n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+      |    AS token_share,
+      |  round(agg.dups / CAST(agg.n_docs AS DOUBLE), 6) AS dup_rate,
+      |  round(CAST(agg.ents AS DOUBLE) / CAST(agg.entn AS DOUBLE), 6)
+      |    AS mean_entropy,
+      |  round(CAST(agg.novs AS DOUBLE) / CAST(agg.novn AS DOUBLE), 6)
+      |    AS mean_novelty,
+      |  round(CAST(lt.top AS DOUBLE) / CAST(agg.n_docs AS DOUBLE), 6)
+      |    AS lang_purity
+      |FROM agg JOIN lt USING (source) CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4813,7 +4929,8 @@ object Queries {
     "q_term_burstiness" -> (termBurstiness _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_vocab_growth" -> (vocabGrowth _),
-    "q_epoch_allocation" -> (epochAllocation _))
+    "q_epoch_allocation" -> (epochAllocation _),
+    "q_corpus_scorecard" -> (corpusScorecard _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4842,6 +4959,7 @@ object Queries {
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_vocab_growth" -> vocabGrowthSql,
     "q_epoch_allocation" -> epochAllocationSql,
+    "q_corpus_scorecard" -> corpusScorecardSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -413,7 +413,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_vocab_growth" -> 5,
       // source mass agg + the |sources|·maxEpochs pair ranking window
       // + the final per-source rollup
-      "q_epoch_allocation" -> 3)
+      "q_epoch_allocation" -> 3,
+      // e2e composition: fingerprint first-owner agg + its join, the
+      // entropy (doc,term)+doc aggs, the novelty gram+doc aggs, the
+      // three doc-keyed join sides and the source rollup; lang mode
+      // and token total come back by broadcast
+      "q_corpus_scorecard" -> 12)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
