@@ -40,6 +40,21 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("novelty conservation: novel counts sum to the corpus' distinct grams") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"w${i % 6} w${(i / 2) % 5} w${i % 4} w${(i / 3) % 7}"))
+      .toDF("doc_id", "text")
+    val r = CorpusGrowth.ngramNovelty(docs, "doc_id", "text")
+    val totalNovel = r.agg(org.apache.spark.sql.functions.sum("n_novel"))
+      .as[Long].collect().head
+    val distinctGrams = graft.operators.CorpusGrowth
+      .docShingleHashes(docs, "doc_id", "text", 3)
+      .select(org.apache.spark.sql.functions.explode($"gs").as("h"))
+      .distinct().count()
+    assert(totalNovel === distinctGrams,
+      "every distinct gram is novel for exactly one document")
+  }
+
   // ------------------------------------------------------- vocabGrowth
 
   test("vocab growth: cumulative curve and the local Heaps exponent") {
@@ -63,6 +78,21 @@ class CorpusGrowthSpec extends SparkSpec {
       .orderBy("bucket").collect().toSeq
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))) ==
       Seq((1L, 2L, 2L), (10L, 3L, 3L)))
+  }
+
+  test("vocab growth totals: final bucket carries the whole corpus") {
+    val docs = (0L to 29L)
+      .map(i => (i, s"w${i % 9} w${(i / 4) % 6} w${i % 5}"))
+      .toDF("doc_id", "text")
+    val last = CorpusGrowth.vocabGrowth(docs, "doc_id", "text", buckets = 5)
+      .orderBy($"bucket".desc).limit(1).collect().head
+    val totalTokens = 30L * 3L
+    val totalVocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .distinct().count()
+    assert(last.getLong(1) === totalTokens)
+    assert(last.getLong(2) === totalVocab)
   }
 
   // --------------------------------------------------- epochAllocation
@@ -89,6 +119,35 @@ class CorpusGrowthSpec extends SparkSpec {
     assert(r.map(x => (x._1, x._3)) == Seq(("a", 4L), ("b", 4L)))
     // effective value: u * (1 - 0.5^4) / 0.5 = u * 1.875
     assert(r.map(_._5) == Seq(18.75, 37.5))
+  }
+
+  test("epoch allocation matches a driver-side greedy reference") {
+    // brute-force the greedy on the driver for several budgets: take
+    // (source, epoch) pairs in (value desc, source, epoch) order while
+    // the running token cost fits
+    val masses = Seq("a" -> 97L, "b" -> 41L, "c" -> 150L, "d" -> 7L)
+    val docs = masses.toDF("source", "ntok")
+    val maxE = 5
+    val delta = 0.5
+    for (budget <- Seq(0L, 50L, 300L, 700L, 2000L, 100000L)) {
+      val pairs = masses.flatMap { case (s, u) =>
+        (1 to maxE).map(e => (s, u, e,
+          BigDecimal(u.toDouble * math.pow(delta, e - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.sortBy { case (s, _, e, v) => (-v, s, e) }
+      var spent = 0L
+      val want = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      pairs.foreach { case (s, u, _, _) =>
+        if (spent + u <= budget) { spent += u; want(s) += 1 }
+        else spent += u // past the prefix: running sum keeps growing
+      }
+      val got = Curation.epochAllocation(
+        docs, "source", col("ntok"), budget, maxE, delta)
+        .select("source", "epochs").as[(String, Long)].collect().toMap
+      masses.foreach { case (s, _) =>
+        assert(got(s) === want(s), s"budget $budget, source $s")
+      }
+    }
   }
 
   test("epoch allocation never exceeds the budget and is deterministic") {
