@@ -4786,6 +4786,56 @@ object Queries {
       |    AS lang_purity
       |FROM agg JOIN lt USING (source) CROSS JOIN tot""".stripMargin
 
+  /** Substring dedup as an edit
+    * ([[graft.operators.SubstringDedup.scrub]]): rebuild each
+    * document with every cross-document duplicated 8-gram span
+    * removed, keeping the copy in the gram's first-owner document —
+    * the "remove one copy" pass over the same hashed-gram machinery
+    * q_dup_spans reports on. One per-doc coverage sweep; the oracle
+    * replays the identical sha-derived hash, window order, and
+    * order-stable reconstruction.
+    */
+  def dedupScrub(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.scrub(t(s, dir, "documents"), "doc_id", "text", n = 8)
+
+  val dedupScrubSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(nt, ' ')) AS w,
+      |    generate_subscripts(string_split(nt, ' '), 1) AS p
+      |  FROM norm),
+      |grams AS (
+      |  SELECT doc_id, p AS pos,
+      |    CAST(('0x' || substr(sha256(
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+      |      lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+      |      lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+      |      lead(w, 7) OVER win), 1, 8)) AS BIGINT) AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+      |  QUALIFY lead(w, 7) OVER win IS NOT NULL),
+      |own AS (SELECT gram, min(doc_id) AS owner FROM grams GROUP BY 1
+      |  HAVING min(doc_id) <> max(doc_id)),
+      |bad AS (SELECT g.doc_id, g.pos FROM grams g JOIN own o USING (gram)
+      |  WHERE g.doc_id <> o.owner),
+      |u AS (SELECT doc_id, pos, 0 AS kind, NULL AS w FROM bad
+      |  UNION ALL SELECT doc_id, p AS pos, 1 AS kind, w FROM tok),
+      |f AS (SELECT doc_id, pos, kind, w,
+      |    max(CASE WHEN kind = 0 THEN pos END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos, kind
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s
+      |  FROM u),
+      |kept AS (SELECT doc_id, pos, w FROM f
+      |  WHERE kind = 1 AND (last_s IS NULL OR pos - last_s > 7)),
+      |ntok AS (SELECT doc_id,
+      |    CAST(length(string_split(nt, ' ')) AS BIGINT) AS n_tokens FROM norm)
+      |SELECT n.doc_id, n.n_tokens,
+      |  n.n_tokens - count(k.w) AS n_removed,
+      |  coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
+      |FROM ntok n LEFT JOIN kept k USING (doc_id)
+      |GROUP BY n.doc_id, n.n_tokens""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4930,7 +4980,8 @@ object Queries {
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_vocab_growth" -> (vocabGrowth _),
     "q_epoch_allocation" -> (epochAllocation _),
-    "q_corpus_scorecard" -> (corpusScorecard _))
+    "q_corpus_scorecard" -> (corpusScorecard _),
+    "q_dedup_scrub" -> (dedupScrub _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -4960,6 +5011,7 @@ object Queries {
     "q_vocab_growth" -> vocabGrowthSql,
     "q_epoch_allocation" -> epochAllocationSql,
     "q_corpus_scorecard" -> corpusScorecardSql,
+    "q_dedup_scrub" -> dedupScrubSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -90,6 +90,71 @@ object SubstringDedup {
     spanStats(hits, idCol, n)
   }
 
+  /** Substring-level dedup as an EDIT, not just a report: rebuild each
+    * document's normalized text with every duplicated span removed,
+    * keeping exactly the copy in the gram's FIRST owner (min doc id) —
+    * the "remove one copy of each duplicated substring" pass from the
+    * same Lee et al. line of work [[spans]] measures. The owner doc
+    * keeps all its tokens; every other doc loses the tokens its
+    * duplicated grams cover.
+    *
+    * A token at position p is removed iff some non-owned duplicated
+    * gram starting in (p−n, p] covers it — evaluated as one per-doc
+    * window over the merged (token ∪ hit-start) stream (running max of
+    * hit starts; the classic coverage sweep), so the cost is one
+    * doc-bounded sort, identical in shape to [[spans]]' island merge.
+    * Reconstruction is an order-stable fold (`array_sort` on (pos,
+    * token) structs), never a window-ordered collect.
+    *
+    * Removing a span can make the tokens flanking it adjacent, which
+    * can mint NEW cross-document n-grams; one pass removes one
+    * generation of duplicates (iterate to a fixed point if the corpus
+    * needs it — each pass only shrinks documents, so it terminates).
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) — one row per
+    * input document; untouched documents round-trip their normalized
+    * text verbatim.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    NativeText.register(docs.sparkSession)
+    val toks = docs.select(col(idCol).as("__id"),
+      split(TextFunctions.normalizeText(col(textCol)), " ").as("__w"))
+    val hits = toks
+      .select(col("__id"), posexplode(NativeText.shingleHash32(col("__w"), n)))
+      .select(col("__id"), (col("pos") + 1).as("__p"), col("col").as("__gram"))
+    val owned = hits.groupBy("__gram")
+      .agg(min(col("__id")).as("__owner"),
+        (min(col("__id")) =!= max(col("__id"))).as("__multi"))
+      .filter(col("__multi"))
+    val bad = hits.join(owned, "__gram")
+      .filter(col("__id") =!= col("__owner"))
+      .select(col("__id"), col("__p"), lit(0).as("__kind"),
+        lit(null).cast("string").as("__tok"))
+    val tokens = toks
+      .select(col("__id"), posexplode(col("__w")))
+      .select(col("__id"), (col("pos") + 1).as("__p"), lit(1).as("__kind"),
+        col("col").as("__tok"))
+    // hit markers sort BEFORE the token at the same position, so a
+    // gram's own first token counts as covered in both engines
+    val sweep = Window.partitionBy("__id").orderBy("__p", "__kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kept = bad.unionByName(tokens)
+      .withColumn("__last",
+        max(when(col("__kind") === 0, col("__p"))).over(sweep))
+      .filter(col("__kind") === 1 &&
+        (col("__last").isNull || col("__p") - col("__last") > n - 1))
+    val rebuilt = kept.groupBy("__id").agg(
+      count(lit(1)).as("__kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__p").as("p"), col("__tok").as("t")))),
+        s => s.getField("t")), " ").as("clean_text"))
+    toks.select(col("__id"), size(col("__w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   private def spanStats(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val repeated = hits.groupBy("__gram")
       .agg((min(col("__id")) =!= max(col("__id"))).as("__multi"))

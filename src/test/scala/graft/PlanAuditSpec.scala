@@ -418,7 +418,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // entropy (doc,term)+doc aggs, the novelty gram+doc aggs, the
       // three doc-keyed join sides and the source rollup; lang mode
       // and token total come back by broadcast
-      "q_corpus_scorecard" -> 12)
+      "q_corpus_scorecard" -> 12,
+      // hashed gram stream: owner agg + the hit join's sides + the
+      // per-doc coverage sweep window + the rebuild agg and its
+      // doc-keyed join back to the token-count side
+      "q_dedup_scrub" -> 7)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

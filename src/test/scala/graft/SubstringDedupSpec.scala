@@ -63,6 +63,59 @@ class SubstringDedupSpec extends SparkSpec {
     assert(grams.count() === 0)
   }
 
+  // ------------------------------------------------------------- scrub
+
+  test("scrub keeps the first owner's copy and removes every other") {
+    val docs = Seq(
+      (1L, run + " u1 u2 u3 u4 u5 u6"), // owner: smallest id with the run
+      (2L, "v1 v2 " + run),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("id", "text")
+    val out = SubstringDedup.scrub(docs, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) === ((16L, 0L, run + " u1 u2 u3 u4 u5 u6")),
+      "the owner keeps its text verbatim")
+    assert(out(2L) === ((12L, 10L, "v1 v2")),
+      "the non-owner loses exactly the shared run")
+    assert(out(3L) === ((9L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")),
+      "an unrelated doc rides through untouched")
+  }
+
+  test("scrub removes disjoint spans independently and counts add up") {
+    val runB = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " x1 x2 x3 " + runB),
+      (2L, run + " y1 y2 y3 " + runB)
+    ).toDF("id", "text")
+    val out = SubstringDedup.scrub(docs, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(out(1L) === ((0L, run + " x1 x2 x3 " + runB)))
+    assert(out(2L) === ((18L, "y1 y2 y3")))
+  }
+
+  test("a fully duplicated non-owner document scrubs to empty") {
+    val docs = Seq((1L, run), (2L, run)).toDF("id", "text")
+    val out = SubstringDedup.scrub(docs, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(out(1L) === ((0L, run)))
+    assert(out(2L) === ((10L, "")))
+  }
+
+  test("scrub token conservation: kept + removed = n_tokens, per doc") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 25L).map { i =>
+      (i, (0 until 20).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+    }.toDF("id", "text")
+    SubstringDedup.scrub(docs, "id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().foreach { case (id, n, rem, txt) =>
+        val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+        assert(kept + rem === n, s"doc $id")
+      }
+  }
+
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
