@@ -124,6 +124,12 @@ object CorpusGrowth {
         .limit(0)
     val (lo, hi) = (ids.getLong(0), ids.getLong(1))
     val span = hi - lo + 1L
+    // the bucket formula multiplies before dividing; a pathological id
+    // span (ids scattered across the full Long range) would overflow
+    // under ANSI mid-job — refuse up front with the remedy instead
+    require(span > 0 && span <= Long.MaxValue / buckets,
+      s"vocabGrowth: doc-id span $span too wide for $buckets buckets — " +
+        "densify ids (e.g. zipWithIndex) before bucketing by range")
     // pure integer bucket: floor((id - lo) * buckets / span) + 1 —
     // identical in any engine, no percentile interpolation, no sort
     def bucketOf(id: org.apache.spark.sql.Column) =
