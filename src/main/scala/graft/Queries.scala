@@ -4682,8 +4682,14 @@ object Queries {
     * inputs. Per-doc frames meet on the doc key; per-source tables
     * (lang mode, token total) come back by broadcast.
     */
-  def corpusScorecard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def corpusScorecard(s: SparkSession, dir: String): DataFrame =
+    corpusScorecardFrame(t(s, dir, "documents"))
+
+  /** [[corpusScorecard]] over any (doc_id, source, lang, text) frame —
+    * the form [[graft.streaming.ScorecardStream]]'s parity gate folds
+    * against.
+    */
+  def corpusScorecardFrame(docs: DataFrame): DataFrame = {
     val ent = Lexicon.tokenEntropy(docs, "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"), col("entropy"))
     val nov = CorpusGrowth.ngramNovelty(docs, "doc_id", "text")
