@@ -122,6 +122,24 @@ object SubstringDedup {
     val hits = toks
       .select(col("__id"), posexplode(NativeText.shingleHash32(col("__w"), n)))
       .select(col("__id"), (col("pos") + 1).as("__p"), col("col").as("__gram"))
+    scrubCore(toks, hits, idCol, n)
+  }
+
+  /** The string-comparison truth for [[scrub]] — identical semantics
+    * minus the hash (no collision budget), at materialized-gram cost;
+    * the cross-check twin, exactly as [[spansExact]] is to [[spans]].
+    */
+  def scrubExact(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      split(TextFunctions.normalizeText(col(textCol)), " ").as("__w"))
+    val hits = docs
+      .select(col(idCol).as("__id"), explode(tokenGrams(col(textCol), n)).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__p"), col("__g.gram").as("__gram"))
+    scrubCore(toks, hits, idCol, n)
+  }
+
+  private def scrubCore(
+      toks: DataFrame, hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val owned = hits.groupBy("__gram")
       .agg(min(col("__id")).as("__owner"),
         (min(col("__id")) =!= max(col("__id"))).as("__multi"))

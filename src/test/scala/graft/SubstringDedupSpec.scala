@@ -104,6 +104,16 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(2L) === ((10L, "")))
   }
 
+  test("hashed scrub matches the string-truth scrub") {
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 20L).map { i =>
+      (i, (0 until 15).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+    }.toDF("id", "text")
+    val hashed = SubstringDedup.scrub(docs, "id", "text", n = 4).collect().toSet
+    val exact = SubstringDedup.scrubExact(docs, "id", "text", n = 4).collect().toSet
+    assert(hashed === exact)
+  }
+
   test("scrub token conservation: kept + removed = n_tokens, per doc") {
     val rnd = new scala.util.Random(3)
     val docs = (1L to 25L).map { i =>
