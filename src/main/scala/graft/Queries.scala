@@ -4842,6 +4842,45 @@ object Queries {
       |FROM ntok n LEFT JOIN kept k USING (doc_id)
       |GROUP BY n.doc_id, n.n_tokens""".stripMargin
 
+  /** Readability ([[graft.functions.TextFunctions.readability]]):
+    * Flesch reading-ease and Flesch–Kincaid grade per document, over
+    * deterministic vowel-group syllable counts — the
+    * educational-value / complexity axis of quality filtering,
+    * orthogonal to the length/stopword heuristics. Map-only, zero
+    * shuffles.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_sentences").as("n_sentences"),
+        col("r.n_syllables").as("n_syllables"),
+        col("r.flesch").as("flesch"), col("r.fk_grade").as("fk_grade"))
+
+  val readabilitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS n_sentences,
+      |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) +
+      |      length(list_filter(
+      |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |        w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]')))
+      |      AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN round(206.835 -
+      |    1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+      |    84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+      |  END AS flesch,
+      |  CASE WHEN n_words > 0 THEN round(
+      |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+      |    11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+      |    15.59, 6)
+      |  END AS fk_grade
+      |FROM base""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -4987,7 +5026,8 @@ object Queries {
     "q_vocab_growth" -> (vocabGrowth _),
     "q_epoch_allocation" -> (epochAllocation _),
     "q_corpus_scorecard" -> (corpusScorecard _),
-    "q_dedup_scrub" -> (dedupScrub _))
+    "q_dedup_scrub" -> (dedupScrub _),
+    "q_readability" -> (readability _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -5018,6 +5058,7 @@ object Queries {
     "q_epoch_allocation" -> epochAllocationSql,
     "q_corpus_scorecard" -> corpusScorecardSql,
     "q_dedup_scrub" -> dedupScrubSql,
+    "q_readability" -> readabilitySql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

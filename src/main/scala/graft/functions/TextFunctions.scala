@@ -123,6 +123,40 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Readability counts + Flesch scores with a fully deterministic
+    * syllable heuristic: a syllable is one `[aeiouy]+` group, and a
+    * word with no vowel group still counts one ("rhythm"-class words,
+    * acronyms) — the published Flesch/Flesch–Kincaid formulas over
+    * engine-portable integer counts (sentence count = `[.!?]+` runs,
+    * floored at 1; a dictionary syllabifier would be more accurate
+    * but not replayable by an oracle). All map-only regexp counts —
+    * zero shuffles; each ratio divides exact integers, rounded to
+    * 6 dp. Returns a struct
+    * `(n_words, n_sentences, n_syllables, flesch, fk_grade)`;
+    * `flesch`/`fk_grade` are null for wordless documents.
+    */
+  def readability(c: Column): Column = {
+    val words = tokenCount(c)
+    val sentences = greatest(regexp_count(c, lit("[.!?]+")), lit(1))
+    // vowel groups corpus-wide, plus one per vowel-less word
+    val novowel = size(filter(split(normalizeText(c), " "),
+      w => w =!= "" && !w.rlike("[aeiouy]")))
+    val syllables = regexp_count(lower(c), lit("[aeiouy]+")) + novowel
+    val w = words.cast("double")
+    val s = sentences.cast("double")
+    val sy = syllables.cast("double")
+    val flesch = round(lit(206.835) - lit(1.015) * (w / s) -
+      lit(84.6) * (sy / w), 6)
+    val fk = round(lit(0.39) * (w / s) + lit(11.8) * (sy / w) -
+      lit(15.59), 6)
+    struct(
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      when(words > 0, flesch).as("flesch"),
+      when(words > 0, fk).as("fk_grade"))
+  }
+
   /** Heuristic quality score in [0,1]: penalizes very short / very long
     * documents, rewards moderate average word length. All-integer inputs
     * and fixed-order arithmetic → bit-stable across engines.

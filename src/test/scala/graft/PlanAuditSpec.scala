@@ -422,7 +422,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // hashed gram stream: owner agg + the hit join's sides + the
       // per-doc coverage sweep window + the rebuild agg and its
       // doc-keyed join back to the token-count side
-      "q_dedup_scrub" -> 7)
+      "q_dedup_scrub" -> 7,
+      // map-only regexp counts straight off the scan
+      "q_readability" -> 0)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
