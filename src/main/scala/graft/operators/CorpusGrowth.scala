@@ -21,6 +21,27 @@ import graft.functions.TextFunctions
   */
 object CorpusGrowth {
 
+  /** `(doc_id, gs)` — each document's DISTINCT 32-bit shingle hashes
+    * as an array column, documents with fewer than `n` tokens
+    * dropped. The shared front half of [[ngramNovelty]] and
+    * [[graft.streaming.NoveltyStream]].
+    */
+  private[graft] def docShingleHashes(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    graft.plans.NativeText.register(docs.sparkSession)
+    // "has at least one n-gram" ⟺ "has at least n tokens": filter on
+    // the CHEAP token count, not on size(shingle array) — a predicate
+    // over the shingle expression gets pushed into the scan and
+    // recomputes the whole construction per row just to filter it
+    docs
+      .filter(TextFunctions.tokenCount(
+        TextFunctions.normalizeText(col(textCol))) >= n)
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(graft.plans.NativeText.shingleHash32(
+          split(TextFunctions.normalizeText(col(textCol)), " "), n)).as("gs"))
+  }
+
   /** Per-document n-gram novelty: the fraction of the document's
     * DISTINCT word n-grams whose first occurrence in the corpus (by
     * smallest document id) is this document. A corpus built of fresh
@@ -54,27 +75,6 @@ object CorpusGrowth {
     * vocabulary-bounded and never joins back to the corpus text. No
     * windows over data, no driver state.
     */
-  /** `(doc_id, gs)` — each document's DISTINCT 32-bit shingle hashes
-    * as an array column, documents with fewer than `n` tokens
-    * dropped. The shared front half of [[ngramNovelty]] and
-    * [[graft.streaming.NoveltyStream]].
-    */
-  private[graft] def docShingleHashes(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 1, s"need n >= 1, got $n")
-    graft.plans.NativeText.register(docs.sparkSession)
-    // "has at least one n-gram" ⟺ "has at least n tokens": filter on
-    // the CHEAP token count, not on size(shingle array) — a predicate
-    // over the shingle expression gets pushed into the scan and
-    // recomputes the whole construction per row just to filter it
-    docs
-      .filter(TextFunctions.tokenCount(
-        TextFunctions.normalizeText(col(textCol))) >= n)
-      .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(graft.plans.NativeText.shingleHash32(
-          split(TextFunctions.normalizeText(col(textCol)), " "), n)).as("gs"))
-  }
-
   def ngramNovelty(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val pre = docShingleHashes(docs, idCol, textCol, n)

@@ -105,13 +105,14 @@ object VideoFrames {
       new String(payload, 0, magic.length,
         java.nio.charset.StandardCharsets.US_ASCII) == magic,
       "not a Y4M stream")
+    // -1 = no newline before EOF (a TRUNCATED line, not a corrupt one)
     def lineEnd(from: Int): Int = {
       var i = from
       while (i < payload.length && payload(i) != '\n') i += 1
-      require(i < payload.length, "unterminated Y4M header line")
-      i
+      if (i < payload.length) i else -1
     }
     val hdrEnd = lineEnd(0)
+    require(hdrEnd >= 0, "unterminated Y4M header line")
     val params = new String(payload, 0, hdrEnd,
       java.nio.charset.StandardCharsets.US_ASCII).split(' ').drop(1)
     def tag(t: Char): Option[String] =
@@ -134,21 +135,34 @@ object VideoFrames {
     var seen = 0
     var o = hdrEnd + 1
     while (o < payload.length && kept < maxFrames) {
-      require(o + 5 <= payload.length &&
-        new String(payload, o, 5,
-          java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
-        s"corrupt Y4M frame marker at offset $o")
-      val dataStart = lineEnd(o) + 1 // FRAME line may carry parameters
-      if (dataStart + lumaLen + chromaLen > payload.length) {
-        o = payload.length // truncated final frame: drop it
+      // an interrupted upload can cut INSIDE a marker or its parameter
+      // line, not just inside pixel data — every incomplete trailing
+      // piece is end-of-stream (keep the intact frames), while bytes
+      // that are present but not a FRAME marker are corruption and
+      // fail loudly
+      if (o + 5 > payload.length) {
+        o = payload.length // truncated mid-marker: drop the tail
       } else {
-        if (seen % stride == 0) {
-          frames += ((w, h,
-            java.util.Arrays.copyOfRange(payload, dataStart, dataStart + lumaLen)))
-          kept += 1
+        require(new String(payload, o, 5,
+            java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+          s"corrupt Y4M frame marker at offset $o")
+        val markerEnd = lineEnd(o) // FRAME line may carry parameters
+        if (markerEnd < 0) {
+          o = payload.length // truncated mid-parameter-line: drop
+        } else {
+          val dataStart = markerEnd + 1
+          if (dataStart + lumaLen + chromaLen > payload.length) {
+            o = payload.length // truncated final frame: drop it
+          } else {
+            if (seen % stride == 0) {
+              frames += ((w, h, java.util.Arrays.copyOfRange(
+                payload, dataStart, dataStart + lumaLen)))
+              kept += 1
+            }
+            seen += 1
+            o = dataStart + lumaLen + chromaLen
+          }
         }
-        seen += 1
-        o = dataStart + lumaLen + chromaLen
       }
     }
     frames.result()

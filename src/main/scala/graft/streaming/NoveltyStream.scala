@@ -42,6 +42,38 @@ object NoveltyStream {
     * first-seen hash set (`stateDir/batch_id=N`). Directly callable
     * for tests/backfill.
     */
+  /** The shared per-batch scoring core ([[noveltyBatch]] and
+    * [[ScorecardStream.scorecardBatch]] both fold through it, so the
+    * replay-exclusion and attribution contract lives in ONE place):
+    * min-doc_id attribution WITHIN the batch, then drop what any
+    * prior batch already claimed (own partition excluded: replay).
+    * Returns `(perDoc: (doc_id, n_ngrams, n_novel), freshFirst:
+    * (h, doc_id))` — freshFirst is CHECKPOINTED (it pins the store's
+    * pre-batch content; the caller writes it as the batch's store
+    * partition and must release it via
+    * [[graft.operators.SimilaritySearch.dropCheckpointBlocks]]).
+    */
+  private[streaming] def scoreAgainstStore(
+      pre: DataFrame,
+      spark: SparkSession,
+      stateDir: String,
+      batchId: Long): (DataFrame, DataFrame) = {
+    val firstInBatch = pre
+      .select(col("doc_id"), explode(col("gs")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val seen = seenHashes(spark, stateDir, excludeBatchId = Some(batchId))
+    val freshFirst = firstInBatch
+      .join(seen, Seq("h"), "left_anti")
+      .localCheckpoint() // the caller's report and store write both read it
+    val novel = freshFirst.groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val perDoc = pre
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_ngrams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+    (perDoc, freshFirst)
+  }
+
   def noveltyBatch(
       batch: DataFrame,
       idCol: String,
@@ -54,24 +86,10 @@ object NoveltyStream {
     val spark = batch.sparkSession
     val pre = CorpusGrowth.docShingleHashes(batch, idCol, textCol, cfg.n)
       .localCheckpoint() // read thrice: totals, attribution, store write
-    val perDoc = pre.select(col("doc_id"),
-      size(col("gs")).cast("long").as("n_ngrams"))
-    // min-doc_id attribution WITHIN the batch, then drop what any
-    // prior batch already claimed (own partition excluded: replay)
-    val firstInBatch = pre
-      .select(col("doc_id"), explode(col("gs")).as("h"))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-    val seen = seenHashes(spark, stateDir, excludeBatchId = Some(batchId))
-    val freshFirst = firstInBatch
-      .join(seen, Seq("h"), "left_anti")
-      .localCheckpoint() // the report and the store write both read it
-    val novel = freshFirst.groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    val report = perDoc
-      .join(novel, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
-          col("n_ngrams").cast("double"), 6).as("novelty"))
+    val (perDoc, freshFirst) = scoreAgainstStore(pre, spark, stateDir, batchId)
+    val report = perDoc.select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+      round(col("n_novel").cast("double") /
+        col("n_ngrams").cast("double"), 6).as("novelty"))
     report.write.mode(SaveMode.Overwrite)
       .parquet(s"$reportDir/batch_id=$batchId")
     freshFirst.select("h").write.mode(SaveMode.Overwrite)

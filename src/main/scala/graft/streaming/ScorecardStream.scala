@@ -66,24 +66,16 @@ object ScorecardStream {
       TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .localCheckpoint() // read by fp, entropy, novelty and count legs
 
-    // --- novelty per doc, against everything before this batch -----
+    // --- novelty per doc, against everything before this batch — the
+    // SAME scoring core as NoveltyStream (one replay/attribution
+    // contract, not two copies)
     val pre = CorpusGrowth.docShingleHashes(slim, "doc_id", "__text", cfg.n)
       .localCheckpoint()
-    val firstInBatch = pre
-      .select(col("doc_id"), explode(col("gs")).as("h"))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-    val seenGrams = NoveltyStream.seenHashes(
-      spark, gramsDir(rootDir), excludeBatchId = Some(batchId))
-    val freshFirst = firstInBatch
-      .join(seenGrams, Seq("h"), "left_anti")
-      .localCheckpoint() // novelty and the gram-store write both read it
-    val novelty = pre
-      .select(col("doc_id"), size(col("gs")).cast("long").as("__n"))
-      .join(freshFirst.groupBy("doc_id").agg(count(lit(1)).as("__nov")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("__nov"), lit(0L)).cast("double") /
-          col("__n").cast("double"), 6).as("novelty"))
+    val (novPerDoc, freshFirst) = NoveltyStream.scoreAgainstStore(
+      pre, spark, gramsDir(rootDir), batchId)
+    val novelty = novPerDoc.select(col("doc_id"),
+      round(col("n_novel").cast("double") /
+        col("n_ngrams").cast("double"), 6).as("novelty"))
 
     // --- entropy + token count per doc (batch-local, map-shaped) ---
     val ent = Lexicon.tokenEntropy(slim, "doc_id", "__text")
@@ -124,14 +116,22 @@ object ScorecardStream {
       .agg(min("doc_id").as("first_doc"),
         expr("min_by(source, doc_id)").as("first_source"))
 
-    partial.write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, sumsDir(rootDir), batchId))
-    langCounts.write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, langsDir(rootDir), batchId))
-    freshFps.write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, fpsDir(rootDir), batchId))
+    // sums/ is the COMMIT POINT: scorecard() keys on it, so every
+    // supporting store (grams, fps, langs) must land first — a crash
+    // between writes then leaves a store the reader doesn't key on
+    // yet, and the post-restart replay overwrites all four partitions.
+    // (Every lazily-evaluated read below touches only the fps/grams
+    // stores with the batch's OWN partition excluded, and freshFirst
+    // pinned the pre-batch gram store at its checkpoint — so writing
+    // the supporting stores first cannot feed this batch's scoring.)
     freshFirst.select("h").write.mode(SaveMode.Overwrite)
       .parquet(BatchState.batchDir(spark, gramsDir(rootDir), batchId))
+    freshFps.write.mode(SaveMode.Overwrite)
+      .parquet(BatchState.batchDir(spark, fpsDir(rootDir), batchId))
+    langCounts.write.mode(SaveMode.Overwrite)
+      .parquet(BatchState.batchDir(spark, langsDir(rootDir), batchId))
+    partial.write.mode(SaveMode.Overwrite)
+      .parquet(BatchState.batchDir(spark, sumsDir(rootDir), batchId))
     graft.operators.SimilaritySearch.dropCheckpointBlocks(freshFirst)
     graft.operators.SimilaritySearch.dropCheckpointBlocks(pre)
     graft.operators.SimilaritySearch.dropCheckpointBlocks(slim)
@@ -183,6 +183,7 @@ object ScorecardStream {
     */
   def scorecard(spark: SparkSession, rootDir: String): Option[DataFrame] =
     BatchState.read(spark, sumsDir(rootDir)).map { sums =>
+      import spark.implicits._
       val perSource = sums.groupBy("source").agg(
         sum("n_docs").as("n_docs"),
         sum("dups").as("__dups"),
@@ -191,12 +192,17 @@ object ScorecardStream {
         sum("ent_n").as("__entn"),
         sum("nov_sum").as("__novs"),
         sum("nov_n").as("__novn"))
-      val langTop = BatchState.read(spark, langsDir(rootDir)).get
+      // sums/ commits last, so langs/ normally exists whenever sums/
+      // does — but a reader must degrade (null purity), not throw, on
+      // a store mid-repair
+      val langTop = BatchState.read(spark, langsDir(rootDir))
+        .getOrElse(Seq.empty[(String, String, Long)]
+          .toDF("source", "lang", "n_docs"))
         .groupBy("source", "lang").agg(sum("n_docs").as("__c"))
         .groupBy("source").agg(max("__c").as("__top"))
       val total = perSource.agg(sum("n_tokens").as("__tot"))
       perSource
-        .join(broadcast(langTop), Seq("source"))
+        .join(broadcast(langTop), Seq("source"), "left")
         .crossJoin(broadcast(total))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("__tot").cast("double"), 6)

@@ -213,6 +213,22 @@ class VideoFramesSpec extends SparkSpec {
     assert(VideoFrames.y4mFrames(whole, maxFrames = 3).length === 3)
   }
 
+  test("y4m: a cut inside a marker or its line is end-of-stream, not corruption") {
+    val one = y4m(lumasA.take(1))
+    // payload ends 3 bytes into the next frame's marker ("FRA")
+    val midMarker = one ++ ascii("FRA")
+    assert(VideoFrames.y4mFrames(midMarker).length === 1,
+      "the intact frame must survive a mid-marker cut")
+    // payload ends inside the FRAME parameter line (no newline yet)
+    val midLine = one ++ ascii("FRAME Xinterrupted")
+    assert(VideoFrames.y4mFrames(midLine).length === 1,
+      "the intact frame must survive a mid-parameter-line cut")
+    // present-but-wrong marker bytes are still loud corruption
+    intercept[IllegalArgumentException] {
+      VideoFrames.y4mFrames(one ++ ascii("JUNK!\n") ++ new Array[Byte](400))
+    }
+  }
+
   test("y4m fingerprints match a lead-trimmed copy cross-container-style") {
     import spark.implicits._
     def rec(id: Long, bytes: Array[Byte]) =

@@ -13,7 +13,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-sbt -batch Test/compile
+sbt -batch Test/compile 'testOnly graft.BenchGuardSpec'
+# BenchGuardSpec is Spark-free and fast; it catches the OTHER
+# ship-red-at-HEAD mode — a registered query whose floor / last_run
+# measurement was never committed (run `BenchGuard --update` to fix).
 
 if [[ "${1:-}" == "--full" ]]; then
   tools/cli_smoke.sh
