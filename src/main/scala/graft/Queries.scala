@@ -4881,6 +4881,72 @@ object Queries {
       |  END AS fk_grade
       |FROM base""".stripMargin
 
+  /** Matryoshka-truncation recall: recall@5 of brute-force cosine
+    * search over the FIRST d dimensions (renormalized) against the
+    * full-dimension ground truth, for d ∈ {8, 16, 32} of the 64-dim
+    * corpus — the published matryoshka-representation evaluation that
+    * prices "store d dims instead of 64" as a retrieval-quality
+    * number. At 100 TB the embedding store dominates storage, so this
+    * is a first-class capacity decision, measured with real corpus
+    * geometry like [[annRecall]] (same bounded probe set, k-bounded
+    * joins; the corpus-sized work stays inside the audited brute-force
+    * operator). Vectors whose truncated prefix is all-zero drop from
+    * that dim's rows (no direction to search on), identically in both
+    * engines.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val e = t(s, dir, "embeddings")
+    val truth = SimilaritySearch.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    Seq(8, 16, 32).map { d =>
+      val td = e.select(col("vec_id"), slice(col("embedding"), 1, d).as("emb"))
+      val approx = SimilaritySearch.bruteForceTopK(
+        td.filter(col("vec_id") < 10), td, "vec_id", "emb", k)
+        .select("query_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      approx.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(d.toLong).as("dim"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+            .as("recall_at_5"))
+    }.reduce(_ unionAll _)
+  }
+
+  val matryoshkaRecallSql: String =
+    """WITH dims AS (SELECT unnest([8, 16, 32]) AS d),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, list_transform(v,
+      |    x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM e WHERE list_dot_product(v, v) > 0),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      |exs AS (SELECT query_id, n.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, n.nv), 6) AS cos_sim
+      |  FROM q, n WHERE n.vec_id <> query_id),
+      |exr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM exs),
+      |ex AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= 5),
+      |tn AS (SELECT d, vec_id, list_transform(v[1:d],
+      |    x -> x / sqrt(list_dot_product(v[1:d], v[1:d]))) AS tv
+      |  FROM e CROSS JOIN dims WHERE list_dot_product(v[1:d], v[1:d]) > 0),
+      |tq AS (SELECT d, vec_id AS query_id, tv AS qv FROM tn WHERE vec_id < 10),
+      |ts AS (SELECT tq.d, tq.query_id, tn.vec_id AS neighbor_id,
+      |    round(list_dot_product(tq.qv, tn.tv), 6) AS cos_sim
+      |  FROM tq JOIN tn ON tn.d = tq.d AND tn.vec_id <> tq.query_id),
+      |tr AS (SELECT *, row_number() OVER (PARTITION BY d, query_id
+      |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ts),
+      |ap AS (SELECT d, query_id, neighbor_id FROM tr WHERE rn <= 5),
+      |hits AS (SELECT ap.d, ap.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM ap JOIN ex USING (query_id, neighbor_id) GROUP BY 1, 2)
+      |SELECT CAST(b.d AS BIGINT) AS dim, b.query_id,
+      |  coalesce(h.n_hits, 0) AS n_hits,
+      |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+      |FROM (SELECT DISTINCT d, query_id FROM tq) b
+      |LEFT JOIN hits h ON h.d = b.d AND h.query_id = b.query_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -5027,7 +5093,8 @@ object Queries {
     "q_epoch_allocation" -> (epochAllocation _),
     "q_corpus_scorecard" -> (corpusScorecard _),
     "q_dedup_scrub" -> (dedupScrub _),
-    "q_readability" -> (readability _))
+    "q_readability" -> (readability _),
+    "q_matryoshka_recall" -> (matryoshkaRecall _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -5059,6 +5126,7 @@ object Queries {
     "q_corpus_scorecard" -> corpusScorecardSql,
     "q_dedup_scrub" -> dedupScrubSql,
     "q_readability" -> readabilitySql,
+    "q_matryoshka_recall" -> matryoshkaRecallSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

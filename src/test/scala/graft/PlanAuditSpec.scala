@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_hard_negatives", "q_ann_recall",
       // negatives ride the bounded brute-force hard-negative probe
       "q_training_triplets",
+      // four brute-force passes (full truth + three truncations), each
+      // the same bounded broadcast probe set
+      "q_matryoshka_recall",
       // the |sources|² pair enumeration (two grouped-aggregate outputs
       // crossed) — bounded by the source DIMENSION like
       // q_source_overlap_sketch's pair matrix, never by data volume;
@@ -424,7 +427,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // doc-keyed join back to the token-count side
       "q_dedup_scrub" -> 7,
       // map-only regexp counts straight off the scan
-      "q_readability" -> 0)
+      "q_readability" -> 0,
+      // four k-bounded brute-force outputs + the per-dim hit joins and
+      // per-query rollups (all on k x |queries| rows)
+      "q_matryoshka_recall" -> 21)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
