@@ -4947,6 +4947,111 @@ object Queries {
       |FROM (SELECT DISTINCT d, query_id FROM tq) b
       |LEFT JOIN hits h ON h.d = b.d AND h.query_id = b.query_id""".stripMargin
 
+  /** Benford first-digit audit over `l_extendedprice`: observed vs
+    * expected leading-digit frequencies (Benford's law,
+    * `log10(1 + 1/d)`) plus the chi-square statistic each digit
+    * contributes — the classic fabricated-/truncated-data smell test
+    * for numeric columns feeding a pipeline. One map-side-combined
+    * 9-row aggregate; expectations are literals.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(col("l_extendedprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = li.groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("__tot"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("observed"),
+        round(expected, 6).as("expected"),
+        round(pow(col("n").cast("double") -
+            expected * col("__tot").cast("double"), 2) /
+          (expected * col("__tot").cast("double")), 6).as("chi2_term"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1)
+      |    AS INT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+      |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+      |  round(pow(CAST(n AS DOUBLE) -
+      |      log10(1.0 + 1.0 / digit) * tot, 2) /
+      |    (log10(1.0 + 1.0 / digit) * tot), 6) AS chi2_term
+      |FROM c CROSS JOIN t""".stripMargin
+
+  /** Referential-integrity audit: orphan counts and rates for the
+    * fact-to-dimension links a pipeline joins on (lineitem→orders,
+    * orders→customer, lineitem→part, lineitem→supplier) — silent
+    * orphans turn inner joins into row loss. Each link is one
+    * left-anti count against the key side, plus the denominator —
+    * distinct-key anti joins on the join key, never row×row.
+    */
+  def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // fully declarative — each link is a grand aggregate over the
+    // anti join crossed with the fact count; nothing touches the
+    // driver, the union is 4 one-row frames
+    def link(
+        name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact
+        .join(dim.select(col(dimKey).as(key)).distinct(), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(fact.agg(count(lit(1)).as("n_rows"))))
+        .select(lit(name).as("link"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") /
+            when(col("n_rows") > 0, col("n_rows").cast("double")), 6)
+            .as("orphan_rate"))
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    Seq(
+      link("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+        o, "o_orderkey"),
+      link("orders->customer", o.select("o_custkey"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"),
+      link("lineitem->part", li.select("l_partkey"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"),
+      link("lineitem->supplier", li.select("l_suppkey"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .reduce(_ unionAll _)
+  }
+
+  val fkIntegritySql: String =
+    """SELECT 'lineitem->orders' AS link,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans,
+      |  round(CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS orphan_rate
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  round(CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'lineitem->part',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  round(CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6)
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL
+      |SELECT 'lineitem->supplier',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  round(CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -5094,7 +5199,9 @@ object Queries {
     "q_corpus_scorecard" -> (corpusScorecard _),
     "q_dedup_scrub" -> (dedupScrub _),
     "q_readability" -> (readability _),
-    "q_matryoshka_recall" -> (matryoshkaRecall _))
+    "q_matryoshka_recall" -> (matryoshkaRecall _),
+    "q_benford_audit" -> (benfordAudit _),
+    "q_fk_integrity" -> (fkIntegrity _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -5127,6 +5234,8 @@ object Queries {
     "q_dedup_scrub" -> dedupScrubSql,
     "q_readability" -> readabilitySql,
     "q_matryoshka_recall" -> matryoshkaRecallSql,
+    "q_benford_audit" -> benfordAuditSql,
+    "q_fk_integrity" -> fkIntegritySql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

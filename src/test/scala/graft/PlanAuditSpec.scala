@@ -430,7 +430,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_readability" -> 0,
       // four k-bounded brute-force outputs + the per-dim hit joins and
       // per-query rollups (all on k x |queries| rows)
-      "q_matryoshka_recall" -> 21)
+      "q_matryoshka_recall" -> 21,
+      // the 9-row digit aggregate feeds BOTH the output and its own
+      // 1-row total (each side exchanges), total rides back broadcast
+      "q_benford_audit" -> 3,
+      // four links x (distinct dim keys + the anti join sides + two
+      // grand aggregates) - every post-scan frame is key- or 1-row-bounded
+      "q_fk_integrity" -> 20)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
