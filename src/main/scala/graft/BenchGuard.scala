@@ -303,7 +303,11 @@ object BenchGuard {
     val flagged = report.verdicts.filter(_.flagged)
     val line = flagged.map(v => "\"" + v.query + "\":" +
       f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"bench_guard","flagged":$line,"load_factor":${report.loadFactor},"errors":${errors.size}}""")
-    if (flagged.nonEmpty || errors.nonEmpty) sys.exit(1)
+    println(s"""{"metric":"bench_guard","flagged":$line,"load_factor":${report.loadFactor},"errors":${errors.size},"missing_floor":${report.missingFloor.size}}""")
+    // a registered query without a floor is an UNGUARDED perf surface —
+    // fail loudly (round 9 shipped exactly this silently); --update is
+    // the fix, since it just added the missing floors from this run
+    if (flagged.nonEmpty || errors.nonEmpty ||
+      (report.missingFloor.nonEmpty && !update)) sys.exit(1)
   }
 }
