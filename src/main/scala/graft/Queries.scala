@@ -5052,6 +5052,46 @@ object Queries {
       |    AS DOUBLE) / count(*), 6)
       |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin
 
+  /** Shuffle-key skew diagnosis ([[graft.operators.Skew.skewReport]]):
+    * the per-key row-count distribution of two prospective join/agg
+    * keys (events.user_id, lineitem.l_orderkey), with the exact
+    * integer-ceil `suggested_salt` — the measurement that decides
+    * whether [[graft.operators.Skew.saltedJoin]] is worth its
+    * overhead BEFORE wiring a 100 TB shuffle. Key-count tables are
+    * the only corpus-sized pass; percentiles run over key
+    * cardinality.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.skewReport(t(s, dir, "events"), "user_id")
+      .unionAll(graft.operators.Skew
+        .skewReport(t(s, dir, "lineitem"), "l_orderkey"))
+
+  val skewReportSql: String =
+    """WITH a AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+      |b AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |ra AS (SELECT 'user_id' AS key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    round(quantile_cont(cnt, 0.5), 6) AS p50_rows_per_key,
+      |    round(quantile_cont(cnt, 0.99), 6) AS p99_rows_per_key,
+      |    CAST(max(cnt) AS BIGINT) AS max_rows_per_key
+      |  FROM a),
+      |rb AS (SELECT 'l_orderkey' AS key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    round(quantile_cont(cnt, 0.5), 6) AS p50_rows_per_key,
+      |    round(quantile_cont(cnt, 0.99), 6) AS p99_rows_per_key,
+      |    CAST(max(cnt) AS BIGINT) AS max_rows_per_key
+      |  FROM b),
+      |u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+      |SELECT key, n_rows, n_keys,
+      |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+      |    AS avg_rows_per_key,
+      |  p50_rows_per_key, p99_rows_per_key, max_rows_per_key,
+      |  round(CAST(max_rows_per_key AS DOUBLE) * CAST(n_keys AS DOUBLE) /
+      |    CAST(n_rows AS DOUBLE), 6) AS skew_factor,
+      |  CAST(greatest(1, (max_rows_per_key * 32 + n_rows - 1) // n_rows)
+      |    AS BIGINT) AS suggested_salt
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** name -> (spark, sfDir) -> result. */
@@ -5201,7 +5241,8 @@ object Queries {
     "q_readability" -> (readability _),
     "q_matryoshka_recall" -> (matryoshkaRecall _),
     "q_benford_audit" -> (benfordAudit _),
-    "q_fk_integrity" -> (fkIntegrity _))
+    "q_fk_integrity" -> (fkIntegrity _),
+    "q_skew_report" -> (skewReport _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -5236,6 +5277,7 @@ object Queries {
     "q_matryoshka_recall" -> matryoshkaRecallSql,
     "q_benford_audit" -> benfordAuditSql,
     "q_fk_integrity" -> fkIntegritySql,
+    "q_skew_report" -> skewReportSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_when_case" -> whenCaseSql,
     "q_union_dedup" -> unionDedupSql,

@@ -65,4 +65,46 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** The DIAGNOSIS that decides whether [[saltedJoin]]/[[saltedAgg]]
+    * (or AQE's skew split) is needed at all: the per-key row-count
+    * distribution of a prospective shuffle key, reduced to one row —
+    * row/key totals, the exact p50/p99 and max of rows-per-key,
+    * `skew_factor` (hottest key vs the mean), and `suggested_salt`:
+    * the bucket count that splits the hottest key down to roughly one
+    * average partition of a `partitions`-way shuffle, computed in
+    * EXACT integer ceil arithmetic (`(max·P + rows − 1) ÷ rows`, no
+    * float boundary to disagree over) and clamped at 1 when the key
+    * is healthy.
+    *
+    * Scale shape: one map-side-combined count per key (the only pass
+    * over data), then exact percentiles over the KEY-COUNT table —
+    * bounded by key cardinality, the same contract as
+    * q_group_percentiles. Run it on the candidate key BEFORE wiring a
+    * 100 TB join; a skew_factor near 1 means salting would only add
+    * overhead.
+    */
+  def skewReport(
+      df: DataFrame, keyCol: String, partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(
+        sum("__cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        expr("percentile(__cnt, 0.5)").as("__p50"),
+        expr("percentile(__cnt, 0.99)").as("__p99"),
+        max("__cnt").as("max_rows_per_key"))
+      .select(lit(keyCol).as("key"), col("n_rows"), col("n_keys"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6)
+          .as("avg_rows_per_key"),
+        round(col("__p50"), 6).as("p50_rows_per_key"),
+        round(col("__p99"), 6).as("p99_rows_per_key"),
+        col("max_rows_per_key"),
+        round(col("max_rows_per_key").cast("double") *
+          col("n_keys").cast("double") / col("n_rows").cast("double"), 6)
+          .as("skew_factor"),
+        // DIV, not `/`: Spark's slash is double division even on longs
+        expr(s"greatest(1L, (max_rows_per_key * ${partitions}L + " +
+          "n_rows - 1L) DIV n_rows)").as("suggested_salt"))
+  }
 }

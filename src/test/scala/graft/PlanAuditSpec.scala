@@ -436,7 +436,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_benford_audit" -> 3,
       // four links x (distinct dim keys + the anti join sides + two
       // grand aggregates) - every post-scan frame is key- or 1-row-bounded
-      "q_fk_integrity" -> 20)
+      "q_fk_integrity" -> 20,
+      // two key-count aggregates + their single-row grand rollups
+      "q_skew_report" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
