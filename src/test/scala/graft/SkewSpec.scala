@@ -53,4 +53,29 @@ class SkewSpec extends SparkSpec {
     assert(salted.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))) ==
       direct.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))))
   }
+
+  test("skewReport: planted hot key yields the hand-computed diagnosis") {
+    import spark.implicits._
+    // 9 keys with 10 rows each + one hot key with 910 rows:
+    // 1000 rows, 10 keys, avg 100, max 910, skew 9.1;
+    // suggested_salt at 32 partitions = ceil(910*32/1000) = ceil(29.12) = 30
+    val df = ((1 to 9).flatMap(k => Seq.fill(10)(k.toLong)) ++
+      Seq.fill(910)(99L)).toDF("k")
+    val r = graft.operators.Skew.skewReport(df, "k").collect().head
+    assert(r.getString(0) === "k")
+    assert(r.getLong(1) === 1000L && r.getLong(2) === 10L)
+    assert(r.getDouble(3) === 100.0)          // avg
+    assert(r.getDouble(4) === 10.0)           // p50 (most keys at 10)
+    assert(r.getLong(6) === 910L)             // max
+    assert(r.getDouble(7) === 9.1)            // skew factor
+    assert(r.getLong(8) === 30L)              // suggested salt
+  }
+
+  test("skewReport: a uniform key suggests no salting") {
+    import spark.implicits._
+    val df = (1 to 100).flatMap(k => Seq.fill(5)(k.toLong)).toDF("k")
+    val r = graft.operators.Skew.skewReport(df, "k").collect().head
+    assert(r.getDouble(7) === 1.0, "uniform keys: skew factor 1")
+    assert(r.getLong(8) === 1L, "uniform keys: salt 1 (don't salt)")
+  }
 }
