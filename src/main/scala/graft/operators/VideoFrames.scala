@@ -243,4 +243,62 @@ object VideoFrames {
       minMatches: Int = 4,
       maxBucket: Int = 1000): DataFrame =
     AudioFingerprint.nearDupPairs(prints, minMatches, maxBucket)
+
+  /** CROSS-MODAL provenance: which videos contain a given still image
+    * as a frame — a banded Hamming join between an image aHash table
+    * ([[Multimodal.imageHashes]]: `(media_id, ahash)`) and a video
+    * frame-print table ([[fingerprints]]: `(media_id, frame_idx,
+    * landmark)`). Both hash families are the SAME 64-bit
+    * block-average construction ([[Multimodal.blockAHash]]), so the
+    * comparison is meaningful across modalities; thumbnails,
+    * re-encodes and title cards land within a few bits.
+    *
+    * Scale shape: the pigeonhole band trick from
+    * [[Multimodal.imageNearDupPairs]], as an EQUI join — any pair
+    * within Hamming distance < `bands` shares at least one exact
+    * band, so candidates come from a `(band, value)` join, never an
+    * image×frame comparison; a degenerate band value (near-flat
+    * frames that survived the zero-hash filter) is capped at
+    * `maxBucket` frames on the video side. Exact `bit_count(xor)`
+    * then keeps matches within `maxHamming`.
+    *
+    * Output: (image_id, video_id, frame_idx, hamming), distinct.
+    */
+  def imageFrameMatches(
+      imageHashes: DataFrame,
+      framePrints: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (and be >= 2), got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    val width = 64 / bands
+    def banded(hash: org.apache.spark.sql.Column) = explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(hash, b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*))
+    val imgB = imageHashes.select(col("media_id").as("image_id"),
+      col("ahash").as("__ih"), banded(col("ahash")).as("bk"))
+      .select(col("image_id"), col("__ih"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+    val frmB = framePrints.select(col("media_id").as("video_id"),
+      col("frame_idx"), col("landmark").as("__fh"),
+      banded(col("landmark")).as("bk"))
+      .select(col("video_id"), col("frame_idx"), col("__fh"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+    val healthy = frmB.groupBy("band", "v")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "v")
+    imgB
+      .join(frmB.join(healthy, Seq("band", "v")), Seq("band", "v"))
+      .select(col("image_id"), col("video_id"), col("frame_idx"),
+        col("__ih"), col("__fh"))
+      .distinct()
+      .select(col("image_id"), col("video_id"), col("frame_idx"),
+        bit_count(col("__ih").bitwiseXOR(col("__fh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -248,4 +248,37 @@ class VideoFramesSpec extends SparkSpec {
   test("y4m: a flat luma frame hashes to zero evidence, like a flat jpeg") {
     assert(VideoFrames.lumaAHash(16, 16, new Array[Byte](256)) === 0L)
   }
+
+  // ------------------------------------------------- cross-modal match
+
+  test("an image is found inside the video that contains it as a frame") {
+    import spark.implicits._
+    // image 100 = frame 2 of the clip BYTE-FOR-BYTE (same JPEG, same
+    // hash); image 101 is the phase-flipped pattern — no frame match
+    val images = Seq(
+      Multimodal.MediaRecord(100L, framesA(2), MediaMeta("image/jpeg", "t", 1L)),
+      Multimodal.MediaRecord(101L, jpegFrame(2, phase = 1),
+        MediaMeta("image/jpeg", "t", 1L))).toDS()
+    val videos = Seq(
+      MediaRecord(1L, avi(framesA), MediaMeta("video/avi", "t", 1L))).toDS()
+    val got = VideoFrames.imageFrameMatches(
+      Multimodal.imageHashes(images), VideoFrames.fingerprints(videos))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq((100L, 1L, 2, 0)),
+      s"expected exactly the planted frame match, got ${got.toSeq}")
+  }
+
+  test("cross-modal match tolerates small hash drift via banding") {
+    import spark.implicits._
+    // flip one low bit of the image hash by hand: still within
+    // maxHamming = 3 and still sharing 3 of 4 bands
+    val h = Multimodal.imageAHash(framesA(5))
+    val images = Seq((100L, h ^ 1L)).toDF("media_id", "ahash")
+    val videos = Seq(
+      MediaRecord(1L, avi(framesA), MediaMeta("video/avi", "t", 1L))).toDS()
+    val got = VideoFrames.imageFrameMatches(
+      images, VideoFrames.fingerprints(videos))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq((100L, 1L, 5, 1)))
+  }
 }
