@@ -192,10 +192,18 @@ object ScorecardStream {
         sum("ent_n").as("__entn"),
         sum("nov_sum").as("__novs"),
         sum("nov_n").as("__novn"))
-      // sums/ commits last, so langs/ normally exists whenever sums/
-      // does — but a reader must degrade (null purity), not throw, on
-      // a store mid-repair
+      // sums/ commits last, so langs/ may be ONE batch ahead (a crash
+      // between the supporting writes and the sums commit, or a reader
+      // racing a live batch): clamp the lang counts to batches the
+      // sums store has committed, so purity and doc counts always
+      // describe the same corpus snapshot. `<= max` (not set
+      // membership) stays correct mid-compaction, where folded
+      // partitions carry older ids than their content. A store
+      // mid-repair degrades to null purity instead of throwing.
+      val sumsMax = BatchState.committedBatchIds(spark, sumsDir(rootDir))
+        .lastOption.getOrElse(Long.MinValue)
       val langTop = BatchState.read(spark, langsDir(rootDir))
+        .map(_.filter(col("batch_id") <= sumsMax))
         .getOrElse(Seq.empty[(String, String, Long)]
           .toDF("source", "lang", "n_docs"))
         .groupBy("source", "lang").agg(sum("n_docs").as("__c"))

@@ -76,6 +76,27 @@ class ScorecardStreamSpec extends SparkSpec {
       truth(batches.reduce(_ unionAll _)))
   }
 
+  test("a crash before the sums commit point leaves a consistent pre-batch view") {
+    // sums/ is written LAST: simulate a crash that landed the
+    // supporting stores (grams, fps, langs) but not sums — the reader
+    // must see exactly the pre-batch scorecard, and the stream's
+    // replay of the batch must then restore full parity
+    val root = Files.createTempDirectory("scorecard").toString
+    val batches = Seq(slice(0, 12), slice(12, 9))
+    fold(batches, root)
+    val afterBoth = canon(ScorecardStream.scorecard(spark, root).get)
+    // reconstruct the crash state: batch 1's sums partition vanishes
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new Path(s"$root/sums/batch_id=1"), true))
+    assert(canon(ScorecardStream.scorecard(spark, root).get) ===
+      truth(batches.head), "reader must see the pre-batch snapshot")
+    // structured streaming re-delivers the uncommitted batch
+    ScorecardStream.scorecardBatch(batches(1), "doc_id", "source", "lang",
+      "text", root, ScorecardStream.Config(), 1L)
+    assert(canon(ScorecardStream.scorecard(spark, root).get) === afterBoth)
+  }
+
   test("a real micro-batch stream matches the batch composition") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("scorecard").toString
