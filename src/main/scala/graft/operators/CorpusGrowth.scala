@@ -130,11 +130,14 @@ object CorpusGrowth {
     require(span > 0 && span <= Long.MaxValue / buckets,
       s"vocabGrowth: doc-id span $span too wide for $buckets buckets — " +
         "densify ids (e.g. zipWithIndex) before bucketing by range")
-    // pure integer bucket: floor((id - lo) * buckets / span) + 1 —
-    // identical in any engine, no percentile interpolation, no sort
+    // pure integer bucket: (id - lo) * buckets DIV span + 1 — integer
+    // DIV (IntegralDivide), NOT `/`: Spark's slash is double division
+    // even on longs, and at spans near Long.MaxValue/buckets the
+    // product exceeds 2^53 where double rounding can misbucket
+    // boundary ids (the DuckDB oracle uses exact `//`)
     def bucketOf(id: org.apache.spark.sql.Column) =
-      (((id - lit(lo)) * lit(buckets.toLong)) / lit(span))
-        .cast("long") + lit(1L)
+      call_function("div",
+        (id - lit(lo)) * lit(buckets.toLong), lit(span)) + lit(1L)
     val docTok = docs.select(
       bucketOf(col(idCol).cast("long")).as("bucket"),
       TextFunctions.tokenCount(

@@ -120,6 +120,13 @@ object VideoFrames {
     val w = tag('W').map(_.toInt).getOrElse(0)
     val h = tag('H').map(_.toInt).getOrElse(0)
     require(w > 0 && h > 0, s"Y4M needs positive W/H tags, got ${w}x$h")
+    // frame size is computed in Int (luma + chroma <= 3*w*h for C444);
+    // header-declared dims like W65536 H65536 would wrap w*h to 0 or
+    // negative, turning every downstream length check vacuous — fail
+    // loudly on the attacker-controlled header instead
+    require(w.toLong * h <= Int.MaxValue / 3,
+      s"Y4M dims ${w}x$h overflow frame-size arithmetic " +
+        s"(w*h must be <= ${Int.MaxValue / 3})")
     val cs = tag('C').getOrElse("420") // spec default
     val lumaLen = w * h
     val chromaLen = cs match {
