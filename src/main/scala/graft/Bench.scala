@@ -177,6 +177,22 @@ object Bench {
     Some(path.toString)
   }
 
+  /** The driver captures only the LAST ~2000 chars of stdout and
+    * json-parses them; a 147-query line is ~4 KB, so its head was cut
+    * and every round's `parsed` came back null. When the full line
+    * exceeds the window, print a compact summary (totals + where the
+    * per-query numbers live) that is guaranteed to parse instead.
+    */
+  private[graft] def stdoutLine(s: Sweep, sfDir: String, lastRunPath: Option[String]): String = {
+    val full = renderJson(s, sfDir)
+    if (full.length <= 1800) full
+    else {
+      val ok = s.results.filter(_._2 >= 0)
+      val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${s.results.size},"n_errors":${s.errors.size},"calibration":${s.calibration},"sf":"$sfDir","queries_path":"${esc(lastRunPath.getOrElse("bench/last_run.json"))}"}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = runsFromEnv
@@ -188,9 +204,12 @@ object Bench {
     val s = sweep(spark, sfDir, runs, only)
     // the committed artifact only makes sense for FULL sweeps — a
     // filtered dev run must not overwrite the 120-query record
-    if (only.isEmpty)
-      writeLastRun(s, sfDir).foreach(p => System.err.println(s"[bench] wrote $p"))
-    println(renderJson(s, sfDir))
+    val lastRun = if (only.isEmpty) {
+      val p = writeLastRun(s, sfDir)
+      p.foreach(x => System.err.println(s"[bench] wrote $x"))
+      p
+    } else None
+    println(stdoutLine(s, sfDir, lastRun))
     spark.stop()
   }
 }
