@@ -37,6 +37,25 @@ import org.apache.spark.sql.functions._
   *     `localCheckpoint`, flat lineage across rounds;
   *   - symmetrization explodes a 2-element array instead of unioning
   *     two projections, so the upstream plan is scanned ONCE.
+  *
+  * Restart contract (all iterative operators here, plus
+  * [[SimilaritySearch.kCenterSelect]] and
+  * [[SubstringDedup.scrubToFixedPoint]]): per-round state is anchored
+  * by eager `localCheckpoint`s, whose blocks live on the EXECUTORS
+  * that computed them, not in reliable storage. On local mode that is
+  * simply fast; on a real cluster, losing an executor mid-iteration
+  * invalidates its blocks and the job fails — the contract is RESTART
+  * THE CALL (every operator is deterministic, so a rerun reproduces
+  * the same result), not resume. For runs long enough that executor
+  * churn is expected (hundreds of rounds on spot nodes), swap
+  * `localCheckpoint` for reliable `checkpoint` against the cluster's
+  * checkpoint dir — one line per operator — and pay the DFS write per
+  * round. Practical bounds at this design point: PageRank/k-core/CC
+  * run one job per round (tens of rounds — O(log diameter) for CC,
+  * `maxIter` for PageRank); `kCenterSelect` is k sequential 1-row
+  * driver round-trips, so keep k in the hundreds, not tens of
+  * thousands; `scrubToFixedPoint` converges in 2-3 passes on real
+  * corpora.
   */
 object Graph {
 

@@ -228,34 +228,47 @@ object Multimodal {
     *
     * Throws IllegalArgumentException for payloads without a moov box.
     */
-  def mp4Meta(mediaId: Long, payload: Array[Byte]): VideoMeta = {
-    def be32(o: Int): Long =
-      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
-        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
-    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
-    def boxType(o: Int): String =
-      new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  /** ISO-BMFF (MP4/MOV) box-walk primitives, shared by [[mp4Meta]]
+    * and [[VideoFrames.movMjpegFrames]].
+    */
+  private[operators] object Bmff {
+    def be32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(p: Array[Byte], o: Int): Long = (be32(p, o) << 32) | be32(p, o + 4)
+    def boxType(p: Array[Byte], o: Int): String =
+      new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    // walk one box level within [from, until), returning found boxes.
-    // size==1 → 64-bit extended size in the next 8 bytes; size==0 →
-    // box extends to the end of the enclosing box (last-box shorthand).
-    def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
+    /** One box level within [from, until) as (type, bodyStart,
+      * bodyEnd). size==1 → 64-bit extended size in the next 8 bytes;
+      * size==0 → box extends to the end of the enclosing box
+      * (last-box shorthand). Malformed sizes end the walk (the intact
+      * prefix is returned) rather than stalling the cursor.
+      */
+    def children(p: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {
       val out = Seq.newBuilder[(String, Int, Int)]
       var o = from
       while (o + 8 <= until) {
-        val size32 = be32(o)
+        val size32 = be32(p, o)
         val (size, hdr) =
           if (size32 == 1) {
             if (o + 16 > until) return out.result()
-            (be64(o + 8), 16)
+            (be64(p, o + 8), 16)
           } else if (size32 == 0) ((until - o).toLong, 8)
           else (size32, 8)
         if (size < hdr || size > until - o) return out.result()
-        out += ((boxType(o), o + hdr, o + size.toInt))
+        out += ((boxType(p, o), o + hdr, o + size.toInt))
         o += size.toInt
       }
       out.result()
     }
+  }
+
+  def mp4Meta(mediaId: Long, payload: Array[Byte]): VideoMeta = {
+    def be32(o: Int): Long = Bmff.be32(payload, o)
+    def be64(o: Int): Long = Bmff.be64(payload, o)
+    def children(from: Int, until: Int): Seq[(String, Int, Int)] =
+      Bmff.children(payload, from, until)
 
     val moov = children(0, payload.length).collectFirst {
       case ("moov", s, e) => (s, e)

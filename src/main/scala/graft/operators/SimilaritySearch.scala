@@ -318,6 +318,16 @@ object SimilaritySearch {
     * still rounds to 6 dp BEFORE the min, and
     * `least(dᵢ₋₁, 1 − sim)` ≡ `1 − greatest(sims)` exactly (the
     * rounded sims differ by ≥1e-6, ten orders above double ulp).
+    *
+    * Restart contract & practical k: greedy farthest-point is
+    * inherently SEQUENTIAL — k rounds of (one job + one 1-row
+    * collect + one localCheckpoint). The per-round driver round-trip,
+    * not the dot products, is the wall at large k: keep k in the
+    * hundreds (coreset/probe-set selection), not tens of thousands
+    * (use [[IvfIndex]]-style k-means clustering for that regime). The
+    * running-state checkpoints live on executors, so an executor loss
+    * mid-loop fails the call — rerun it (deterministic); see the
+    * restart-contract note on [[graft.operators.Graph]].
     */
   /** Free a `localCheckpoint`ed frame's storage blocks NOW instead of
     * at query end. `Dataset.unpersist` can't (checkpoint RDDs never

@@ -25,6 +25,10 @@ object Skew {
     * Only left-preserving join types are supported: the right side is
     * replicated `saltFactor`x, so right/full outer joins would emit
     * every unmatched right row once per salt value.
+    *
+    * Pick `saltFactor` with [[skewReport]] on the join key — its
+    * `suggested_salt` splits the hottest key to roughly one average
+    * partition's load (SkewSpec proves the loop end-to-end).
     */
   def saltedJoin(
       left: DataFrame,
@@ -50,6 +54,7 @@ object Skew {
     * group dominates and map-side combine alone cannot absorb it (e.g.
     * collect-style aggregations with no partial reduction).
     * `partial` builds the per-salt aggregate; `merge` combines salts.
+    * Pick `saltFactor` with [[skewReport]] on the grouping key.
     */
   def saltedAgg(
       df: DataFrame,

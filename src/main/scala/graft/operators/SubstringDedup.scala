@@ -138,6 +138,58 @@ object SubstringDedup {
     scrubCore(toks, hits, idCol, n)
   }
 
+  /** [[scrub]] iterated until NO duplicated span remains: removing a
+    * span can make its flanking tokens adjacent and mint NEW
+    * cross-document n-grams, so one pass removes one GENERATION of
+    * duplicates; this loops until a pass removes nothing. Each pass
+    * only shrinks documents (tokens are never added), so the loop
+    * terminates — `maxPasses` is a guard against pathological corpora,
+    * not a semantic knob, and overrunning it throws rather than
+    * returning a silently-unconverged corpus.
+    *
+    * Driver/restart contract (same as the iterative graph operators):
+    * each pass is one Spark job over the full corpus plus a 1-row
+    * aggregate, anchored by an eager `localCheckpoint` whose blocks
+    * live on executors — an executor loss mid-loop invalidates them
+    * and the call must be rerun from the start. Real corpora converge
+    * in 2–3 passes (a minted gram needs n-1 surviving tokens on each
+    * side of a removed span that line up across documents).
+    *
+    * Returns the [[scrub]]-shaped frame — (idCol, n_tokens = ORIGINAL
+    * token count, n_removed = cumulative across passes, clean_text =
+    * final) — plus the number of passes run.
+    */
+  def scrubToFixedPoint(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      maxPasses: Int = 10): (DataFrame, Int) = {
+    require(maxPasses >= 1, s"need maxPasses >= 1, got $maxPasses")
+    val first = scrub(docs, idCol, textCol, n).localCheckpoint()
+    var last = first
+    var passes = 1
+    var removed = last.agg(sum("n_removed")).collect().head.getLong(0)
+    while (removed > 0L) {
+      if (passes >= maxPasses)
+        throw new IllegalStateException(
+          s"scrubToFixedPoint: still removing spans after $maxPasses passes")
+      val next = scrub(last, idCol, "clean_text", n).localCheckpoint()
+      removed = next.agg(sum("n_removed")).collect().head.getLong(0)
+      if (last ne first) SimilaritySearch.dropCheckpointBlocks(last)
+      last = next
+      passes += 1
+    }
+    // kept = last pass's surviving tokens; a doc scrubbed to "" reads
+    // back as ONE phantom token on the next pass (split("", " ") is
+    // [""]), so empty text pins kept to 0 explicitly
+    val result = first.select(col(idCol), col("n_tokens"))
+      .join(last.select(col(idCol),
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(col("n_tokens") - col("n_removed")).as("__kept"),
+        col("clean_text")), Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - col("__kept")).as("n_removed"), col("clean_text"))
+    (result, passes)
+  }
+
   private def scrubCore(
       toks: DataFrame, hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val owned = hits.groupBy("__gram")

@@ -7,8 +7,10 @@ import graft.operators.Multimodal.MediaRecord
 
 /** REAL video frame extraction for the container+codec pairs the JVM
   * can decode without native libraries: MJPEG-in-AVI (every frame
-  * chunk is a complete JPEG that `ImageIO` reads) and raw YUV4MPEG2
-  * / Y4M (uncompressed planar frames — no codec at all). This
+  * chunk is a complete JPEG that `ImageIO` reads), raw YUV4MPEG2
+  * / Y4M (uncompressed planar frames — no codec at all), and
+  * MJPEG-in-MOV (QuickTime sample tables pointing at complete JPEG
+  * samples — the same decoder behind an ISO-BMFF walk). This
   * upgrades a slice of the video seam from "honest stub" to real —
   * general codecs (H.264 et al.) still route to
   * [[Multimodal.stubDecode]], exactly like audio handles PCM natively
@@ -189,6 +191,118 @@ object VideoFrames {
     * RIFF/AVI → per-frame JPEG decode + [[Multimodal.imageAHash]];
     * YUV4MPEG2 → raw luma + [[lumaAHash]].
     */
+  /** MJPEG frame payloads of a QuickTime/ISO-BMFF MOV in sample
+    * order, sampled during the walk like [[aviMjpegFrames]] — the
+    * THIRD real container, reusing the SAME JPEG decoder: QuickTime's
+    * classic MJPEG stores each frame as one complete JPEG sample
+    * (`stsd` format `jpeg`/`mjpa`), so extraction is pure sample-table
+    * arithmetic, no codec.
+    *
+    * Sample-table walk (the `stbl` contract): `stsd` gates the format,
+    * `stsz` carries per-sample sizes, `stco`/`co64` the FILE-ABSOLUTE
+    * chunk offsets, and `stsc` maps chunks to samples-per-chunk runs.
+    * Fails loudly when no video track carries an MJPEG stsd entry or
+    * when a sample lands outside the payload (corrupt offsets — an
+    * out-of-range copy must not become a silent empty result);
+    * zero-size samples (dropped frames) are skipped without consuming
+    * stride positions.
+    */
+  def movMjpegFrames(
+      payload: Array[Byte],
+      stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): Vector[Array[Byte]] = {
+    require(stride >= 1 && maxFrames >= 1, "stride and maxFrames must be >= 1")
+    import Multimodal.Bmff
+    def kids(b: (String, Int, Int)): Seq[(String, Int, Int)] =
+      Bmff.children(payload, b._2, b._3)
+    val top = Bmff.children(payload, 0, payload.length)
+    val moov = top.collectFirst { case b @ ("moov", _, _) => b }
+      .getOrElse(throw new IllegalArgumentException("no moov box: not MP4/MOV"))
+    val stbls = kids(moov).collect { case t @ ("trak", _, _) => t }
+      .flatMap(t => kids(t).collect { case m @ ("mdia", _, _) => m })
+      .flatMap(m => kids(m).collect { case mi @ ("minf", _, _) => mi })
+      .flatMap(mi => kids(mi).collect { case st @ ("stbl", _, _) => st })
+    val mjpegStbl = stbls.find { st =>
+      kids(st).collectFirst { case ("stsd", s, e) => (s, e) }.exists {
+        case (s, e) =>
+          // ver/flags(4) entry_count(4), then entries: size(4) format(4)
+          s + 16 <= e && {
+            val fmt = new String(payload, s + 12, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb"
+          }
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      "no MJPEG video track (stsd jpeg/mjpa) in MOV"))
+    val boxes = kids(mjpegStbl).map(b => b._1 -> (b._2, b._3)).toMap
+    def u32(o: Int): Long = Bmff.be32(payload, o)
+
+    val (szS, szE) = boxes.getOrElse("stsz",
+      throw new IllegalArgumentException("MOV missing stsz"))
+    val uniform = u32(szS + 4)
+    val nSamples = u32(szS + 8).toInt
+    require(nSamples >= 0 && (uniform != 0 || szS + 12 + 4L * nSamples <= szE),
+      "corrupt stsz table")
+    def sampleSize(i: Int): Int =
+      (if (uniform != 0) uniform else u32(szS + 12 + 4 * i)).toInt
+
+    val (scS, scE) = boxes.getOrElse("stsc",
+      throw new IllegalArgumentException("MOV missing stsc"))
+    val nStsc = u32(scS + 4).toInt
+    require(scS + 8 + 12L * nStsc <= scE, "corrupt stsc table")
+    val stsc = (0 until nStsc).map { i =>
+      (u32(scS + 8 + 12 * i).toInt, u32(scS + 12 + 12 * i).toInt)
+    } // (first_chunk 1-based, samples_per_chunk)
+
+    val offsets: IndexedSeq[Long] = boxes.get("stco").map { case (s, e) =>
+      val n = u32(s + 4).toInt
+      require(s + 8 + 4L * n <= e, "corrupt stco table")
+      (0 until n).map(i => u32(s + 8 + 4 * i))
+    }.orElse(boxes.get("co64").map { case (s, e) =>
+      val n = u32(s + 4).toInt
+      require(s + 8 + 8L * n <= e, "corrupt co64 table")
+      (0 until n).map(i => Bmff.be64(payload, s + 8 + 8 * i))
+    }).getOrElse(throw new IllegalArgumentException("MOV missing stco/co64"))
+
+    def samplesInChunk(chunk1: Int): Int = {
+      // last stsc entry whose first_chunk <= chunk1 governs
+      val run = stsc.takeWhile(_._1 <= chunk1).lastOption
+      run.map(_._2).getOrElse(0)
+    }
+
+    val frames = Vector.newBuilder[Array[Byte]]
+    var kept = 0
+    var seen = 0 // global sample index across chunks
+    var sampleNo = 0
+    var chunk = 0
+    while (chunk < offsets.length && sampleNo < nSamples && kept < maxFrames) {
+      var off = offsets(chunk)
+      var inChunk = 0
+      val perChunk = samplesInChunk(chunk + 1)
+      while (inChunk < perChunk && sampleNo < nSamples && kept < maxFrames) {
+        val size = sampleSize(sampleNo)
+        require(size >= 0 && off >= 0 && off + size <= payload.length,
+          s"corrupt MOV: sample $sampleNo at $off size $size outside payload")
+        if (size > 0) {
+          if (seen % stride == 0) {
+            frames += java.util.Arrays.copyOfRange(
+              payload, off.toInt, (off + size).toInt)
+            kept += 1
+          }
+          seen += 1
+        }
+        off += size
+        inChunk += 1
+        sampleNo += 1
+      }
+      chunk += 1
+    }
+    frames.result()
+  }
+
+  private val BmffTopBoxes =
+    Set("ftyp", "moov", "mdat", "wide", "free", "skip", "pnot")
+
   private def frameHashes(
       payload: Array[Byte], stride: Int, maxFrames: Int): Vector[(Int, Long)] =
     if (payload.length >= 9 &&
@@ -199,12 +313,17 @@ object VideoFrames {
           scala.util.Try(lumaAHash(w, h, yp)).toOption
             .filter(_ != 0L).map(hash => (i, hash))
       }
-    else
-      aviMjpegFrames(payload, stride, maxFrames).zipWithIndex.flatMap {
-        case (jpeg, i) =>
-          scala.util.Try(Multimodal.imageAHash(jpeg)).toOption
-            .filter(_ != 0L).map(hash => (i, hash))
+    else {
+      val isBmff = payload.length >= 8 && BmffTopBoxes.contains(
+        new String(payload, 4, 4, java.nio.charset.StandardCharsets.US_ASCII))
+      val jpegs =
+        if (isBmff) movMjpegFrames(payload, stride, maxFrames)
+        else aviMjpegFrames(payload, stride, maxFrames)
+      jpegs.zipWithIndex.flatMap { case (jpeg, i) =>
+        scala.util.Try(Multimodal.imageAHash(jpeg)).toOption
+          .filter(_ != 0L).map(hash => (i, hash))
       }
+    }
 
   /** Per-clip frame-hash fingerprints: every `stride`-th frame (up to
     * `maxFrames`) of an MJPEG-AVI or Y4M clip decoded for real and

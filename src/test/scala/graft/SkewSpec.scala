@@ -78,4 +78,63 @@ class SkewSpec extends SparkSpec {
     assert(r.getDouble(7) === 1.0, "uniform keys: skew factor 1")
     assert(r.getLong(8) === 1L, "uniform keys: salt 1 (don't salt)")
   }
+
+  // ------------------------------------- diagnosis -> mitigation, e2e
+
+  // Rows carry a distinct id so the whole-row hash actually varies
+  // (salting a row set with IDENTICAL rows cannot spread — every copy
+  // hashes to the same salt; real data always has distinguishing cols).
+  private lazy val skewedRows = {
+    val hot = (1 to 2000).map(i => (99L, i.toLong))
+    val cold = (1 to 50).flatMap(k => (1 to 20).map(i => (k.toLong, 10000L + k * 100 + i)))
+    (hot ++ cold).toDF("k", "id")
+  }
+
+  test("feeding skewReport's suggested_salt into saltedAgg flattens the hot key") {
+    val report = Skew.skewReport(skewedRows, "k").collect().head
+    val salt = report.getLong(8).toInt
+    // 3000 rows, 51 keys, max 2000 -> salt = ceil(2000*32/3000) = 22
+    assert(salt === 22, s"expected hand-computed salt 22, got $salt")
+
+    // the hottest (key, salt) sub-group is what a reducer actually
+    // receives in saltedAgg's partial stage — measure it directly with
+    // the operator's own salting formula
+    val hash = xxhash64(skewedRows.columns.map(col).toSeq: _*)
+    val maxSub = skewedRows
+      .withColumn("__salt", pmod(hash, lit(salt.toLong)))
+      .groupBy("k", "__salt").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val maxPerKey = 2000L
+    val ideal = (maxPerKey + salt - 1) / salt // 91
+    assert(maxSub <= 2 * ideal,
+      s"hottest sub-group $maxSub vs ideal $ideal — salting failed to spread")
+    assert(maxPerKey.toDouble / maxSub >= salt / 2.0,
+      s"reducer load only dropped ${maxPerKey.toDouble / maxSub}x for salt $salt")
+
+    // and the mitigated aggregate still equals the direct one
+    val direct = skewedRows.groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAgg(skewedRows, Seq("k"), salt)(
+      partial = Seq(count(lit(1)).as("n_p"), sum("id").as("s_p")),
+      merge = Seq(sum("n_p").as("n"), sum("s_p").as("s")))
+      .orderBy("k").collect().toSeq
+    assert(salted === direct)
+  }
+
+  test("feeding skewReport's suggested_salt into saltedJoin flattens the shuffle key") {
+    val report = Skew.skewReport(skewedRows, "k").collect().head
+    val salt = report.getLong(8).toInt
+    val dim = (1L to 99L).map(k => (k, s"v$k")).toDF("k", "v")
+    val joined = Skew.saltedJoin(skewedRows, dim, Seq("k"), salt)
+    assert(joined.count() === skewedRows.count()) // every row matched once
+    // the join's shuffle key is (k, __salt): replay the left side's
+    // salting and check the hot key no longer lands on one reducer key
+    val hash = xxhash64(skewedRows.columns.map(col).toSeq: _*)
+    val maxSub = skewedRows
+      .withColumn("__salt", pmod(hash, lit(salt.toLong)))
+      .groupBy("k", "__salt").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxSub * salt < 2000L * 2,
+      s"hot key still concentrated: max sub-group $maxSub at salt $salt")
+  }
 }

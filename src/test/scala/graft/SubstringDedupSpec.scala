@@ -126,6 +126,62 @@ class SubstringDedupSpec extends SparkSpec {
       }
   }
 
+  // --------------------------------------------------- scrubToFixedPoint
+
+  // n=3; removing doc 2's "x y z" span makes "a b" adjacent to "c",
+  // minting the new gram "a b c" that doc 1 also contains — the
+  // one-generation-per-pass caveat made concrete.
+  private val twoPassDocs = Seq(
+    (1L, "x y z a b c"),
+    (2L, "a b x y z c d")
+  )
+
+  test("a span removal that mints a new duplicated gram needs a second pass") {
+    val docs = twoPassDocs.toDF("id", "text")
+    val once = SubstringDedup.scrub(docs, "id", "text", n = 3)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(once(2L) === "a b c d") // generation 1 only
+    val (fixed, passes) = SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3)
+    val out = fixed.select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(passes === 3) // removes, removes again, verifies nothing left
+    assert(out(1L) === ((1L, 6L, 0L, "x y z a b c"))) // owner untouched
+    assert(out(2L) === ((2L, 7L, 6L, "d")))
+  }
+
+  test("the fixed point is idempotent: another scrub removes nothing") {
+    val docs = twoPassDocs.toDF("id", "text")
+    val (fixed, _) = SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3)
+    val again = SubstringDedup.scrub(
+      fixed.select(col("id"), col("clean_text").as("text")), "id", "text", n = 3)
+    assert(again.agg(sum("n_removed")).collect().head.getLong(0) === 0L)
+  }
+
+  test("an already-clean corpus converges in one pass") {
+    val docs = Seq((1L, "p q r s"), (2L, "t u v w")).toDF("id", "text")
+    val (fixed, passes) = SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3)
+    assert(passes === 1)
+    assert(fixed.agg(sum("n_removed")).collect().head.getLong(0) === 0L)
+  }
+
+  test("a doc scrubbed to empty reports full removal, not a phantom token") {
+    val docs = Seq(
+      (1L, "e1 e2 e3 e4 e5 q r"),
+      (2L, "e1 e2 e3 e4 e5") // fully owned by doc 1 -> scrubs to ""
+    ).toDF("id", "text")
+    val (fixed, _) = SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3)
+    val out = fixed.select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(out(2L) === ((2L, 5L, 5L, "")))
+  }
+
+  test("overrunning maxPasses throws instead of returning unconverged text") {
+    val docs = twoPassDocs.toDF("id", "text")
+    assertThrows[IllegalStateException] {
+      SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3, maxPasses = 1)
+    }
+  }
+
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

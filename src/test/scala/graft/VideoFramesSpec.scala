@@ -46,6 +46,34 @@ class VideoFramesSpec extends SparkSpec {
     ascii("RIFF") ++ le32(payload.length) ++ payload
   }
 
+  private def be32(n: Long): Array[Byte] =
+    Array((n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte)
+
+  private def box(tp: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8L) ++ ascii(tp) ++ body
+
+  /** Minimal QuickTime MOV: ftyp + mdat (all JPEG samples contiguous
+    * in one chunk) + moov(trak/mdia/minf/stbl(stsd jpeg, stsz table,
+    * stsc one-run, stco)). Offsets are file-absolute, as the spec
+    * requires.
+    */
+  private def mov(frames: Seq[Array[Byte]], format: String = "jpeg"): Array[Byte] = {
+    val ftyp = box("ftyp", ascii("qt  ") ++ be32(0) ++ ascii("qt  "))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mdatDataStart = ftyp.length + 8L
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box(format, Array.fill(78)(0.toByte)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+      frames.flatMap(f => be32(f.length)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(1) ++
+      be32(1) ++ be32(frames.length) ++ be32(1))
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatDataStart))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val moov = box("moov",
+      box("trak", box("mdia", box("minf", stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
   private val framesA = (0 until 8).map(jpegFrame(_))
 
   test("the RIFF walk recovers every frame byte-for-byte") {
@@ -247,6 +275,54 @@ class VideoFramesSpec extends SparkSpec {
 
   test("y4m: a flat luma frame hashes to zero evidence, like a flat jpeg") {
     assert(VideoFrames.lumaAHash(16, 16, new Array[Byte](256)) === 0L)
+  }
+
+  // --------------------------------------------------- MOV (ISO-BMFF)
+
+  test("the MOV sample-table walk recovers every frame byte-for-byte") {
+    val got = VideoFrames.movMjpegFrames(mov(framesA))
+    assert(got.length === 8)
+    got.zip(framesA).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("MOV stride and maxFrames bound the walk") {
+    val got = VideoFrames.movMjpegFrames(mov(framesA), stride = 2, maxFrames = 3)
+    assert(got.length === 3)
+    got.zip(Seq(0, 2, 4)).foreach { case (f, i) =>
+      assert(f.sameElements(framesA(i)))
+    }
+  }
+
+  test("a MOV without an MJPEG track, or with corrupt offsets, fails loudly") {
+    intercept[IllegalArgumentException] {
+      VideoFrames.movMjpegFrames(mov(framesA, format = "avc1"))
+    }
+    // point stco past the payload end: out-of-range sample must throw
+    val m = mov(framesA)
+    val stcoIdx = {
+      var i = m.length - 8
+      while (!(m(i + 4) == 's' && m(i + 5) == 't' && m(i + 6) == 'c' && m(i + 7) == 'o')) i -= 1
+      i
+    }
+    val off = stcoIdx + 8 + 8 // body + ver/flags + count
+    val bad = m.clone()
+    bad(off) = 0x7f.toByte // absurd offset high byte
+    intercept[IllegalArgumentException] {
+      VideoFrames.movMjpegFrames(bad)
+    }
+  }
+
+  test("the same clip in AVI and MOV near-dup matches cross-container") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, avi(framesA), MediaMeta("video/avi", "t", 1L)),
+      MediaRecord(2L, mov(framesA), MediaMeta("video/quicktime", "t", 1L))).toDS()
+    val prints = VideoFrames.fingerprints(media)
+    assert(prints.filter("media_id = 2").count() === 8L)
+    val pairs = VideoFrames.nearDupPairs(prints, minMatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 8L)),
+      s"identical frames must match on all 8, got ${pairs.toSeq}")
   }
 
   // ------------------------------------------------- cross-modal match
