@@ -216,7 +216,11 @@ object Queries {
     "q_skew_report" -> (AuditQueries.skewReport _),
     "q_image_frame_matches" -> (MultimodalQueries.imageFrameMatch _),
     "q_image_neardup" -> (MultimodalQueries.imageNearDup _),
-    "q_audio_neardup" -> (MultimodalQueries.audioNearDup _))
+    "q_audio_neardup" -> (MultimodalQueries.audioNearDup _),
+    "q_interarrival" -> (AuditQueries.interarrival _),
+    "q_basket_affinity" -> (AuditQueries.basketAffinity _),
+    "q_moments" -> (AuditQueries.moments _),
+    "q_equidepth_histogram" -> (AuditQueries.equidepthHistogram _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -255,6 +259,10 @@ object Queries {
     "q_image_frame_matches" -> MultimodalQueries.imageFrameMatchSql,
     "q_image_neardup" -> MultimodalQueries.imageNearDupSql,
     "q_audio_neardup" -> MultimodalQueries.audioNearDupSql,
+    "q_interarrival" -> AuditQueries.interarrivalSql,
+    "q_basket_affinity" -> AuditQueries.basketAffinitySql,
+    "q_moments" -> AuditQueries.momentsSql,
+    "q_equidepth_histogram" -> AuditQueries.equidepthHistogramSql,
     "q_scan_filter_project" -> CoreQueries.scanFilterProjectSql,
     "q_when_case" -> CoreQueries.whenCaseSql,
     "q_union_dedup" -> CoreQueries.unionDedupSql,

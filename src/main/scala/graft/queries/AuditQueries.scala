@@ -919,4 +919,203 @@ object AuditQueries {
       |  CAST(greatest(1, (max_rows_per_key * 32 + n_rows - 1) // n_rows)
       |    AS BIGINT) AS suggested_salt
       |FROM u""".stripMargin
+
+  /** Per-(user, event_type) inter-event gaps rolled up to per-type
+    * cadence stats — the event-stream health profile (a type whose p95
+    * gap explodes has a stalled producer; one whose p50 collapses has
+    * a runaway emitter). Gaps are computed inside (user, type)
+    * windows — partitions bounded by one user's events, never a
+    * whole-type sort — then mean (exact DECIMAL micros), max, and
+    * exact interpolated p50/p95 via the distinct-value histogram
+    * machinery ([[graft.operators.Percentiles.exactByHistogram]]).
+    */
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("__us"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__gap_us", col("__us") - lag("__us", 1).over(w))
+      .filter(col("__gap_us").isNotNull)
+      .select(col("event_type"), col("__gap_us"))
+    val pct = graft.operators.Percentiles.exactByHistogram(
+      gaps.withColumn("__gap_s", col("__gap_us").cast("double") / 1e6),
+      Seq("event_type"), "__gap_s",
+      Seq("p50_gap_s" -> 0.5, "p95_gap_s" -> 0.95))
+    val base = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__gap_us").cast("decimal(38,0)")).as("__sum_us"),
+      max("__gap_us").as("__max_us"))
+    base.join(pct, "event_type").select(
+      col("event_type"), col("n_gaps"),
+      round(col("__sum_us").cast("double") /
+        col("n_gaps").cast("double") / 1e6, 6).as("mean_gap_s"),
+      round(col("p50_gap_s"), 6).as("p50_gap_s"),
+      round(col("p95_gap_s"), 6).as("p95_gap_s"),
+      round(col("__max_us").cast("double") / 1e6, 6).as("max_gap_s"))
+  }
+
+  val interarrivalSql: String =
+    """WITH g AS (SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events),
+      |gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE) / 1e6, 0.5), 6) AS p50_gap_s,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE) / 1e6, 0.95), 6) AS p95_gap_s,
+      |  round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+      |FROM gg GROUP BY 1""".stripMargin
+
+  /** Market-basket affinity over order lines: part pairs co-ordered in
+    * the same order, with support and lift — the co-occurrence mining
+    * shape (pair generation is ORDER-BOUNDED: a self-equi-join on the
+    * order key explodes at most lines²-per-order pairs, never
+    * part×part; per-part totals and the order count meet the pair
+    * table as broadcasts). `min_co >= 2` keeps the output the
+    * interesting tail, not the all-pairs floor.
+    */
+  def basketAffinity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val partN = li.groupBy("pk").agg(count(lit(1)).as("np"))
+    val orderN = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+    pairs
+      .join(partN.select(col("pk").as("part_a"), col("np").as("__na")), "part_a")
+      .join(partN.select(col("pk").as("part_b"), col("np").as("__nb")), "part_b")
+      .crossJoin(broadcast(orderN))
+      .select(col("part_a"), col("part_b"), col("n_co"),
+        round(col("n_co").cast("double") * col("n_orders").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("lift"))
+  }
+
+  val basketAffinitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |pn AS (SELECT pk, count(*) AS np FROM li GROUP BY 1),
+      |o AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_co
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_co,
+      |  round(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+      |    (CAST(na.np AS DOUBLE) * CAST(nb.np AS DOUBLE)), 6) AS lift
+      |FROM p JOIN pn na ON na.pk = p.part_a
+      |  JOIN pn nb ON nb.pk = p.part_b CROSS JOIN o""".stripMargin
+
+  /** Exact higher moments (skewness, excess kurtosis) of
+    * `l_extendedprice` per return flag — the distribution-shape
+    * profile mean/stddev can't see (heavy tails and asymmetry decide
+    * whether downstream z-score gates make sense). Prices quantize to
+    * integer CENTS and the four power sums fold in DECIMAL(38,0)
+    * (exact, order-independent — a double fold of x⁴ would be
+    * fold-order-dependent and ~1e28-magnitude); the closed-form
+    * moment formulas run on the exact sums. One map-side-combined
+    * aggregate; skew/kurtosis are scale-invariant so the cents unit
+    * cancels.
+    */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val xc = round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), xc.as("__x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).as("__s4"))
+      .select(col("l_returnflag"), col("n"), {
+        val n = col("n").cast("double")
+        val m = col("__s1").cast("double") / n
+        val m2 = col("__s2").cast("double") / n - m * m
+        val m3 = col("__s3").cast("double") / n -
+          lit(3.0) * m * (col("__s2").cast("double") / n) +
+          lit(2.0) * m * m * m
+        val m4 = col("__s4").cast("double") / n -
+          lit(4.0) * m * (col("__s3").cast("double") / n) +
+          lit(6.0) * m * m * (col("__s2").cast("double") / n) -
+          lit(3.0) * m * m * m * m
+        struct(
+          round(m / 100.0, 6).as("mean"),
+          round(sqrt(m2) / 100.0, 6).as("stddev_pop"),
+          round(m3 / pow(m2, 1.5), 6).as("skewness"),
+          round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis_excess"))
+      }.as("__m"))
+      .select(col("l_returnflag"), col("n"), col("__m.mean").as("mean"),
+        col("__m.stddev_pop").as("stddev_pop"),
+        col("__m.skewness").as("skewness"),
+        col("__m.kurtosis_excess").as("kurtosis_excess"))
+  }
+
+  val momentsSql: String =
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS x
+      |  FROM lineitem),
+      |s AS (SELECT l_returnflag, count(*) AS n,
+      |    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+      |    sum(x*x*x*x) AS s4
+      |  FROM c GROUP BY 1),
+      |m AS (SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM s),
+      |mm AS (SELECT l_returnflag, n, m1,
+      |    r2 - m1*m1 AS m2,
+      |    r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+      |    r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  round(m1 / 100.0, 6) AS mean,
+      |  round(sqrt(m2) / 100.0, 6) AS stddev_pop,
+      |  round(m3 / pow(m2, 1.5), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+      |FROM mm""".stripMargin
+
+  /** Equi-DEPTH histogram of `l_extendedprice` (10 buckets of ~equal
+    * row count, each distinct value wholly in one bucket) — the
+    * partition-boundary planning view an equi-WIDTH histogram
+    * (q_length_histogram) can't give on skewed values. Exact and
+    * engine-portable: one count per distinct value (map-side
+    * combined), a cumulative sum over the VALUE-DOMAIN-bounded
+    * distinct table (2-dp currency grid — bounded by the domain, not
+    * the data), and integer bucket arithmetic (`(cum-1)*B DIV n`)
+    * DuckDB replays exactly.
+    */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_extendedprice").cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(lit(1)).orderBy("__v")
+    hist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(lit(1))))
+      .withColumn("bucket",
+        call_function("div", (col("__cum") - 1L) * 10L, col("__n")) + 1L)
+      .groupBy("bucket")
+      .agg(min("__v").as("lo"), max("__v").as("hi"),
+        sum("__c").as("n_rows"))
+  }
+
+  val equidepthHistogramSql: String =
+    """WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+      |    count(*) AS c FROM lineitem GROUP BY 1),
+      |cw AS (SELECT v, c, sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(c) OVER () AS n FROM h)
+      |SELECT ((cum - 1) * 10) // n + 1 AS bucket,
+      |  min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS n_rows
+      |FROM cw GROUP BY 1""".stripMargin
 }

@@ -120,7 +120,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // derived aggregates and the keyness join — materialized once
       "q_distinctive_terms",
       // the |types|²-bounded transition table feeds its own marginals
-      "q_event_transitions")
+      "q_event_transitions",
+      // pinned-fixture codec gates: inputs are a handful of
+      // MediaFixtures payloads built driver-side BY DESIGN (DuckDB
+      // cannot decode JPEG/AVI/WAV, so the oracle pins expected rows);
+      // the corpus-scale path reads parquet via Multimodal.fromText
+      "q_image_frame_matches", "q_image_neardup", "q_audio_neardup")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -438,7 +443,25 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // grand aggregates) - every post-scan frame is key- or 1-row-bounded
       "q_fk_integrity" -> 20,
       // two key-count aggregates + their single-row grand rollups
-      "q_skew_report" -> 4)
+      "q_skew_report" -> 4,
+      // banded-hash bucket agg + the distinct on candidate pairs;
+      // hash-side joins broadcast (fixture-sized, and at corpus scale
+      // the bucket tables stay band-bounded)
+      "q_image_frame_matches" -> 3,
+      "q_image_neardup" -> 3,
+      // landmark bucket agg + per-(pair, delta) agg + per-pair max
+      "q_audio_neardup" -> 4,
+      // (user,type) gap window + the exact-percentile histogram
+      // machinery + the base agg + the stats join
+      "q_interarrival" -> 5,
+      // distinct + the ok-keyed self-join + pair agg + two part-count
+      // joins and their aggs — every exchange key-bounded, the pair
+      // table is order-bounded (lines² per order, never part x part)
+      "q_basket_affinity" -> 9,
+      // one map-side-combined power-sum aggregate
+      "q_moments" -> 1,
+      // distinct-value count + the value-domain cum-sum window/agg
+      "q_equidepth_histogram" -> 2)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
