@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The sf1 scale-soak: runs the most expensive queries at sf0.1 AND at
+  * a [[SoakGen]]-generated 10× directory IN THE SAME SESSION, and
+  * writes the measured ratio per query to `bench/soak_sf1.json`. The
+  * committed artifact is what [[SoakGuardSpec]] gates on: a query
+  * whose 10×-data time grows by much more than 10× has a superlinear
+  * term the sf0.1 bench cannot see — exactly the failure the 100 TB
+  * claims must exclude.
+  *
+  * Same-session pairing makes the ratio self-calibrating: external
+  * load inflates both measurements, so the RATIO stays comparable
+  * across machines in a way raw floors are not.
+  *
+  * Usage: `runMain graft.Soak` (SPARK_GRAFT_SOAK_SRC, _DIR, _FACTOR
+  * override the defaults; the sf1 directory is generated on first run
+  * and reused after — delete it to force regeneration).
+  */
+object Soak {
+
+  /** The soak set: the most expensive CORRECTNESS_r10 queries (graph
+    * suite, selection/dedup/profiling heavies) — the ones whose scale
+    * behavior carries the 100 TB story.
+    */
+  val SoakQueries: Seq[String] = Seq(
+    "q_graph_pagerank", "q_graph_walks", "q_graph_triangles",
+    "q_graph_kcore", "q_mad_outliers", "q_cluster_representatives",
+    "q_training_triplets", "q_dedup_recall", "q_source_overlap",
+    "q_split_leakage_safe", "q_dedup_scrub", "q_lm_perplexity",
+    "q_lm_perplexity_kn", "q_table_profile", "q_corpus_scorecard")
+
+  private def timed(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val s = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val spark = Bench.buildSession()
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dst, "lineitem.parquet"))) {
+      System.err.println(s"[soak] generating $dst = $src x$factor ...")
+      SoakGen.generate(spark, src, dst, factor)
+    }
+    // warm the session (JIT, parquet footers, codegen) off the clock
+    timed(spark, SoakQueries.head, src)
+    val rows = SoakQueries.map { q =>
+      val small = timed(spark, q, src)
+      val big = timed(spark, q, dst)
+      val ratio = if (small > 0) big / small else -1.0
+      System.err.println(f"[soak] $q%-28s sf0.1 $small%7.2f s  x$factor $big%7.2f s  ratio ${ratio}%5.2f")
+      (q, small, big, ratio)
+    }
+    val body = rows.map { case (q, s, b, r) =>
+      f""""$q":{"sf01_sec":$s%.3f,"sfx_sec":$b%.3f,"ratio":$r%.3f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"factor":$factor,"cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}","queries":$body,"written_at":"${java.time.Instant.now()}"}\n"""
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"), "soak_sf1.json")
+    java.nio.file.Files.write(path,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[soak] wrote $path")
+    println(json)
+    spark.stop()
+  }
+}

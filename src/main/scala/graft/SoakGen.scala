@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× (or `factor`×) scale-up of a testdata directory,
+  * for the sf1 perf soak ([[Soak]]): every fact table becomes `factor`
+  * key-shifted replicas whose foreign keys stay consistent (one global
+  * id offset per replica, applied to every int64 id column), while the
+  * fixed dimensions (region, nation) copy through unchanged — the
+  * TPC-H scaling convention.
+  *
+  * Content columns are PERTURBED per replica so the scaled corpus
+  * behaves like more data, not like `factor` exact copies (which would
+  * turn every dedup/similarity query into a pathological
+  * everything-matches workload that measures duplicate structure, not
+  * scale):
+  *   - `documents.text`: letters Caesar-rotate by the replica index
+  *     (a bijection — token counts, lengths, Zipf shape, and n-gram
+  *     structure are preserved within each replica; replicas share no
+  *     vocabulary, so cross-replica duplicate pairs don't explode);
+  *   - `embeddings.embedding`: circular dimension shift by the replica
+  *     index (norms and pairwise-distance DISTRIBUTIONS preserved;
+  *     replicas are not mutual near-duplicates).
+  *
+  * Everything is seed-free arithmetic: same input → same bytes out.
+  */
+object SoakGen {
+
+  /** One offset shared by every int64 id column — far above any key in
+    * the source tables, so replica key ranges never collide and
+    * per-table (lo, hi) id spans stay well inside the integer-bucket
+    * guards.
+    */
+  val IdOffset = 100000000L
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rot(r: Int): (String, String) = {
+    val k = ((r % 26) + 26) % 26
+    val lo = lower.drop(k) + lower.take(k)
+    (lower + lower.toUpperCase, lo + lo.toUpperCase)
+  }
+
+  /** The per-replica transform for one table. `idCols` are the int64
+    * key columns that shift by `r * IdOffset`.
+    */
+  private def replica(df: DataFrame, name: String, r: Int): DataFrame = {
+    val idCols: Seq[String] = name match {
+      case "customer" => Seq("c_custkey")
+      case "orders" => Seq("o_orderkey", "o_custkey")
+      case "lineitem" => Seq("l_orderkey", "l_partkey", "l_suppkey")
+      case "part" => Seq("p_partkey")
+      case "supplier" => Seq("s_suppkey")
+      case "events" => Seq("event_id", "user_id")
+      case "documents" => Seq("doc_id")
+      case "embeddings" => Seq("vec_id")
+      case _ => Seq.empty
+    }
+    val shifted = idCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c) + lit(r * IdOffset)))
+    name match {
+      case "documents" if r > 0 =>
+        val (from, to) = rot(r)
+        shifted.withColumn("text", translate(col("text"), from, to))
+      case "embeddings" if r > 0 =>
+        shifted.withColumn("embedding",
+          concat(
+            slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+            slice(col("embedding"), lit(1), lit(r))))
+      case _ => shifted
+    }
+  }
+
+  def generate(
+      spark: SparkSession, srcDir: String, dstDir: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val fixed = Seq("region", "nation")
+    val scaled = Seq("customer", "orders", "lineitem", "part", "supplier",
+      "events", "documents", "embeddings")
+    fixed.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+    scaled.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = (0 until factor).map(replica(src, t, _)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      System.err.println(s"[soakgen] $t x$factor written")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Bench.buildSession()
+    generate(spark, src, dst, factor)
+    spark.stop()
+  }
+}

@@ -13,10 +13,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-sbt -batch Test/compile 'testOnly graft.BenchGuardSpec'
-# BenchGuardSpec is Spark-free and fast; it catches the OTHER
-# ship-red-at-HEAD mode — a registered query whose floor / last_run
-# measurement was never committed (run `BenchGuard --update` to fix).
+sbt -batch Test/compile 'testOnly graft.BenchGuardSpec graft.SoakGuardSpec'
+# Both guard specs are Spark-free and fast; they catch the OTHER
+# ship-red-at-HEAD modes — a registered query whose floor / last_run
+# measurement was never committed (run `BenchGuard --update` to fix),
+# and a stale or superlinear sf1 soak artifact (run `graft.Soak`).
 
 if [[ "${1:-}" == "--full" ]]; then
   tools/cli_smoke.sh
