@@ -220,7 +220,13 @@ object Queries {
     "q_interarrival" -> (AuditQueries.interarrival _),
     "q_basket_affinity" -> (AuditQueries.basketAffinity _),
     "q_moments" -> (AuditQueries.moments _),
-    "q_equidepth_histogram" -> (AuditQueries.equidepthHistogram _))
+    "q_equidepth_histogram" -> (AuditQueries.equidepthHistogram _),
+    "q_stream_scorecard" -> (StreamGateQueries.streamScorecard _),
+    "q_stream_novelty" -> (StreamGateQueries.streamNovelty _),
+    "q_stream_drift" -> (StreamGateQueries.streamDrift _),
+    "q_stream_scd" -> (StreamGateQueries.streamScd _),
+    "q_stream_kmv_overlap" -> (StreamGateQueries.streamKmvOverlap _),
+    "q_stream_skew" -> (StreamGateQueries.streamSkew _))
 
   /** name -> DuckDB oracle SQL. EVERY registered query is oracled —
     * including q_compression_ratio (adjudicated on pinned kernel
@@ -263,6 +269,14 @@ object Queries {
     "q_basket_affinity" -> AuditQueries.basketAffinitySql,
     "q_moments" -> AuditQueries.momentsSql,
     "q_equidepth_histogram" -> AuditQueries.equidepthHistogramSql,
+    // the streamed folds are adjudicated against the BATCH queries'
+    // oracles — the stream-equals-batch parity claim, driver-checked
+    "q_stream_scorecard" -> AuditQueries.corpusScorecardSql,
+    "q_stream_novelty" -> AuditQueries.ngramNoveltySql,
+    "q_stream_drift" -> CurationQueries.distributionDriftSql,
+    "q_stream_scd" -> ScdQueries.scdStatusSql,
+    "q_stream_kmv_overlap" -> ProfilingQueries.sourceOverlapSketchSql,
+    "q_stream_skew" -> AuditQueries.skewReportSql,
     "q_scan_filter_project" -> CoreQueries.scanFilterProjectSql,
     "q_when_case" -> CoreQueries.whenCaseSql,
     "q_union_dedup" -> CoreQueries.unionDedupSql,

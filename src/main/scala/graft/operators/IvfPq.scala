@@ -77,6 +77,69 @@ object IvfPq {
     * cell. Output contract matches the other search paths: (query_id,
     * neighbor_id, score, rank).
     */
+  /** Persist a trained IVF-PQ index to `dir` — the artifact an
+    * offline build job hands to every downstream query batch, so the
+    * train+encode cost amortizes across sessions (the
+    * [[IvfIndex.save]] contract, extended with the PQ codebooks):
+    * `centroids/` (k rows), `codebooks/` (m·ksub rows of
+    * (sub, code, vec)), and the cell-partitioned `index/` of
+    * (id, codes) — m code bytes per vector, never the raw floats.
+    * Atomic: readers see the old index or the new one, never a mix.
+    */
+  def save(idx: DataFrame, model: Model, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.AtomicDir
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    model.ivf.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // k rows by construction
+      .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
+    model.pq.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (w, code) => (sub, code, w.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "vec")
+      .coalesce(1) // m * ksub rows by construction
+      .write.mode("overwrite").parquet(new Path(tmp, "codebooks").toString)
+    idx.select(col("id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(tmp, "index").toString)
+    AtomicDir.commit(fs, dest)
+  }
+
+  /** Load a [[save]]d IVF-PQ index: (encoded frame for [[search]],
+    * model). Repairs an interrupted save first; the only driver-side
+    * materializations are the k-row centroid and m·ksub-row codebook
+    * tables.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, Model) = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.AtomicDir
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, dest)
+    val centroids = spark.read.parquet(new Path(dest, "centroids").toString)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, s"no centroids under $dir")
+    val bookRows = spark.read.parquet(new Path(dest, "codebooks").toString)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(bookRows.nonEmpty, s"no codebooks under $dir")
+    val codebooks = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+      .toArray
+    val idx = spark.read.parquet(new Path(dest, "index").toString)
+      .select(col("id"), col("cell").cast("int").as("cell"), col("codes"))
+    (idx, Model(IvfIndex.Model(centroids), PqIndex.Model(codebooks)))
+  }
+
   def search(
       queries: DataFrame,
       idx: DataFrame,

@@ -90,9 +90,20 @@ object Skew {
     * overhead.
     */
   def skewReport(
-      df: DataFrame, keyCol: String, partitions: Int = 32): DataFrame = {
+      df: DataFrame, keyCol: String, partitions: Int = 32): DataFrame =
+    reportFromCounts(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt")),
+      keyCol, partitions)
+
+  /** [[skewReport]] from an ALREADY-AGGREGATED (key, __cnt) table —
+    * the entry point the streaming count store uses
+    * ([[graft.streaming.SkewStream]]): per-key counts are additive, so
+    * the cumulative store replays the exact report.
+    */
+  def reportFromCounts(
+      counts: DataFrame, keyCol: String, partitions: Int = 32): DataFrame = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
-    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    counts
       .agg(
         sum("__cnt").as("n_rows"),
         count(lit(1)).as("n_keys"),

@@ -85,4 +85,36 @@ class IvfPqSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run() == run())
   }
+
+  test("a saved IVF-PQ index round-trips: loaded search matches in-memory") {
+    val rtDir = java.nio.file.Files.createTempDirectory("ivfpq-rt").toString + "/idx"
+    val model = IvfPq.train(embeddings, "vec_id", "embedding",
+      kCells = 8, m = 4, ksub = 16, itersIvf = 2, itersPq = 1)
+    val built = IvfPq.index(embeddings, "vec_id", "embedding", model)
+    val queries = embeddings.filter(col("vec_id") < 10)
+    def results(idx: org.apache.spark.sql.DataFrame, m: IvfPq.Model) =
+      IvfPq.search(queries, idx, "vec_id", "embedding", m,
+          kNeighbors = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+        .collect().map(_.toSeq).toSeq
+
+    val fresh = results(built, model)
+    IvfPq.save(built, model, rtDir)
+    val (loaded, loadedModel) = IvfPq.load(spark, rtDir)
+    assert(loadedModel.ivf.centroids.map(_.toSeq).toSeq ==
+      model.ivf.centroids.map(_.toSeq).toSeq, "IVF model changed across save/load")
+    assert(loadedModel.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks changed across save/load")
+    assert(results(loaded, loadedModel) == fresh,
+      "loaded-index search diverged from the freshly built index")
+
+    // cell-partitioned layout on disk: probing prunes files
+    assert(new java.io.File(s"$rtDir/index").listFiles()
+      .count(_.getName.startsWith("cell=")) > 1)
+
+    // a second save over the same path is a clean atomic replace
+    IvfPq.save(built, model, rtDir)
+    assert(results(IvfPq.load(spark, rtDir)._1, loadedModel) == fresh)
+  }
 }

@@ -125,7 +125,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // MediaFixtures payloads built driver-side BY DESIGN (DuckDB
       // cannot decode JPEG/AVI/WAV, so the oracle pins expected rows);
       // the corpus-scale path reads parquet via Multimodal.fromText
-      "q_image_frame_matches", "q_image_neardup", "q_audio_neardup")
+      "q_image_frame_matches", "q_image_neardup", "q_audio_neardup",
+      // the incremental-SCD fold anchors each merged history with a
+      // localCheckpoint (per-batch state, the streaming contract);
+      // the read side is that executor-resident final history
+      "q_stream_scd",
+      // the KMV pair matrix is driver-built from collected sketches —
+      // S x k longs, bounded by construction, same as the batch
+      // q_source_overlap_sketch it is adjudicated against
+      "q_stream_kmv_overlap")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -461,7 +469,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // one map-side-combined power-sum aggregate
       "q_moments" -> 1,
       // distinct-value count + the value-domain cum-sum window/agg
-      "q_equidepth_histogram" -> 2)
+      "q_equidepth_histogram" -> 2,
+      // READ-SIDE plans over the per-batch parquet stores the fold
+      // already wrote: the scorecard fold joins its four stores, the
+      // novelty/drift reads are plain partitioned-parquet scans
+      "q_stream_scorecard" -> 6,
+      "q_stream_novelty" -> 0,
+      "q_stream_drift" -> 0,
+      // the fold's work happened at merge time; the read side is the
+      // checkpointed final history
+      "q_stream_scd" -> 0,
+      // the S x k sketch table collects driver-side (bounded); the
+      // matrix itself is a LocalTableScan
+      "q_stream_kmv_overlap" -> 0,
+      // two cumulative stores: per-key sum + the 1-row report each
+      "q_stream_skew" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
