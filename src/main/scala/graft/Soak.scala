@@ -29,7 +29,11 @@ object Soak {
     "q_graph_kcore", "q_mad_outliers", "q_cluster_representatives",
     "q_training_triplets", "q_dedup_recall", "q_source_overlap",
     "q_split_leakage_safe", "q_dedup_scrub", "q_lm_perplexity",
-    "q_lm_perplexity_kn", "q_table_profile", "q_corpus_scorecard")
+    "q_lm_perplexity_kn", "q_table_profile", "q_corpus_scorecard",
+    // the heaviest stream-gate folds: the soak covers the streaming
+    // machinery (stores, incremental merges), not just batch plans
+    "q_stream_scd", "q_stream_cluster", "q_stream_scorecard",
+    "q_basket_affinity")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.t
-import graft.streaming.{DriftStream, KmvStream, NoveltyStream, ScorecardStream, SkewStream}
+import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, KmvStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, TransitionStream}
 
 /** DRIVER-ORACLED streaming gates: each query folds a streaming
   * monitor's `foreachBatch` body over three deterministic id-ordered
@@ -43,6 +43,25 @@ object StreamGateQueries {
 
   private def tempRoot(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Three contiguous TIME ranges — the arrival order a real event
+    * stream delivers (the transition monitor's parity precondition is
+    * per-user time-ordered arrival; same-timestamp rows always land
+    * in one batch because the cut is on the timestamp itself).
+    */
+  private def tsSlices(events: DataFrame, tsCol: String): Seq[DataFrame] = {
+    val us = unix_micros(col(tsCol))
+    val mm = events.agg(min(us), max(us)).collect().head
+    if (mm.isNullAt(0)) return Seq(events)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1L
+    val cut1 = lo + span / 3
+    val cut2 = lo + 2L * span / 3
+    Seq(
+      events.filter(us < cut1),
+      events.filter(us >= cut1 && us < cut2),
+      events.filter(us >= cut2))
+  }
 
   /** The live corpus scorecard after streaming the documents table in
     * three crawl-order batches; oracle = the batch q_corpus_scorecard
@@ -126,6 +145,116 @@ object StreamGateQueries {
     }
     hist.select("o_custkey", "snapshot_date", "change_status",
       "changed_status_date")
+  }
+
+  /** Incremental near-dup clustering adjudicated by the batch
+    * recursive-CTE oracle: the minhash candidate PAIRS arrive in
+    * three batches (a pair arrives when its LATER endpoint does —
+    * crawl semantics), each folded by [[ClusterStream.mergeBatch]]
+    * (prior labels re-enter as star edges, CC walks only the new
+    * connections). The final labels must equal the from-scratch
+    * resolve over every pair — q_dedup_clusters' oracle.
+    */
+  def streamCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.dedupMinHash(s, dir)
+      .select(col("id_a"), col("id_b"),
+        greatest(col("id_a"), col("id_b")).as("__arr"))
+    val state = tempRoot("graft_q_stream_cluster")
+    idSlices(pairs, "__arr").zipWithIndex.foreach { case (b, i) =>
+      ClusterStream.mergeBatch(b.select("id_a", "id_b"), state, i.toLong)
+    }
+    ClusterStream.labels(s, state)
+      .withColumnRenamed("node", "doc_id")
+  }
+
+  /** Live benchmark-store decontamination: the eval set arrives in
+    * three batches (benchmark releases — the side that actually
+    * updates), each reduced to its distinct shingle hashes; gating
+    * the corpus through the merged store must equal the batch
+    * q_decontaminate report over the full benchmark — the semilattice
+    * store argument, driver-checked.
+    */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), col("text"))
+    val state = tempRoot("graft_q_stream_decontaminate")
+    idSlices(bench, "doc_id").zipWithIndex.foreach { case (b, i) =>
+      DecontaminationStream.mergeBatch(b, "doc_id", "text", state,
+        DecontaminationStream.Config(shingleSize = 3, threshold = 0.8), i.toLong)
+    }
+    graft.operators.Decontaminate.overlapReportHashes(
+      docs, DecontaminationStream.hashes(s, state), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+  }
+
+  /** Streaming change-data-capture adjudicated by the batch snapshot
+    * diff: the q_snapshot_diff query's "old" and "current" per-customer
+    * latest-order snapshots arrive as two consecutive full-snapshot
+    * micro-batches through [[CdcStream.snapshotDiffBatch]]; the
+    * second batch's emitted change log must equal the batch
+    * SnapshotDiff over the same pair — added/removed/changed and the
+    * changed-column lists included.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus")
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val old = latest(o.filter(
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+    val cur = latest(o.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp")))
+    val state = tempRoot("graft_q_stream_cdc_state")
+    val changes = tempRoot("graft_q_stream_cdc_changes")
+    val write = CdcStream.snapshotDiffBatch(state, changes, Seq("o_custkey")) _
+    write(old, 0L)
+    write(cur, 1L)
+    s.read.parquet(s"$changes/batch_id=1")
+      .select("o_custkey", "change_type", "changed_cols")
+  }
+
+  /** The live behavioral-transition matrix after the event stream
+    * arrives in three TIME-ordered batches (boundary transitions —
+    * a user's last event of batch N to their first of batch N+1 —
+    * are exactly what the carried last-event store exists for);
+    * oracle = the batch q_event_transitions SQL over the whole
+    * stream, PMI and conditional probabilities included.
+    */
+  def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val evs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val pairsDir = tempRoot("graft_q_stream_trans_pairs")
+    val lastDir = tempRoot("graft_q_stream_trans_last")
+    val write = TransitionStream.transitionBatch(
+      "user_id", "ts", "event_type", "event_id", pairsDir, lastDir) _
+    tsSlices(evs, "ts").zipWithIndex.foreach { case (b, i) => write(b, i.toLong) }
+    TransitionStream.matrix(s, pairsDir)
+  }
+
+  /** The live weighted reservoir after the documents arrive in three
+    * batches; oracle = the batch q_weighted_sample_grouped SQL. The
+    * Efraimidis-Spirakis key is a pure function of (seed, id, weight),
+    * so "k best per source" over merged candidate sets must equal the
+    * one-pass batch sample EXACTLY — ranks included.
+    */
+  def streamReservoir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("source", "doc_id", "n_chars")
+    val state = tempRoot("graft_q_stream_reservoir")
+    idSlices(docs, "doc_id").zipWithIndex.foreach { case (b, i) =>
+      ReservoirStream.mergeBatch(b, "source", "doc_id", "n_chars", state,
+        ReservoirStream.Config(k = 20, seed = 17L), i.toLong)
+    }
+    ReservoirStream.sample(s, state, ReservoirStream.Config(k = 20, seed = 17L))
+      // the store carries weights as double (the E-S key domain); the
+      // batch query's weights are the raw integral n_chars — cast back
+      .select(col("source"), col("id").as("doc_id"),
+        col("weight").cast("long").as("weight"), col("sample_rank"))
   }
 
   /** The live cross-source KMV overlap matrix after streaming the

@@ -483,7 +483,18 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // matrix itself is a LocalTableScan
       "q_stream_kmv_overlap" -> 0,
       // two cumulative stores: per-key sum + the 1-row report each
-      "q_stream_skew" -> 4)
+      "q_stream_skew" -> 4,
+      // read side = the latest label-store partition (one parquet scan)
+      "q_stream_cluster" -> 0,
+      // shingle explode + per-doc hit agg against the broadcast store
+      "q_stream_decontaminate" -> 2,
+      // read side = the batch-1 change-log partition
+      "q_stream_cdc" -> 0,
+      // cumulative pair-count roll-up + the marginal aggregates the
+      // PMI matrix derives from it (|types|^2-bounded throughout)
+      "q_stream_transitions" -> 7,
+      // candidate dedup + the per-source re-rank (B*k rows per source)
+      "q_stream_reservoir" -> 2)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
