@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.t
-import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, KmvStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, TransitionStream}
+import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, KmvStream, LexiconStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, TransitionStream}
 
 /** DRIVER-ORACLED streaming gates: each query folds a streaming
   * monitor's `foreachBatch` body over three deterministic id-ordered
@@ -256,6 +256,36 @@ object StreamGateQueries {
       .select(col("source"), col("id").as("doc_id"),
         col("weight").cast("long").as("weight"), col("sample_rank"))
   }
+
+  /** Fold the documents into a fresh streamed lexicon (unigram count)
+    * store — ONE store serves all three live lexical signals below,
+    * the "one mergeable representation, many metrics" design.
+    */
+  private def lexiconStore(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val store = tempRoot("graft_q_stream_lexicon")
+    val write = LexiconStream.lexiconBatch("source", "text", store) _
+    idSlices(docs, "doc_id").zipWithIndex.foreach { case (b, i) => write(b, i.toLong) }
+    store
+  }
+
+  /** Live per-source Zipf slope off the streamed lexicon store;
+    * oracle = the batch q_zipf_slope SQL.
+    */
+  def streamZipf(s: SparkSession, dir: String): DataFrame =
+    LexiconStream.zipfSlope(s, lexiconStore(s, dir))
+
+  /** Live pairwise source JS divergence off the same store shape;
+    * oracle = the batch q_source_divergence SQL.
+    */
+  def streamDivergence(s: SparkSession, dir: String): DataFrame =
+    LexiconStream.jsDivergence(s, lexiconStore(s, dir))
+
+  /** Live source-distinctive terms off the same store shape;
+    * oracle = the batch q_distinctive_terms SQL.
+    */
+  def streamDistinctive(s: SparkSession, dir: String): DataFrame =
+    LexiconStream.distinctiveTerms(s, lexiconStore(s, dir))
 
   /** The live cross-source KMV overlap matrix after streaming the
     * documents in three batches; oracle = the batch

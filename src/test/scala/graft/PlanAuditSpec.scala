@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // crossed) — bounded by the source DIMENSION like
       // q_source_overlap_sketch's pair matrix, never by data volume;
       // all per-term work rides the equi-join on the term
-      "q_source_divergence")
+      "q_source_divergence",
+      // the streamed twin replays the identical pair enumeration off
+      // the cumulative count store — same source-dimension bound
+      "q_stream_divergence")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -133,7 +136,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the KMV pair matrix is driver-built from collected sketches —
       // S x k longs, bounded by construction, same as the batch
       // q_source_overlap_sketch it is adjudicated against
-      "q_stream_kmv_overlap")
+      "q_stream_kmv_overlap",
+      // vocab-bounded count tables localCheckpoint once and feed
+      // several derived aggregates — the same contract as the batch
+      // q_source_divergence / q_distinctive_terms they replay
+      "q_stream_divergence", "q_stream_distinctive")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -494,7 +501,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // PMI matrix derives from it (|types|^2-bounded throughout)
       "q_stream_transitions" -> 7,
       // candidate dedup + the per-source re-rank (B*k rows per source)
-      "q_stream_reservoir" -> 2)
+      "q_stream_reservoir" -> 2,
+      // store roll-up + the top-K rank window over it
+      "q_stream_zipf" -> 2,
+      // store roll-up + the pairwise-divergence aggregates (all
+      // vocab-bounded, mirrors the batch q_source_divergence budget)
+      "q_stream_divergence" -> 6,
+      // store roll-up + keyness aggregates + the top-K window
+      "q_stream_distinctive" -> 4)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

@@ -175,6 +175,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(2L) === ((2L, 5L, 5L, "")))
   }
 
+  test("randomized corpora: the fixed point is always idempotent and conserves tokens") {
+    // deterministic pseudo-random corpora over a tiny vocabulary (high
+    // collision pressure -> multi-pass scrubs are common); property:
+    // (1) one more scrub removes nothing, (2) kept + removed = original
+    // tokens per doc, (3) owners (min doc id per surviving gram) keep
+    // their text verbatim on the first pass' owned grams
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 8L).map { id =>
+        val n = 4 + rnd.nextInt(10)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("id", "text")
+      val (fixed, passes) = SubstringDedup.scrubToFixedPoint(docs, "id", "text", n = 3)
+      val rows = fixed.select("id", "n_tokens", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+      assert(passes >= 1 && passes <= 10, s"seed $seed: $passes passes")
+      rows.foreach { case (id, nTok, nRem, clean) =>
+        val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(kept + nRem === nTok, s"seed $seed doc $id: $kept + $nRem != $nTok")
+      }
+      val again = SubstringDedup.scrub(
+        fixed.select(col("id"), col("clean_text").as("text")), "id", "text", n = 3)
+      assert(again.agg(sum("n_removed")).collect().head.getLong(0) === 0L,
+        s"seed $seed: fixed point not idempotent")
+    }
+  }
+
   test("overrunning maxPasses throws instead of returning unconverged text") {
     val docs = twoPassDocs.toDF("id", "text")
     assertThrows[IllegalStateException] {
