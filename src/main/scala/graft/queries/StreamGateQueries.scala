@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.t
-import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, KmvStream, LexiconStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, TransitionStream}
+import graft.functions.TextFunctions
+import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, IvfStream, KmvStream, LexiconStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, StreamingSketch, TransitionStream}
 
 /** DRIVER-ORACLED streaming gates: each query folds a streaming
   * monitor's `foreachBatch` body over three deterministic id-ordered
@@ -286,6 +287,52 @@ object StreamGateQueries {
     */
   def streamDistinctive(s: SparkSession, dir: String): DataFrame =
     LexiconStream.distinctiveTerms(s, lexiconStore(s, dir))
+
+  /** The live IVF similarity index after the embeddings stream in as
+    * three batches under a FIXED coarse quantizer (the versioned-model
+    * production pattern); searching the streamed index must equal the
+    * batch q_simsearch_ivf search — cell assignment is a pure function
+    * of (model, vector), so the union of per-batch assignments IS the
+    * batch index. Oracle = q_simsearch_ivf's full DuckDB replay
+    * (centroids, probe set, candidate scoring, top-5).
+    */
+  def streamIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(
+      e, "vec_id", "embedding", k = 16, iters = 0)
+    val state = tempRoot("graft_q_stream_ivf")
+    idSlices(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .zipWithIndex.foreach { case (b, i) =>
+        IvfStream.mergeBatch(b, "vec_id", "embedding", model, state, i.toLong)
+      }
+    IvfStream.search(e.filter(col("vec_id") < 10), s, state,
+      "vec_id", "embedding", model, kNeighbors = 5, nprobe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** The live heavy-hitter verdicts off the merged per-batch count-min
+    * sketches: CMS counters are LINEAR, so the merge of three batch
+    * sketches is bit-identical to the one-pass corpus sketch — every
+    * estimate, and therefore every within-bound verdict, must equal
+    * the batch q_heavy_hitters row set. Oracle = that query's SQL.
+    */
+  def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def words(df: DataFrame): DataFrame = df.select(
+      explode(split(TextFunctions.normalizeText(col("text")), " ")).as("word"))
+    val cfg = StreamingSketch.Config(eps = 0.001, confidence = 0.99, seed = 17)
+    val state = tempRoot("graft_q_stream_sketch")
+    idSlices(docs, "doc_id").zipWithIndex.foreach { case (b, i) =>
+      StreamingSketch.mergeBatch(words(b), "word", state, cfg, i.toLong)
+    }
+    val exact = words(docs).groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= 100)
+    StreamingSketch.estimates(exact, "word", state, cfg)
+      .select(col("word"), col("n_exact"),
+        (col("cms_est") >= col("n_exact") &&
+          col("cms_est") <= col("n_exact") + col("cms_slack"))
+          .as("within_bound"))
+  }
 
   /** The live cross-source KMV overlap matrix after streaming the
     * documents in three batches; oracle = the batch

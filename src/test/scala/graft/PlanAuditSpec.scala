@@ -140,7 +140,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // vocab-bounded count tables localCheckpoint once and feed
       // several derived aggregates — the same contract as the batch
       // q_source_divergence / q_distinctive_terms they replay
-      "q_stream_divergence", "q_stream_distinctive")
+      "q_stream_divergence", "q_stream_distinctive",
+      // the probe set checkpoints like the batch q_simsearch_ivf
+      "q_stream_ivf")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -508,7 +510,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // vocab-bounded, mirrors the batch q_source_divergence budget)
       "q_stream_divergence" -> 6,
       // store roll-up + keyness aggregates + the top-K window
-      "q_stream_distinctive" -> 4)
+      "q_stream_distinctive" -> 4,
+      // latest-per-id resolution over the streamed cells + the
+      // bounded top-k rank, mirroring the batch IVF search budget
+      "q_stream_ivf" -> 2,
+      // the one exact word count the verdict rows compare against
+      // (the sketch side is KB blobs merged on the driver)
+      "q_stream_sketch" -> 1)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
