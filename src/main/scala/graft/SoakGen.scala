@@ -75,6 +75,12 @@ object SoakGen {
   def generate(
       spark: SparkSession, srcDir: String, dstDir: String, factor: Int): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // replica 26 would Caesar-rotate by 26 % 26 = 0 — an EXACT text
+    // copy of replica 0, reintroducing the duplicate-structure
+    // pathology the rotation exists to avoid
+    require(factor <= 26,
+      s"factor $factor > 26: Caesar rotations repeat and replicas " +
+        "would share exact text; widen the perturbation first")
     val fixed = Seq("region", "nation")
     val scaled = Seq("customer", "orders", "lineitem", "part", "supplier",
       "events", "documents", "embeddings")

@@ -62,6 +62,14 @@ object Multimodal {
     * present in this environment; plug a real implementation here in
     * deployment. Image and audio payloads do NOT go through this
     * seam — [[imageDecode]] and [[audioDecode]] are real JDK codecs.
+    *
+    * SCOPE (final): three containers decode for real without this
+    * seam — MJPEG-in-AVI, raw Y4M, and MJPEG-in-MOV
+    * ([[graft.operators.VideoFrames]]). General compressed codecs
+    * (H.264/H.265/VP9/AV1) stay behind this stub PERMANENTLY in the
+    * JVM-pure build: entropy-coded bitstream decoding without native
+    * libraries is out of scope by design, and the stub failing loudly
+    * is the contract (never a silent wrong frame).
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) =
     throw new UnsupportedOperationException(

@@ -1046,11 +1046,13 @@ object AuditQueries {
           lit(4.0) * m * (col("__s3").cast("double") / n) +
           lit(6.0) * m * m * (col("__s2").cast("double") / n) -
           lit(3.0) * m * m * m * m
+        // a constant group has zero variance: its shape moments are
+        // undefined — null, not a 0/0 NaN (both engines agree)
         struct(
           round(m / 100.0, 6).as("mean"),
           round(sqrt(m2) / 100.0, 6).as("stddev_pop"),
-          round(m3 / pow(m2, 1.5), 6).as("skewness"),
-          round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis_excess"))
+          when(m2 > 0.0, round(m3 / pow(m2, 1.5), 6)).as("skewness"),
+          when(m2 > 0.0, round(m4 / (m2 * m2) - 3.0, 6)).as("kurtosis_excess"))
       }.as("__m"))
       .select(col("l_returnflag"), col("n"), col("__m.mean").as("mean"),
         col("__m.stddev_pop").as("stddev_pop"),
@@ -1080,8 +1082,9 @@ object AuditQueries {
       |SELECT l_returnflag, n,
       |  round(m1 / 100.0, 6) AS mean,
       |  round(sqrt(m2) / 100.0, 6) AS stddev_pop,
-      |  round(m3 / pow(m2, 1.5), 6) AS skewness,
-      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+      |  CASE WHEN m2 > 0 THEN round(m3 / pow(m2, 1.5), 6) END AS skewness,
+      |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+      |    AS kurtosis_excess
       |FROM mm""".stripMargin
 
   /** Equi-DEPTH histogram of `l_extendedprice` (10 buckets of ~equal
