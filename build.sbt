@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` (Bench/Verify) streams the child's stdout/stderr RAW
+// instead of through sbt's logger: the bench driver JSON-parses the
+// tail of stdout, and the default LoggedOutput strategy wraps every
+// line in an "[info] " prefix that breaks the parse. Suppressing the
+// "[success]" epilogue keeps the bench contract line the LAST line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -153,7 +153,7 @@ object Bench {
     val ok = s.results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val extraJson = extra.map { case (k, v) => s""","$k":$v""" }.mkString
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calibration":${s.calibration},"sf":"$sfDir"$extraJson}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calibration":${s.calibration},"sf":"${esc(sfDir)}"$extraJson}"""
   }
 
   /** Persist the full run beside the floors file so BenchGuard, the
@@ -189,7 +189,7 @@ object Bench {
     else {
       val ok = s.results.filter(_._2 >= 0)
       val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${s.results.size},"n_errors":${s.errors.size},"calibration":${s.calibration},"sf":"$sfDir","queries_path":"${esc(lastRunPath.getOrElse("bench/last_run.json"))}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${s.results.size},"n_errors":${s.errors.size},"calibration":${s.calibration},"sf":"${esc(sfDir)}","queries_path":"${esc(lastRunPath.getOrElse("bench/last_run.json"))}"}"""
     }
   }
 
@@ -209,7 +209,14 @@ object Bench {
       p.foreach(x => System.err.println(s"[bench] wrote $x"))
       p
     } else None
-    println(stdoutLine(s, sfDir, lastRun))
+    val line = stdoutLine(s, sfDir, lastRun)
     spark.stop()
+    // Printed AFTER spark.stop() so no shutdown log line can land
+    // behind it: with `run / outputStrategy := StdoutOutput` and
+    // `showSuccess := false` (build.sbt) this is the LAST line of the
+    // sbt process's stdout, bare and unprefixed — the form the
+    // driver's tail JSON-parse expects.
+    println(line)
+    System.out.flush()
   }
 }

@@ -64,10 +64,15 @@ object SoakGen {
         val (from, to) = rot(r)
         shifted.withColumn("text", translate(col("text"), from, to))
       case "embeddings" if r > 0 =>
+        // rotate by r MOD dim: factor may exceed a small embedding
+        // dimension, and a raw `slice(_, r+1, dim-r)` with r >= dim
+        // would fail at runtime on a negative length
+        val dim = size(col("embedding"))
+        val k = pmod(lit(r), dim)
         shifted.withColumn("embedding",
           concat(
-            slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-            slice(col("embedding"), lit(1), lit(r))))
+            slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), lit(1), k)))
       case _ => shifted
     }
   }

@@ -1092,21 +1092,47 @@ object AuditQueries {
     * partition-boundary planning view an equi-WIDTH histogram
     * (q_length_histogram) can't give on skewed values. Exact and
     * engine-portable: one count per distinct value (map-side
-    * combined), a cumulative sum over the VALUE-DOMAIN-bounded
-    * distinct table (2-dp currency grid — bounded by the domain, not
-    * the data), and integer bucket arithmetic (`(cum-1)*B DIV n`)
-    * DuckDB replays exactly.
+    * combined), a distributed prefix sum, and integer bucket
+    * arithmetic (`(cum-1)*B DIV n`) DuckDB replays exactly.
+    *
+    * The prefix sum is two-pass so NO window ever sees the whole
+    * distinct table in one task: values are bucketed into coarse
+    * $1000-wide price groups (value-derived, so deterministic across
+    * recomputation — no partition-id coupling), the ~100 per-group
+    * totals come back to the driver for the running offsets (bounded
+    * by the price DOMAIN, not the data), and the per-value cumulative
+    * runs as parallel per-group windows with the group offset added
+    * back via a broadcast join. DuckDB replays the exact single-window
+    * formulation — same cum, same buckets.
     */
   def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    // pass 1: per-coarse-group ROW counts straight off the scan (the
+    // cumulative is a row count, so the offsets never need the
+    // distinct-value table) → running offsets on the driver
+    val groupTotals = t(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice").cast("double") / 1000.0)
+        .cast("long").as("__g"))
+      .agg(count(lit(1)).as("__gc"))
+      .orderBy("__g").collect()
+    val n = groupTotals.iterator.map(_.getLong(1)).sum
+    var running = 0L
+    val offsetRows = groupTotals.toSeq.map { r =>
+      val o = running; running += r.getLong(1); (r.getLong(0), o)
+    }
+    import s.implicits._
+    val offsets = offsetRows.toDF("__g", "__off")
     val hist = t(s, dir, "lineitem")
       .groupBy(col("l_extendedprice").cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(lit(1)).orderBy("__v")
+      .withColumn("__g", floor(col("__v") / 1000.0).cast("long"))
+    // pass 2: per-group cumulative (parallel, group-bounded) + offset
+    val wi = Window.partitionBy("__g").orderBy("__v")
     hist
-      .withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(lit(1))))
+      .join(broadcast(offsets), "__g")
+      .withColumn("__cum", col("__off") + sum("__c").over(wi))
       .withColumn("bucket",
-        call_function("div", (col("__cum") - 1L) * 10L, col("__n")) + 1L)
+        call_function("div", (col("__cum") - 1L) * 10L,
+          lit(math.max(n, 1L))) + 1L)
       .groupBy("bucket")
       .agg(min("__v").as("lo"), max("__v").as("hi"),
         sum("__c").as("n_rows"))
@@ -1118,7 +1144,7 @@ object AuditQueries {
       |cw AS (SELECT v, c, sum(c) OVER (ORDER BY v
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |  sum(c) OVER () AS n FROM h)
-      |SELECT ((cum - 1) * 10) // n + 1 AS bucket,
+      |SELECT CAST(((cum - 1) * 10) // n + 1 AS BIGINT) AS bucket,
       |  min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS n_rows
       |FROM cw GROUP BY 1""".stripMargin
 }

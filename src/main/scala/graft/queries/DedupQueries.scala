@@ -81,9 +81,12 @@ object DedupQueries {
 
   /** Shared CTE chain deriving the minhash-LSH candidate pairs —
     * reused by the pair query and the cluster-resolution query so both
-    * oracles see the identical pair set.
+    * oracles see the identical pair set. The corpus CTE body is a
+    * parameter so the streamed-corpus gate (q_stream_corpus) can run
+    * the SAME signature/band/pair formulas over its exact-dedup
+    * representatives instead of the near-dup fixture corpus.
     */
-  private[graft] val minHashPairsCtes: String = {
+  private[graft] def minHashPairsCtesOver(corpusSql: String): String = {
     val rows = MinHashNumHashes / MinHashBands
     val params = Dedup.minHashParams(MinHashNumHashes)
     val sigExprs = params.map { case (a, b) =>
@@ -94,7 +97,7 @@ object DedupQueries {
       val hi = bnd * rows + rows
       s"sha256('${bnd}' || ',' || array_to_string(sig[${lo}:${hi}], ','))"
     }.mkString("[", ", ", "]")
-    s"""corpus AS ($nearDupCorpusSql),
+    s"""corpus AS ($corpusSql),
        |words AS (SELECT doc_id,
        |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
        |  FROM corpus),
@@ -109,6 +112,9 @@ object DedupQueries {
        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private[graft] val minHashPairsCtes: String =
+    minHashPairsCtesOver(nearDupCorpusSql)
 
   val dedupMinHashSql: String =
     s"""WITH $minHashPairsCtes

@@ -42,8 +42,32 @@ object StreamGateQueries {
       docs.filter(col(idCol) >= cut2))
   }
 
-  private def tempRoot(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Gate stores created this JVM, deleted on exit: the returned
+    * frames read the stores LAZILY (the driver/bench materializes
+    * them after the gate returns), so eager deletion inside the gate
+    * would pull the parquet out from under the result — instead every
+    * store is registered once and a single shutdown hook sweeps them,
+    * so a bench/verify run leaves no graft_q_stream_* dirs behind.
+    */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort sweep
+      }
+    }))
+
+  private def tempRoot(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
 
   /** Three contiguous TIME ranges — the arrival order a real event
     * stream delivers (the transition monitor's parity precondition is
@@ -387,5 +411,158 @@ object StreamGateQueries {
     DriftStream.driftLog(s, drift)
       .filter(col("batch_id") === 2L)
       .select("source", "n_docs", "chi2")
+  }
+
+  /** Incremental streaming near-dup detection adjudicated by the
+    * FULL-CORPUS batch oracle: the near-dup fixture corpus arrives as
+    * three crawl-order batches, each paired against the persisted
+    * signature store ([[StreamingDedup.incrementalDedupBatch]] — only
+    * the batch is shingled and hashed, store rows enter as pruned
+    * `(id, band)` pairs), and the UNION of the per-batch pair files
+    * must equal the one-shot [[graft.operators.Dedup.minHashCandidates]]
+    * pair set: a pair is emitted exactly once, in the batch where its
+    * later document arrives (batch-vs-store or batch-vs-batch), so the
+    * union covers every pair with no duplicates. Oracle =
+    * q_dedup_minhash's SQL.
+    */
+  def streamDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingDedup
+    val corpus = DedupQueries.nearDupCorpus(s, dir)
+    val store = tempRoot("graft_q_stream_dedup_store")
+    val pairsDir = tempRoot("graft_q_stream_dedup_pairs")
+    val slices = idSlices(corpus, "doc_id")
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.incrementalDedupBatch(
+        store, pairsDir, "text", "doc_id",
+        numHashes = DedupQueries.MinHashNumHashes,
+        shingleSize = DedupQueries.MinHashShingle,
+        bands = DedupQueries.MinHashBands)(b, i.toLong)
+    }
+    s.read.parquet(slices.indices.map(i => s"$pairsDir/batch_id=$i"): _*)
+      .select("id_a", "id_b")
+  }
+
+  /** The WHOLE streaming curation pipeline
+    * ([[graft.streaming.TrainingCorpusStreaming]]) driver-adjudicated:
+    * the documents table arrives as three crawl-order batches, each
+    * folded through `mergeBatch` (per-doc enrichment once, global
+    * re-resolution over metadata-weight state, atomic state+corpus
+    * replace), and the final packed corpus must equal the batch
+    * composition — exact-dedup reps, minhash-LSH + connected-component
+    * near-dup losers, contamination probe vs the static benchmark
+    * docs (doc_id % 13), PII redaction, quality gate at 0.5, and
+    * token-budget packing — every stage replayed cell-for-cell by the
+    * DuckDB oracle ([[streamCorpusSql]]). Sampling runs at fraction
+    * 1.0 so the oracle needs no hash-sampling CTE; the q_sample_mix
+    * oracle covers that stage separately.
+    *
+    * Input is pre-filtered to docs with >= 3 normalized tokens (the
+    * minhash shingle precondition, same filter as the near-dup fixture
+    * corpus) and gets a synthetic deterministic `ts` (the pipeline
+    * schema carries event time; the gate's output does not select it).
+    */
+  def streamCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonLines
+    import graft.streaming.TrainingCorpusStreaming
+    val docs = t(s, dir, "documents")
+      .filter(TextFunctions.tokenCount(
+        TextFunctions.normalizeText(col("text"))) >= 3)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("lang"), col("text"))
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text")
+    val out = tempRoot("graft_q_stream_corpus")
+    val cfg = TrainingCorpusStreaming.Config(sampleFractions = Map.empty)
+    idSlices(docs, "doc_id").zipWithIndex.foreach { case (b, i) =>
+      TrainingCorpusStreaming.mergeBatch(
+        b.withColumn(JsonLines.CorruptCol, lit(null).cast("string")),
+        bench, out, cfg, i.toLong)
+    }
+    TrainingCorpusStreaming.corpus(s, out)
+      .select(col("doc_id"), col("lang"),
+        sha2(col("text"), 256).as("text_fp"),
+        col("quality"), col("n_tokens"),
+        col("shard").cast("long").as("shard"),
+        col("pack_id"), col("pack_pos"))
+  }
+
+  /** DuckDB twin of [[streamCorpus]]: the batch composition of every
+    * pipeline stage, built from the SAME per-stage formulas the
+    * stage-level oracles already pin (fingerprint reps as in
+    * q_curate_corpus, minhash pairs via
+    * [[DedupQueries.minHashPairsCtesOver]], recursive-CTE components as
+    * in q_dedup_clusters, contamination as in q_decontaminate,
+    * redaction as in q_text_redact, quality as in q_quality_calibrated,
+    * packing as in q_doc_packing).
+    */
+  val streamCorpusSql: String = {
+    val piiChain =
+      """regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g')""".stripMargin
+    s"""WITH RECURSIVE src AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+')) >= 3),
+       |fpt AS (SELECT doc_id, lang, text,
+       |    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM src),
+       |reps AS (SELECT doc_id, lang, text FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fpt)
+       |  WHERE doc_id = rep),
+       |${DedupQueries.minHashPairsCtesOver("SELECT doc_id, text FROM reps")},
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |losers AS (SELECT v AS doc_id FROM reach GROUP BY v
+       |  HAVING v != min(u)),
+       |bwords AS (SELECT
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM src WHERE doc_id % 13 = 0),
+       |bench AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+       |    i -> CAST(('0x' || substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)) AS BIGINT))) AS h
+       |  FROM bwords),
+       |csets AS (SELECT doc_id, list_distinct(hashes) AS hset FROM hs),
+       |hits AS (SELECT c.doc_id, count(*) AS n_overlap
+       |  FROM (SELECT doc_id, unnest(hset) AS h FROM csets) c
+       |  JOIN bench ON c.h = bench.h GROUP BY 1),
+       |contam AS (SELECT cs.doc_id,
+       |    CASE WHEN len(cs.hset) > 0
+       |         THEN round(coalesce(ht.n_overlap, 0) / len(cs.hset), 6) >= 0.8
+       |         ELSE false END AS contaminated
+       |  FROM csets cs LEFT JOIN hits ht ON cs.doc_id = ht.doc_id),
+       |red AS (SELECT doc_id, lang, $piiChain AS rtext FROM reps),
+       |ql AS (SELECT doc_id, lang, rtext,
+       |    CAST(len(regexp_extract_all(rtext, '\\S+')) AS BIGINT) AS n_tok,
+       |    CAST(length(rtext) AS BIGINT) AS n_chr
+       |  FROM red),
+       |awl AS (SELECT *,
+       |    CASE WHEN n_tok > 0 THEN CAST(n_chr AS DOUBLE) / CAST(n_tok AS DOUBLE)
+       |         ELSE 0.0 END AS avg_wl
+       |  FROM ql),
+       |sc AS (SELECT doc_id, lang, rtext, n_tok,
+       |    round(least(CAST(n_chr AS DOUBLE) / 200.0, 1.0) * 0.5 +
+       |      (CASE WHEN avg_wl BETWEEN 3 AND 10 THEN 1.0
+       |            WHEN avg_wl > 0 THEN 0.5 ELSE 0.0 END) * 0.5, 6) AS quality
+       |  FROM awl),
+       |kept AS (SELECT s.doc_id, s.lang, s.rtext, s.quality,
+       |    s.n_tok AS n_tokens
+       |  FROM sc s JOIN contam c ON s.doc_id = c.doc_id
+       |  WHERE NOT c.contaminated AND s.quality >= 0.5
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |pk AS (SELECT *,
+       |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+       |  FROM kept),
+       |cw AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pk)
+       |SELECT doc_id, lang, sha256(rtext) AS text_fp, quality, n_tokens,
+       |  CAST(shard AS BIGINT) AS shard,
+       |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       |  CAST(row_number() OVER (PARTITION BY shard,
+       |      floor((cum - n_tokens) / 2048.0) ORDER BY doc_id) AS BIGINT) AS pack_pos
+       |FROM cw""".stripMargin
   }
 }
