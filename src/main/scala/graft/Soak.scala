@@ -33,7 +33,11 @@ object Soak {
     // the heaviest stream-gate folds: the soak covers the streaming
     // machinery (stores, incremental merges), not just batch plans
     "q_stream_scd", "q_stream_cluster", "q_stream_scorecard",
-    "q_basket_affinity")
+    "q_basket_affinity",
+    // the distinct-value percentile family: both ride a per-group
+    // (or coarse-group) window over the distinct-value table, so the
+    // soak measures the domain-bounded claim instead of assuming it
+    "q_equidepth_histogram", "q_group_percentiles")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

@@ -33,10 +33,15 @@ import graft.scd.TrainingCorpusJob
   *     can bridge two previously distinct clusters, so any
   *     "finalized" early decision would diverge from the batch truth.
   *
-  * State and output are parquet under `outDir`, each replaced through
-  * [[AtomicDir]] — a crash between batches leaves the previous
-  * consistent state/corpus pair readable, and the streaming
-  * checkpoint replays the interrupted batch.
+  * State and output are parquet under `outDir`: the doc state is a
+  * per-batch [[BatchState]] store (`batch_id=N` directories — each
+  * micro-batch persists ONLY its first-seen rows, so the state write
+  * is O(batch), never an O(corpus) rewrite), and the corpus is
+  * replaced through [[AtomicDir]] — a crash between batches leaves
+  * the previous consistent state/corpus pair readable, and the
+  * streaming checkpoint replays the interrupted batch (which rewrites
+  * its own state partition byte-identical and re-resolves the
+  * corpus).
   */
 object TrainingCorpusStreaming {
 
@@ -76,7 +81,7 @@ object TrainingCorpusStreaming {
     // vanishes until the next one.
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AtomicDir.recover(fs, new Path(s"$outDir/$docStateName"))
+    BatchState.recover(spark, s"$outDir/$docStateName")
     AtomicDir.recover(fs, new Path(s"$outDir/$corpusName"))
     val stream = spark.readStream
       .schema(streamSchema)
@@ -143,23 +148,36 @@ object TrainingCorpusStreaming {
         redacted.as("text_redacted"),
         TextFunctions.qualityScore(redacted).as("quality"))
 
-    val statePath = new Path(s"$outDir/$docStateName")
-    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AtomicDir.recover(fs, statePath)
-    val prev =
-      if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-      else spark.createDataFrame(
+    // Per-batch state store ([[BatchState]], the StreamingDedup
+    // pattern): each batch persists ONLY its first-seen rows under
+    // `batch_id=N`, so the per-batch state write is O(batch), not
+    // O(corpus) — at 100 TB the full-state rewrite was the dominant
+    // IO term of every micro-batch. Replay-safe by the same partition
+    // contract as the dedup store: the prev read takes strictly
+    // earlier batches, so a redelivered batch sees exactly the
+    // pre-batch state and overwrites its own directory byte-identical.
+    val statePath = s"$outDir/$docStateName"
+    val prev = BatchState.read(spark, statePath) match {
+      case Some(st) => st.filter(col("batch_id") < batchId).drop("batch_id")
+      case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], enriched.schema)
+    }
 
     // state merge: first delivery of a doc_id wins (re-deliveries are
     // replays of the same immutable document). No broadcast hint: the
     // state id set grows with the corpus, so the planner must stay
     // free to shuffle the anti-join at scale.
-    val docs = prev
-      .unionByName(enriched.join(
-        prev.select(col("doc_id").as("p_id")),
-        col("doc_id") === col("p_id"), "left_anti"))
+    val newRows = enriched
+      .join(prev.select(col("doc_id").as("p_id")),
+        col("doc_id") === col("p_id"), "left_anti")
       .localCheckpoint(true)
+    newRows.write.mode("overwrite")
+      .parquet(BatchState.batchDir(spark, statePath, batchId))
+    // the resolution view stays LAZY: prev is a partition-pruned,
+    // column-prunable parquet scan — an O(corpus) in-memory
+    // materialization here would just move the rewritten-state cost
+    // from disk to RAM
+    val docs = prev.unionByName(newRows)
 
     // ---- global re-resolution over metadata-weight state ----
     // exact reps: min id per fingerprint — identical to Dedup.exactDedup
@@ -192,9 +210,10 @@ object TrainingCorpusStreaming {
     val packed = Packing.packDocuments(
       sampled, "doc_id", "text", cfg.tokenBudget, cfg.shards)
 
-    // ---- atomic replace of state then corpus ----
-    replace(fs, statePath, docs)
-    replace(fs, new Path(s"$outDir/$corpusName"), packed, partitionBy = Seq("shard"))
+    // ---- atomic replace of the corpus (state committed above) ----
+    val corpusPath = new Path(s"$outDir/$corpusName")
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    replace(fs, corpusPath, packed, partitionBy = Seq("shard"))
   }
 
   private def replace(

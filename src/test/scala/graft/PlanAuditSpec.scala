@@ -142,7 +142,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // q_source_divergence / q_distinctive_terms they replay
       "q_stream_divergence", "q_stream_distinctive",
       // the probe set checkpoints like the batch q_simsearch_ivf
-      "q_stream_ivf")
+      "q_stream_ivf",
+      // the coarse-group offset table is driver-built by construction
+      // — ~|price domain|/1000 rows (value-derived groups), bounded by
+      // the domain like the sketch pair matrix — and broadcast-joins
+      // into the per-group cum-sum
+      "q_equidepth_histogram")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -477,8 +482,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_basket_affinity" -> 9,
       // one map-side-combined power-sum aggregate
       "q_moments" -> 1,
-      // distinct-value count + the value-domain cum-sum window/agg
-      "q_equidepth_histogram" -> 2,
+      // distinct-value count, the per-coarse-group cum-sum window
+      // (offsets broadcast from the domain-bounded driver table), and
+      // the final bucket agg
+      "q_equidepth_histogram" -> 3,
       // READ-SIDE plans over the per-batch parquet stores the fold
       // already wrote: the scorecard fold joins its four stores, the
       // novelty/drift reads are plain partitioned-parquet scans
@@ -516,7 +523,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_ivf" -> 2,
       // the one exact word count the verdict rows compare against
       // (the sketch side is KB blobs merged on the driver)
-      "q_stream_sketch" -> 1)
+      "q_stream_sketch" -> 1,
+      // read side = the union of the per-batch pair files (one scan)
+      "q_stream_dedup_incr" -> 0,
+      // read side = the packed-corpus store (partitioned parquet scan
+      // + per-row hashing projection)
+      "q_stream_corpus" -> 0)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

@@ -85,6 +85,36 @@ class TrainingCorpusStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/stream_out/quarantine").count() == 1)
   }
 
+  test("state writes are O(batch): a batch persists only its first-seen rows") {
+    val dir = Files.createTempDirectory("corpus_state").toString
+    val out = s"$dir/out"
+    def batchOf(lines: Seq[String]) = spark.read
+      .schema(TrainingCorpusStreaming.streamSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", graft.sources.JsonLines.CorruptCol)
+      .json(lines.toDS)
+    val benchmark = Seq((1L, "zz unrelated")).toDF("doc_id", "text")
+    val cfg = TrainingCorpusStreaming.Config(sampleFractions = Map.empty)
+    TrainingCorpusStreaming.mergeBatch(
+      batchOf(Seq(line(1L, "en", "first batch text one two three"),
+        line(2L, "en", "first batch other text four five"))),
+      benchmark, out, cfg, batchId = 0L)
+    TrainingCorpusStreaming.mergeBatch(
+      batchOf(Seq(line(2L, "en", "REDELIVERED id two must not re-enter state"),
+        line(3L, "en", "second batch brand new text six seven"))),
+      benchmark, out, cfg, batchId = 1L)
+    // batch 1's partition holds ONLY doc 3 — the redelivered id 2 lost
+    // to its first delivery and the batch never rewrote docs 1-2
+    val b1 = spark.read.parquet(s"$out/doc_state/batch_id=1")
+    assert(b1.select("doc_id").as[Long].collect().toSeq == Seq(3L),
+      "a batch's state partition must hold exactly its first-seen rows")
+    val all = spark.read.parquet(s"$out/doc_state")
+    assert(all.count() == 3 &&
+      all.filter(col("doc_id") === 2L).select("text").as[String].head()
+        .startsWith("first batch"),
+      "first delivery wins across partitions")
+  }
+
   test("a replayed batch does not duplicate quarantine rows") {
     val dir = Files.createTempDirectory("corpus_replay").toString
     val out = s"$dir/out"
