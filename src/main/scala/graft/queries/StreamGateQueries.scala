@@ -487,6 +487,65 @@ object StreamGateQueries {
         col("pack_id"), col("pack_pos"))
   }
 
+  /** Live embedding-space drift off the streamed centroid-sum store:
+    * the CURRENT half of the embeddings table (odd vec_id) arrives as
+    * three crawl-order batches, each folding its exact quantized
+    * per-(label, dim) sums into the [[EmbeddingDriftStream]] store;
+    * the read-side shift against the fixed even-id reference must
+    * equal the one-shot batch [[graft.operators.VectorStats
+    * .centroidShift]] (sums and counts are the mergeable
+    * representation, so the streamed fold is bit-identical by
+    * construction — and the driver now adjudicates that). Oracle =
+    * q_embedding_drift's SQL.
+    */
+  def streamEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EmbeddingDriftStream
+    val e = t(s, dir, "embeddings")
+    val cur = e.filter(col("vec_id") % 2 === 1)
+    val store = tempRoot("graft_q_stream_embdrift")
+    idSlices(cur, "vec_id").zipWithIndex.foreach { case (b, i) =>
+      EmbeddingDriftStream.driftBatch("label", "embedding", store)(b, i.toLong)
+    }
+    EmbeddingDriftStream.shift(s, store,
+      EmbeddingDriftStream.referenceSums(
+        e.filter(col("vec_id") % 2 === 0), "label", "embedding"))
+  }
+
+  /** Stream-static enrichment: the events table arrives as three
+    * time-ordered batches, each broadcast-left-joined inside the
+    * [[graft.streaming.StreamingEnrich]] foreachBatch body against
+    * the freshest committed customer dimension; the union of the
+    * enriched batches must equal the one-shot batch left join (every
+    * event in exactly one batch + a static dim during the fold ⇒
+    * exact parity, and unmatched events must pass through with nulls
+    * on both sides). Oracle = the plain LEFT JOIN SQL.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingEnrich
+    val events = t(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val dimDir = tempRoot("graft_q_stream_enrich_dim")
+    val outDir = tempRoot("graft_q_stream_enrich_out")
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_nationkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(dimDir)
+    val slices = tsSlices(events, "ts")
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamingEnrich.enrichBatch(dimDir, Seq("user_id"),
+        (df, id) => df.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$id"))(b, i.toLong)
+    }
+    s.read.parquet(slices.indices.map(i => s"$outDir/batch_id=$i"): _*)
+      .select("event_id", "user_id", "event_type",
+        "c_nationkey", "c_mktsegment")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_nationkey, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin
+
   /** DuckDB twin of [[streamCorpus]]: the batch composition of every
     * pipeline stage, built from the SAME per-stage formulas the
     * stage-level oracles already pin (fingerprint reps as in

@@ -24,6 +24,23 @@ import graft.sources.AtomicDir
   */
 object StreamingEnrich {
 
+  /** The foreachBatch body (directly callable for tests/backfill/the
+    * driver gate): repair + re-read the freshest dimension, broadcast
+    * left-join the batch against it, hand the result to `sink`.
+    */
+  def enrichBatch(
+      dimPath: String,
+      keyCols: Seq[String],
+      sink: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new Path(dimPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, p)
+    val dim = spark.read.parquet(dimPath)
+    sink(batch.join(broadcast(dim), keyCols, "left"), batchId)
+  }
+
   /** foreachBatch writer enriching each micro-batch against the
     * freshest dimension at `dimPath`.
     *
@@ -37,12 +54,5 @@ object StreamingEnrich {
       keyCols: Seq[String],
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val p = new Path(dimPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        AtomicDir.recover(fs, p)
-        val dim = spark.read.parquet(dimPath)
-        sink(batch.join(broadcast(dim), keyCols, "left"), batchId)
-      }
+      .foreachBatch(enrichBatch(dimPath, keyCols, sink) _)
 }

@@ -526,6 +526,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_sketch" -> 1,
       // read side = the union of the per-batch pair files (one scan)
       "q_stream_dedup_incr" -> 0,
+      // store roll-up agg + the inline reference centroid agg + the
+      // (label, dim) join + the per-label shift agg — all bounded by
+      // |labels| x dim, never by corpus rows
+      "q_stream_embedding_drift" -> 5,
+      // read side = the union of the enriched batch files (the
+      // broadcast join ran inside the fold)
+      "q_stream_enrich" -> 0,
       // read side = the packed-corpus store (partitioned parquet scan
       // + per-row hashing projection)
       "q_stream_corpus" -> 0)
