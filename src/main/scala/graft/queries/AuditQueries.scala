@@ -1138,6 +1138,46 @@ object AuditQueries {
         sum("__c").as("n_rows"))
   }
 
+  /** k-anonymity audit ([[graft.operators.Privacy.kAnonymity]]) over
+    * the customer dimension's release-shaped quasi-identifiers
+    * (nation, market segment): every equivalence class with its size,
+    * threshold flag and worst-case re-identification probability. One
+    * map-side-combined aggregate; output bounded by the combination
+    * space.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymity(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5L)
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+      |  count(*) >= 5 AS k_anonymous,
+      |  round(CAST(1.0 AS DOUBLE) / count(*), 6) AS reident_risk
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
+  /** l-diversity audit ([[graft.operators.Privacy.lDiversity]]):
+    * the same equivalence classes, plus the distinct count of a
+    * sensitive attribute (account-balance kilobucket) — the
+    * homogeneity leak k-anonymity alone misses (a size-50 class whose
+    * members all share one sensitive value discloses it for all 50).
+    */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversity(
+      t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 5L, l = 3L)
+
+  val lDiversitySql: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      |  FROM customer)
+      |SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+      |  CAST(count(DISTINCT bal_bucket) AS BIGINT) AS sensitive_l,
+      |  count(*) >= 5 AS k_anonymous,
+      |  round(CAST(1.0 AS DOUBLE) / count(*), 6) AS reident_risk,
+      |  count(DISTINCT bal_bucket) >= 3 AS l_diverse
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val equidepthHistogramSql: String =
     """WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
       |    count(*) AS c FROM lineitem GROUP BY 1),

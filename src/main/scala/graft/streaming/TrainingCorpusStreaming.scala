@@ -45,6 +45,19 @@ import graft.scd.TrainingCorpusJob
   */
 object TrainingCorpusStreaming {
 
+  /** @param partitionedCorpus corpus sink mode. `false` (default):
+    *        each batch atomically replaces the whole corpus — readers
+    *        get snapshot isolation, writes are O(corpus). `true`: the
+    *        corpus is a shard-partitioned table and each batch
+    *        dynamic-overwrites ONLY the shards whose content
+    *        fingerprint changed (pack layout is shard-local, so a
+    *        shard whose kept rows didn't change is byte-stable) —
+    *        writes are O(changed shards), the
+    *        [[graft.sources.ScdStorage.overwritePartitions]] contract:
+    *        atomicity per partition, a crash mid-write heals on
+    *        replay because the fps table commits only after the
+    *        corpus partitions.
+    */
   final case class Config(
       sampleFractions: Map[String, Double],
       seed: Long = 42L,
@@ -53,9 +66,11 @@ object TrainingCorpusStreaming {
       minQuality: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucket: Int = 1000)
+      maxBucket: Int = 1000,
+      partitionedCorpus: Boolean = false)
 
   private val docStateName = "doc_state"
+  private val corpusFpsName = "corpus_fps"
   private val corpusName = "corpus"
 
   /** Schema the stream reads: the batch job's input schema plus the
@@ -83,6 +98,16 @@ object TrainingCorpusStreaming {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     BatchState.recover(spark, s"$outDir/$docStateName")
     AtomicDir.recover(fs, new Path(s"$outDir/$corpusName"))
+    // The benchmark's distinct shingle hashes are computed ONCE, here
+    // — not per micro-batch: the eval corpus is static for the life
+    // of the stream and can be large, so re-shingling it inside every
+    // foreachBatch (as the old benchmark-frame plumbing did) was an
+    // O(benchmark) tax on every batch forever. Same store pattern as
+    // [[DecontaminationStream]]; materialized so the fold reads
+    // executor-resident hashes.
+    val benchHashes = Decontaminate
+      .benchmarkHashes(benchmark, "doc_id", "text")
+      .localCheckpoint(true)
     val stream = spark.readStream
       .schema(streamSchema)
       .option("mode", "PERMISSIVE")
@@ -93,18 +118,24 @@ object TrainingCorpusStreaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, benchmark, outDir, cfg, batchId)
+        mergeBatch(batch, benchHashes, outDir, cfg, batchId)
       }
       .start()
   }
 
   /** One micro-batch: quarantine split → per-doc enrichment of the new
-    * rows → state merge → global re-resolution → atomic state + corpus
-    * replace.
+    * rows → state merge → global re-resolution → per-batch state
+    * write + atomic corpus replace.
+    *
+    * @param benchHashes the benchmark's distinct shingle hashes (one
+    *        `h: long` column — [[Decontaminate.benchmarkHashes]]),
+    *        computed ONCE by the caller; the per-batch probe joins
+    *        against it instead of re-shingling the eval corpus every
+    *        micro-batch
     */
   private[graft] def mergeBatch(
       batch: DataFrame,
-      benchmark: DataFrame,
+      benchHashes: DataFrame,
       outDir: String,
       cfg: Config,
       batchId: Long = 0L): Unit = {
@@ -133,7 +164,7 @@ object TrainingCorpusStreaming {
 
     // ---- per-doc enrichment, once per newly seen document ----
     val contaminatedIds = Decontaminate
-      .overlapReport(incoming, benchmark, "doc_id", "text")
+      .overlapReportHashes(incoming, benchHashes, "doc_id", "text")
       .filter(col("contaminated")).select(col("doc_id").as("c_id"))
     val redacted = TextFunctions.redactPii(col("text"))
     val enriched = StreamingDedup
@@ -210,10 +241,66 @@ object TrainingCorpusStreaming {
     val packed = Packing.packDocuments(
       sampled, "doc_id", "text", cfg.tokenBudget, cfg.shards)
 
-    // ---- atomic replace of the corpus (state committed above) ----
+    // ---- corpus commit (state committed above) ----
     val corpusPath = new Path(s"$outDir/$corpusName")
     val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    replace(fs, corpusPath, packed, partitionBy = Seq("shard"))
+    if (cfg.partitionedCorpus) writeChangedShards(spark, outDir, packed)
+    else replace(fs, corpusPath, packed, partitionBy = Seq("shard"))
+  }
+
+  /** O(changed shards) corpus maintenance: fingerprint every shard of
+    * the NEW corpus (membership + content checksum — pack ids and
+    * positions are a pure shard-local function of the kept rows, so
+    * equal fingerprints ⇒ byte-equal shard output), diff against the
+    * persisted fingerprint table, dynamic-overwrite only the shards
+    * that differ, drop shards that emptied, THEN commit the new
+    * fingerprints. Crash anywhere before the fps commit leaves the
+    * old fps table in place, so the replayed batch recomputes the
+    * same diff — a superset of any partially-written shards — and
+    * heals them; dynamic partition overwrite itself is idempotent.
+    *
+    * The packed frame is consumed twice (fingerprints + the filtered
+    * write), so it rides ONE lazy localCheckpoint: the resolution
+    * pipeline runs once, spilling executor-local (MEMORY_AND_DISK) —
+    * scratch IO, not a second durable-store pass.
+    */
+  private def writeChangedShards(
+      spark: SparkSession, outDir: String, packed: DataFrame): Unit = {
+    val corpusPath = new Path(s"$outDir/$corpusName")
+    val fpsPath = new Path(s"$outDir/$corpusFpsName")
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, fpsPath)
+    val staged = packed.localCheckpoint(false)
+    val newFps = staged.groupBy(col("shard"))
+      .agg(expr(
+        "bit_xor(xxhash64(doc_id, text, quality, n_tokens, pack_id, pack_pos))")
+        .as("fp"))
+      .localCheckpoint(true) // bounded: one row per shard
+    val oldFps =
+      if (fs.exists(fpsPath)) spark.read.parquet(fpsPath.toString)
+      else newFps.limit(0)
+    // driver-bounded by cfg.shards, like every shard table here
+    val old = oldFps.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val neu = newFps.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val changed = neu.filter { case (s, f) => !old.get(s).contains(f) }.keys.toSeq
+    if (changed.nonEmpty) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try staged.filter(col("shard").isin(changed: _*))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(corpusPath.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    // a shard every member left: dynamic overwrite never touches it
+    // (no rows carry its key), so drop the stale directory explicitly
+    (old.keySet -- neu.keySet).foreach { s =>
+      fs.delete(new Path(corpusPath, s"shard=$s"), true)
+    }
+    replace(fs, fpsPath, newFps)
   }
 
   private def replace(

@@ -486,6 +486,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (offsets broadcast from the domain-bounded driver table), and
       // the final bucket agg
       "q_equidepth_histogram" -> 3,
+      // one map-side-combined quasi-identifier aggregate
+      "q_k_anonymity" -> 1,
+      // same aggregate + the distinct-sensitive expand pass
+      "q_l_diversity" -> 2,
       // READ-SIDE plans over the per-batch parquet stores the fold
       // already wrote: the scorecard fold joins its four stores, the
       // novelty/drift reads are plain partitioned-parquet scans

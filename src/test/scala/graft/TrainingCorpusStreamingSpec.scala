@@ -93,7 +93,8 @@ class TrainingCorpusStreamingSpec extends SparkSpec {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", graft.sources.JsonLines.CorruptCol)
       .json(lines.toDS)
-    val benchmark = Seq((1L, "zz unrelated")).toDF("doc_id", "text")
+    val benchmark = graft.operators.Decontaminate.benchmarkHashes(
+      Seq((1L, "zz unrelated")).toDF("doc_id", "text"), "doc_id", "text")
     val cfg = TrainingCorpusStreaming.Config(sampleFractions = Map.empty)
     TrainingCorpusStreaming.mergeBatch(
       batchOf(Seq(line(1L, "en", "first batch text one two three"),
@@ -115,6 +116,54 @@ class TrainingCorpusStreamingSpec extends SparkSpec {
       "first delivery wins across partitions")
   }
 
+  test("partitioned corpus sink rewrites only changed shards") {
+    val dir = Files.createTempDirectory("corpus_part").toString
+    val outP = s"$dir/part"
+    val outA = s"$dir/atomic"
+    def batchOf(lines: Seq[String]) = spark.read
+      .schema(TrainingCorpusStreaming.streamSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", graft.sources.JsonLines.CorruptCol)
+      .json(lines.toDS)
+    val benchmark = graft.operators.Decontaminate.benchmarkHashes(
+      Seq((1L, "zz unrelated")).toDF("doc_id", "text"), "doc_id", "text")
+    val part = TrainingCorpusStreaming.Config(
+      sampleFractions = Map.empty, partitionedCorpus = true)
+    val atomic = part.copy(partitionedCorpus = false)
+    // enough docs that several shards are populated after batch 0;
+    // per-doc-unique vocabulary so no two docs share shingles (LSH
+    // must not collapse the fixture into one near-dup cluster)
+    def text(i: Long) = s"doc$i alpha$i beta$i gamma$i delta$i " +
+      s"epsilon$i zeta$i eta$i theta$i iota$i kappa$i lambda$i"
+    val b0 = (1L to 40L).map(i => line(i, "en", text(i)))
+    val b1 = Seq(line(500L, "en", text(500L)))
+    TrainingCorpusStreaming.mergeBatch(batchOf(b0), benchmark, outP, part, 0L)
+    // snapshot every shard's file listing (name -> mtime+len)
+    def listing(shard: String) = {
+      val d = new java.io.File(s"$outP/corpus/$shard")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val shards = new java.io.File(s"$outP/corpus").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.length > 1, "fixture must populate several shards")
+    val before = shards.map(s => s -> listing(s)).toMap
+    TrainingCorpusStreaming.mergeBatch(batchOf(b1), benchmark, outP, part, 1L)
+    // doc 500 lands in exactly one shard; every other shard's files
+    // must be bit-untouched (same names, mtimes, sizes)
+    val touched = shards.filter(s => listing(s) != before(s))
+    assert(touched.length == 1,
+      s"one new doc must touch exactly one shard, touched: ${touched.mkString(",")}")
+    // and the partitioned corpus equals the atomic-replace corpus
+    TrainingCorpusStreaming.mergeBatch(batchOf(b0), benchmark, outA, atomic, 0L)
+    TrainingCorpusStreaming.mergeBatch(batchOf(b1), benchmark, outA, atomic, 1L)
+    def key(out: String) = TrainingCorpusStreaming.corpus(spark, out)
+      .select("doc_id", "shard", "pack_id", "pack_pos", "text")
+      .collect().map(_.toSeq).toSet
+    assert(key(outP) == key(outA),
+      "partitioned and atomic sinks must produce the same corpus")
+  }
+
   test("a replayed batch does not duplicate quarantine rows") {
     val dir = Files.createTempDirectory("corpus_replay").toString
     val out = s"$dir/out"
@@ -125,7 +174,8 @@ class TrainingCorpusStreamingSpec extends SparkSpec {
       .option("columnNameOfCorruptRecord", graft.sources.JsonLines.CorruptCol)
       .json(Seq(line(1L, "en", "some perfectly fine text"),
         "garbage { not json").toDS)
-    val benchmark = Seq((1L, "zz unrelated")).toDF("doc_id", "text")
+    val benchmark = graft.operators.Decontaminate.benchmarkHashes(
+      Seq((1L, "zz unrelated")).toDF("doc_id", "text"), "doc_id", "text")
     val cfg = TrainingCorpusStreaming.Config(sampleFractions = Map.empty)
     // same batchId delivered twice = a foreachBatch checkpoint replay
     TrainingCorpusStreaming.mergeBatch(batch, benchmark, out, cfg, batchId = 7L)
