@@ -37,7 +37,12 @@ object Soak {
     // the distinct-value percentile family: both ride a per-group
     // (or coarse-group) window over the distinct-value table, so the
     // soak measures the domain-bounded claim instead of assuming it
-    "q_equidepth_histogram", "q_group_percentiles")
+    "q_equidepth_histogram", "q_group_percentiles",
+    // the blocked-join entity-resolution path: candidate volume is
+    // Σ_blocks |L_b|·|R_b|, so the soak measures the blocking key's
+    // selectivity claim (last-4-digit blocks stay ~constant-sized as
+    // keys scale) instead of assuming it
+    "q_record_linkage")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

@@ -1178,6 +1178,91 @@ object AuditQueries {
       |  count(DISTINCT bal_bucket) >= 3 AS l_diverse
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** t-closeness audit ([[graft.operators.Privacy.tCloseness]]): the
+    * skew leak l-diversity misses — per equivalence class, the EMD
+    * between the class's sensitive distribution (balance kilobucket)
+    * and the global one over the ordered value domain.
+    */
+  def tCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tCloseness(
+      t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", t = 0.2)
+
+  val tClosenessSql: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v FROM customer),
+      |counts AS (SELECT c_nationkey, c_mktsegment, v,
+      |    CAST(count(*) AS BIGINT) AS cc FROM c GROUP BY 1, 2, 3),
+      |domain AS (SELECT v, CAST(sum(cc) AS BIGINT) AS gc,
+      |    row_number() OVER (ORDER BY v) AS rnk FROM counts GROUP BY 1),
+      |dom2 AS (SELECT v, rnk,
+      |    CAST(sum(gc) OVER (ORDER BY rnk) AS BIGINT) AS cumgc FROM domain),
+      |tot AS (SELECT count(*) AS m, CAST(sum(gc) AS BIGINT) AS n FROM domain),
+      |grp AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(sum(cc) AS BIGINT) AS group_n FROM counts GROUP BY 1, 2),
+      |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.group_n, d.rnk,
+      |    d.cumgc, coalesce(ct.cc, 0) AS cc
+      |  FROM grp g CROSS JOIN dom2 d
+      |  LEFT JOIN counts ct ON ct.c_nationkey = g.c_nationkey
+      |    AND ct.c_mktsegment = g.c_mktsegment AND ct.v = d.v),
+      |terms AS (SELECT c_nationkey, c_mktsegment, group_n,
+      |    CAST(round(abs(
+      |      CAST(sum(cc) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |        ORDER BY rnk) AS DOUBLE) / CAST(group_n AS DOUBLE)
+      |      - CAST(cumgc AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot)
+      |    ), 9) AS DECIMAL(28,12)) AS term
+      |  FROM grid),
+      |e AS (SELECT c_nationkey, c_mktsegment, group_n,
+      |    round(CAST(sum(term) AS DOUBLE)
+      |      / (SELECT CAST(m - 1 AS DOUBLE) FROM tot), 6) AS emd
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, c_mktsegment, group_n, emd,
+      |  emd <= 0.2 AS t_close FROM e""".stripMargin
+
+  /** Deterministic differentially-private count release
+    * ([[graft.operators.Privacy.dpRelease]]): per (nation, segment)
+    * noisy counts, ε=1 Laplace via the portable unit hash, groups
+    * whose NOISY count misses the threshold suppressed entirely.
+    */
+  def dpRelease(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpRelease(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L)
+
+  val dpReleaseSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |h AS (SELECT c_nationkey, c_mktsegment, n,
+      |    (CAST(('0x' || substr(sha256('42:' ||
+      |      CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 8))
+      |      AS BIGINT) + 0.5) / 4294967296.0 AS u
+      |  FROM g),
+      |r AS (SELECT c_nationkey, c_mktsegment,
+      |    round(n + CASE WHEN u < 0.5 THEN round(ln(2.0 * u), 7)
+      |      ELSE -round(ln(2.0 - 2.0 * u), 7) END, 6) AS noisy_n
+      |  FROM h)
+      |SELECT c_nationkey, c_mktsegment, noisy_n FROM r
+      |WHERE noisy_n >= 5.0""".stripMargin
+
+  /** Row-level suppression view
+    * ([[graft.operators.Privacy.suppressionView]]): every customer row
+    * tagged with its equivalence class's k-anonymity flag — the frame
+    * a release pipeline filters on; the class table broadcasts.
+    */
+  def suppression(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.suppressionView(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5L)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "k_anonymous")
+
+  val suppressionSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    count(*) >= 5 AS k_anonymous FROM customer GROUP BY 1, 2)
+      |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, g.k_anonymous
+      |FROM customer c LEFT JOIN g
+      |  ON c.c_nationkey = g.c_nationkey
+      |  AND c.c_mktsegment = g.c_mktsegment""".stripMargin
+
   val equidepthHistogramSql: String =
     """WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
       |    count(*) AS c FROM lineitem GROUP BY 1),

@@ -12,6 +12,81 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
+  /** Probabilistic record linkage
+    * ([[graft.operators.RecordLinkage.link]]): customer vs a
+    * deterministic "dirty re-extract" of itself (one or two name
+    * digits corrupted, every 7th segment lost, every 13th nation
+    * shifted) — blocked on the last four name digits, scored with
+    * literal Fellegi–Sunter weights, classified match / possible /
+    * non_match. The corruption sits OUTSIDE the blocking substring,
+    * so true pairs always meet; verdicts split on which fields
+    * survived.
+    */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.LinkField
+    val c = t(s, dir, "customer")
+    val left = c.withColumn("l_block", substring(col("c_name"), 15, 4))
+    val right = c.select(
+      (col("c_custkey") + 1000000L).as("r_id"),
+      concat(substring(col("c_name"), 1, 11), lit("X"),
+        when(col("c_custkey") % 5 === 0, lit("Y"))
+          .otherwise(substring(col("c_name"), 13, 1)),
+        substring(col("c_name"), 14, 5)).as("r_name"),
+      when(col("c_custkey") % 13 === 0, pmod(col("c_nationkey") + 1, lit(25)))
+        .otherwise(col("c_nationkey")).as("r_nationkey"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("r_mktsegment"))
+      .withColumn("r_block", substring(col("r_name"), 15, 4))
+    val (scored, _) = RecordLinkage.link(
+      left, right,
+      blockOn = Seq(("l_block", "r_block")),
+      fields = Seq(
+        LinkField("c_name", "r_name", m = 0.95, u = 0.001, maxDist = 2),
+        LinkField("c_mktsegment", "r_mktsegment", m = 0.9, u = 0.2),
+        LinkField("c_nationkey", "r_nationkey", m = 0.98, u = 0.04)),
+      keep = Seq("c_custkey", "r_id"),
+      upper = 6.0, lower = 0.0, maxBlock = 100L)
+    scored
+  }
+
+  val recordLinkageSql: String = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.LinkField
+    val name = LinkField("c_name", "r_name", m = 0.95, u = 0.001, maxDist = 2)
+    val seg = LinkField("c_mktsegment", "r_mktsegment", m = 0.9, u = 0.2)
+    val nat = LinkField("c_nationkey", "r_nationkey", m = 0.98, u = 0.04)
+    // the SAME driver-computed 6-dp literals the Spark plan carries
+    def w(f: LinkField) =
+      (RecordLinkage.agreeWeight(f), RecordLinkage.disagreeWeight(f))
+    val (na, nd) = w(name); val (sa, sd) = w(seg); val (ka, kd) = w(nat)
+    s"""WITH dirty AS (SELECT c_custkey + 1000000 AS r_id,
+      |    substr(c_name, 1, 11) || 'X' ||
+      |      CASE WHEN c_custkey % 5 = 0 THEN 'Y'
+      |           ELSE substr(c_name, 13, 1) END ||
+      |      substr(c_name, 14, 5) AS r_name,
+      |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
+      |         ELSE c_nationkey END AS r_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+      |         ELSE c_mktsegment END AS r_mktsegment
+      |  FROM customer),
+      |cand AS (SELECT l.c_custkey, r.r_id,
+      |    levenshtein(l.c_name, r.r_name) <= 2 AS agree_c_name,
+      |    l.c_mktsegment = r.r_mktsegment AS agree_c_mktsegment,
+      |    l.c_nationkey = r.r_nationkey AS agree_c_nationkey
+      |  FROM customer l JOIN dirty r
+      |    ON substr(l.c_name, 15, 4) = substr(r.r_name, 15, 4)),
+      |w AS (SELECT *, round(
+      |    CASE WHEN agree_c_name THEN CAST($na AS DOUBLE) ELSE $nd END +
+      |    CASE WHEN agree_c_mktsegment THEN CAST($sa AS DOUBLE) ELSE $sd END +
+      |    CASE WHEN agree_c_nationkey THEN CAST($ka AS DOUBLE) ELSE $kd END,
+      |    6) AS weight
+      |  FROM cand)
+      |SELECT *, CASE WHEN weight >= 6.0 THEN 'match'
+      |  WHEN weight <= 0.0 THEN 'non_match'
+      |  ELSE 'possible' END AS verdict FROM w""".stripMargin
+  }
+
   /** Documents corpus + deterministic mutated copies, so dedup operators
     * have real duplicates to find (the raw corpus has none). Exact-dup
     * variants differ only in case; near-dup variants lose a tail chunk.

@@ -631,4 +631,64 @@ object StreamGateQueries {
        |      floor((cum - n_tokens) / 2048.0) ORDER BY doc_id) AS BIGINT) AS pack_pos
        |FROM cw""".stripMargin
   }
+
+  // ---- live privacy monitor: four reports off ONE streamed
+  // (quasi × sensitive) count store ([[PrivacyStream]]); counts are
+  // additive, so each cumulative report equals its batch operator on
+  // the whole table — oracles are the batch privacy queries' SQL.
+
+  /** The customer fixture with the sensitive kilobucket, sliced into
+    * three key-ordered batches and folded into a fresh store; returns
+    * the store dir for the caller's read-side report.
+    */
+  private def foldPrivacyStore(s: SparkSession, dir: String): String = {
+    val c = t(s, dir, "customer")
+      .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0))
+    val root = tempRoot("graft_q_stream_privacy")
+    idSlices(c, "c_custkey").zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.PrivacyStream.countBatch(
+        b, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", root, i.toLong)
+    }
+    root
+  }
+
+  /** Live k-anonymity off the cumulative store; oracle =
+    * q_k_anonymity's batch SQL.
+    */
+  def streamKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.PrivacyStream.kAnonymity(
+      s, foldPrivacyStore(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 5L)
+      .getOrElse(s.emptyDataFrame)
+
+  /** Live l-diversity off the same store algebra; oracle =
+    * q_l_diversity's batch SQL (distinct sensitive values per class =
+    * count-table rows present — the null-skipping count_distinct
+    * contract).
+    */
+  def streamLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.PrivacyStream.lDiversity(
+      s, foldPrivacyStore(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 5L, l = 3L)
+      .getOrElse(s.emptyDataFrame)
+
+  /** Live t-closeness; oracle = q_t_closeness's batch SQL — the EMD
+    * grid, window and DECIMAL fold all replay off the summed store.
+    */
+  def streamTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.PrivacyStream.tCloseness(
+      s, foldPrivacyStore(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", t = 0.2)
+      .getOrElse(s.emptyDataFrame)
+
+  /** Live DP release; oracle = q_dp_release's batch SQL — noise is a
+    * pure function of (seed, group key), so the cumulative release
+    * equals the batch release exactly.
+    */
+  def streamDpRelease(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.PrivacyStream.dpRelease(
+      s, foldPrivacyStore(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket",
+      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L)
+      .getOrElse(s.emptyDataFrame)
 }

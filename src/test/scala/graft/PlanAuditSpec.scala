@@ -64,7 +64,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_source_divergence",
       // the streamed twin replays the identical pair enumeration off
       // the cumulative count store — same source-dimension bound
-      "q_stream_divergence")
+      "q_stream_divergence",
+      // |quasi classes| × |sensitive domain| zero-fill grid — two
+      // grouped-aggregate outputs crossed, bounded by the combination
+      // space like q_source_divergence's pair matrix; EMD is wrong
+      // without the absent-value rows
+      "q_t_closeness",
+      // the streamed twin replays the identical grid off the
+      // cumulative count store — same combination-space bound
+      "q_stream_t_closeness")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -147,7 +155,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // — ~|price domain|/1000 rows (value-derived groups), bounded by
       // the domain like the sketch pair matrix — and broadcast-joins
       // into the per-group cum-sum
-      "q_equidepth_histogram")
+      "q_equidepth_histogram",
+      // the (quasi × sensitive) count table checkpoints once and
+      // feeds three derived aggregates — combination-space-bounded,
+      // the same contract as the vocab count tables
+      "q_t_closeness",
+      // the oversized-block drop list (|blocks|-bounded count-table
+      // join) checkpoints once and anti-broadcasts onto both sides
+      "q_record_linkage",
+      // the summed privacy count store checkpoints like the batch
+      // q_t_closeness it replays
+      "q_stream_t_closeness")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -490,6 +508,26 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_k_anonymity" -> 1,
       // same aggregate + the distinct-sensitive expand pass
       "q_l_diversity" -> 2,
+      // over the checkpointed (quasi × sensitive) count table: the
+      // domain agg + its bounded global window, the group agg, the
+      // per-group cum-sum window (domain and counts broadcast in),
+      // and the final per-group EMD fold
+      "q_t_closeness" -> 5,
+      // one map-side-combined aggregate; noise is a projection
+      "q_dp_release" -> 1,
+      // the class aggregate + its broadcast back onto the rows
+      "q_suppression" -> 1,
+      // the blocked candidate equi-join (scoring is a projection);
+      // the maxBlock drop list anti-broadcasts, no extra exchange
+      "q_record_linkage" -> 2,
+      // read-side plans over the streamed (quasi × sensitive) count
+      // store: the cumulative sum + the report aggregate
+      "q_stream_k_anonymity" -> 2,
+      "q_stream_l_diversity" -> 2,
+      "q_stream_dp_release" -> 2,
+      // the grid/window work runs off the checkpointed cumulative
+      // table — same shape as the batch q_t_closeness
+      "q_stream_t_closeness" -> 5,
       // READ-SIDE plans over the per-batch parquet stores the fold
       // already wrote: the scorecard fold joins its four stores, the
       // novelty/drift reads are plain partitioned-parquet scans

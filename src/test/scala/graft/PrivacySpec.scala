@@ -50,6 +50,74 @@ class PrivacySpec extends SparkSpec {
       .collect().toSet == Set("02139", "02140"))
   }
 
+  test("tCloseness EMD is exact on the hand-computed fixture") {
+    // ordered domain: cold < flu < rare; global counts 1/4/1, N=6,
+    // cumulative global probs 1/6, 5/6, 1
+    //  02138 (n=3, all flu): cum probs 0,1,1   -> EMD=(1/6+1/6+0)/2=1/6
+    //  02139 (n=2, cold+flu): cum .5,1,1       -> EMD=(1/3+1/6+0)/2=1/4
+    //  02140 (n=1, rare):     cum 0,0,1        -> EMD=(1/6+5/6+0)/2=1/2
+    val got = Privacy.tCloseness(rows, Seq("zip", "gender"), "dx", t = 0.3)
+      .orderBy("zip")
+      .select("zip", "group_n", "emd", "t_close")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("02138", 3L, 0.166667, true),
+      ("02139", 2L, 0.25, true),
+      ("02140", 1L, 0.5, false)))
+  }
+
+  test("tCloseness flags the skewed-but-diverse leak l-diversity misses") {
+    // a group with TWO distinct sensitive values (l=2 "diverse") whose
+    // distribution is still far from the global one
+    val skew = Seq.tabulate(90)(i => ("a", if (i < 89) "sick" else "well")) ++
+      Seq.tabulate(90)(_ => ("b", "well"))
+    val df = {
+      import spark.implicits._
+      skew.toDF("zip", "dx")
+    }
+    val r = Privacy.tCloseness(df, Seq("zip"), "dx", t = 0.2)
+      .filter(col("zip") === "a").collect().head
+    assert(r.getAs[Double]("emd") > 0.4 && !r.getAs[Boolean]("t_close"))
+    val l = Privacy.lDiversity(df, Seq("zip"), "dx", k = 5L, l = 2L)
+      .filter(col("zip") === "a").collect().head
+    assert(l.getAs[Boolean]("l_diverse")) // l-diversity says fine
+  }
+
+  test("dpRelease is deterministic, never emits true counts, suppresses small groups") {
+    val a = Privacy.dpRelease(rows, Seq("zip", "gender"),
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L)
+    val b = Privacy.dpRelease(rows, Seq("zip", "gender"),
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L)
+    val ra = a.orderBy("zip").collect().map(_.toSeq)
+    assert(ra.sameElements(b.orderBy("zip").collect().map(_.toSeq)))
+    assert(a.columns.toSeq == Seq("zip", "gender", "noisy_n"))
+    // every released noisy count clears the threshold and sits within
+    // the Laplace(1) 99.9% envelope of its true count (|noise| <= ~7)
+    val truth = Map(("02138", "f") -> 3.0, ("02139", "m") -> 2.0, ("02140", "f") -> 1.0)
+    a.collect().foreach { r =>
+      val noisy = r.getAs[Double]("noisy_n")
+      assert(noisy >= 2.0)
+      assert(math.abs(noisy - truth((r.getString(0), r.getString(1)))) < 8.0)
+    }
+    // a different seed moves the noise
+    val c = Privacy.dpRelease(rows, Seq("zip", "gender"),
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 8L)
+    assert(!ra.map(_.toString).sameElements(c.orderBy("zip").collect().map(_.toSeq.toString)))
+  }
+
+  test("dpRelease noise shrinks as epsilon grows") {
+    // same seed => same unit hash u per group; noise scales by 1/eps
+    def maxErr(eps: Double): Double =
+      Privacy.dpRelease(rows, Seq("zip", "gender"), eps,
+        releaseThreshold = -100.0, seed = 7L)
+        .collect().map { r =>
+          val truth = Map(("02138", "f") -> 3.0, ("02139", "m") -> 2.0,
+            ("02140", "f") -> 1.0)
+          math.abs(r.getAs[Double]("noisy_n") - truth((r.getString(0), r.getString(1))))
+        }.max
+    assert(maxErr(10.0) < maxErr(1.0))
+  }
+
   test("argument guards") {
     intercept[IllegalArgumentException](
       Privacy.kAnonymity(rows, Seq.empty, k = 3L))
@@ -57,5 +125,14 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymity(rows, Seq("zip"), k = 1L))
     intercept[IllegalArgumentException](
       Privacy.lDiversity(rows, Seq("zip"), "dx", k = 3L, l = 0L))
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(rows, Seq("zip"), "dx", t = 1.5))
+    intercept[IllegalArgumentException](
+      Privacy.dpRelease(rows, Seq("zip"), epsilon = 0.0,
+        releaseThreshold = 1.0, seed = 1L))
+    // a single-valued sensitive domain has no measurable closeness
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(rows.withColumn("one", lit("x")),
+        Seq("zip"), "one", t = 0.2))
   }
 }
