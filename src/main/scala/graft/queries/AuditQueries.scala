@@ -1263,6 +1263,45 @@ object AuditQueries {
       |  ON c.c_nationkey = g.c_nationkey
       |  AND c.c_mktsegment = g.c_mktsegment""".stripMargin
 
+  /** Event-rate anomaly report ([[graft.operators.Anomaly
+    * .rateAnomaly]]): per (event_type, hour) counts over the
+    * zero-filled hour grid, 3-sigma control-chart flags from each
+    * type's own population moments.
+    */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.rateAnomaly(
+      t(s, dir, "events"), "event_type", "ts", zThreshold = 3.0)
+
+  val rateAnomalySql: String =
+    """WITH c AS (SELECT event_type,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM c),
+      |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |    AS bucket_ts FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM c),
+      |f AS (SELECT ty.event_type, g.bucket_ts,
+      |    coalesce(c.n, 0) AS n_events
+      |  FROM ty CROSS JOIN g LEFT JOIN c
+      |    ON c.event_type = ty.event_type AND c.bucket_ts = g.bucket_ts),
+      |st AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(n_events) AS BIGINT) AS s,
+      |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      |  FROM f GROUP BY 1),
+      |z AS (SELECT f.event_type, f.bucket_ts, f.n_events,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std
+      |  FROM f JOIN st ON f.event_type = st.event_type),
+      |zz AS (SELECT event_type, bucket_ts, n_events,
+      |    CASE WHEN std = 0 THEN 0.0
+      |      ELSE round((CAST(n_events AS DOUBLE) - mean) / std, 6)
+      |    END AS z_score
+      |  FROM z)
+      |SELECT event_type, bucket_ts, n_events, z_score,
+      |  abs(z_score) >= 3.0 AS anomaly FROM zz""".stripMargin
+
   val equidepthHistogramSql: String =
     """WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
       |    count(*) AS c FROM lineitem GROUP BY 1),

@@ -22,12 +22,20 @@ object DedupQueries {
     * so true pairs always meet; verdicts split on which fields
     * survived.
     */
-  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.RecordLinkage
+  private[graft] val linkageFields = {
     import graft.operators.RecordLinkage.LinkField
-    val c = t(s, dir, "customer")
-    val left = c.withColumn("l_block", substring(col("c_name"), 15, 4))
-    val right = c.select(
+    Seq(
+      LinkField("c_name", "r_name", m = 0.95, u = 0.001, maxDist = 2),
+      LinkField("c_mktsegment", "r_mktsegment", m = 0.9, u = 0.2),
+      LinkField("c_nationkey", "r_nationkey", m = 0.98, u = 0.04))
+  }
+
+  private[graft] def linkageLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("l_block", substring(col("c_name"), 15, 4))
+
+  private[graft] def linkageRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
       (col("c_custkey") + 1000000L).as("r_id"),
       concat(substring(col("c_name"), 1, 11), lit("X"),
         when(col("c_custkey") % 5 === 0, lit("Y"))
@@ -38,13 +46,13 @@ object DedupQueries {
       when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
         .otherwise(col("c_mktsegment")).as("r_mktsegment"))
       .withColumn("r_block", substring(col("r_name"), 15, 4))
+
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
     val (scored, _) = RecordLinkage.link(
-      left, right,
+      linkageLeft(s, dir), linkageRight(s, dir),
       blockOn = Seq(("l_block", "r_block")),
-      fields = Seq(
-        LinkField("c_name", "r_name", m = 0.95, u = 0.001, maxDist = 2),
-        LinkField("c_mktsegment", "r_mktsegment", m = 0.9, u = 0.2),
-        LinkField("c_nationkey", "r_nationkey", m = 0.98, u = 0.04)),
+      fields = linkageFields,
       keep = Seq("c_custkey", "r_id"),
       upper = 6.0, lower = 0.0, maxBlock = 100L)
     scored

@@ -691,4 +691,28 @@ object StreamGateQueries {
       Seq("c_nationkey", "c_mktsegment"), "bal_bucket",
       epsilon = 1.0, releaseThreshold = 5.0, seed = 42L)
       .getOrElse(s.emptyDataFrame)
+
+  /** Incremental entity resolution ([[graft.streaming.LinkageStream]]):
+    * the dirty side arrives in three id-ordered batches, each blocked
+    * + scored once against the static customer reference; the union
+    * of the per-batch verdict partitions must equal the one-shot
+    * batch linkage (a pair exists exactly when its right row exists,
+    * and scoring is pure per pair). Oracle = q_record_linkage's SQL.
+    * The guard is off here (maxBlock=0) so parity is unconditional;
+    * the batch query exercises the guard path.
+    */
+  def streamRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val root = tempRoot("graft_q_stream_linkage")
+    val reference = DedupQueries.linkageLeft(s, dir)
+    idSlices(DedupQueries.linkageRight(s, dir), "r_id").zipWithIndex.foreach {
+      case (b, i) =>
+        graft.streaming.LinkageStream.linkBatch(
+          reference, b, Seq(("l_block", "r_block")),
+          DedupQueries.linkageFields, keep = Seq("c_custkey", "r_id"),
+          upper = 6.0, lower = 0.0, pairsDir = root, batchId = i.toLong)
+    }
+    graft.streaming.LinkageStream.verdicts(s, root)
+      .map(_.drop("batch_id")) // partition column, not part of the verdict
+      .getOrElse(s.emptyDataFrame)
+  }
 }

@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_t_closeness",
       // the streamed twin replays the identical grid off the
       // cumulative count store — same combination-space bound
-      "q_stream_t_closeness")
+      "q_stream_t_closeness",
+      // |types| × |hour span| zero-fill grid — two bounded deriveds
+      // crossed; the silent-hour rows ARE the signal
+      "q_rate_anomaly")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -165,7 +168,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_record_linkage",
       // the summed privacy count store checkpoints like the batch
       // q_t_closeness it replays
-      "q_stream_t_closeness")
+      "q_stream_t_closeness",
+      // the |types| × |hours|-bounded (type, hour) count table
+      // checkpoints once and feeds the grid, moments and z pass
+      "q_rate_anomaly")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -528,6 +534,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the grid/window work runs off the checkpointed cumulative
       // table — same shape as the batch q_t_closeness
       "q_stream_t_closeness" -> 5,
+      // over the checkpointed (type, hour) count table: the hour-span
+      // agg, the distinct-types agg and the per-type moment agg (grid
+      // and stats broadcast back)
+      "q_rate_anomaly" -> 4,
+      // pure partitioned-parquet read of the per-batch verdict store
+      // (each fold's blocked join ran at write time)
+      "q_stream_record_linkage" -> 0,
       // READ-SIDE plans over the per-batch parquet stores the fold
       // already wrote: the scorecard fold joins its four stores, the
       // novelty/drift reads are plain partitioned-parquet scans
