@@ -715,4 +715,20 @@ object StreamGateQueries {
       .map(_.drop("batch_id")) // partition column, not part of the verdict
       .getOrElse(s.emptyDataFrame)
   }
+
+  /** Live event-rate control chart ([[graft.streaming.RateStream]]):
+    * the events table arrives as three TIME-sliced batches (arrival
+    * order); the cumulative (type, hour) count store's report must
+    * equal the batch q_rate_anomaly — zero-filled silent hours, z
+    * boundaries and all. Oracle = q_rate_anomaly's SQL.
+    */
+  def streamRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_type"), col("ts"))
+    val root = tempRoot("graft_q_stream_rate")
+    tsSlices(events, "ts").zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.RateStream.countBatch(b, "event_type", "ts", root, i.toLong)
+    }
+    graft.streaming.RateStream.report(s, root, "event_type", zThreshold = 3.0)
+      .getOrElse(s.emptyDataFrame)
+  }
 }

@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_t_closeness",
       // |types| × |hour span| zero-fill grid — two bounded deriveds
       // crossed; the silent-hour rows ARE the signal
-      "q_rate_anomaly")
+      "q_rate_anomaly",
+      // the streamed twin replays the identical grid off the
+      // cumulative (type, hour) count store
+      "q_stream_rate_anomaly")
 
   test("no query plans an unbounded all-pairs join") {
     val offenders = plans.collect {
@@ -171,7 +174,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_t_closeness",
       // the |types| × |hours|-bounded (type, hour) count table
       // checkpoints once and feeds the grid, moments and z pass
-      "q_rate_anomaly")
+      "q_rate_anomaly",
+      // same checkpoint contract off the summed stream store
+      "q_stream_rate_anomaly")
 
   test("no query collects to the driver inside its plan") {
     // a driver-side collect re-entering the plan shows up as a
@@ -541,6 +546,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // pure partitioned-parquet read of the per-batch verdict store
       // (each fold's blocked join ran at write time)
       "q_stream_record_linkage" -> 0,
+      // the q_rate_anomaly shape off the checkpointed cumulative sum
+      "q_stream_rate_anomaly" -> 4,
       // READ-SIDE plans over the per-batch parquet stores the fold
       // already wrote: the scorecard fold joins its four stores, the
       // novelty/drift reads are plain partitioned-parquet scans
