@@ -102,12 +102,17 @@ object RecordLinkage {
           .filter(col("l_n") * col("r_n") > maxBlock)
           .select(blockOn.map(b => lCounts(b._1)) :+ col("l_n") :+ col("r_n"): _*)
           .localCheckpoint(true) // |oversized blocks|-bounded
-        val dropKeys = dropped.select(blockOn.map(b => col(b._1)): _*)
+        // renamed key columns: dropped descends from `left`, so joining
+        // on same-named attributes would resolve trivially-true
+        val dropKeys = dropped.select(
+          blockOn.map(b => col(b._1).as(s"__drop_${b._1}")): _*)
         val lOk = left.join(broadcast(dropKeys),
-          blockOn.map(b => left(b._1) === dropKeys(b._1)).reduce(_ && _),
+          blockOn.map(b => left(b._1) === dropKeys(s"__drop_${b._1}"))
+            .reduce(_ && _),
           "left_anti")
         val rOk = right.join(broadcast(dropKeys),
-          blockOn.map(b => right(b._2) === dropKeys(b._1)).reduce(_ && _),
+          blockOn.map(b => right(b._2) === dropKeys(s"__drop_${b._1}"))
+            .reduce(_ && _),
           "left_anti")
         (lOk, rOk, dropped)
       }
@@ -134,5 +139,93 @@ object RecordLinkage {
           .when(col("weight") <= lower, lit("non_match"))
           .otherwise(lit("possible")))
     (scored, droppedBlocks)
+  }
+
+  /** Unsupervised m/u estimation over UNLABELED candidate pairs —
+    * the EM fit of the two-class mixture over agreement patterns
+    * (Winkler 1988, "Using the EM algorithm for weight computation in
+    * the Fellegi-Sunter model"): nobody hand-labels a 100 TB feed, so
+    * the weights [[link]] needs are learned from the candidates
+    * themselves.
+    *
+    * @param pairs     candidate pairs carrying one BOOLEAN agreement
+    *                  column per compared field (the `agree_*` columns
+    *                  [[link]] emits, or any caller-built comparator)
+    * @param agreeCols the agreement columns, one per field
+    * @param iters     EM iterations (fixed count — deterministic)
+    * @return (matchShare p, per-field (col, m, u)); feed the m/u pairs
+    *         back into [[LinkField]]s for the scoring pass
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the
+    * candidates to agreement-PATTERN counts — at most 2^k rows for k
+    * fields (k ≤ 16 enforced), data-volume-independent — and EM runs
+    * on the driver over that bounded table. Null agreements count as
+    * disagreement, matching [[link]]'s comparator contract. Estimates
+    * are clamped to (1e-6, 1−1e-6) so a degenerate corpus can't push
+    * a weight to ±∞.
+    *
+    * Identifiability: the two-class mixture needs k ≥ 3 comparators
+    * (2^k − 1 pattern degrees of freedom must cover the 2k + 1
+    * parameters — the textbook F-S EM minimum); with k ≤ 2 EM
+    * converges to SOME valid mixture, not necessarily the planted
+    * one.
+    */
+  def estimateMU(
+      pairs: DataFrame,
+      agreeCols: Seq[String],
+      iters: Int = 50,
+      initP: Double = 0.1,
+      initM: Double = 0.9,
+      initU: Double = 0.1): (Double, Seq[(String, Double, Double)]) = {
+    require(agreeCols.nonEmpty, "need at least one agreement column")
+    require(agreeCols.size <= 16,
+      s"pattern space is 2^k — k=${agreeCols.size} exceeds the k<=16 bound")
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(initP > 0.0 && initP < 1.0, s"initP must be in (0, 1), got $initP")
+    val eps = 1e-6
+    def clamp(x: Double): Double = math.min(1.0 - eps, math.max(eps, x))
+
+    val patterns = pairs
+      .groupBy(agreeCols.map(c => coalesce(col(c), lit(false)).as(c)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (agreeCols.indices.map(r.getBoolean).toArray, r.getAs[Long]("__n")))
+    val total = patterns.map(_._2).sum.toDouble
+    require(total > 0, "no candidate pairs to fit")
+
+    val k = agreeCols.size
+    var p = initP
+    var m = Array.fill(k)(clamp(initM))
+    var u = Array.fill(k)(clamp(initU))
+    for (_ <- 0 until iters) {
+      // E-step: posterior match probability per pattern
+      val w = patterns.map { case (g, _) =>
+        var pm = p; var pu = 1.0 - p
+        var i = 0
+        while (i < k) {
+          pm *= (if (g(i)) m(i) else 1.0 - m(i))
+          pu *= (if (g(i)) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        if (pm + pu == 0.0) 0.5 else pm / (pm + pu)
+      }
+      // M-step
+      val nw = patterns.zip(w).map { case ((_, n), wi) => n * wi }
+      val sumW = nw.sum
+      val sumNotW = total - sumW
+      p = clamp(sumW / total)
+      m = Array.tabulate(k) { i =>
+        val agreeW = patterns.zip(nw)
+          .collect { case ((g, _), x) if g(i) => x }.sum
+        clamp(if (sumW == 0.0) initM else agreeW / sumW)
+      }
+      u = Array.tabulate(k) { i =>
+        val agreeNotW = patterns.zip(w).collect {
+          case ((g, n), wi) if g(i) => n * (1.0 - wi)
+        }.sum
+        clamp(if (sumNotW == 0.0) initU else agreeNotW / sumNotW)
+      }
+    }
+    (p, agreeCols.indices.map(i => (agreeCols(i), m(i), u(i))))
   }
 }

@@ -90,6 +90,59 @@ class RecordLinkageSpec extends SparkSpec {
     assert(scored.select("l_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("estimateMU recovers planted mixture parameters from unlabeled pairs") {
+    import graft.operators.Sampling
+    // 20k synthetic candidate pairs: 20% matches; matches agree with
+    // prob (0.95, 0.80, 0.90), non-matches with (0.05, 0.20, 0.10) —
+    // deterministic hash draws, so the fixture never flakes. THREE
+    // fields because the two-field mixture is not identifiable
+    // (2^2−1 = 3 pattern dof < 5 parameters — the textbook F-S EM
+    // minimum is three comparators)
+    val n = 20000
+    val base = spark.range(n)
+    def h(seed: Long) = Sampling.hashUnit(col("id"), seed)
+    val isMatch = h(1) < 0.2
+    val pairs = base.select(
+      when(isMatch, h(2) < 0.95).otherwise(h(2) < 0.05).as("agree_name"),
+      when(isMatch, h(3) < 0.80).otherwise(h(3) < 0.20).as("agree_city"),
+      when(isMatch, h(4) < 0.90).otherwise(h(4) < 0.10).as("agree_zip"))
+    val (p, params) = RecordLinkage.estimateMU(
+      pairs, Seq("agree_name", "agree_city", "agree_zip"))
+    assert(math.abs(p - 0.2) < 0.05, s"p=$p")
+    val byCol = params.map(t => t._1 -> (t._2, t._3)).toMap
+    val (mName, uName) = byCol("agree_name")
+    val (mCity, uCity) = byCol("agree_city")
+    val (mZip, uZip) = byCol("agree_zip")
+    assert(math.abs(mName - 0.95) < 0.05, s"mName=$mName")
+    assert(math.abs(uName - 0.05) < 0.05, s"uName=$uName")
+    assert(math.abs(mCity - 0.80) < 0.07, s"mCity=$mCity")
+    assert(math.abs(uCity - 0.20) < 0.07, s"uCity=$uCity")
+    assert(math.abs(mZip - 0.90) < 0.07, s"mZip=$mZip")
+    assert(math.abs(uZip - 0.10) < 0.07, s"uZip=$uZip")
+    // the learned parameters make valid LinkFields (m > u), i.e. they
+    // can feed straight back into link()'s scoring pass
+    params.foreach { case (c, m, u) =>
+      val f = LinkField(c, c, m = m, u = u)
+      assert(RecordLinkage.agreeWeight(f) > 0 && RecordLinkage.disagreeWeight(f) < 0)
+    }
+  }
+
+  test("estimateMU is deterministic and clamps degenerate corpora") {
+    val allAgree = Seq.fill(50)((true, true)).toDF("a1", "a2")
+    val (p1, e1) = RecordLinkage.estimateMU(allAgree, Seq("a1", "a2"))
+    val (p2, e2) = RecordLinkage.estimateMU(allAgree, Seq("a1", "a2"))
+    assert(p1 == p2 && e1 == e2)
+    // every estimate stays inside (0, 1) even when every pair agrees
+    e1.foreach { case (_, m, u) =>
+      assert(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0)
+    }
+    // nulls count as disagreement, like link()'s comparators
+    val withNulls = Seq((Some(true), Some(true)), (None, Some(false)))
+      .toDF("a1", "a2")
+    val (_, e3) = RecordLinkage.estimateMU(withNulls, Seq("a1", "a2"), iters = 5)
+    assert(e3.size == 2)
+  }
+
   test("argument guards") {
     intercept[IllegalArgumentException](LinkField("a", "b", m = 0.1, u = 0.5))
     intercept[IllegalArgumentException](LinkField("a", "b", m = 1.0, u = 0.5))
@@ -102,5 +155,11 @@ class RecordLinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RecordLinkage.link(left, right, Seq(("l_block", "r_block")), fields,
         keep = Seq("l_id"), upper = 0.0, lower = 1.0))
+    intercept[IllegalArgumentException](
+      RecordLinkage.estimateMU(left.select(lit(true).as("a")), Seq.empty))
+    intercept[IllegalArgumentException](
+      RecordLinkage.estimateMU(left.select(lit(true).as("a")), Seq("a"), iters = 0))
+    intercept[IllegalArgumentException](
+      RecordLinkage.estimateMU(left.limit(0).select(lit(true).as("a")), Seq("a")))
   }
 }
