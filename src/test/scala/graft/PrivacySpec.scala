@@ -105,6 +105,26 @@ class PrivacySpec extends SparkSpec {
     assert(!ra.map(_.toString).sameElements(c.orderBy("zip").collect().map(_.toSeq.toString)))
   }
 
+  test("tCloseness EMD is bounded in [0, 1] and t only moves the flag") {
+    // randomized-ish (hash-derived, deterministic) wide fixture: many
+    // classes, skewed sensitive values
+    val wide = spark.range(2000).selectExpr(
+      "cast(id % 17 as string) as zip",
+      "cast(id % 3 as string) as gender",
+      "cast(conv(substring(sha2(cast(id as string), 256), 1, 4), 16, 10) % 7 as string) as dx")
+    val loose = Privacy.tCloseness(wide, Seq("zip", "gender"), "dx", t = 0.9)
+      .collect().map(r => (r.getAs[Double]("emd"), r.getAs[Boolean]("t_close")))
+    assert(loose.nonEmpty)
+    loose.foreach { case (e, _) =>
+      assert(e >= 0.0 && e <= 1.0, s"EMD out of bounds: $e")
+    }
+    val tight = Privacy.tCloseness(wide, Seq("zip", "gender"), "dx", t = 0.01)
+      .collect().map(r => (r.getAs[Double]("emd"), r.getAs[Boolean]("t_close")))
+    // same EMDs, only the flag moves; tightening t never flags FEWER
+    assert(loose.map(_._1).sorted.toSeq == tight.map(_._1).sorted.toSeq)
+    assert(tight.count(_._2) <= loose.count(_._2))
+  }
+
   test("dpRelease noise shrinks as epsilon grows") {
     // same seed => same unit hash u per group; noise scales by 1/eps
     def maxErr(eps: Double): Double =
