@@ -40,8 +40,10 @@ object Soak {
     "q_equidepth_histogram", "q_group_percentiles",
     // the blocked-join entity-resolution path: candidate volume is
     // Σ_blocks |L_b|·|R_b|, so the soak measures the blocking key's
-    // selectivity claim (last-4-digit blocks stay ~constant-sized as
-    // keys scale) instead of assuming it
+    // selectivity claim — SoakGen recodes the blocking window into a
+    // per-replica-disjoint key space (SoakGenSpec gates it), so
+    // blocks stay EXACTLY base-sized as the corpus scales and none
+    // ever trips maxBlock into a silently truncated join
     "q_record_linkage")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {

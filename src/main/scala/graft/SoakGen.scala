@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
   *     vocabulary, so cross-replica duplicate pairs don't explode);
   *   - `embeddings.embedding`: circular dimension shift by the replica
   *     index (norms and pairwise-distance DISTRIBUTIONS preserved;
-  *     replicas are not mutual near-duplicates).
+  *     replicas are not mutual near-duplicates);
+  *   - `customer.c_name`: the last-4 digits (the record-linkage
+  *     blocking window, `substring(c_name, 15, 4)`) are recoded to
+  *     `base36(r·10⁴ + last4)` — injective over (replica, last4), so
+  *     every replica's blocks land in a DISJOINT key space and block
+  *     sizes stay EXACTLY base-sized as the corpus scales. Without
+  *     this, 10 replicas pile onto the same 10⁴ digit blocks, blocks
+  *     grow 10× per side, and the linkage soak either explodes
+  *     quadratically or (worse) silently drops blocks past `maxBlock`
+  *     and times a truncated join — the r12 advisory's finding.
   *
   * Everything is seed-free arithmetic: same input → same bytes out.
   */
@@ -45,7 +54,7 @@ object SoakGen {
   /** The per-replica transform for one table. `idCols` are the int64
     * key columns that shift by `r * IdOffset`.
     */
-  private def replica(df: DataFrame, name: String, r: Int): DataFrame = {
+  private[graft] def replica(df: DataFrame, name: String, r: Int): DataFrame = {
     val idCols: Seq[String] = name match {
       case "customer" => Seq("c_custkey")
       case "orders" => Seq("o_orderkey", "o_custkey")
@@ -60,6 +69,16 @@ object SoakGen {
     val shifted = idCols.foldLeft(df)((d, c) =>
       d.withColumn(c, col(c) + lit(r * IdOffset)))
     name match {
+      case "customer" =>
+        // recode the blocking window for EVERY replica (incl. r=0:
+        // base36 of a value >= 10^4 can be all-digit — e.g. 46656 →
+        // "1000" — so leaving replica 0 in raw digits would collide)
+        val v = (col("c_custkey") % 10000L) + lit(r * 10000L)
+        // NB: functions.lower is shadowed by the rotation alphabet val
+        shifted.withColumn("c_name",
+          concat(substring(col("c_name"), 1, 14),
+            lpad(org.apache.spark.sql.functions.lower(
+              conv(v.cast("string"), 10, 36)), 4, "0")))
       case "documents" if r > 0 =>
         val (from, to) = rot(r)
         shifted.withColumn("text", translate(col("text"), from, to))

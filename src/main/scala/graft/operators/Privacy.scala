@@ -41,10 +41,14 @@ object Privacy {
 
   /** [[kAnonymity]] plus distinct-l-diversity of one sensitive
     * column: per quasi-identifier combination, the number of DISTINCT
-    * sensitive values (null counts as a value only if present — it is
-    * an observable fact about the group) and whether it meets `l`.
-    * A group can be k-anonymous yet l=1 — everyone in it shares the
-    * sensitive value, so the "anonymous" release still discloses it.
+    * NON-NULL sensitive values and whether it meets `l`. NULL is
+    * never counted as a sensitive value (`count_distinct` skips it,
+    * and [[lDiversityFromCounts]] matches that contract): a class
+    * whose members are all NULL gets `sensitive_l = 0` and fails the
+    * diversity test — absent data is treated as no diversity
+    * evidence, not as a value. A group can be k-anonymous yet l=1 —
+    * everyone in it shares the sensitive value, so the "anonymous"
+    * release still discloses it.
     */
   def lDiversity(
       df: DataFrame,
@@ -103,6 +107,14 @@ object Privacy {
     * — EMD is wrong without the zero fill. Per-term doubles are exact
     * in both engines (integer cumulative counts, one division each);
     * the per-group fold rides DECIMAL so it is order-independent.
+    *
+    * NULL sensitive values are EXCLUDED before anything else: NULL
+    * has no position on the ordered value domain (engines disagree on
+    * where it sorts — Spark windows put it first, SQL's `ORDER BY`
+    * default last), and an equality join can never zero-fill a NULL
+    * key, so including it would silently corrupt the grid. Group and
+    * global mass therefore count non-null rows only; a class that is
+    * 100% NULL disappears from the report.
     */
   def tCloseness(
       df: DataFrame,
@@ -128,7 +140,10 @@ object Privacy {
       cntCol: String = "__c"): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    // NULL sensitive mass out first — see the class doc: no rank on
+    // the ordered domain, and the zero-fill equi-join can't match it.
     val counts = counts0.withColumnRenamed(cntCol, "__c")
+      .filter(col(sensitiveCol).isNotNull)
       .localCheckpoint(true) // combination-space × domain — bounded
     // ordered value domain with cumulative global mass; bounded
     // global window, like every vocab/bucket table here
@@ -175,12 +190,30 @@ object Privacy {
     * the released key set itself stays data-dependent-safe). True
     * counts and sub-threshold groups never appear in the output.
     *
-    * The noise is DETERMINISTIC — inverse-CDF Laplace driven by the
-    * portable sha-256 unit hash of (seed, group key), so releases are
-    * replayable/auditable and the DuckDB oracle can replay them
-    * exactly (`u < ½ → b·ln(2u)`, else `−b·ln(2−2u)`; the ln is
+    * PRIVACY CONTRACT (the part the mechanism cannot enforce for you):
+    *
+    *  - '''The seed is the noise source and MUST stay secret.''' The
+    *    noise is pseudorandom — inverse-CDF Laplace driven by the
+    *    portable sha-256 unit hash of (seed, epoch, group key) — so
+    *    anyone holding the seed can subtract the noise exactly and
+    *    recover true counts. Determinism given (seed, epoch) exists so
+    *    a SPECIFIC release is replayable/auditable by its owner (and
+    *    testable against the DuckDB oracle, which interpolates a test
+    *    seed); it is not a license to publish the seed.
+    *  - '''Every release needs a fresh `epoch`.''' The epoch (a
+    *    release/batch id) is folded into the noise hash, so distinct
+    *    epochs draw independent noise. Re-releasing a growing count
+    *    store under ONE noise draw would let an observer difference
+    *    two releases and read raw increments with no privacy at all —
+    *    the exact failure a fixed per-key noise had.
+    *  - '''The budget composes.''' T releases at ε each cost T·ε under
+    *    sequential composition (Dwork & Roth 2014, Thm 3.14); callers
+    *    monitoring a stream spend budget per epoch and must cap total
+    *    epochs against their privacy target.
+    *
+    * Noise detail: `u < ½ → b·ln(2u)`, else `−b·ln(2−2u)`; the ln is
     * rounded to 7 dp — the same engine-exactness fold as the PSI/LM
-    * operators). One map-side-combined aggregate; the noise term is a
+    * operators. One map-side-combined aggregate; the noise term is a
     * per-GROUP projection on the bounded class table.
     */
   def dpRelease(
@@ -188,26 +221,31 @@ object Privacy {
       quasiCols: Seq[String],
       epsilon: Double,
       releaseThreshold: Double,
-      seed: Long): DataFrame = {
+      seed: Long,
+      epoch: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("noisy_n",
-        round(col("__n") + laplaceNoise(quasiCols, epsilon, seed), 6))
+        round(col("__n") + laplaceNoise(quasiCols, epsilon, seed, epoch), 6))
       .filter(col("noisy_n") >= releaseThreshold)
       .drop("__n")
   }
 
   /** Inverse-CDF Laplace(1/ε) from the portable unit hash of
-    * (seed, group key): `u < ½ → b·ln(2u)`, else `−b·ln(2−2u)`, the
-    * ln rounded to 7 dp for engine exactness. A pure per-group
-    * projection — the same key always draws the same noise.
+    * (seed, epoch, group key): `u < ½ → b·ln(2u)`, else `−b·ln(2−2u)`,
+    * the ln rounded to 7 dp for engine exactness. Pure per-group
+    * projection; the epoch in the key makes each release's draw
+    * independent of every other epoch's (see [[dpRelease]]'s privacy
+    * contract).
     */
   private def laplaceNoise(
-      quasiCols: Seq[String], epsilon: Double, seed: Long): Column = {
+      quasiCols: Seq[String], epsilon: Double, seed: Long,
+      epoch: Long): Column = {
     val b = 1.0 / epsilon
-    val key = concat_ws("|", quasiCols.map(c => col(c).cast("string")): _*)
+    val key = concat_ws("|",
+      (lit(epoch).cast("string") +: quasiCols.map(c => col(c).cast("string"))): _*)
     val u = Sampling.hashUnitOpen(key, seed)
     when(u < 0.5, lit(b) * round(log(lit(2.0) * u), 7))
       .otherwise(lit(-b) * round(log(lit(2.0) - lit(2.0) * u), 7))
@@ -260,8 +298,11 @@ object Privacy {
   }
 
   /** [[dpRelease]] from (quasi × sensitive) counts — the live release
-    * endpoint: noise depends only on (seed, group key), so the stream
-    * serves a CONSISTENT noisy view of the cumulative counts.
+    * endpoint. The same privacy contract applies: keep the seed
+    * secret, advance `epoch` on EVERY release over the growing store
+    * (per-epoch independent noise is what stops an observer from
+    * differencing two releases into raw count deltas), and budget
+    * ε per epoch under sequential composition.
     */
   def dpReleaseFromCounts(
       counts: DataFrame,
@@ -269,13 +310,14 @@ object Privacy {
       epsilon: Double,
       releaseThreshold: Double,
       seed: Long,
+      epoch: Long,
       cntCol: String = "__c"): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
     counts.groupBy(quasiCols.map(col): _*)
       .agg(sum(cntCol).as("__n"))
       .withColumn("noisy_n",
-        round(col("__n") + laplaceNoise(quasiCols, epsilon, seed), 6))
+        round(col("__n") + laplaceNoise(quasiCols, epsilon, seed, epoch), 6))
       .filter(col("noisy_n") >= releaseThreshold)
       .drop("__n")
   }

@@ -1220,21 +1220,25 @@ object AuditQueries {
       |SELECT c_nationkey, c_mktsegment, group_n, emd,
       |  emd <= 0.2 AS t_close FROM e""".stripMargin
 
-  /** Deterministic differentially-private count release
+  /** Differentially-private count release at a fixed audit epoch
     * ([[graft.operators.Privacy.dpRelease]]): per (nation, segment)
-    * noisy counts, ε=1 Laplace via the portable unit hash, groups
-    * whose NOISY count misses the threshold suppressed entirely.
+    * noisy counts, ε=1 Laplace via the portable unit hash of
+    * (seed, epoch, key), groups whose NOISY count misses the
+    * threshold suppressed entirely. The oracle interpolates the TEST
+    * seed + epoch to replay this one release exactly — in production
+    * the seed is secret and the epoch advances per release (the
+    * operator's privacy contract).
     */
   def dpRelease(s: SparkSession, dir: String): DataFrame =
     graft.operators.Privacy.dpRelease(
       t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
-      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L)
+      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L, epoch = 7L)
 
   val dpReleaseSql: String =
     """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
       |  FROM customer GROUP BY 1, 2),
       |h AS (SELECT c_nationkey, c_mktsegment, n,
-      |    (CAST(('0x' || substr(sha256('42:' ||
+      |    (CAST(('0x' || substr(sha256('42:7|' ||
       |      CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 8))
       |      AS BIGINT) + 0.5) / 4294967296.0 AS u
       |  FROM g),

@@ -689,7 +689,7 @@ object StreamGateQueries {
     graft.streaming.PrivacyStream.dpRelease(
       s, foldPrivacyStore(s, dir),
       Seq("c_nationkey", "c_mktsegment"), "bal_bucket",
-      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L)
+      epsilon = 1.0, releaseThreshold = 5.0, seed = 42L, epoch = 7L)
       .getOrElse(s.emptyDataFrame)
 
   /** Incremental entity resolution ([[graft.streaming.LinkageStream]]):

@@ -19,9 +19,13 @@ import graft.operators.Privacy
   * The operational loop this closes: a release pipeline watches
   * equivalence classes shrink below k (or drift past t) AS data
   * streams in, and gates the next export BEFORE a re-identifiable
-  * slice ships; the DP endpoint serves a consistent noisy view at any
-  * point (noise is a pure function of the group key, so cumulative
-  * re-releases never re-randomize).
+  * slice ships. The DP endpoint takes a release `epoch`: each epoch
+  * draws independent noise (re-releasing a growing store under one
+  * fixed draw would let an observer difference two releases into the
+  * raw count deltas), replaying the SAME epoch is deterministic for
+  * audit, the seed must stay secret, and the ε budget composes
+  * sequentially across epochs — see [[Privacy.dpRelease]]'s privacy
+  * contract.
   *
   * Scale shape per batch: one map-side-combined count over the keys
   * the batch touched (state grows with the OBSERVED combination
@@ -91,12 +95,19 @@ object PrivacyStream {
     cumulativeCounts(spark, stateDir, quasiCols, sensitiveCol)
       .map(Privacy.tClosenessFromCounts(_, quasiCols, sensitiveCol, t))
 
+  /** One DP release of the cumulative counts at `epoch` — advance the
+    * epoch every time this is called over a store that has grown (per
+    * [[Privacy.dpRelease]]'s contract); the natural epoch is the
+    * newest folded batch id.
+    */
   def dpRelease(
       spark: SparkSession, stateDir: String,
       quasiCols: Seq[String], sensitiveCol: String,
-      epsilon: Double, releaseThreshold: Double, seed: Long): Option[DataFrame] =
+      epsilon: Double, releaseThreshold: Double, seed: Long,
+      epoch: Long): Option[DataFrame] =
     cumulativeCounts(spark, stateDir, quasiCols, sensitiveCol)
-      .map(Privacy.dpReleaseFromCounts(_, quasiCols, epsilon, releaseThreshold, seed))
+      .map(Privacy.dpReleaseFromCounts(
+        _, quasiCols, epsilon, releaseThreshold, seed, epoch))
 
   /** Collapse all but the newest batch partition into one
     * ([[BatchState.compactExceptNewest]] — additive counts merge by

@@ -85,9 +85,9 @@ class PrivacySpec extends SparkSpec {
 
   test("dpRelease is deterministic, never emits true counts, suppresses small groups") {
     val a = Privacy.dpRelease(rows, Seq("zip", "gender"),
-      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L)
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L, epoch = 1L)
     val b = Privacy.dpRelease(rows, Seq("zip", "gender"),
-      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L)
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 7L, epoch = 1L)
     val ra = a.orderBy("zip").collect().map(_.toSeq)
     assert(ra.sameElements(b.orderBy("zip").collect().map(_.toSeq)))
     assert(a.columns.toSeq == Seq("zip", "gender", "noisy_n"))
@@ -101,8 +101,27 @@ class PrivacySpec extends SparkSpec {
     }
     // a different seed moves the noise
     val c = Privacy.dpRelease(rows, Seq("zip", "gender"),
-      epsilon = 1.0, releaseThreshold = 2.0, seed = 8L)
+      epsilon = 1.0, releaseThreshold = 2.0, seed = 8L, epoch = 1L)
     assert(!ra.map(_.toString).sameElements(c.orderBy("zip").collect().map(_.toSeq.toString)))
+  }
+
+  test("dpRelease draws fresh noise per epoch — serial releases don't leak deltas") {
+    // release the SAME store at two epochs: per-key noise must differ,
+    // otherwise release(t2) - release(t1) = exact true-count delta and
+    // serial monitoring has no privacy (the r12 advisory's attack)
+    def rel(epoch: Long): Map[(String, String), Double] =
+      Privacy.dpRelease(rows, Seq("zip", "gender"),
+        epsilon = 1.0, releaseThreshold = -100.0, seed = 7L, epoch = epoch)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("noisy_n"))
+        .toMap
+    val e1 = rel(1L)
+    val e2 = rel(2L)
+    assert(e1.keySet == e2.keySet)
+    // every key's noise moved between epochs (3 keys, continuous noise —
+    // a collision would mean the epoch isn't in the hash)
+    e1.keys.foreach(k => assert(e1(k) != e2(k), s"epoch-fixed noise for $k"))
+    // replaying the SAME epoch is still exact (audit contract)
+    assert(rel(2L) == e2)
   }
 
   test("tCloseness EMD is bounded in [0, 1] and t only moves the flag") {
@@ -125,11 +144,37 @@ class PrivacySpec extends SparkSpec {
     assert(tight.count(_._2) <= loose.count(_._2))
   }
 
+  test("tCloseness excludes NULL sensitive mass (no rank on the ordered domain)") {
+    // null dx rows must not shift any group's EMD, and an all-null
+    // class must vanish from the report entirely
+    val withNulls = rows
+      .union(Seq(("02138", "f", null), ("02139", "m", null)).toDF("zip", "gender", "dx"))
+      .union(Seq(("02141", "m", null), ("02141", "m", null)).toDF("zip", "gender", "dx"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("zip").collect().map(_.toSeq).toSeq
+    assert(canon(Privacy.tCloseness(withNulls, Seq("zip", "gender"), "dx", t = 0.3))
+      === canon(Privacy.tCloseness(rows, Seq("zip", "gender"), "dx", t = 0.3)))
+    assert(Privacy.tCloseness(withNulls, Seq("zip", "gender"), "dx", t = 0.3)
+      .filter(col("zip") === "02141").count() === 0)
+  }
+
+  test("lDiversity never counts NULL as a sensitive value") {
+    val withNulls = rows
+      .union(Seq(("02141", "m", null), ("02141", "m", null), ("02141", "m", null))
+        .toDF("zip", "gender", "dx"))
+    val r = Privacy.lDiversity(withNulls, Seq("zip", "gender"), "dx", k = 3L, l = 2L)
+      .filter(col("zip") === "02141").collect().head
+    // all-NULL class: k-anonymous by size, but zero diversity evidence
+    assert(r.getAs[Long]("group_n") === 3L)
+    assert(r.getAs[Long]("sensitive_l") === 0L)
+    assert(!r.getAs[Boolean]("l_diverse"))
+  }
+
   test("dpRelease noise shrinks as epsilon grows") {
     // same seed => same unit hash u per group; noise scales by 1/eps
     def maxErr(eps: Double): Double =
       Privacy.dpRelease(rows, Seq("zip", "gender"), eps,
-        releaseThreshold = -100.0, seed = 7L)
+        releaseThreshold = -100.0, seed = 7L, epoch = 1L)
         .collect().map { r =>
           val truth = Map(("02138", "f") -> 3.0, ("02139", "m") -> 2.0,
             ("02140", "f") -> 1.0)
@@ -149,7 +194,7 @@ class PrivacySpec extends SparkSpec {
       Privacy.tCloseness(rows, Seq("zip"), "dx", t = 1.5))
     intercept[IllegalArgumentException](
       Privacy.dpRelease(rows, Seq("zip"), epsilon = 0.0,
-        releaseThreshold = 1.0, seed = 1L))
+        releaseThreshold = 1.0, seed = 1L, epoch = 1L))
     // a single-valued sensitive domain has no measurable closeness
     intercept[IllegalArgumentException](
       Privacy.tCloseness(rows.withColumn("one", lit("x")),

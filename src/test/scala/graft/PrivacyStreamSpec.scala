@@ -40,9 +40,16 @@ class PrivacyStreamSpec extends SparkSpec {
         === canon(Privacy.lDiversity(union, quasi, "dx", 5L, 3L)), s"lDiversity after $i")
       assert(canon(PrivacyStream.tCloseness(spark, dir, quasi, "dx", 0.2).get)
         === canon(Privacy.tCloseness(union, quasi, "dx", 0.2)), s"tCloseness after $i")
-      assert(canon(PrivacyStream.dpRelease(spark, dir, quasi, "dx", 1.0, 5.0, 42L).get)
-        === canon(Privacy.dpRelease(union, quasi, 1.0, 5.0, 42L)), s"dpRelease after $i")
+      // epoch = batch id: each release over the grown store draws
+      // fresh noise but still equals the batch operator AT that epoch
+      assert(canon(PrivacyStream.dpRelease(spark, dir, quasi, "dx", 1.0, 5.0, 42L, i.toLong).get)
+        === canon(Privacy.dpRelease(union, quasi, 1.0, 5.0, 42L, i.toLong)), s"dpRelease after $i")
     }
+    // the per-epoch releases of the FINAL store differ from each other
+    // (fresh noise per epoch — serial releases can't be differenced)
+    val rel = (0L to 2L).map(e =>
+      canon(PrivacyStream.dpRelease(spark, dir, quasi, "dx", 1.0, -100.0, 42L, e).get))
+    assert(rel.distinct.size === 3, "epochs drew identical noise")
   }
 
   test("replaying a batch overwrites its own partition — counts never double") {
