@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Survivorship — the step AFTER entity resolution that classic MDM
+  * calls the "golden record": every entity's member records (the
+  * clean row plus each matched dirty variant, labelled by
+  * [[ConnectedComponents]] over the [[RecordLinkage]] match pairs)
+  * collapse to ONE canonical row, attribute by attribute, under an
+  * explicit per-attribute rule. Without this step a resolved cluster
+  * is just a bag of conflicting variants; with it the pipeline ships
+  * a deduplicated dimension.
+  *
+  * Every rule is a single aggregate expression, so the whole golden
+  * record is ONE map-side-combined `groupBy(entity)` — no windows, no
+  * joins, output bounded by entity count:
+  *
+  *   - [[Survivorship.MostFrequent]]: the modal non-null value;
+  *     deterministic ties-to-lowest (Spark's `mode(col, true)`), so
+  *     engines agree and replays are stable;
+  *   - [[Survivorship.LatestBy]]: the value on the member row with
+  *     the greatest (orderCol, idCol) — recency wins, the unique id
+  *     breaks order ties deterministically;
+  *   - [[Survivorship.MaxOf]] / [[Survivorship.MinOf]]: numeric
+  *     extremes (nulls ignored).
+  *
+  * The counted representation is MERGEABLE: per-entity
+  * (attribute, value) counts are additive across batches, so
+  * [[graft.streaming.GoldenStream]] maintains the live golden record
+  * off a batch_id-partitioned count store and
+  * [[goldenRecordFromCounts]] reads it back — same semilattice
+  * argument as every streamed store here.
+  */
+object Survivorship {
+
+  sealed trait Rule { def inCol: String; def outCol: String }
+
+  /** Modal non-null value, ties to the LOWEST value (deterministic).
+    *
+    * @param tieCast the column's SQL type name; the count path stores
+    *        values type-erased as strings, so its tie-break casts back
+    *        to this type before ordering — without it a numeric tie
+    *        breaks by string order ("10" < "3") and diverges from the
+    *        row path's typed `mode`. The row path itself ignores this
+    *        (the column is already typed).
+    */
+  final case class MostFrequent(inCol: String, outCol: String,
+      tieCast: String = "string") extends Rule
+
+  /** Value carried by the member row with the greatest
+    * (orderCol, idCol); `idCol` must be unique per record so the
+    * winner is total-ordered.
+    */
+  final case class LatestBy(inCol: String, orderCol: String, idCol: String,
+      outCol: String) extends Rule
+
+  final case class MaxOf(inCol: String, outCol: String) extends Rule
+  final case class MinOf(inCol: String, outCol: String) extends Rule
+
+  private def ruleAgg(r: Rule): Column = r match {
+    case MostFrequent(c, out, _) => mode(col(c), deterministic = true).as(out)
+    case LatestBy(c, ord, id, out) =>
+      max_by(col(c), struct(col(ord), col(id))).as(out)
+    case MaxOf(c, out) => max(col(c)).as(out)
+    case MinOf(c, out) => min(col(c)).as(out)
+  }
+
+  /** One canonical row per entity: `entityCol`, `n_records` (member
+    * count), then one column per rule. ONE exchange on the entity key.
+    */
+  def goldenRecord(
+      records: DataFrame, entityCol: String, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one survivorship rule")
+    val outs = rules.map(_.outCol)
+    require(outs.distinct.size == outs.size, s"duplicate output columns: $outs")
+    records.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_records"), rules.map(ruleAgg): _*)
+  }
+
+  /** [[goldenRecord]] off the mergeable (entity × attr × value) count
+    * representation (see [[countRecords]]): `MostFrequent` becomes
+    * min(struct(-n, value)) over the summed counts — highest count,
+    * then lowest value, exactly the batch tie rule — and
+    * `MaxOf`/`MinOf` are extremes over values with positive count.
+    * Values ride as STRINGS in the store (one store for every
+    * attribute type); cast the outputs back at the read site.
+    * `LatestBy` is not servable from bare value counts (it needs the
+    * per-row order column) — callers keep it on the batch path.
+    *
+    * Two aggregations over the combination-space-bounded store; never
+    * row-sized state.
+    */
+  def goldenRecordFromCounts(
+      counts: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one survivorship rule")
+    require(rules.forall(!_.isInstanceOf[LatestBy]),
+      "LatestBy needs per-row order state; not servable from value counts")
+    val summed = counts.groupBy(col("entity_id"), col("attr"), col("value"))
+      .agg(sum("n").as("n"))
+    summed.groupBy(col("entity_id"))
+      .agg(
+        sum(when(col("attr") === RowAttr, col("n"))).as("n_records"),
+        rules.map {
+          case MostFrequent(c, out, tie) =>
+            min(when(col("attr") === c && col("value").isNotNull,
+              struct((-col("n")).as("neg"),
+                col("value").cast(tie).as("ord"),
+                col("value")))).getField("value").as(out)
+          case MaxOf(c, out) =>
+            max(when(col("attr") === c, col("value").cast("double"))).as(out)
+          case MinOf(c, out) =>
+            min(when(col("attr") === c, col("value").cast("double"))).as(out)
+          case r => sys.error(s"unreachable: $r")
+        }: _*)
+  }
+
+  /** The reserved attr counting member ROWS (a record with every
+    * attribute null still counts toward `n_records`).
+    */
+  val RowAttr = "__row"
+
+  /** Fold one batch of entity-labelled records into the mergeable
+    * representation: (entity_id, attr, value, n) where value is the
+    * attribute cast to string (null preserved — a null's count keeps
+    * `n_records` honest but never wins a mode). One map-side-combined
+    * aggregate of the batch.
+    */
+  def countRecords(
+      batch: DataFrame, entityCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val stacked = batch.select(col(entityCol).as("entity_id"),
+      explode(map_concat(
+        (map(lit(RowAttr), lit("1")) +:
+          attrCols.map(c => map(lit(c), col(c).cast("string")))): _*
+      )).as(Seq("attr", "value")))
+    stacked.groupBy(col("entity_id"), col("attr"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

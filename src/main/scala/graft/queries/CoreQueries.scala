@@ -467,4 +467,88 @@ object CoreQueries {
 
   val distinctFlagsSql: String =
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** ORC round-trip: a lineitem slice written as ORC (the other
+    * columnar interchange format large pipelines speak), read back,
+    * and aggregated — the engine's ORC source/sink proved end-to-end.
+    * The oracle runs the SAME aggregate over the original parquet, so
+    * the gate holds only if the round trip is lossless (values,
+    * types, row count). Decimal-ridden sum, order-independent.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamGateQueries.tempRoot("graft_q_orc_roundtrip")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_shipdate) AS first_ship,
+      |  max(l_orderkey) AS max_key
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** The SQL rank family per group — ntile / percent_rank / cume_dist
+    * / dense_rank over a per-priority total order (price desc, key
+    * tie-break). One exchange on the partition key; the group count
+    * is dimension-bounded (5 priorities), so each partition sorts
+    * locally — for DATA-WIDE quantiles over unbounded key spaces the
+    * sketch-based percentile family is the scale path, not a global
+    * window.
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cum_dist"),
+      dense_rank().over(w).cast("long").as("drank"))
+  }
+
+  val windowRanksSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cum_dist,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
+  /** Pivot with an EXPLICIT value list (no extra distinct pass over
+    * the data — the spine the reference's dynamic pivots lack):
+    * per-nation customer counts fanned across the five market
+    * segments, absent combinations zero-filled. One map-side-combined
+    * aggregate; output bounded by |nations| × |segments|.
+    */
+  def pivotSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val piv = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+    piv.select(col("c_nationkey") +:
+      segs.map(g => coalesce(col(s"`$g`"), lit(0L)).as(g)): _*)
+  }
+
+  val pivotSegmentsSql: String = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cols = segs.map(g =>
+      s"""CAST(count(CASE WHEN c_mktsegment = '$g' THEN 1 END) AS BIGINT) AS "$g"""")
+      .mkString(",\n|  ")
+    s"""SELECT c_nationkey,
+      |  $cols
+      |FROM customer GROUP BY 1""".stripMargin
+  }
 }

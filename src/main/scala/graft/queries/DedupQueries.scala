@@ -58,7 +58,11 @@ object DedupQueries {
     scored
   }
 
-  val recordLinkageSql: String = {
+  /** The linkage CTE chain (dirty feed, blocked candidates, F-S
+    * weights) shared by the linkage, entity-cluster, and golden-
+    * record oracles.
+    */
+  private[graft] val linkagePairCtes: String = {
     import graft.operators.RecordLinkage
     import graft.operators.RecordLinkage.LinkField
     val name = LinkField("c_name", "r_name", m = 0.95, u = 0.001, maxDist = 2)
@@ -68,7 +72,7 @@ object DedupQueries {
     def w(f: LinkField) =
       (RecordLinkage.agreeWeight(f), RecordLinkage.disagreeWeight(f))
     val (na, nd) = w(name); val (sa, sd) = w(seg); val (ka, kd) = w(nat)
-    s"""WITH dirty AS (SELECT c_custkey + 1000000 AS r_id,
+    s"""dirty AS (SELECT c_custkey + 1000000 AS r_id,
       |    substr(c_name, 1, 11) || 'X' ||
       |      CASE WHEN c_custkey % 5 = 0 THEN 'Y'
       |           ELSE substr(c_name, 13, 1) END ||
@@ -89,11 +93,199 @@ object DedupQueries {
       |    CASE WHEN agree_c_mktsegment THEN CAST($sa AS DOUBLE) ELSE $sd END +
       |    CASE WHEN agree_c_nationkey THEN CAST($ka AS DOUBLE) ELSE $kd END,
       |    6) AS weight
-      |  FROM cand)
+      |  FROM cand)""".stripMargin
+  }
+
+  val recordLinkageSql: String =
+    s"""WITH $linkagePairCtes
       |SELECT *, CASE WHEN weight >= 6.0 THEN 'match'
       |  WHEN weight <= 0.0 THEN 'non_match'
       |  ELSE 'possible' END AS verdict FROM w""".stripMargin
+
+  // ---- entity resolution COMPLETION: pairs → clusters → golden
+  // record (the MDM loop: linkage scores pairs, connected components
+  // assign entity ids, survivorship collapses each entity's variants
+  // to one canonical row)
+
+  /** Match pairs at the q_record_linkage operating point — the edge
+    * list entity resolution closes over.
+    */
+  private[graft] def matchedPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    val (scored, _) = RecordLinkage.link(
+      linkageLeft(s, dir), linkageRight(s, dir),
+      blockOn = Seq(("l_block", "r_block")),
+      fields = linkageFields,
+      keep = Seq("c_custkey", "r_id"),
+      upper = 6.0, lower = 0.0, maxBlock = 100L)
+    scored.filter(col("verdict") === "match").select("c_custkey", "r_id")
   }
+
+  /** Entity ids from the match pairs
+    * ([[graft.operators.ConnectedComponents.resolve]] — min record id
+    * per component): transitive closure turns pairwise verdicts into
+    * entity CLUSTERS, so a dirty record matching two clean variants
+    * lands in ONE entity instead of two half-merged ones.
+    */
+  def entityClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.resolve(
+      matchedPairs(s, dir), "c_custkey", "r_id")
+      .select(col("node").as("rec_id"), col("component").as("entity_id"))
+
+  /** Linkage evaluation against the fixture's construction truth
+    * (every dirty row descends from exactly one clean row,
+    * r_id = c_custkey + 10⁶): per-verdict confusion counts and
+    * precision. The operating point's quality becomes a MEASURED
+    * number — 'match' precision, how many true pairs the scorer left
+    * in 'possible', and whether any true pair fell to 'non_match' —
+    * instead of a docstring claim. One aggregate over the scored
+    * pairs; output bounded by the three verdict classes.
+    */
+  def linkageEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    val (scored, _) = RecordLinkage.link(
+      linkageLeft(s, dir), linkageRight(s, dir),
+      blockOn = Seq(("l_block", "r_block")),
+      fields = linkageFields, keep = Seq("c_custkey", "r_id"),
+      upper = 6.0, lower = 0.0, maxBlock = 100L)
+    scored
+      .withColumn("is_true", col("r_id") === col("c_custkey") + 1000000L)
+      .groupBy("verdict")
+      .agg(
+        count(when(col("is_true"), lit(1))).as("n_true"),
+        count(when(!col("is_true"), lit(1))).as("n_false"))
+      .withColumn("precision",
+        round(col("n_true").cast("double") /
+          (col("n_true") + col("n_false")).cast("double"), 6))
+  }
+
+  val linkageEvalSql: String =
+    s"""WITH $linkagePairCtes,
+      |v AS (SELECT *, CASE WHEN weight >= 6.0 THEN 'match'
+      |    WHEN weight <= 0.0 THEN 'non_match' ELSE 'possible' END AS verdict,
+      |    r_id = c_custkey + 1000000 AS is_true FROM w)
+      |SELECT verdict,
+      |  CAST(count(CASE WHEN is_true THEN 1 END) AS BIGINT) AS n_true,
+      |  CAST(count(CASE WHEN NOT is_true THEN 1 END) AS BIGINT) AS n_false,
+      |  round(CAST(count(CASE WHEN is_true THEN 1 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS precision
+      |FROM v GROUP BY 1""".stripMargin
+
+  /** Blocking-plan report — the pre-join audit a 100 TB linkage runs
+    * FIRST: per block key, both side sizes, the candidate volume the
+    * blocked equi-join would generate (Σ |L_b|·|R_b| is the job's
+    * real cost), and whether the maxBlock guard would drop it. Two
+    * map-side-combined counts full-outer-joined on the block key —
+    * |blocks|-bounded, never row-bounded; half-empty blocks surface
+    * with zero candidates instead of vanishing.
+    */
+  def blockingStats(s: SparkSession, dir: String): DataFrame = {
+    val l = linkageLeft(s, dir)
+      .groupBy(col("l_block").as("block")).agg(count(lit(1)).as("l_n"))
+    val r = linkageRight(s, dir)
+      .groupBy(col("r_block").as("block")).agg(count(lit(1)).as("r_n"))
+    l.join(r, Seq("block"), "full")
+      .withColumn("l_n", coalesce(col("l_n"), lit(0L)))
+      .withColumn("r_n", coalesce(col("r_n"), lit(0L)))
+      .withColumn("candidates", col("l_n") * col("r_n"))
+      .withColumn("dropped", col("candidates") > 100L)
+  }
+
+  val blockingStatsSql: String =
+    s"""WITH $linkagePairCtes,
+      |lc AS (SELECT substr(c_name, 15, 4) AS block,
+      |    CAST(count(*) AS BIGINT) AS l_n FROM customer GROUP BY 1),
+      |rc AS (SELECT substr(r_name, 15, 4) AS block,
+      |    CAST(count(*) AS BIGINT) AS r_n FROM dirty GROUP BY 1)
+      |SELECT coalesce(lc.block, rc.block) AS block,
+      |  coalesce(l_n, 0) AS l_n, coalesce(r_n, 0) AS r_n,
+      |  coalesce(l_n, 0) * coalesce(r_n, 0) AS candidates,
+      |  coalesce(l_n, 0) * coalesce(r_n, 0) > 100 AS dropped
+      |FROM lc FULL OUTER JOIN rc ON lc.block = rc.block""".stripMargin
+
+  /** The cluster CTEs appended after [[linkagePairCtes]] (needs
+    * `WITH RECURSIVE`).
+    */
+  private[graft] val erClusterCtes: String =
+    """matched AS (SELECT c_custkey, r_id FROM w WHERE weight >= 6.0),
+      |er_edges AS (SELECT c_custkey AS a, r_id AS b FROM matched
+      |  UNION SELECT r_id, c_custkey FROM matched),
+      |reach(v, u) AS (
+      |  SELECT a, a FROM er_edges
+      |  UNION
+      |  SELECT r2.v, e.b FROM reach r2 JOIN er_edges e ON r2.u = e.a),
+      |comp AS (SELECT v AS rec_id, min(u) AS entity_id FROM reach GROUP BY 1)""".stripMargin
+
+  val entityClustersSql: String =
+    s"""WITH RECURSIVE $linkagePairCtes,
+      |$erClusterCtes
+      |SELECT rec_id, entity_id FROM comp""".stripMargin
+
+  /** Every resolved record (clean + dirty feeds) with its entity
+    * label; unmatched records are singleton entities of their own id.
+    */
+  private[graft] def erLabelledRecords(s: SparkSession, dir: String): DataFrame = {
+    val clean = t(s, dir, "customer").select(
+      col("c_custkey").as("rec_id"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nationkey"),
+      col("c_mktsegment").as("mktsegment"), col("c_acctbal").as("acctbal"))
+    val dirty = linkageRight(s, dir).select(
+      col("r_id").as("rec_id"), col("r_name").as("name"),
+      col("r_nationkey").cast("long").as("nationkey"),
+      col("r_mktsegment").as("mktsegment"),
+      lit(null).cast("double").as("acctbal"))
+    clean.unionByName(dirty)
+      .join(entityClusters(s, dir), Seq("rec_id"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("rec_id")))
+  }
+
+  /** Golden record per resolved entity
+    * ([[graft.operators.Survivorship.goldenRecord]]): modal name /
+    * nation / segment (deterministic ties-to-lowest) and the best
+    * known balance, one exchange on the entity key. The fixture's
+    * clean-vs-dirty 1:1 ties exercise the tie rule on nearly every
+    * entity.
+    */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survivorship._
+    graft.operators.Survivorship.goldenRecord(
+      erLabelledRecords(s, dir), "entity_id", Seq(
+        MostFrequent("name", "name"),
+        MostFrequent("nationkey", "nationkey"),
+        MostFrequent("mktsegment", "mktsegment"),
+        MaxOf("acctbal", "best_acctbal")))
+  }
+
+  private def erModeCte(attr: String): String =
+    s"""${attr}_c AS (SELECT entity_id, $attr AS v, count(*) AS c
+      |  FROM lab WHERE $attr IS NOT NULL GROUP BY 1, 2),
+      |${attr}_m AS (SELECT entity_id, v FROM (SELECT entity_id, v,
+      |    row_number() OVER (PARTITION BY entity_id
+      |      ORDER BY c DESC, v ASC) AS rn FROM ${attr}_c) WHERE rn = 1)""".stripMargin
+
+  val goldenRecordSql: String =
+    s"""WITH RECURSIVE $linkagePairCtes,
+      |$erClusterCtes,
+      |records AS (SELECT c_custkey AS rec_id, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    c_mktsegment AS mktsegment, c_acctbal AS acctbal FROM customer
+      |  UNION ALL SELECT r_id, r_name, CAST(r_nationkey AS BIGINT),
+      |    r_mktsegment, NULL FROM dirty),
+      |lab AS (SELECT r.rec_id, r.name, r.nationkey, r.mktsegment,
+      |    r.acctbal, coalesce(c.entity_id, r.rec_id) AS entity_id
+      |  FROM records r LEFT JOIN comp c ON r.rec_id = c.rec_id),
+      |base AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+      |    max(acctbal) AS best_acctbal FROM lab GROUP BY 1),
+      |${erModeCte("name")},
+      |${erModeCte("nationkey")},
+      |${erModeCte("mktsegment")}
+      |SELECT b.entity_id, b.n_records, name_m.v AS name,
+      |  nationkey_m.v AS nationkey, mktsegment_m.v AS mktsegment,
+      |  b.best_acctbal
+      |FROM base b
+      |LEFT JOIN name_m ON b.entity_id = name_m.entity_id
+      |LEFT JOIN nationkey_m ON b.entity_id = nationkey_m.entity_id
+      |LEFT JOIN mktsegment_m ON b.entity_id = mktsegment_m.entity_id""".stripMargin
 
   /** Documents corpus + deterministic mutated copies, so dedup operators
     * have real duplicates to find (the raw corpus has none). Exact-dup

@@ -62,7 +62,7 @@ object StreamGateQueries {
       }
     }))
 
-  private def tempRoot(prefix: String): String = {
+  private[queries] def tempRoot(prefix: String): String = {
     cleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     tempRoots.add(p)
@@ -731,4 +731,262 @@ object StreamGateQueries {
     graft.streaming.RateStream.report(s, root, "event_type", zThreshold = 3.0)
       .getOrElse(s.emptyDataFrame)
   }
+
+  /** The live golden record ([[graft.streaming.GoldenStream]]):
+    * entity-labelled records arrive in three id-ordered batches, each
+    * folded into the (entity × attr × value) count store; the served
+    * golden record over the cumulative store must equal the one-pass
+    * batch survivorship — modal ties, best-balance and member counts
+    * included. Oracle = q_golden_record's SQL. The labelled frame is
+    * checkpointed once so the three slice filters don't re-run the
+    * linkage + cluster resolution per batch.
+    */
+  def streamGolden(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survivorship._
+    val root = tempRoot("graft_q_stream_golden")
+    val labelled = DedupQueries.erLabelledRecords(s, dir).localCheckpoint(true)
+    idSlices(labelled, "rec_id").zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.GoldenStream.countBatch(
+        b, "entity_id", Seq("name", "nationkey", "mktsegment", "acctbal"),
+        root, i.toLong)
+    }
+    graft.streaming.GoldenStream.goldenRecord(s, root, Seq(
+      MostFrequent("name", "name"),
+      MostFrequent("nationkey", "nationkey", tieCast = "long"),
+      MostFrequent("mktsegment", "mktsegment"),
+      MaxOf("acctbal", "best_acctbal")))
+      .map(_.select(col("entity_id"), col("n_records"), col("name"),
+        col("nationkey").cast("long").as("nationkey"), col("mktsegment"),
+        col("best_acctbal")))
+      .getOrElse(s.emptyDataFrame)
+  }
+
+  // ---- LIVE-ENGINE gates: unlike every gate above (which folds
+  // foreachBatch bodies by hand), these run the ACTUAL structured-
+  // streaming engine — micro-batch scheduler, state store, watermark
+  // tracking — via a file source with maxFilesPerTrigger=1 and
+  // Trigger.AvailableNow, then adjudicate its output against the
+  // plain-batch DuckDB oracle. The memory sink is the adjudication
+  // harness only (its contents are combination-space-bounded /
+  // match-bounded); a production deployment writes foreachBatch or
+  // file sinks as docs/streaming.md lays out.
+
+  /** Stage `df` into `dstDir` as one parquet FILE per time slice, in
+    * arrival order (names and mtimes both ascend), so the streaming
+    * file source replays the exact three-batch, time-ordered delivery
+    * every other gate folds by hand. Time-ordered arrival means batch
+    * N+1's event times are never behind batch N's watermark — no
+    * late-drop nondeterminism, which is precisely the contract a
+    * crawl-order ingest gives the production stream.
+    */
+  private def stageOneFile(
+      df: DataFrame, dstDir: String, fileName: String, mtimeMs: Long): Unit = {
+    val stage = java.nio.file.Paths.get(dstDir, s"__stage_$fileName")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $stage"))
+    val dst = java.nio.file.Paths.get(dstDir, fileName)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtimeMs)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(stage).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists)
+  }
+
+  private def stageTimeOrderedFiles(
+      df: DataFrame, tsCol: String, dstDir: String): Unit =
+    tsSlices(df, tsCol).zipWithIndex.foreach { case (b, i) =>
+      stageOneFile(b, dstDir, f"$i%03d.parquet", 1700000000000L + i * 60000L)
+    }
+
+  private def uniqueName(prefix: String): String =
+    prefix + java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** The watermarked tumbling-window aggregate
+    * ([[graft.streaming.EventAggregates.windowedCounts]]) executed by
+    * the REAL streaming engine over three time-ordered file batches;
+    * oracle = the batch q_event_windows SQL. Values ride DECIMAL into
+    * the stream (sums stay order-independent across micro-batches)
+    * and cast back to double on the read side, exactly like the batch
+    * query. Complete output mode: the window×type state is
+    * combination-space-bounded, and every window — including those
+    * still inside the final watermark — must land for the hash to
+    * match the batch truth.
+    */
+  def streamLiveWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempRoot("graft_q_stream_live_win_src")
+    val ckpt = tempRoot("graft_q_stream_live_win_ckpt")
+    val evs = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+    stageTimeOrderedFiles(evs, "ts", src)
+    val stream = s.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val qn = uniqueName("graft_live_windows_")
+    graft.streaming.EventAggregates
+      .windowedCounts(stream, windowLength = "1 hour", watermark = "10 minutes")
+      .writeStream.queryName(qn)
+      .format("memory").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(qn).select(col("window_start"), col("window_end"),
+      col("event_type"), col("n_events"),
+      col("total_value").cast("double").as("total_value"))
+  }
+
+  /** The stream-stream interval join
+    * ([[graft.streaming.EventAggregates.correlate]]) executed by the
+    * real engine: views and purchases arrive as two independent
+    * time-ordered file streams, each buffered in the join state store
+    * and evicted once the shared watermark proves no future match.
+    * Inner-join semantics make the emitted set exactly the batch
+    * interval join — every (view, purchase-within-1h) pair once —
+    * which the DuckDB oracle replays as a plain self-join.
+    */
+  def streamLiveJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val lsrc = tempRoot("graft_q_stream_live_join_l")
+    val rsrc = tempRoot("graft_q_stream_live_join_r")
+    val ckpt = tempRoot("graft_q_stream_live_join_ckpt")
+    val evs = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"), col("user_id"))
+    val buys = evs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id"))
+    stageTimeOrderedFiles(views, "v_ts", lsrc)
+    stageTimeOrderedFiles(buys, "p_ts", rsrc)
+    val lstream = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", 1).parquet(lsrc)
+    val rstream = s.readStream.schema(buys.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rsrc)
+    val qn = uniqueName("graft_live_join_")
+    graft.streaming.EventAggregates.correlate(
+      lstream, rstream, "user_id", "v_ts", "p_ts",
+      window = "1 hour", watermark = "2 hours")
+      .select("view_id", "user_id", "purchase_id", "v_ts", "p_ts")
+      .writeStream.queryName(qn)
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(qn)
+  }
+
+  /** Engine-managed session windows
+    * ([[graft.streaming.EventAggregates.sessionWindowCounts]]) through
+    * the real engine in APPEND mode — the eviction path the
+    * complete-mode windows gate cannot exercise: a session only emits
+    * once the watermark passes its end and its state is dropped. A
+    * far-future SENTINEL row (user −1, 30 days past the corpus)
+    * arrives as the final batch to push the watermark past every real
+    * session — the "stream keeps flowing" condition append-mode
+    * parity genuinely requires; the engine's no-data final batch then
+    * flushes the remainder. The sentinel's own (still-open) session is
+    * the ONLY row filtered from the adjudicated output.
+    */
+  def streamLiveSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempRoot("graft_q_stream_live_sess_src")
+    val ckpt = tempRoot("graft_q_stream_live_sess_ckpt")
+    val evs = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+    stageTimeOrderedFiles(evs, "ts", src)
+    val mx = evs.agg(max("ts")).collect().head.getTimestamp(0) // 1-row probe
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(mx.getTime + 30L * 86400000L)).as("ts"),
+      lit(-1L).as("user_id"))
+    stageOneFile(sentinel, src, "999.parquet", 1700000000000L + 999 * 60000L)
+    val stream = s.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val qn = uniqueName("graft_live_sessions_")
+    graft.streaming.EventAggregates
+      .sessionWindowCounts(stream, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.queryName(qn)
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(qn).filter(col("user_id") >= 0L)
+  }
+
+  val streamLiveSessionsSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT *, lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |y AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+      |        THEN 1 ELSE 0 END AS ns FROM x),
+      |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS seq FROM y)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM z GROUP BY user_id, seq""".stripMargin
+
+  /** Custom state through the real engine: the
+    * [[graft.streaming.EventAggregates.sessionizeStateful]]
+    * `flatMapGroupsWithState` sessionizer — per-user state records,
+    * EVENT-TIME timeouts, sessions closed either by an in-batch gap
+    * or by the watermark passing their idle deadline. The same
+    * sentinel trick as the session-window gate flushes the tail
+    * (timeouts fire in the engine's no-data final batch). Timestamps
+    * are truncated to SECONDS on the way in — the state record keeps
+    * epoch millis, so sub-ms event time would silently shear against
+    * the oracle's microsecond arithmetic; the oracle truncates
+    * identically. Session end here is the LAST EVENT's time (the
+    * stateful contract), not last + gap.
+    */
+  def streamLiveStateful(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempRoot("graft_q_stream_live_state_src")
+    val ckpt = tempRoot("graft_q_stream_live_state_ckpt")
+    val evs = t(s, dir, "events").select(col("event_id"),
+      col("ts").cast("long").cast("timestamp").as("ts"), col("user_id"))
+    stageTimeOrderedFiles(evs, "ts", src)
+    val mx = evs.agg(max("ts")).collect().head.getTimestamp(0) // 1-row probe
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(mx.getTime + 30L * 86400000L)).as("ts"),
+      lit(-1L).as("user_id"))
+    stageOneFile(sentinel, src, "999.parquet", 1700000000000L + 999 * 60000L)
+    val stream = s.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    import s.implicits._
+    val qn = uniqueName("graft_live_stateful_")
+    graft.streaming.EventAggregates.sessionizeStateful(
+      stream.as[graft.streaming.EventAggregates.Event],
+      gapMillis = 30L * 60L * 1000L, watermark = "1 hour")
+      .toDF()
+      .writeStream.queryName(qn)
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(qn).filter(col("user_id") >= 0L)
+  }
+
+  val streamLiveStatefulSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts FROM events),
+      |x AS (SELECT *, lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |y AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+      |        THEN 1 ELSE 0 END AS ns FROM x),
+      |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS seq FROM y)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM z GROUP BY user_id, seq""".stripMargin
+
+  val streamLiveJoinSql: String =
+    """SELECT l.event_id AS view_id, l.user_id AS user_id,
+      |  r.event_id AS purchase_id, l.ts AS v_ts, r.ts AS p_ts
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      |  AND l.event_type = 'view' AND r.event_type = 'purchase'
+      |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin
 }

@@ -147,6 +147,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // localCheckpoint (per-batch state, the streaming contract);
       // the read side is that executor-resident final history
       "q_stream_scd",
+      // the CC entity-label table checkpoints per round like
+      // q_dedup_clusters; the golden record rides it
+      "q_entity_clusters", "q_golden_record",
+      // the maxBlock drop list checkpoints like q_record_linkage
+      "q_linkage_eval",
+      // LIVE-ENGINE gates: the returned frame IS the memory sink's
+      // bounded result (window x type grid / matched pairs) — the
+      // distributed work ran inside the streaming query; the
+      // adjudicated LocalTableScan is the sink, not a driver loop
+      "q_stream_live_windows", "q_stream_live_join",
+      "q_stream_live_sessions",
       // the KMV pair matrix is driver-built from collected sketches —
       // S x k longs, bounded by construction, same as the batch
       // q_source_overlap_sketch it is adjudicated against
@@ -531,6 +542,27 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the blocked candidate equi-join (scoring is a projection);
       // the maxBlock drop list anti-broadcasts, no extra exchange
       "q_record_linkage" -> 2,
+      // blocked candidate join feeds CC; the label table the query
+      // returns is the checkpointed final round (exchanges ran
+      // inside the rounds)
+      "q_entity_clusters" -> 2,
+      // the scored-pair aggregate over the blocked join (guard drop
+      // list anti-broadcasts like q_record_linkage)
+      "q_linkage_eval" -> 3,
+      // two block-count aggregates + their bounded full-outer join
+      "q_blocking_stats" -> 3,
+      // checkpointed labels broadcast onto the record union; ONE
+      // entity-keyed aggregate carries every survivorship rule
+      "q_golden_record" -> 4,
+      // summed (entity x attr x value) store + the rule aggregate
+      "q_stream_golden" -> 3,
+      // memory-sink read-back: the streaming engine's exchanges ran
+      // inside the live query, the returned frame is the bounded sink
+      "q_stream_live_windows" -> 0,
+      "q_stream_live_join" -> 0,
+      "q_stream_live_sessions" -> 0,
+      // one aggregate over the ORC read-back (the write ran eagerly)
+      "q_orc_roundtrip" -> 1,
       // read-side plans over the streamed (quasi × sensitive) count
       // store: the cumulative sum + the report aggregate
       "q_stream_k_anonymity" -> 2,
