@@ -44,7 +44,11 @@ object Soak {
     // per-replica-disjoint key space (SoakGenSpec gates it), so
     // blocks stay EXACTLY base-sized as the corpus scales and none
     // ever trips maxBlock into a silently truncated join
-    "q_record_linkage")
+    "q_record_linkage",
+    // the full ER pipeline (blocked linkage -> CC entity labels ->
+    // one-exchange survivorship): soaks the round-13 MDM path
+    // end-to-end on top of the constant-block guarantee above
+    "q_golden_record")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

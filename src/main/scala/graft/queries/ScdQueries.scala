@@ -404,19 +404,95 @@ object ScdQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
-  val qualityClassifierSql: String = {
+  /** The classifier-scoring CTE chain (weights, token hashes, logit)
+    * shared by the classifier, AUC, and calibration oracles.
+    */
+  private[graft] val classifierCtes: String = {
     val w = graft.operators.TextClassifier.initWeights(512)
       .map(_.toString).mkString("[", ", ", "]")
-    s"""WITH wv AS (SELECT CAST($w AS DOUBLE[]) AS w),
+    s"""wv AS (SELECT CAST($w AS DOUBLE[]) AS w),
        |h AS (SELECT doc_id, list_transform(
        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
        |    x -> CAST(('0x' || substr(sha256(x), 1, 8)) AS BIGINT)) AS hs
        |  FROM documents),
        |z AS (SELECT doc_id,
        |    list_sum(list_transform(hs, t -> w[(t % 512) + 1])) AS zv
-       |  FROM h, wv)
-       |SELECT doc_id, round(zv, 6) AS logit, zv > 0 AS predicted FROM z""".stripMargin
+       |  FROM h, wv)""".stripMargin
   }
+
+  val qualityClassifierSql: String =
+    s"""WITH $classifierCtes
+       |SELECT doc_id, round(zv, 6) AS logit, zv > 0 AS predicted FROM z""".stripMargin
+
+  /** ROC AUC of the classifier's logit against a content-derived
+    * label ([[graft.operators.Evaluation.rocAuc]] — Mann–Whitney off
+    * per-score class counts, tie-corrected): the filter-model eval a
+    * curation pipeline runs before trusting a cheap scorer at scale.
+    * One corpus aggregate; the cumulative window runs over the
+    * bounded distinct-score table only.
+    */
+  def classifierAuc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Evaluation, TextClassifier}
+    val docs = t(s, dir, "documents")
+    val scored = TextClassifier.classify(docs, "doc_id", "text",
+      TextClassifier.Model(TextClassifier.initWeights(512)))
+      .withColumnRenamed("id", "doc_id")
+    val lab = docs.select(col("doc_id"), (length(col("text")) > 500).as("__lab"))
+    Evaluation.rocAuc(scored.join(lab, "doc_id"), col("logit"), col("__lab"))
+  }
+
+  val classifierAucSql: String =
+    s"""WITH $classifierCtes,
+       |sc AS (SELECT z.doc_id, round(zv, 6) AS s, length(d.text) > 500 AS y
+       |  FROM z JOIN documents d ON z.doc_id = d.doc_id),
+       |g AS (SELECT s, CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS pos,
+       |    CAST(count(CASE WHEN NOT y THEN 1 END) AS BIGINT) AS neg
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT *, CAST(sum(neg) OVER (ORDER BY s) - neg AS BIGINT) AS cumneg
+       |  FROM g)
+       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+       |  round(sum(CAST(pos AS DOUBLE) *
+       |      (CAST(cumneg AS DOUBLE) + CAST(neg AS DOUBLE) / 2.0))
+       |    / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+       |FROM c""".stripMargin
+
+  /** Reliability bins of the squashed logit
+    * ([[graft.operators.Evaluation.calibrationBins]]): the logit is
+    * squashed by the LINEAR clamp (z+5)/10 into [0,1] — arithmetic
+    * only, so both engines bucket the identical doubles (a sigmoid's
+    * libm exp can differ in the last ulp across engines and flip a
+    * 6-dp boundary; the clamp is the portable stand-in with the same
+    * monotonicity, stated as part of the metric's contract).
+    */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Evaluation, TextClassifier}
+    val docs = t(s, dir, "documents")
+    val scored = TextClassifier.classify(docs, "doc_id", "text",
+      TextClassifier.Model(TextClassifier.initWeights(512)))
+      .withColumnRenamed("id", "doc_id")
+    val lab = docs.select(col("doc_id"), (length(col("text")) > 500).as("__lab"))
+    val prob = round(
+      least(greatest((col("logit") + 5.0) / 10.0, lit(0.0)), lit(1.0)), 6)
+    Evaluation.calibrationBins(scored.join(lab, "doc_id"), prob, col("__lab"))
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH $classifierCtes,
+       |sc AS (SELECT z.doc_id,
+       |    round(least(greatest((round(zv, 6) + 5.0) / 10.0, 0.0), 1.0), 6) AS s,
+       |    length(d.text) > 500 AS y
+       |  FROM z JOIN documents d ON z.doc_id = d.doc_id),
+       |b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM sc)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+       |  round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+       |  round(abs(round(CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6)
+       |    - round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6)), 6) AS gap
+       |FROM b GROUP BY 1""".stripMargin
 
   /** Skew-mitigated two-phase aggregation ([[graft.operators.Skew]]):
     * the salted partial/merge pair must produce EXACTLY the plain

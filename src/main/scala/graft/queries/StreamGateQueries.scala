@@ -982,6 +982,44 @@ object StreamGateQueries {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM z GROUP BY user_id, seq""".stripMargin
 
+  /** Streaming `dropDuplicates` through the real engine — the
+    * first-class dedup path every ingest needs: per-key state in the
+    * engine's store, APPEND emission on first sight, state EVICTED
+    * once the watermark passes the key's event-time bucket (the
+    * watermarked day column is part of the dedup key, so state is
+    * bounded by keys-per-watermark-window, not corpus history). The
+    * output is the exact distinct (user, day) set — first-sight
+    * emission makes WHICH row wins nondeterministic, so the gate
+    * deduplicates on, and emits, exactly the key columns; oracle =
+    * plain DISTINCT.
+    */
+  def streamLiveDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempRoot("graft_q_stream_live_dedup_src")
+    val ckpt = tempRoot("graft_q_stream_live_dedup_ckpt")
+    val evs = t(s, dir, "events").select(col("ts"), col("user_id"))
+    stageTimeOrderedFiles(evs, "ts", src)
+    val stream = s.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val qn = uniqueName("graft_live_dedup_")
+    stream
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("day", "1 day")
+      .dropDuplicates("user_id", "day")
+      .select("user_id", "day")
+      .writeStream.queryName(qn)
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(qn)
+  }
+
+  val streamLiveDedupSql: String =
+    """SELECT DISTINCT user_id,
+      |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      |FROM events""".stripMargin
+
   val streamLiveJoinSql: String =
     """SELECT l.event_id AS view_id, l.user_id AS user_id,
       |  r.event_id AS purchase_id, l.ts AS v_ts, r.ts AS p_ts

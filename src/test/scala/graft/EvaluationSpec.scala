@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluation
+
+/** Hand-computed AUC fixtures (pairwise wins + half-credit ties),
+  * boundary cases (perfect / inverted / constant scorer), monotone
+  * invariance, and the reliability-bin arithmetic.
+  */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pos: 0.9, 0.8, 0.8   neg: 0.8, 0.5
+  // U = 1 + 1 + (0.5 + 1) + (0.5 + 1) = 5  ->  AUC = 5/6
+  private lazy val mixed = Seq(
+    (0.9, true), (0.8, true), (0.8, true), (0.8, false), (0.5, false))
+    .toDF("s", "y")
+
+  private def auc(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+    val r = Evaluation.rocAuc(df, col("s"), col("y")).collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("AUC matches the pairwise count with half-credit ties") {
+    assert(auc(mixed) === ((3L, 2L, 0.833333)))
+  }
+
+  test("AUC boundary cases: perfect, inverted, constant") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "y")
+    assert(auc(perfect)._3 === 1.0)
+    val inverted = perfect.withColumn("y", !col("y"))
+    assert(auc(inverted)._3 === 0.0)
+    val constant = Seq((0.5, true), (0.5, true), (0.5, false)).toDF("s", "y")
+    assert(auc(constant)._3 === 0.5)
+  }
+
+  test("AUC is invariant under a monotone score transform") {
+    val scaled = mixed.withColumn("s", col("s") / 2.0 + 0.1)
+    assert(auc(scaled)._3 === auc(mixed)._3)
+  }
+
+  test("AUC skips null scores/labels and discretizes at the stated precision") {
+    val withNulls = mixed
+      .union(Seq((Double.NaN, true)).toDF("s", "y")
+        .withColumn("s", lit(null).cast("double")))
+      .union(Seq((0.7, true)).toDF("s", "y")
+        .withColumn("y", lit(null).cast("boolean")))
+    assert(auc(withNulls) === auc(mixed))
+    // scores closer than the grid collapse into one (tied) cell
+    val fine = Seq((0.5000001, true), (0.5000002, false)).toDF("s", "y")
+    assert(Evaluation.rocAuc(fine, col("s"), col("y"), precision = 6)
+      .collect().head.getDouble(2) === 0.5)
+  }
+
+  test("calibration bins: means, rates, gaps, and the 1.0 clamp") {
+    val df = Seq(
+      (0.05, false), (0.05, false), (0.95, true), (1.0, true))
+      .toDF("s", "y")
+    val got = Evaluation.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0.05, 0.0, 0.05),
+      (9L, 2L, 0.975, 1.0, 0.025)))
+  }
+
+  test("calibration guard") {
+    intercept[IllegalArgumentException](
+      Evaluation.calibrationBins(mixed, col("s"), col("y"), bins = 1))
+  }
+}

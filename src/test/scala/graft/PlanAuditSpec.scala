@@ -157,7 +157,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // distributed work ran inside the streaming query; the
       // adjudicated LocalTableScan is the sink, not a driver loop
       "q_stream_live_windows", "q_stream_live_join",
-      "q_stream_live_sessions",
+      "q_stream_live_sessions", "q_stream_live_stateful",
+      "q_stream_live_dedup",
       // the KMV pair matrix is driver-built from collected sketches —
       // S x k longs, bounded by construction, same as the batch
       // q_source_overlap_sketch it is adjudicated against
@@ -561,6 +562,18 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_live_windows" -> 0,
       "q_stream_live_join" -> 0,
       "q_stream_live_sessions" -> 0,
+      "q_stream_live_stateful" -> 0,
+      "q_stream_live_dedup" -> 0,
+      // classifier scoring is a projection; the score join + the
+      // per-score class counts + the bounded-domain cum window
+      "q_classifier_auc" -> 4,
+      "q_classifier_calibration" -> 3,
+      // one per-priority window pass (dimension-bounded partitions)
+      "q_window_ranks" -> 1,
+      // Spark plans pivot as TWO aggregates — (nation, segment)
+      // partial counts, then the nation-keyed pivot fold — both
+      // map-side-combined, both combination-space-bounded
+      "q_pivot_segments" -> 2,
       // one aggregate over the ORC read-back (the write ran eagerly)
       "q_orc_roundtrip" -> 1,
       // read-side plans over the streamed (quasi × sensitive) count

@@ -85,6 +85,37 @@ class SurvivorshipSpec extends SparkSpec {
       === whole.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("property: count path equals row path on randomized fixtures (6 seeds)") {
+    (1 to 6).foreach { seed =>
+      val df = spark.range(800).select(
+        (col("id") % 37).as("entity_id"),
+        col("id").as("rec_id"),
+        when(pmod(hash(col("id"), lit(seed)), lit(11)) === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("v"),
+            pmod(hash(col("id"), lit(seed)), lit(5)).cast("string"))).as("name"),
+        pmod(hash(col("id"), lit(seed + 1)), lit(13)).cast("long").as("nation"),
+        when(pmod(hash(col("id"), lit(seed + 2)), lit(7)) === 0,
+          lit(null).cast("double"))
+          .otherwise(pmod(hash(col("id"), lit(seed + 2)), lit(1000))
+            .cast("double") / 10.0).as("bal"))
+      val propRules = Seq(
+        MostFrequent("name", "name"),
+        MostFrequent("nation", "nation", tieCast = "long"),
+        MaxOf("bal", "best_bal"),
+        MinOf("bal", "worst_bal"))
+      val viaCounts = Survivorship.goldenRecordFromCounts(
+        Survivorship.countRecords(df, "entity_id", Seq("name", "nation", "bal")),
+        propRules)
+        .select(col("entity_id"), col("n_records"), col("name"),
+          col("nation").cast("long").as("nation"),
+          col("best_bal"), col("worst_bal"))
+      val viaRows = Survivorship.goldenRecord(df, "entity_id", propRules)
+      assert(viaCounts.collect().map(_.toString).sorted.toSeq
+        === viaRows.collect().map(_.toString).sorted.toSeq, s"seed $seed")
+    }
+  }
+
   test("guards: empty rules, duplicate outputs, LatestBy off the count path") {
     intercept[IllegalArgumentException](
       Survivorship.goldenRecord(recs, "entity_id", Seq.empty))
