@@ -434,11 +434,13 @@ object ScdQueries {
   def classifierAuc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Evaluation, TextClassifier}
     val docs = t(s, dir, "documents")
-    val scored = TextClassifier.classify(docs, "doc_id", "text",
+    // score and label in ONE scan — logit() is a Column, so no
+    // self-join of the corpus against its own scores
+    val z = TextClassifier.logit(docs, col("text"),
       TextClassifier.Model(TextClassifier.initWeights(512)))
-      .withColumnRenamed("id", "doc_id")
-    val lab = docs.select(col("doc_id"), (length(col("text")) > 500).as("__lab"))
-    Evaluation.rocAuc(scored.join(lab, "doc_id"), col("logit"), col("__lab"))
+    val scored = docs.select(round(z, 6).as("logit"),
+      (length(col("text")) > 500).as("__lab"))
+    Evaluation.rocAuc(scored, col("logit"), col("__lab"))
   }
 
   val classifierAucSql: String =
@@ -467,13 +469,13 @@ object ScdQueries {
   def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Evaluation, TextClassifier}
     val docs = t(s, dir, "documents")
-    val scored = TextClassifier.classify(docs, "doc_id", "text",
+    val z = TextClassifier.logit(docs, col("text"),
       TextClassifier.Model(TextClassifier.initWeights(512)))
-      .withColumnRenamed("id", "doc_id")
-    val lab = docs.select(col("doc_id"), (length(col("text")) > 500).as("__lab"))
+    val scored = docs.select(round(z, 6).as("logit"),
+      (length(col("text")) > 500).as("__lab"))
     val prob = round(
       least(greatest((col("logit") + 5.0) / 10.0, lit(0.0)), lit(1.0)), 6)
-    Evaluation.calibrationBins(scored.join(lab, "doc_id"), prob, col("__lab"))
+    Evaluation.calibrationBins(scored, prob, col("__lab"))
   }
 
   val classifierCalibrationSql: String =

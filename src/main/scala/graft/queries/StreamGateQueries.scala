@@ -804,6 +804,23 @@ object StreamGateQueries {
   private def uniqueName(prefix: String): String =
     prefix + java.util.UUID.randomUUID.toString.replace("-", "")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+    * to `n`: a streaming query's STATE STORE partition count is fixed
+    * at this value for the life of the query, and every micro-batch
+    * commits delta files for every partition — so an oversized count
+    * is a per-batch fixed cost with zero parallelism benefit at gate
+    * volume. Right-sizing state partitions to expected key volume is
+    * exactly what a production streaming job does at submit time (at
+    * 100 TB you'd size UP for the same reason). Restored afterwards;
+    * results are partitioning-independent.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** The watermarked tumbling-window aggregate
     * ([[graft.streaming.EventAggregates.windowedCounts]]) executed by
     * the REAL streaming engine over three time-ordered file batches;
@@ -826,13 +843,15 @@ object StreamGateQueries {
     val stream = s.readStream.schema(evs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val qn = uniqueName("graft_live_windows_")
-    graft.streaming.EventAggregates
-      .windowedCounts(stream, windowLength = "1 hour", watermark = "10 minutes")
-      .writeStream.queryName(qn)
-      .format("memory").outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      graft.streaming.EventAggregates
+        .windowedCounts(stream, windowLength = "1 hour", watermark = "10 minutes")
+        .writeStream.queryName(qn)
+        .format("memory").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
     s.table(qn).select(col("window_start"), col("window_end"),
       col("event_type"), col("n_events"),
       col("total_value").cast("double").as("total_value"))
@@ -865,15 +884,17 @@ object StreamGateQueries {
     val rstream = s.readStream.schema(buys.schema)
       .option("maxFilesPerTrigger", 1).parquet(rsrc)
     val qn = uniqueName("graft_live_join_")
-    graft.streaming.EventAggregates.correlate(
-      lstream, rstream, "user_id", "v_ts", "p_ts",
-      window = "1 hour", watermark = "2 hours")
-      .select("view_id", "user_id", "purchase_id", "v_ts", "p_ts")
-      .writeStream.queryName(qn)
-      .format("memory").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      graft.streaming.EventAggregates.correlate(
+        lstream, rstream, "user_id", "v_ts", "p_ts",
+        window = "1 hour", watermark = "2 hours")
+        .select("view_id", "user_id", "purchase_id", "v_ts", "p_ts")
+        .writeStream.queryName(qn)
+        .format("memory").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
     s.table(qn)
   }
 
@@ -904,13 +925,15 @@ object StreamGateQueries {
     val stream = s.readStream.schema(evs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val qn = uniqueName("graft_live_sessions_")
-    graft.streaming.EventAggregates
-      .sessionWindowCounts(stream, gap = "30 minutes", watermark = "1 hour")
-      .writeStream.queryName(qn)
-      .format("memory").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      graft.streaming.EventAggregates
+        .sessionWindowCounts(stream, gap = "30 minutes", watermark = "1 hour")
+        .writeStream.queryName(qn)
+        .format("memory").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
     s.table(qn).filter(col("user_id") >= 0L)
   }
 
@@ -957,15 +980,17 @@ object StreamGateQueries {
       .option("maxFilesPerTrigger", 1).parquet(src)
     import s.implicits._
     val qn = uniqueName("graft_live_stateful_")
-    graft.streaming.EventAggregates.sessionizeStateful(
-      stream.as[graft.streaming.EventAggregates.Event],
-      gapMillis = 30L * 60L * 1000L, watermark = "1 hour")
-      .toDF()
-      .writeStream.queryName(qn)
-      .format("memory").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      graft.streaming.EventAggregates.sessionizeStateful(
+        stream.as[graft.streaming.EventAggregates.Event],
+        gapMillis = 30L * 60L * 1000L, watermark = "1 hour")
+        .toDF()
+        .writeStream.queryName(qn)
+        .format("memory").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
     s.table(qn).filter(col("user_id") >= 0L)
   }
 
@@ -1002,16 +1027,18 @@ object StreamGateQueries {
     val stream = s.readStream.schema(evs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val qn = uniqueName("graft_live_dedup_")
-    stream
-      .withColumn("day", date_trunc("day", col("ts")))
-      .withWatermark("day", "1 day")
-      .dropDuplicates("user_id", "day")
-      .select("user_id", "day")
-      .writeStream.queryName(qn)
-      .format("memory").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      stream
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withWatermark("day", "1 day")
+        .dropDuplicates("user_id", "day")
+        .select("user_id", "day")
+        .writeStream.queryName(qn)
+        .format("memory").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
     s.table(qn)
   }
 
