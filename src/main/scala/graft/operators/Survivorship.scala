@@ -85,8 +85,9 @@ object Survivorship {
     * `MaxOf`/`MinOf` are extremes over values with positive count.
     * Values ride as STRINGS in the store (one store for every
     * attribute type); cast the outputs back at the read site.
-    * `LatestBy` is not servable from bare value counts (it needs the
-    * per-row order column) — callers keep it on the batch path.
+    * `LatestBy` is not servable from bare value counts — it lives in
+    * the companion LATEST-WINS store instead ([[latestRecords]] /
+    * [[latestFromState]]; argmax is a semilattice).
     *
     * Two aggregations over the combination-space-bounded store; never
     * row-sized state.
@@ -119,6 +120,55 @@ object Survivorship {
     * attribute null still counts toward `n_records`).
     */
   val RowAttr = "__row"
+
+  // ---- the LATEST-WINS representation: LatestBy is not servable
+  // from bare value counts, but per-entity argmax by (orderCol, id)
+  // IS a semilattice — max(max(A), max(B)) = max(A ∪ B) — so a store
+  // holding each batch's per-(entity, attr) winner merges to the
+  // corpus winner. [[graft.streaming.GoldenStream]] keeps this as a
+  // second, |entities|·|attrs|-bounded store beside the count store.
+
+  /** One batch's (entity, attr, ord, tie_id, value) winners for the
+    * given LatestBy rules — the mergeable latest-wins representation.
+    * One map-side-combined aggregate of the batch; values ride as
+    * strings like [[countRecords]] (cast back at the read site).
+    */
+  def latestRecords(
+      batch: DataFrame, entityCol: String, rules: Seq[LatestBy]): DataFrame = {
+    require(rules.nonEmpty, "need at least one LatestBy rule")
+    val stacked = rules.map { r =>
+      batch.select(
+        col(entityCol).as("entity_id"),
+        lit(r.inCol).as("attr"),
+        col(r.orderCol).cast("string").as("ord"),
+        col(r.idCol).cast("long").as("tie_id"),
+        col(r.inCol).cast("string").as("value"))
+    }.reduce(_ unionByName _)
+    stacked.groupBy(col("entity_id"), col("attr"))
+      .agg(max(struct(col("ord"), col("tie_id"), col("value"))).as("w"))
+      .select(col("entity_id"), col("attr"),
+        col("w.ord").as("ord"), col("w.tie_id").as("tie_id"),
+        col("w.value").as("value"))
+  }
+
+  /** [[LatestBy]] served from the merged latest-wins state: re-apply
+    * the same argmax across batch partitions (the semilattice merge),
+    * then pivot the bounded winner table to one row per entity.
+    * NOTE: `ord` compares as its STRING form — exact for the
+    * timestamp/date/zero-padded keys the rule is meant for; callers
+    * with bare numeric order columns should zero-pad or epoch-cast
+    * them (the same type-erasure contract as the count store).
+    */
+  def latestFromState(
+      state: DataFrame, rules: Seq[LatestBy]): DataFrame = {
+    require(rules.nonEmpty, "need at least one LatestBy rule")
+    val merged = state.groupBy(col("entity_id"), col("attr"))
+      .agg(max(struct(col("ord"), col("tie_id"), col("value"))).as("w"))
+    val aggs = rules.map { r =>
+      min(when(col("attr") === r.inCol, col("w.value"))).as(r.outCol)
+    }
+    merged.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Fold one batch of entity-labelled records into the mergeable
     * representation: (entity_id, attr, value, n) where value is the

@@ -12,8 +12,10 @@ import graft.operators.Survivorship
   * served golden record over the summed store EXACTLY equals
   * [[Survivorship.goldenRecord]] on the union of every delivered
   * batch, because value counts are additive and every rule served
-  * here (MostFrequent / MaxOf / MinOf) is a function of the counts
-  * alone (LatestBy needs per-row order state and stays batch-side).
+  * off the count store (MostFrequent / MaxOf / MinOf) is a function
+  * of the counts alone; LatestBy rides the companion latest-wins
+  * store ([[latestBatch]] / [[latest]] — per-batch argmax winners,
+  * re-argmaxed across partitions on read).
   *
   * This closes the MDM loop the batch operators open: linkage
   * ([[LinkageStream]]) scores pairs as the dirty feed lands, cluster
@@ -71,4 +73,44 @@ object GoldenStream {
     BatchState.compactExceptNewest(spark, stateDir)(
       _.groupBy(col("entity_id"), col("attr"), col("value"))
         .agg(sum("n").as("n")))
+
+  // ---- the latest-wins companion store: LatestBy rules live here
+  // (argmax by (ord, tie_id) is a semilattice — each batch keeps its
+  // per-(entity, attr) winner, the read side re-argmaxes across batch
+  // partitions), closing the "LatestBy stays batch-side" caveat the
+  // count store alone carries. |entities|·|attrs|-bounded per batch.
+
+  /** Fold one batch's LatestBy winners into the latest-wins store. */
+  def latestBatch(
+      batch: DataFrame,
+      entityCol: String,
+      rules: Seq[Survivorship.LatestBy],
+      stateDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    Survivorship.latestRecords(batch, entityCol, rules)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(BatchState.batchDir(batch.sparkSession, stateDir, batchId))
+  }
+
+  /** The live LatestBy values off the merged latest-wins store (one
+    * row per entity; values type-erased as strings — cast at the
+    * read site, and see [[Survivorship.latestFromState]]'s
+    * string-order contract for the order column).
+    */
+  def latest(
+      spark: SparkSession,
+      stateDir: String,
+      rules: Seq[Survivorship.LatestBy]): Option[DataFrame] =
+    BatchState.read(spark, stateDir)
+      .map(Survivorship.latestFromState(_, rules))
+
+  /** Compact the latest-wins store (argmax merge — lossless). */
+  def compactLatest(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactExceptNewest(spark, stateDir)(
+      _.groupBy(col("entity_id"), col("attr"))
+        .agg(max(struct(col("ord"), col("tie_id"), col("value"))).as("w"))
+        .select(col("entity_id"), col("attr"),
+          col("w.ord").as("ord"), col("w.tie_id").as("tie_id"),
+          col("w.value").as("value")))
 }

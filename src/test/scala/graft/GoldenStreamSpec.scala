@@ -75,6 +75,40 @@ class GoldenStreamSpec extends SparkSpec {
     assert(parts.length === 2, s"expected compacted + newest, got ${parts.toSeq}")
   }
 
+  test("latest-wins store serves LatestBy equal to batch survivorship after every batch") {
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("goldenlatest").toString
+    val lrules = Seq(Survivorship.LatestBy("name", "seen_ts", "rec_id", "latest_name"))
+    def withTs(df: DataFrame, seed: Int): DataFrame =
+      df.withColumn("seen_ts",
+        timestamp_seconds(lit(1700000000L) + pmod(hash(col("rec_id"), lit(seed)), lit(100000))))
+    val batches = Seq(withTs(slice(1, 300), 11), withTs(slice(2, 200), 12),
+      withTs(slice(3, 400), 13))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      GoldenStream.latestBatch(b, "entity_id", lrules, dir, i.toLong)
+      val union = batches.take(i + 1).reduce(_ unionAll _)
+      val want = Survivorship.goldenRecord(union, "entity_id", lrules)
+        .select("entity_id", "latest_name")
+        .collect().map(_.toString).sorted.toSeq
+      val got = GoldenStream.latest(spark, dir, lrules).get
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"latest divergence after batch $i")
+    }
+    // replay overwrites its own partition
+    val before = GoldenStream.latest(spark, dir, lrules).get
+      .collect().map(_.toString).sorted.toSeq
+    GoldenStream.latestBatch(batches(1), "entity_id", lrules, dir, 1L)
+    assert(GoldenStream.latest(spark, dir, lrules).get
+      .collect().map(_.toString).sorted.toSeq === before)
+    // compaction is lossless (argmax merge)
+    GoldenStream.compactLatest(spark, dir)
+    assert(GoldenStream.latest(spark, dir, lrules).get
+      .collect().map(_.toString).sorted.toSeq === before)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(parts.length === 2)
+  }
+
   test("empty batches fold to nothing; the record appears with first data") {
     val dir = Files.createTempDirectory("goldenstream").toString
     GoldenStream.countBatch(slice(1, 100).limit(0), "entity_id", attrs, dir, 0L)
