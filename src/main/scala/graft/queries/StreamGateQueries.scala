@@ -1042,6 +1042,64 @@ object StreamGateQueries {
     s.table(qn)
   }
 
+  /** The state-store SCD ([[graft.streaming.ScdStateStore]] —
+    * `transformWithState` + RocksDB, the end state of the SCD scale
+    * progression: per batch touch ONLY the batch's rows, one state
+    * lookup per row, append-only sink) through the REAL engine: the
+    * orders-derived snapshot table arrives as three date-ordered file
+    * batches, each entity's classification context lives in the
+    * engine's RocksDB state across batches, and the materialized
+    * natural-status history plus the read-time Deleted derivation
+    * must hash-equal the full batch classification — q_scd_status's
+    * oracle. This driver-gates the last engine-managed-state
+    * component; the memory sink is the adjudication harness (a
+    * production job appends to parquet via foreachBatch).
+    */
+  def streamLiveScd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempRoot("graft_q_stream_live_scd_src")
+    val ckpt = tempRoot("graft_q_stream_live_scd_ckpt")
+    val dedupW = Window.partitionBy("snapshot_date", "o_custkey")
+      .orderBy(col("o_orderkey").desc)
+    val snap = t(s, dir, "orders")
+      .withColumn("snapshot_date", col("o_orderdate").cast("date"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("snapshot_date"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        // arrival clock for the slicer; dropped before hashing
+        col("snapshot_date").cast("timestamp").as("__arrival"))
+    stageTimeOrderedFiles(snap, "__arrival", src)
+    val stream = s.readStream.schema(snap.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src).drop("__arrival")
+    val qn = uniqueName("graft_live_scd_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withShufflePartitions(s, 8) {
+        graft.streaming.ScdStateStore
+          .classifiedStream(stream, entityCol = "o_custkey")
+          .writeStream.queryName(qn)
+          .format("memory").outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    graft.streaming.ScdStateStore.withDeletedFlips(
+      s.table(qn), entityCols = Seq("o_custkey"))
+      .select("o_custkey", "snapshot_date", "change_status",
+        "changed_status_date")
+  }
+
   val streamLiveDedupSql: String =
     """SELECT DISTINCT user_id,
       |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day

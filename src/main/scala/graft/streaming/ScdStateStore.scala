@@ -58,7 +58,7 @@ object ScdStateStore {
     * are in [[EmployeeTables.scdSchema]] order.
     */
   private final class ScdProcessor(inputSchema: StructType)
-      extends StatefulProcessor[Int, Row, Row] {
+      extends StatefulProcessor[String, Row, Row] {
 
     private val dateIdx = inputSchema.fieldIndex("snapshot_date")
     private val hashIdx = inputSchema.fieldIndex(Scd.RowHash)
@@ -70,7 +70,7 @@ object ScdStateStore {
         "scd", Encoders.product[EntityState], TTLConfig.NONE)
 
     override def handleInputRows(
-        key: Int,
+        key: String,
         rows: Iterator[Row],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Row] = {
       var st = if (state.exists()) state.get() else null
@@ -102,19 +102,31 @@ object ScdStateStore {
   }
 
   /** Streaming transform: snapshot rows → classified SCD rows with
-    * NATURAL statuses, append-mode. Wrap the materialized table with
-    * [[withDeletedFlips]] to obtain the full corrected-mode view.
+    * NATURAL statuses, append-mode; output schema = the input columns
+    * (minus the internal row hash) plus
+    * (`change_status`, `changed_status_date`) — identical to
+    * [[EmployeeTables.scdSchema]] for the employee shape, and the
+    * generic construction serves any snapshot table keyed by
+    * `entityCol` (the key is state-keyed by its string form, so int
+    * and long entity ids both work).
     *
     * Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`); `transformWithState`
     * rejects the default HDFS-backed provider.
     */
-  def classifiedStream(snapshots: DataFrame): DataFrame = {
+  def classifiedStream(
+      snapshots: DataFrame,
+      entityCol: String = "employee_number"): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, StringType, StructField}
     val hashed = snapshots.transform(Scd.addRowHash(exclude = Seq("snapshot_date")))
-    val keyIdx = hashed.schema.fieldIndex("employee_number")
-    val outEnc = Encoders.row(EmployeeTables.scdSchema)
+    val keyIdx = hashed.schema.fieldIndex(entityCol)
+    val outSchema = StructType(
+      hashed.schema.fields.filterNot(_.name == Scd.RowHash).toSeq ++ Seq(
+        StructField(Scd.ChangeStatus, StringType, nullable = false),
+        StructField(Scd.ChangedStatusDate, DateType, nullable = true)))
+    val outEnc = Encoders.row(outSchema)
     hashed
-      .groupByKey(_.getInt(keyIdx))(Encoders.scalaInt)
+      .groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
       .transformWithState(
         new ScdProcessor(hashed.schema), TimeMode.None(), OutputMode.Append())(outEnc)
       .toDF()

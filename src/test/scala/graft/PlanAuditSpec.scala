@@ -158,7 +158,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // adjudicated LocalTableScan is the sink, not a driver loop
       "q_stream_live_windows", "q_stream_live_join",
       "q_stream_live_sessions", "q_stream_live_stateful",
-      "q_stream_live_dedup",
+      "q_stream_live_dedup", "q_stream_live_scd",
       // the KMV pair matrix is driver-built from collected sketches —
       // S x k longs, bounded by construction, same as the batch
       // q_source_overlap_sketch it is adjudicated against
@@ -564,6 +564,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_live_sessions" -> 0,
       "q_stream_live_stateful" -> 0,
       "q_stream_live_dedup" -> 0,
+      // read-time Deleted derivation over the sink: the per-entity
+      // window + the broadcast 1-row global max
+      "q_stream_live_scd" -> 3,
       // classifier scoring is a projection; the score join + the
       // per-score class counts + the bounded-domain cum window
       "q_classifier_auc" -> 4,
