@@ -53,6 +53,44 @@ class EvaluationSpec extends SparkSpec {
       .collect().head.getDouble(2) === 0.5)
   }
 
+  test("property: AUC equals the brute-force pairwise statistic (6 seeds)") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919L)
+      // small score grid forces heavy ties — the half-credit path
+      val rows = Seq.fill(80)((rnd.nextInt(12) / 10.0, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val u = (for { p <- pos; n <- neg } yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val want = BigDecimal(u / (pos.size.toDouble * neg.size.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val got = auc(rows.toDF("s", "y"))
+        assert(got === ((pos.size.toLong, neg.size.toLong, want)), s"seed $seed")
+      }
+    }
+  }
+
+  test("property: calibration bins partition the corpus, rates bounded (6 seeds)") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729L)
+      val rows = Seq.fill(120)((rnd.nextInt(101) / 100.0, rnd.nextBoolean()))
+      val got = Evaluation.calibrationBins(
+        rows.toDF("s", "y"), col("s"), col("y"), bins = 10).collect()
+      assert(got.map(_.getLong(1)).sum === 120L, s"seed $seed: rows lost")
+      got.foreach { r =>
+        val bin = r.getLong(0)
+        assert(bin >= 0 && bin <= 9)
+        val (ms, pr, gap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(ms >= bin / 10.0 - 1e-9 &&
+          (ms <= (bin + 1) / 10.0 + 1e-9 || bin == 9), s"seed $seed mean outside bin")
+        assert(pr >= 0.0 && pr <= 1.0)
+        assert(math.abs(gap - BigDecimal(math.abs(ms - pr))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+      }
+    }
+  }
+
   test("calibration bins: means, rates, gaps, and the 1.0 clamp") {
     val df = Seq(
       (0.05, false), (0.05, false), (0.95, true), (1.0, true))
