@@ -17,7 +17,12 @@ cp "$REF"/data/input/*.csv "$WORK/input/"
 
 sbt -batch "runMain graft.scd.EmployeeDimJob $WORK/input $WORK/output" \
   > "$WORK/job.log" 2>&1 || { tail -40 "$WORK/job.log"; exit 1; }
-grep -q "\[success\]" "$WORK/job.log" || { tail -40 "$WORK/job.log"; exit 1; }
+# NB: no "[success]" grep — `run / outputStrategy := StdoutOutput`
+# (the bench stdout contract) forwards only the forked JVM's output,
+# so sbt's summary line no longer lands in the redirected log. The
+# exit code above catches run failures; silent-output failures are
+# caught by the golden diff below (it asserts the files exist).
+! grep -q "Exception in thread" "$WORK/job.log" || { tail -40 "$WORK/job.log"; exit 1; }
 
 python3 - "$WORK" "$REF" <<'EOF'
 import csv, glob, sys
