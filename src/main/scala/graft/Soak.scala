@@ -48,7 +48,24 @@ object Soak {
     // the full ER pipeline (blocked linkage -> CC entity labels ->
     // one-exchange survivorship): soaks the round-13 MDM path
     // end-to-end on top of the constant-block guarantee above
-    "q_golden_record")
+    "q_golden_record",
+    // ER closure (pointer-jumping CC over the match pairs) and the
+    // heaviest live-engine gate (transformWithState + RocksDB state
+    // store through real file micro-batches) — the r13 additions the
+    // r13 verdict asked to see committed 10x ratios for
+    "q_entity_clusters", "q_stream_live_scd")
+
+  /** The second scale point (default 20×) for the iterative graph
+    * pair: k-core peel depth can grow with the scaled graph's
+    * degeneracy, so the 10× ratio alone does not answer the
+    * next-decade question — but the ROUND BUDGET does bound total
+    * work at maxRounds × one linear pass at ANY scale (kcore stops at
+    * 8 peels whether converged or not, and "exactly R rounds" is part
+    * of the query's engine-portable contract), so the measured 20×
+    * ratio plus the cap is the scale argument. PageRank rides along
+    * as the fixed-iteration control.
+    */
+  val Sf2Queries: Seq[String] = Seq("q_graph_kcore", "q_graph_pagerank")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -90,6 +107,33 @@ object Soak {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[soak] wrote $path")
     println(json)
+
+    // ---- second scale point for the graph pair (see [[Sf2Queries]])
+    val dst2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR2", "/tmp/graft_sf2")
+    val factor2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR2", "20").toInt
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dst2, "lineitem.parquet"))) {
+      System.err.println(s"[soak] generating $dst2 = $src x$factor2 ...")
+      SoakGen.generate(spark, src, dst2, factor2)
+    }
+    val rows2 = Sf2Queries.map { q =>
+      val small = timed(spark, q, src)
+      val big = timed(spark, q, dst2)
+      val ratio = if (small > 0) big / small else -1.0
+      System.err.println(f"[soak2] $q%-28s sf0.1 $small%7.2f s  x$factor2 $big%7.2f s  ratio ${ratio}%5.2f")
+      (q, small, big, ratio)
+    }
+    val body2 = rows2.map { case (q, s, b, r) =>
+      f""""$q":{"sf01_sec":$s%.3f,"sfx_sec":$b%.3f,"ratio":$r%.3f}"""
+    }.mkString("{", ",", "}")
+    val json2 =
+      s"""{"factor":$factor2,"cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}","queries":$body2,"written_at":"${java.time.Instant.now()}"}\n"""
+    val path2 = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"), "soak_sf2.json")
+    java.nio.file.Files.write(path2,
+      json2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[soak] wrote $path2")
+    println(json2)
     spark.stop()
   }
 }

@@ -30,16 +30,41 @@ object Evaluation {
     * (n_pos, n_neg, auc). Scale shape: one map-side-combined
     * aggregate over the corpus; the cumulative window runs over the
     * bounded distinct-score table only.
+    *
+    * Bounded-score CONTRACT (enforced, not assumed): scores must lie
+    * in `[-maxAbs, maxAbs]` — with the `precision`-dp grid that caps
+    * the distinct-score table at `2·maxAbs·10^precision + 1` rows, so
+    * the global cumulative window stays domain-bounded at any corpus
+    * size. An out-of-range score fails the job loudly (per-row
+    * codegen'd check, no extra pass). The default (±1, 6 dp) fits any
+    * probability-like scorer at ≤ 2·10⁶ distinct scores.
+    *
+    * Degenerate input: if only one class remains after null
+    * filtering, `auc` is NULL by contract (the Mann–Whitney statistic
+    * is undefined without both classes); `n_pos` / `n_neg` still
+    * report, so the caller can tell "degenerate input" from a
+    * computed value.
     */
   def rocAuc(
       df: DataFrame,
       scoreCol: Column,
       labelCol: Column,
-      precision: Int = 6): DataFrame = {
+      precision: Int = 6,
+      maxAbs: Double = 1.0): DataFrame = {
+    require(precision >= 0 && maxAbs > 0,
+      s"need precision >= 0 and maxAbs > 0, got $precision, $maxAbs")
     val byScore = df
       .select(round(scoreCol.cast("double"), precision).as("__s"),
         labelCol.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
+      // the coalesce keeps the assertion inside the filter so column
+      // pruning cannot drop it: assert_true is NULL on success
+      .filter(coalesce(
+        assert_true(abs(col("__s")) <= maxAbs,
+          concat(lit(s"rocAuc: score outside [-$maxAbs, $maxAbs] — the " +
+            "bounded distinct-score window contract; got "),
+            col("__s").cast("string"))),
+        lit(true)))
       .groupBy("__s")
       .agg(
         count(when(col("__y"), lit(1))).as("__pos"),
@@ -59,13 +84,20 @@ object Evaluation {
           (col("__cumneg").cast("double") +
             col("__neg").cast("double") / 2.0)).as("__u"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("__u") /
-          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+        // explicit NULL on a single-class input (documented contract)
+        // rather than an accidental NaN/±Inf from the zero division
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
           .as("auc"))
   }
 
   /** Reliability bins: scores in [0, 1] bucketed into `bins` equal
-    * cells (score 1.0 clamps into the last); per cell the member
+    * cells, clamped SYMMETRICALLY at both ends — score 1.0 (and any
+    * score above 1) lands in the last bin, any score below 0 in the
+    * first — so an out-of-range scorer shows up as boundary-bin mass
+    * (its `mean_score` escaping [0, 1] flags it) instead of silently
+    * minting negative bin ids; per cell the member
     * count, DECIMAL-exact mean score, empirical positive rate, and
     * the absolute calibration gap. ONE map-side-combined aggregate,
     * output bounded by `bins`; a well-calibrated scorer shows
@@ -83,7 +115,8 @@ object Evaluation {
       .select(s.as("__s"), labelCol.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
       .withColumn("bin",
-        least(floor(col("__s") * bins).cast("long"), lit(bins - 1L)))
+        least(greatest(floor(col("__s") * bins).cast("long"), lit(0L)),
+          lit(bins - 1L)))
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n"),

@@ -185,8 +185,13 @@ object Lexicon {
           .as("vmr"))
       .orderBy(col("cf").desc, col("term"))
       .limit(topK)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+      // TakeOrderedAndProject already delivers ONE partition in rank
+      // order, so the row id IS the (cf desc, term) rank — no second
+      // global window (and its single-partition exchange) over rows
+      // the take just sorted; the coalesce pins the single-partition
+      // assumption if a future plan change splits the take's output
+      .coalesce(1)
+      .withColumn("rank", (monotonically_increasing_id() + 1L).cast("long"))
       .select("rank", "term", "cf", "df", "burstiness", "vmr")
   }
 

@@ -132,16 +132,39 @@ object Survivorship {
     * given LatestBy rules — the mergeable latest-wins representation.
     * One map-side-combined aggregate of the batch; values ride as
     * strings like [[countRecords]] (cast back at the read site).
+    * CONTRACT: `idCol` must be NUMERIC on this path (ties key on a
+    * long id, same type-erasure trade as the string `ord`); a
+    * non-numeric id fails the batch loudly instead of null-casting
+    * into a nondeterministic tie-break.
     */
   def latestRecords(
       batch: DataFrame, entityCol: String, rules: Seq[LatestBy]): DataFrame = {
     require(rules.nonEmpty, "need at least one LatestBy rule")
     val stacked = rules.map { r =>
+      // fail FAST on a non-numeric idCol, with an ACTIONABLE message:
+      // a silent null-cast (non-ANSI) would make equal-ord tie-breaks
+      // nondeterministic vs the batch path's typed total order, and
+      // the ANSI cast error would name neither the rule nor the
+      // contract. TRY-cast + raise_error fires per-row inside
+      // codegen, no extra pass, under either ANSI setting.
+      def tryLong(c: Column): Column =
+        org.apache.spark.sql.classic.GraftPlanApi.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.classic.GraftPlanApi.expression(c),
+            org.apache.spark.sql.types.LongType, None,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+      val tieId = when(
+        col(r.idCol).isNotNull && tryLong(col(r.idCol)).isNull,
+        raise_error(concat(
+          lit(s"LatestBy.idCol '${r.idCol}' must be numeric " +
+            "(the latest-wins store keys ties on a long id); got: "),
+          col(r.idCol).cast("string"))).cast("long"))
+        .otherwise(tryLong(col(r.idCol)))
       batch.select(
         col(entityCol).as("entity_id"),
         lit(r.inCol).as("attr"),
         col(r.orderCol).cast("string").as("ord"),
-        col(r.idCol).cast("long").as("tie_id"),
+        tieId.as("tie_id"),
         col(r.inCol).cast("string").as("value"))
     }.reduce(_ unionByName _)
     stacked.groupBy(col("entity_id"), col("attr"))

@@ -30,6 +30,14 @@ object DedupQueries {
       LinkField("c_nationkey", "r_nationkey", m = 0.98, u = 0.04))
   }
 
+  /** The linkage operating point's block guard — the ONE constant
+    * every `link` call here and the [[blockingStats]] audit's
+    * `dropped` predicate (and its oracle SQL) key off, so the
+    * pre-join audit can never silently disagree with the join guard
+    * it describes when the operating point moves.
+    */
+  private[graft] val LinkageMaxBlock: Long = 100L
+
   private[graft] def linkageLeft(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .withColumn("l_block", substring(col("c_name"), 15, 4))
@@ -54,7 +62,7 @@ object DedupQueries {
       blockOn = Seq(("l_block", "r_block")),
       fields = linkageFields,
       keep = Seq("c_custkey", "r_id"),
-      upper = 6.0, lower = 0.0, maxBlock = 100L)
+      upper = 6.0, lower = 0.0, maxBlock = LinkageMaxBlock)
     scored
   }
 
@@ -117,7 +125,7 @@ object DedupQueries {
       blockOn = Seq(("l_block", "r_block")),
       fields = linkageFields,
       keep = Seq("c_custkey", "r_id"),
-      upper = 6.0, lower = 0.0, maxBlock = 100L)
+      upper = 6.0, lower = 0.0, maxBlock = LinkageMaxBlock)
     scored.filter(col("verdict") === "match").select("c_custkey", "r_id")
   }
 
@@ -147,7 +155,7 @@ object DedupQueries {
       linkageLeft(s, dir), linkageRight(s, dir),
       blockOn = Seq(("l_block", "r_block")),
       fields = linkageFields, keep = Seq("c_custkey", "r_id"),
-      upper = 6.0, lower = 0.0, maxBlock = 100L)
+      upper = 6.0, lower = 0.0, maxBlock = LinkageMaxBlock)
     scored
       .withColumn("is_true", col("r_id") === col("c_custkey") + 1000000L)
       .groupBy("verdict")
@@ -188,7 +196,7 @@ object DedupQueries {
       .withColumn("l_n", coalesce(col("l_n"), lit(0L)))
       .withColumn("r_n", coalesce(col("r_n"), lit(0L)))
       .withColumn("candidates", col("l_n") * col("r_n"))
-      .withColumn("dropped", col("candidates") > 100L)
+      .withColumn("dropped", col("candidates") > LinkageMaxBlock)
   }
 
   val blockingStatsSql: String =
@@ -200,7 +208,7 @@ object DedupQueries {
       |SELECT coalesce(lc.block, rc.block) AS block,
       |  coalesce(l_n, 0) AS l_n, coalesce(r_n, 0) AS r_n,
       |  coalesce(l_n, 0) * coalesce(r_n, 0) AS candidates,
-      |  coalesce(l_n, 0) * coalesce(r_n, 0) > 100 AS dropped
+      |  coalesce(l_n, 0) * coalesce(r_n, 0) > $LinkageMaxBlock AS dropped
       |FROM lc FULL OUTER JOIN rc ON lc.block = rc.block""".stripMargin
 
   /** The cluster CTEs appended after [[linkagePairCtes]] (needs

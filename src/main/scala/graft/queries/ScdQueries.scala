@@ -17,10 +17,17 @@ object ScdQueries {
     * status/priority), reusing the [[graft.operators.Scd]] operator chain
     * in corrected-islands mode with the broadcast global max.
     */
-  def scdStatus(s: SparkSession, dir: String): DataFrame = {
+  def scdStatus(s: SparkSession, dir: String): DataFrame =
+    scdStatusFrame(t(s, dir, "orders"))
+
+  /** The q_scd_status pipeline over any orders-shaped frame — the
+    * seam that lets the SAME classification run off a
+    * [[graft.sources.VersionedTable]] manifest-pinned read
+    * (ScdStorageSpec gates version-pinned parity).
+    */
+  private[graft] def scdStatusFrame(orders: DataFrame): DataFrame = {
     val dedupW = Window.partitionBy("snapshot_date", "o_custkey")
       .orderBy(col("o_orderkey").desc)
-    val orders = t(s, dir, "orders")
     val snap = orders
       .withColumn("snapshot_date", col("o_orderdate").cast("date"))
       .withColumn("rn", row_number().over(dedupW))
@@ -440,7 +447,13 @@ object ScdQueries {
       TextClassifier.Model(TextClassifier.initWeights(512)))
     val scored = docs.select(round(z, 6).as("logit"),
       (length(col("text")) > 500).as("__lab"))
-    Evaluation.rocAuc(scored, col("logit"), col("__lab"))
+    // the raw logit is not probability-like, so declare its range
+    // explicitly: unit-scale init weights over length-normalized
+    // hashed features keep |z| well inside ±32 (measured max 10.3 at
+    // sf0.1); the per-row guard fails LOUDLY if the model ever
+    // drifts past it, keeping the 6-dp distinct-score table bounded
+    // by the declared domain (≤ 6.4·10⁷) instead of by assumption
+    Evaluation.rocAuc(scored, col("logit"), col("__lab"), maxAbs = 32.0)
   }
 
   val classifierAucSql: String =

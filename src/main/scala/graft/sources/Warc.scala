@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** WARC (Web ARChive, ISO 28500) record reader — the raw-crawl front
+  * door: the format CommonCrawl and every serious web crawl ships, and
+  * the missing hop between "100 TB of crawl segments" and the
+  * `documents` table every curation operator here consumes
+  * (boilerplate-strip the response bodies with
+  * [[graft.plans.NativeHtml]] and the output IS that schema).
+  *
+  * Pure-JVM parser, no external libs:
+  *
+  *   - **Multi-member gzip**: a compliant `.warc.gz` compresses EACH
+  *     record as its own gzip member and concatenates them;
+  *     `GZIPInputStream` reads concatenated members natively, so one
+  *     sequential inflate pass walks the whole segment. Plain `.warc`
+  *     (no 0x1f8b magic) parses identically without the wrapper.
+  *   - **Record grammar** (strict): `WARC/1.x\r\n` header lines
+  *     (`Name: value`), blank line, exactly `Content-Length` payload
+  *     bytes, then the spec's two closing `\r\n\r\n`. Anything else —
+  *     a missing version line, a payload cut short by EOF, missing
+  *     closing CRLFs — fails LOUDLY with the file and record index
+  *     (a truncated 100 TB ingest must stop, not silently drop the
+  *     tail of every corrupt segment).
+  *   - **HTTP splitting**: `response` records carry an HTTP message as
+  *     payload; the status line and `Content-Type` header are parsed
+  *     off and `body` is just the entity bytes. Non-response records
+  *     (warcinfo, request, metadata) keep their whole payload with the
+  *     WARC-level Content-Type.
+  *
+  * Scale shape: the unit of parallelism is the FILE — crawls ship
+  * ~1 GB gzipped segments precisely so that one segment = one task
+  * with no intra-file coordination (gzip members are not seekable
+  * without an index). The read is `binaryFile` → one row per segment
+  * → a lazy per-task iterator that inflates INCREMENTALLY: peak task
+  * memory is the compressed segment plus one record, not the inflated
+  * file. 100 TB = ~100k segments = ~100k embarrassingly parallel
+  * tasks; `binaryFile`'s 2 GB-per-file cap is the documented segment
+  * size limit (split bigger crawl files upstream, as crawlers already
+  * do).
+  */
+object Warc {
+
+  /** One parsed WARC record. `ts` is the WARC-Date instant; `status`
+    * and `mime` come from the embedded HTTP message for `response`
+    * records (mime is the media type only — parameters like charset
+    * are dropped); `body` is the HTTP entity (or raw payload for
+    * non-response types).
+    */
+  final case class WarcRecord(
+      file: String,
+      rec_idx: Long,
+      warc_type: String,
+      url: String,
+      ts: java.sql.Timestamp,
+      record_id: String,
+      status: Option[Int],
+      mime: String,
+      body: Array[Byte])
+
+  /** Read every record of every WARC segment under `path` (a file,
+    * directory, or glob; `*.warc` and `*.warc.gz` both parse). One
+    * input row (= one segment) per task; records stream out of a lazy
+    * inflating iterator.
+    */
+  def records(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin: Dataset[(String, Array[Byte])] = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+    bin.flatMap { case (file, bytes) => parseSegment(file, bytes) }.toDF()
+  }
+
+  /** Parse one segment's bytes into a lazy record iterator (exposed
+    * for tests; [[records]] is the distributed entry).
+    */
+  def parseSegment(
+      file: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in: InputStream =
+      if (bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new GZIPInputStream(raw, 64 * 1024)
+      else raw
+    new Iterator[WarcRecord] {
+      private var idx = 0L
+      private var nextRec: WarcRecord = null
+      private var eof = false
+      private def advance(): Unit = {
+        if (nextRec != null || eof) return
+        val first = readLine(in, file, idx, atRecordStart = true)
+        if (first == null) { eof = true; return }
+        nextRec = parseRecord(in, file, idx, first)
+        idx += 1
+      }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  // ---- record-level parsing --------------------------------------
+
+  private def fail(file: String, idx: Long, msg: String): Nothing =
+    throw new java.io.IOException(
+      s"malformed WARC: $msg (file=$file, record=$idx)")
+
+  /** Read one CRLF-terminated header line as ISO-8859-1 (WARC headers
+    * are ASCII). Returns null at clean EOF when `atRecordStart`
+    * (between records); EOF mid-line is always a loud truncation.
+    */
+  private def readLine(
+      in: InputStream, file: String, idx: Long,
+      atRecordStart: Boolean = false): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c == -1) {
+      if (atRecordStart) return null
+      fail(file, idx, "truncated: EOF where a header line was expected")
+    }
+    while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+    if (c == -1) fail(file, idx, "truncated: EOF inside a header line")
+    val n = sb.length()
+    if (n == 0 || sb.charAt(n - 1) != '\r')
+      fail(file, idx, s"header line not CRLF-terminated: '$sb'")
+    sb.substring(0, n - 1)
+  }
+
+  private def readFully(
+      in: InputStream, len: Int, file: String, idx: Long): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(buf, off, len - off)
+      if (n < 0) fail(file, idx,
+        s"truncated: payload ended at $off of Content-Length $len")
+      off += n
+    }
+    buf
+  }
+
+  private def expectCrlf(
+      in: InputStream, file: String, idx: Long, what: String): Unit = {
+    val a = in.read(); val b = in.read()
+    if (a != '\r' || b != '\n')
+      fail(file, idx, s"missing $what CRLF after payload " +
+        s"(got ${if (a == -1) "EOF" else a.toString})")
+  }
+
+  private def parseRecord(
+      in: InputStream, file: String, idx: Long,
+      versionLine: String): WarcRecord = {
+    if (!versionLine.startsWith("WARC/"))
+      fail(file, idx, s"expected a WARC/1.x version line, got '$versionLine'")
+    // header block: Name: value lines up to the blank line
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var line = readLine(in, file, idx)
+    while (line.nonEmpty) {
+      val colon = line.indexOf(':')
+      if (colon <= 0) fail(file, idx, s"malformed header line '$line'")
+      headers(line.substring(0, colon).trim.toLowerCase) =
+        line.substring(colon + 1).trim
+      line = readLine(in, file, idx)
+    }
+    val len = headers.getOrElse("content-length",
+      fail(file, idx, "missing Content-Length")).toInt
+    val payload = readFully(in, len, file, idx)
+    // the spec closes every record with two CRLFs
+    expectCrlf(in, file, idx, "first closing")
+    expectCrlf(in, file, idx, "second closing")
+    val warcType = headers.getOrElse("warc-type", "unknown")
+    val ts = headers.get("warc-date")
+      .map(d => java.sql.Timestamp.from(java.time.Instant.parse(d)))
+      .getOrElse(fail(file, idx, "missing WARC-Date"))
+    val url = headers.getOrElse("warc-target-uri", "")
+    val recordId = headers.getOrElse("warc-record-id", "")
+    if (warcType == "response" &&
+      headers.getOrElse("content-type", "").startsWith("application/http")) {
+      val (status, mime, body) = splitHttp(payload, file, idx)
+      WarcRecord(file, idx, warcType, url, ts, recordId, Some(status), mime, body)
+    } else {
+      WarcRecord(file, idx, warcType, url, ts, recordId, None,
+        headers.getOrElse("content-type", ""), payload)
+    }
+  }
+
+  /** Split an HTTP response message into (status, media type, body). */
+  private def splitHttp(
+      payload: Array[Byte], file: String, idx: Long): (Int, String, Array[Byte]) = {
+    // find the \r\n\r\n header/body boundary
+    var i = 0
+    var boundary = -1
+    while (boundary < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') boundary = i
+      i += 1
+    }
+    if (boundary < 0)
+      fail(file, idx, "HTTP payload has no header/body boundary")
+    val head = new String(payload, 0, boundary, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    val statusParts = lines.head.split(" ")
+    if (statusParts.length < 2 || !statusParts.head.startsWith("HTTP/"))
+      fail(file, idx, s"malformed HTTP status line '${lines.head}'")
+    val status = statusParts(1).toInt
+    val mime = lines.tail
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim)
+      .map(v => v.split(";").head.trim.toLowerCase)
+      .getOrElse("")
+    (status, mime, java.util.Arrays.copyOfRange(
+      payload, boundary + 4, payload.length))
+  }
+
+  // ---- fixture-side writer (tests + the oracled query fixture) ----
+
+  /** Serialize one record in strict WARC/1.0 form. */
+  def writeRecord(
+      warcType: String, url: String, date: String, recordId: String,
+      contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $warcType\r\n")
+      .append(s"WARC-Date: $date\r\n")
+      .append(s"WARC-Record-ID: $recordId\r\n")
+    if (url.nonEmpty) head.append(s"WARC-Target-URI: $url\r\n")
+    head.append(s"Content-Type: $contentType\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n")
+    head.toString.getBytes("ISO-8859-1") ++ payload ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** An HTTP response payload for [[writeRecord]]. */
+  def httpResponse(
+      status: Int, reason: String, contentType: String,
+      body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+
+  /** Gzip each record block as its OWN member and concatenate — the
+    * spec-compliant `.warc.gz` layout the reader must handle.
+    */
+  def gzipMembers(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+}

@@ -57,7 +57,8 @@ class EvaluationSpec extends SparkSpec {
     (1 to 6).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919L)
       // small score grid forces heavy ties — the half-credit path
-      val rows = Seq.fill(80)((rnd.nextInt(12) / 10.0, rnd.nextBoolean()))
+      // (grid stays inside the default declared [-1, 1] range)
+      val rows = Seq.fill(80)((rnd.nextInt(11) / 10.0, rnd.nextBoolean()))
       val pos = rows.filter(_._2).map(_._1)
       val neg = rows.filterNot(_._2).map(_._1)
       if (pos.nonEmpty && neg.nonEmpty) {
@@ -106,5 +107,32 @@ class EvaluationSpec extends SparkSpec {
   test("calibration guard") {
     intercept[IllegalArgumentException](
       Evaluation.calibrationBins(mixed, col("s"), col("y"), bins = 1))
+  }
+
+  test("calibration clamps out-of-range scores SYMMETRICALLY") {
+    val df = Seq((-0.3, false), (1.4, true), (0.55, true)).toDF("s", "y")
+    val got = Evaluation.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // below-range lands in bin 0 (not a negative bin id), above in 9
+    assert(got.toSeq === Seq((0L, 1L), (5L, 1L), (9L, 1L)))
+  }
+
+  test("AUC enforces the declared score range loudly") {
+    val oob = Seq((0.5, true), (7.0, false)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Evaluation.rocAuc(oob, col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("bounded") ||
+      Option(e.getCause).exists(_.getMessage.contains("bounded")), e.getMessage)
+    // a wider declared range admits the same data
+    assert(Evaluation.rocAuc(oob, col("s"), col("y"), maxAbs = 8.0)
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("single-class input reports counts with a NULL auc by contract") {
+    val onlyPos = Seq((0.9, true), (0.2, true)).toDF("s", "y")
+    val r = Evaluation.rocAuc(onlyPos, col("s"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 0L)))
+    assert(r.isNullAt(2))
   }
 }

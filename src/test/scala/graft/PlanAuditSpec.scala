@@ -473,8 +473,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // riding their join — both sides dimension-bounded before meeting
       "q_embedding_drift" -> 3,
       // (doc, term) count + per-term fold; top-30 is TakeOrdered and
-      // the rank window runs over those 30 rows
-      "q_term_burstiness" -> 3,
+      // rank is the row id of its already-sorted single partition
+      "q_term_burstiness" -> 2,
       // per-doc totals are map-only (size of the hash array); only the
       // attribution explode shuffles: gram-hash min + per-doc count;
       // totals come back by broadcast join
@@ -645,7 +645,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_enrich" -> 0,
       // read side = the packed-corpus store (partitioned parquet scan
       // + per-row hashing projection)
-      "q_stream_corpus" -> 0)
+      "q_stream_corpus" -> 0,
+      // binaryFile scan → per-segment record iterator → map-only
+      // extraction: the crawl ingest is as parallel as its scan
+      "q_warc_extract" -> 0,
+      // pure codegen'd string-rewrite projection
+      "q_url_canonical" -> 0,
+      // (domain, host) distinct-count expansion + the domain rollup
+      "q_domain_stats" -> 2,
+      // ONE per-domain window over the derived registrable domain
+      "q_domain_caps" -> 1)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
@@ -665,5 +674,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val p = plans("q_join_revenue").toString
     assert(p.contains("BroadcastHashJoin"),
       s"q_join_revenue: expected BroadcastHashJoin for the dim side:\n$p")
+  }
+
+  test("partition-less global windows are EXACTLY the documented bounded frames") {
+    // a WindowExec with no partitionSpec serializes its whole input
+    // through one task — fatal at corpus scale, deliberate ONLY over
+    // frames bounded by a domain, not by rows. This allowlist pins
+    // every such site 1:1 (each entry's bound is documented at the
+    // operator), so the bench tail's "No Partition Defined" warnings
+    // are adjudicated here once instead of re-litigated per round,
+    // and any NEW global window fails CI before it can ship.
+    val allow = Set(
+      // distinct-score grid, ≤ 2·maxAbs·10^precision rows (enforced
+      // by rocAuc's per-row range guard)
+      "q_classifier_auc",
+      // sensitive-domain cum-grid, (quasi × sensitive)-bounded
+      "q_t_closeness", "q_stream_t_closeness",
+      // |sources|·maxEpochs apportionment frame
+      "q_epoch_allocation",
+      // |sources|-row largest-remainder ranking (curate_corpus embeds
+      // the same apportionment frame end-to-end)
+      "q_mixture_plan", "q_curate_corpus",
+      // |buckets|-row vocab-growth curve
+      "q_vocab_growth")
+    val offenders = plans.flatMap { case (name, p) =>
+      val hit = collectWithSubqueries(p) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hit) Some(name) else None
+    }.toSet
+    assert(offenders === allow,
+      s"global-window set drifted — new: ${(offenders -- allow).toSeq.sorted}, " +
+        s"stale allowlist entries: ${(allow -- offenders).toSeq.sorted}")
   }
 }

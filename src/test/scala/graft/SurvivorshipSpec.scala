@@ -127,4 +127,22 @@ class SurvivorshipSpec extends SparkSpec {
         Survivorship.countRecords(recs, "entity_id", Seq("name")),
         Seq(LatestBy("name", "seen", "rec_id", "name"))))
   }
+
+  test("latestRecords fails LOUDLY on a non-numeric idCol") {
+    // a silent null-cast would make equal-ord ties nondeterministic
+    val strIds = Seq((1L, "rec-a", "2024-01-01", "x"))
+      .toDF("entity_id", "rec_id", "seen", "name")
+    val e = intercept[Exception] {
+      Survivorship.latestRecords(strIds, "entity_id",
+        Seq(LatestBy("name", "seen", "rec_id", "name"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be numeric")), e.getMessage)
+    // numeric-typed and numeric-string ids both pass
+    val numStr = strIds.withColumn("rec_id", lit("42"))
+    val ok = Survivorship.latestRecords(numStr, "entity_id",
+      Seq(LatestBy("name", "seen", "rec_id", "name"))).collect()
+    assert(ok.head.getAs[Long]("tie_id") === 42L)
+  }
 }
