@@ -43,10 +43,24 @@ import org.apache.spark.unsafe.types.UTF8String
 object NativeHtml {
 
   val HtmlExtractName = "graft_html_extract"
+  val HtmlLinksName = "graft_html_links"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HtmlExtractName, exprs => HtmlExtract(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HtmlLinksName, exprs => HtmlLinks(exprs.head), "built-in")
+  }
+
+  /** html -> array of `<a href>` values in document order (duplicates
+    * preserved; the caller dedups if its graph wants distinct edges).
+    * Comment and script/style/title/noscript content is skipped with
+    * the same rules as [[htmlExtractEval]], so an href inside
+    * commented-out or scripted markup never becomes an edge.
+    */
+  def htmlLinks(html: Column): Column =
+    org.apache.spark.sql.classic.GraftPlanApi.column(
+      HtmlLinks(org.apache.spark.sql.classic.GraftPlanApi.expression(html)))
 
   /** html -> struct(text, n_blocks, kept_blocks). `text` is the
     * surviving main text ('' when nothing survives, null only for
@@ -188,6 +202,92 @@ object NativeHtml {
     new GenericInternalRow(
       Array[Any](UTF8String.fromString(out.toString), nBlocks, kept))
   }
+
+  private val HrefAttr = java.util.regex.Pattern.compile(
+    "href\\s*=", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** The link walk (see [[htmlLinks]]): one linear scan, the same
+    * comment/raw-text skip rules as the extractor, href parsed from
+    * `<a>` tags only (double-, single-, or un-quoted values).
+    */
+  def htmlLinksEval(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val gt = s.indexOf('>', i + 1)
+          if (gt < 0) i = n
+          else {
+            var p = i + 1
+            val isClose = p < gt && s.charAt(p) == '/'
+            if (isClose) p += 1
+            val nameStart = p
+            while (p < gt && !Character.isWhitespace(s.charAt(p)) &&
+              s.charAt(p) != '/') p += 1
+            val name = s.substring(nameStart, p).toLowerCase
+            if (!isClose && name == "a") {
+              // scan the tag body for href=
+              val body = s.substring(p, gt)
+              val m = HrefAttr.matcher(body)
+              if (m.find()) {
+                val v = body.substring(m.end).trim
+                val value =
+                  if (v.startsWith("\"")) v.substring(1).takeWhile(_ != '"')
+                  else if (v.startsWith("'")) v.substring(1).takeWhile(_ != '\'')
+                  else v.takeWhile(c => !Character.isWhitespace(c))
+                if (value.nonEmpty) hrefs += UTF8String.fromString(value)
+              }
+            }
+            i = gt + 1
+            if (!isClose && RawTextTags.contains(name)) {
+              val close = "</" + name
+              var j = i
+              var found = -1
+              while (found < 0 && j + close.length <= n) {
+                if (s.regionMatches(true, j, close, 0, close.length)) found = j
+                else j += 1
+              }
+              i = if (found < 0) n
+              else {
+                val cgt = s.indexOf('>', found)
+                if (cgt < 0) n else cgt + 1
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hrefs.toArray)
+  }
+}
+
+/** html -> array<string> of href values. See [[NativeHtml.htmlLinksEval]]. */
+case class HtmlLinks(html: Expression) extends UnaryExpression {
+
+  override def child: Expression = html
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = html.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"${NativeHtml.HtmlLinksName} requires a string column")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeHtml.htmlLinksEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeHtml.htmlLinksEval($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(html = c)
 }
 
 /** html -> struct(text, n_blocks, kept_blocks). See

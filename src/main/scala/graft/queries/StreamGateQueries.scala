@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.t
 import graft.functions.TextFunctions
-import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DriftStream, IvfStream, KmvStream, LexiconStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, StreamingSketch, TransitionStream}
+import graft.streaming.{CdcStream, ClusterStream, DecontaminationStream, DomainStream, DriftStream, IvfStream, KmvStream, LexiconStream, NoveltyStream, ReservoirStream, ScorecardStream, SkewStream, StreamingSketch, TransitionStream}
 
 /** DRIVER-ORACLED streaming gates: each query folds a streaming
   * monitor's `foreachBatch` body over three deterministic id-ordered
@@ -1112,4 +1112,22 @@ object StreamGateQueries {
       |  ON l.user_id = r.user_id
       |  AND l.event_type = 'view' AND r.event_type = 'purchase'
       |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin
+
+  /** The live registrable-domain rollup after streaming the messy-URL
+    * feed in three crawl-order batches; oracle = the batch
+    * q_domain_stats SQL. The (domain, host) partials are additive and
+    * the canonicalization chain is a pure per-row function, so the
+    * cumulative report must equal the batch rollup to the last digit
+    * — the DECIMAL-folded mass included ([[graft.streaming
+    * .DomainStream]]; replay/compaction/live-engine gated in
+    * DomainStreamSpec).
+    */
+  def streamDomainStats(s: SparkSession, dir: String): DataFrame = {
+    val urls = WebQueries.messyUrls(s, dir)
+    val store = tempRoot("graft_q_stream_domain")
+    idSlices(urls, "o_orderkey").zipWithIndex.foreach { case (b, i) =>
+      DomainStream.countBatch(b, "url", "o_totalprice", store, i.toLong)
+    }
+    DomainStream.report(s, store).getOrElse(s.emptyDataFrame)
+  }
 }

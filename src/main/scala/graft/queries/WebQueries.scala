@@ -286,6 +286,156 @@ object WebQueries {
       scored, "domain", "doc_id", "quality_score", cap = 10)
   }
 
+  // ---- corpus-scale crawl ingest (raw bytes → domain rollup) -------
+
+  /** End-to-end crawl ingest AT CORPUS SCALE — the fixture q_warc_extract
+    * proves record-level parsing on 3 pinned rows; this proves the whole
+    * raw-bytes pipeline on the full documents table:
+    *
+    *   1. test-harness side: every document is wrapped in a
+    *      deterministic HTML page (nav + footer boilerplate around one
+    *      `<p>` of real text) and written as 16 multi-member-gzip WARC
+    *      segments BY A DISTRIBUTED JOB (one segment per partition,
+    *      streamed record by record — the executor never holds a
+    *      segment in memory; a production harness writes through the
+    *      cluster FS at the same seam);
+    *   2. measured side: binaryFile → [[graft.sources.Warc]] record
+    *      iterator → [[graft.plans.NativeHtml]] boilerplate extraction
+    *      → [[graft.functions.UrlFunctions]] host/domain derivation →
+    *      join back to the source table → per-domain recovery rollup.
+    *
+    * `n_recovered` counts documents whose extracted main text is
+    * BYTE-IDENTICAL to the source text — the corpus-scale round-trip
+    * guarantee (the boilerplate vanished, the content survived, for
+    * every document whose block clears the length cut — all of them
+    * in this corpus, the oracle carries the ≥25 rule anyway).
+    */
+  /** Write (idempotently regenerate) the 16-segment crawl fixture for
+    * `dir` and return its path: every document wrapped in a
+    * deterministic HTML page — nav boilerplate carrying TWO
+    * deterministic `/doc/N` outlinks (the link graph q_link_graph
+    * recovers), one `<p>` of the real text, footer links — streamed
+    * record by record into multi-member-gzip WARC segments by a
+    * DISTRIBUTED job (one segment per partition; the executor never
+    * holds a segment in memory; a production harness writes through
+    * the cluster FS at the same seam). Shared by q_crawl_ingest and
+    * q_link_graph.
+    */
+  private[graft] def crawlSegments(s: SparkSession, dir: String): String = {
+    val segDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_crawl_${Integer.toHexString(dir.hashCode)}")
+    // regenerate the segment set wholesale (idempotent bytes)
+    if (java.nio.file.Files.isDirectory(segDir)) {
+      val it = java.nio.file.Files.list(segDir)
+      try it.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally it.close()
+    }
+    java.nio.file.Files.createDirectories(segDir)
+    val segPath = segDir.toString
+    val out1 = (col("doc_id") * 7 + 1) % 1000
+    val out2 = (col("doc_id") * 13 + 3) % 1000
+    docUrls(s, dir)
+      .select(col("doc_id"), col("url"),
+        concat(
+          lit("<html><body><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/all\">All documents here</a> "),
+          lit("<a href=\"/doc/"), out1.cast("string"),
+          lit("\">Related one</a> "),
+          lit("<a href=\"/doc/"), out2.cast("string"),
+          lit("\">Related two</a></nav><div><p>"),
+          col("text"),
+          lit("</p></div><footer><a href=\"/terms\">Terms</a> " +
+            "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+          .as("html"))
+      .repartition(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(segPath, f"part-$pid%05d.warc.gz")))
+        try rows.foreach { r =>
+          val rec = Warc.writeRecord("response", r.getAs[String]("url"),
+            "2024-06-01T00:00:00Z", s"<urn:uuid:doc-${r.getAs[Long]("doc_id")}>",
+            "application/http;msgtype=response",
+            Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+              r.getAs[String]("html").getBytes("UTF-8")))
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(rec); gz.finish()
+        } finally out.close()
+      }
+    segPath
+  }
+
+  def crawlIngest(s: SparkSession, dir: String): DataFrame = {
+    val segPath = crawlSegments(s, dir)
+    // the measured pipeline: raw segments back to a domain rollup
+    val ex = NativeHtml.htmlExtract(decode(col("body"), "UTF-8"))
+    val host = UrlFunctions.hostOf(col("url"))
+    val parsed = Warc.records(s, segPath)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        UrlFunctions.registrableDomain(host).as("domain"),
+        ex.getField("text").as("extracted"))
+    parsed
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("extracted") === col("text"), lit(1)))
+          .as("n_recovered"),
+        sum(when(col("extracted") === col("text"), length(col("text"))))
+          .cast("long").as("recovered_chars"))
+  }
+
+  /** The crawl's LINK GRAPH recovered from raw bytes: parse the same
+    * segment set, extract every `<a href>` with the native link walk
+    * ([[graft.plans.NativeHtml.htmlLinks]]), keep the `/doc/N`
+    * outlinks, and emit the distinct (src, dst) edge list — the input
+    * [[graft.operators.Graph]] (PageRank / k-core / triangles) and
+    * [[graft.operators.ConnectedComponents]] consume. The oracle
+    * replays the fixture's two-outlink construction; boilerplate
+    * links (`/`, `/all`, `/terms`, `/privacy`) must NOT survive the
+    * pattern gate, and a missed or phantom href breaks the edge hash.
+    */
+  def linkGraph(s: SparkSession, dir: String): DataFrame = {
+    val segPath = crawlSegments(s, dir)
+    Warc.records(s, segPath)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("src"),
+        explode(NativeHtml.htmlLinks(decode(col("body"), "UTF-8")))
+          .as("href"))
+      .filter(col("href").rlike("^/doc/[0-9]+$"))
+      .select(col("src"),
+        regexp_extract(col("href"), "^/doc/([0-9]+)$", 1).cast("long")
+          .as("dst"))
+      .distinct()
+  }
+
+  val linkGraphSql: String =
+    """SELECT doc_id AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+      |UNION
+      |SELECT doc_id, (doc_id * 13 + 3) % 1000 FROM documents""".stripMargin
+
+  val crawlIngestSql: String =
+    s"""WITH $docUrlsCte,
+      |h AS (SELECT doc_id, text, ${UrlFunctions.hostOfSql("url")} AS host
+      |  FROM urls),
+      |d AS (SELECT doc_id, text,
+      |  ${UrlFunctions.registrableDomainSql("host")} AS domain FROM h)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN length(text) >= 25 THEN 1 END) AS BIGINT)
+      |    AS n_recovered,
+      |  CAST(sum(CASE WHEN length(text) >= 25 THEN length(text) END)
+      |    AS BIGINT) AS recovered_chars
+      |FROM d GROUP BY domain""".stripMargin
+
   val domainCapsSql: String =
     s"""WITH $docUrlsCte,
       |h AS (SELECT doc_id, text,

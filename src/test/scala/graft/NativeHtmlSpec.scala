@@ -64,6 +64,30 @@ class NativeHtmlSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.getLong(1) === 0L && r.getLong(2) === 0L)
   }
 
+  private def links(html: String): Seq[String] = {
+    val a = NativeHtml.htmlLinksEval(UTF8String.fromString(html))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  test("href extraction: quote styles, document order, duplicates kept") {
+    assert(links(
+      """<a href="/x">a</a><a href='/y'>b</a><a href=/z >c</a><a href="/x">d</a>""")
+      === Seq("/x", "/y", "/z", "/x"))
+    assert(links("""<A HREF="/up">case</A><a class="k" href="/attr">later attr</a>""")
+      === Seq("/up", "/attr"))
+  }
+
+  test("hrefs inside comments/scripts and non-anchor tags never become links") {
+    assert(links(
+      """<!-- <a href="/ghost">x</a> --><script>var s='<a href="/js">';</script>""" +
+        """<link href="/css"><a>no href</a><a href="/real">ok</a>""")
+      === Seq("/real"))
+  }
+
+  test("null html yields null links (data, not error)") {
+    assert(NativeHtml.htmlLinksEval(null) === null)
+  }
+
   test("codegen and interpreted agree on the documents corpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -654,7 +654,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (domain, host) distinct-count expansion + the domain rollup
       "q_domain_stats" -> 2,
       // ONE per-domain window over the derived registrable domain
-      "q_domain_caps" -> 1)
+      "q_domain_caps" -> 1,
+      // segment parse side + documents side of the doc_id join + the
+      // domain rollup (the 16-segment WRITE job ran at construction)
+      "q_crawl_ingest" -> 4,
+      // (domain, host) sum over the streamed store + the domain rollup
+      "q_stream_domain_stats" -> 2,
+      // ONE distinct on the extracted edge list (parse/explode map-only)
+      "q_link_graph" -> 1)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

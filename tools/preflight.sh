@@ -21,6 +21,10 @@ sbt -batch Test/compile 'testOnly graft.BenchGuardSpec graft.SoakGuardSpec'
 
 if [[ "${1:-}" == "--full" ]]; then
   tools/cli_smoke.sh
+  # pin the partition-less global-window allowlist (PlanAuditSpec builds
+  # every query plan, ~7 min): the bench tail's "No Partition Defined"
+  # warnings must be matched 1:1 by the documented bounded frames
+  sbt -batch 'testOnly graft.PlanAuditSpec -- -z "partition-less"'
 fi
 
 echo "[preflight] OK"
