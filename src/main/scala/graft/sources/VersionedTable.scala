@@ -50,7 +50,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object VersionedTable {
 
-  final case class Manifest(version: Long, mode: String, files: Seq[String])
+  /** `txn` carries the last committed micro-batch id per streaming
+    * writer (the Delta `txn` action): a replayed `foreachBatch` call
+    * finds its own batch id already recorded and skips — exactly-once
+    * append from an at-least-once engine callback.
+    */
+  final case class Manifest(version: Long, mode: String, files: Seq[String],
+      txn: Map[String, Long] = Map.empty)
 
   private val CommitsDir = "_commits"
   private val MaxRetries = 20
@@ -94,11 +100,49 @@ object VersionedTable {
     * the arbiter; losers rebuild the manifest against the new latest
     * and retry (bounded; the staged files are reused as-is).
     */
-  def commit(df: DataFrame, root: String, overwrite: Boolean = false): Long = {
+  def commit(df: DataFrame, root: String, overwrite: Boolean = false): Long =
+    commitInternal(df, root, overwrite, None).get // no txn → never skipped
+
+  /** [[commit]] under a streaming writer's exactly-once contract: the
+    * manifest records the last committed `batchId` per `writerId`
+    * (the Delta `txn` pattern, carried forward commit over commit),
+    * so an at-least-once `foreachBatch` replay finds its own batch id
+    * already recorded and SKIPS (returns None) instead of appending a
+    * duplicate copy. The check reruns inside the version-race retry
+    * loop, so two racing replays of the same batch commit exactly one.
+    */
+  def streamCommit(
+      df: DataFrame, root: String, writerId: String, batchId: Long,
+      overwrite: Boolean = false): Option[Long] = {
+    require(!writerId.contains("\""), s"writerId must not contain quotes")
+    commitInternal(df, root, overwrite, Some(writerId -> batchId))
+  }
+
+  /** A `foreachBatch` body appending each micro-batch exactly once:
+    * {{{ stream.writeStream.foreachBatch(VersionedTable.sink(root, "q1") _) }}}
+    */
+  def sink(root: String, writerId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    streamCommit(batch, root, writerId, batchId)
+    ()
+  }
+
+  private def alreadyCommitted(
+      spark: SparkSession, root: String, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (wid, bid) =>
+      latestVersion(spark, root)
+        .exists(v => manifest(spark, root, v).txn.get(wid).exists(_ >= bid))
+    }
+
+  private def commitInternal(
+      df: DataFrame, root: String, overwrite: Boolean,
+      txn: Option[(String, Long)]): Option[Long] = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     f.mkdirs(commitsPath(root))
+    // replay fast-path: skip before paying the stage write
+    if (alreadyCommitted(spark, root, txn)) return None
     // stage this commit's parquet in its own subdir (never moves)
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val stageRel = s"data/c$token"
@@ -115,12 +159,23 @@ object VersionedTable {
     var attempt = 0
     while (attempt < MaxRetries) {
       val prev = latestVersion(spark, root)
+      val prevM = prev.map(v => manifest(spark, root, v))
+      // race-safe replay check: a concurrent retry of the SAME batch
+      // may have published while we staged
+      if (txn.exists { case (wid, bid) =>
+          prevM.exists(_.txn.get(wid).exists(_ >= bid)) }) {
+        f.delete(stage, true) // our staged copy is the duplicate
+        return None
+      }
       val next = prev.fold(0L)(_ + 1L)
       val files =
         if (overwrite) staged
-        else prev.map(v => manifest(spark, root, v).files).getOrElse(Nil) ++ staged
+        else prevM.map(_.files).getOrElse(Nil) ++ staged
+      // writer progress is metadata about the STREAM, not the data:
+      // it survives an overwrite commit
+      val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val body = renderManifest(Manifest(next,
-        if (overwrite) "overwrite" else "append", files))
+        if (overwrite) "overwrite" else "append", files, txnMap))
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -128,7 +183,7 @@ object VersionedTable {
       try {
         // atomic NO-overwrite rename: the commit arbiter
         fc.rename(tmp, versionFile(root, next), Options.Rename.NONE)
-        return next
+        return Some(next)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
             _: java.io.IOException if f.exists(versionFile(root, next)) =>
@@ -191,7 +246,9 @@ object VersionedTable {
 
   private def renderManifest(m: Manifest): String = {
     val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    s"""{"version":${m.version},"mode":"${m.mode}","files":$files}"""
+    val txn = m.txn.toSeq.sorted
+      .map { case (w, b) => "\"" + w + "\":" + b }.mkString("{", ",", "}")
+    s"""{"version":${m.version},"mode":"${m.mode}","txn":$txn,"files":$files}"""
   }
 
   private[graft] def parseManifest(s: String): Manifest = {
@@ -204,6 +261,13 @@ object VersionedTable {
       .map(_.group(1)).getOrElse("")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       .map(_.stripPrefix("\"").stripSuffix("\""))
-    Manifest(version, mode, files)
+    val txn = """"txn":\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+      }.toMap
+    Manifest(version, mode, files, txn)
   }
 }

@@ -194,7 +194,13 @@ object Warc {
     }
   }
 
-  /** Split an HTTP response message into (status, media type, body). */
+  /** Split an HTTP response message into (status, media type, body).
+    * `Transfer-Encoding: chunked` bodies — the form CommonCrawl
+    * captures verbatim off the wire — are de-chunked here (hex size
+    * lines, chunk extensions tolerated, trailers dropped); a chunk
+    * that overruns the payload or a malformed size line fails loudly
+    * like every other truncation.
+    */
   private def splitHttp(
       payload: Array[Byte], file: String, idx: Long): (Int, String, Array[Byte]) = {
     // find the \r\n\r\n header/body boundary
@@ -218,8 +224,48 @@ object Warc {
       .map(_.substring("content-type:".length).trim)
       .map(v => v.split(";").head.trim.toLowerCase)
       .getOrElse("")
-    (status, mime, java.util.Arrays.copyOfRange(
-      payload, boundary + 4, payload.length))
+    val chunked = lines.tail
+      .find(_.toLowerCase.startsWith("transfer-encoding:"))
+      .exists(_.toLowerCase.contains("chunked"))
+    val body =
+      if (chunked) dechunk(payload, boundary + 4, file, idx)
+      else java.util.Arrays.copyOfRange(payload, boundary + 4, payload.length)
+    (status, mime, body)
+  }
+
+  /** Decode a chunked HTTP body in place over the payload slice. */
+  private def dechunk(
+      b: Array[Byte], start: Int, file: String, idx: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = start
+    def crlfLine(): String = {
+      var j = off
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= b.length)
+        fail(file, idx, "truncated: chunked body ended inside a size line")
+      val s = new String(b, off, j - off, "ISO-8859-1")
+      off = j + 2
+      s
+    }
+    while (true) {
+      val sizeLine = crlfLine().split(";")(0).trim // extensions tolerated
+      val size =
+        try Integer.parseInt(sizeLine, 16)
+        catch {
+          case _: NumberFormatException =>
+            fail(file, idx, s"malformed chunk size line '$sizeLine'")
+        }
+      if (size == 0) return out.toByteArray // trailers (if any) dropped
+      if (off + size + 2 > b.length)
+        fail(file, idx,
+          s"truncated: chunk of $size bytes overruns the payload")
+      out.write(b, off, size)
+      off += size
+      if (b(off) != '\r' || b(off + 1) != '\n')
+        fail(file, idx, "missing CRLF after a chunk")
+      off += 2
+    }
+    sys.error("unreachable")
   }
 
   // ---- fixture-side writer (tests + the oracled query fixture) ----

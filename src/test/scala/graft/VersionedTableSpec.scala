@@ -90,6 +90,46 @@ class VersionedTableSpec extends SparkSpec {
     intercept[Exception](ids(root, Some(0L))) // vacuumed away
   }
 
+  test("streamCommit is exactly-once: a replayed batch id never lands twice") {
+    val root = freshRoot()
+    assert(VersionedTable.streamCommit(
+      Seq(1L).toDF("id"), root, "writer-a", 0L) === Some(0L))
+    assert(VersionedTable.streamCommit(
+      Seq(2L).toDF("id"), root, "writer-a", 1L) === Some(1L))
+    // at-least-once engine replays batch 1 after a crash: skipped
+    assert(VersionedTable.streamCommit(
+      Seq(2L).toDF("id"), root, "writer-a", 1L) === None)
+    assert(ids(root) === Seq(1L, 2L))
+    // a DIFFERENT writer's batch 1 is its own progress, not a replay
+    assert(VersionedTable.streamCommit(
+      Seq(9L).toDF("id"), root, "writer-b", 1L) === Some(2L))
+    assert(ids(root) === Seq(1L, 2L, 9L))
+    // writer progress is carried forward across commits
+    val m = VersionedTable.manifest(spark, root, 2L)
+    assert(m.txn === Map("writer-a" -> 1L, "writer-b" -> 1L))
+    // the replayed skip staged nothing that vacuum needs to chase
+    VersionedTable.vacuum(spark, root, keepVersions = 3)
+    assert(ids(root) === Seq(1L, 2L, 9L))
+  }
+
+  test("a real foreachBatch stream through the sink lands exactly once") {
+    val root = freshRoot()
+    val src = java.nio.file.Files.createTempDirectory("vt_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("vt_ckpt").toString
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(s"$src/b0")
+    Seq(3L).toDF("id").coalesce(1).write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(Seq(1L).toDF("id").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(VersionedTable.sink(root, "live") _)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(ids(root) === Seq(1L, 2L, 3L))
+  }
+
   test("q_scd_status runs identically off a manifest-pinned read") {
     val dir = "/root/testdata/sf0.001"
     val root = freshRoot()

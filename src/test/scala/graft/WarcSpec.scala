@@ -80,6 +80,32 @@ class WarcSpec extends SparkSpec {
     assert(e.getMessage.contains("Content-Length"))
   }
 
+  test("chunked transfer-encoding bodies de-chunk to the exact bytes") {
+    def chunk(s: String) = f"${s.length}%x\r\n$s\r\n"
+    val chunkedPayload =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        chunk("<p>first piece ") + chunk("and the second piece</p>") +
+        "0\r\nX-Trailer: dropped\r\n\r\n").getBytes("ISO-8859-1")
+    val r = Warc.parseSegment("c.warc",
+      rec("response", "http://a.example/c",
+        "application/http;msgtype=response", chunkedPayload)).toSeq.head
+    assert(new String(r.body, "UTF-8") ===
+      "<p>first piece and the second piece</p>")
+    assert(r.mime === "text/html")
+  }
+
+  test("a chunk overrunning the payload fails loudly") {
+    val bad = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "ff\r\nonly a few bytes").getBytes("ISO-8859-1")
+    val e = intercept[java.io.IOException] {
+      Warc.parseSegment("c.warc",
+        rec("response", "http://a.example/c",
+          "application/http;msgtype=response", bad)).toSeq
+    }
+    assert(e.getMessage.contains("chunk"), e.getMessage)
+  }
+
   test("the distributed read delivers every record of every segment") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec")
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
