@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.t
+import graft.sources.VersionedTable
+
+/** The lakehouse storage layer, oracled end-to-end: every query here
+  * routes its data THROUGH [[graft.sources.VersionedTable]] (commit →
+  * manifest → pinned read) and must still hash-match a DuckDB oracle
+  * running directly over the source parquet — so the commit log, the
+  * zone-map skipping read path, the compaction rewrite, and the change
+  * feed are each proved lossless by the driver gate, not just by local
+  * specs. Registered via [[graft.Queries.all]].
+  */
+object TableQueries {
+
+  /** Zone-map file skipping on the read path: lineitem is committed
+    * range-clustered on `l_shipdate` (8 files with disjoint date
+    * ranges + per-file min/max recorded in the manifest), then the
+    * measured read plans ONLY the files whose zone maps admit the
+    * 1996 ship-date window — at 100 TB this is the difference between
+    * opening O(matching files) and O(table). The residual filter
+    * still applies, so the aggregate equals the oracle's direct
+    * filtered scan regardless of how sharply the ranges split.
+    */
+  def tableSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_skipping")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate"),
+      root, statsColumns = Seq("l_shipdate", "l_orderkey"))
+    VersionedTable.readWhere(s, root,
+        col("l_shipdate") >= "1996-01-01" && col("l_shipdate") <= "1996-12-31")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+  }
+
+  val tableSkippingSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  min(l_shipdate) AS first_ship,
+      |  max(l_shipdate) AS last_ship
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate <= DATE '1996-12-31'
+      |GROUP BY 1""".stripMargin
+
+  /** The change feed (CDC) across a three-commit history: v0 seeds the
+    * pre-1998 orders, v1 APPENDS the rest (streamed from the append's
+    * own files — zero diffing, the 100 TB fast path), v2 OVERWRITES
+    * down to the urgent orders (a full multiset snapshot diff). The
+    * rollup per (version, change type) must reproduce the closed-form
+    * partition of the orders table the oracle computes directly —
+    * wrong file lineage, a double-counted replay, or a diff that loses
+    * multiplicity all break the hash.
+    */
+  def tableChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_changes")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(
+      orders.filter(col("o_orderdate") < "1998-01-01"), root) // v0
+    VersionedTable.commit(
+      orders.filter(col("o_orderdate") >= "1998-01-01"), root) // v1 append
+    VersionedTable.commit(
+      orders.filter(col("o_orderpriority") === "1-URGENT"), root,
+      overwrite = true) // v2 overwrite
+    VersionedTable.changes(s, root, 0L, 2L)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("mass"),
+        min(col("o_orderkey")).as("min_key"))
+  }
+
+  val tableChangesSql: String =
+    """SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass,
+      |  min(o_orderkey) AS min_key
+      |FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'delete', count(*),
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      |  min(o_orderkey)
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin
+
+  /** Compaction is data-identical: lineitem lands as four separate
+    * append commits (the small-file pile a streaming writer produces),
+    * gets OPTIMIZE'd into four range-clustered files in one rebase-safe
+    * commit, and the post-compaction snapshot must still aggregate to
+    * exactly the source table. The measured read goes through a
+    * zone-map-pruned ship-date window over the REWRITTEN files, so a
+    * compaction that lost, duplicated, or mis-clustered rows fails the
+    * oracle hash.
+    */
+  def tableCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_compact")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_quantity", "l_tax",
+        "l_shipdate")
+    (0 until 4).foreach { k =>
+      VersionedTable.commit(li.filter(col("l_orderkey") % 4 === k), root)
+    }
+    VersionedTable.compact(s, root, targetPartitions = 4,
+      clusterBy = Seq("l_shipdate"), statsColumns = Seq("l_shipdate"))
+    VersionedTable.readWhere(s, root, col("l_shipdate") >= "1996-01-01")
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_tax").cast("decimal(18,4)")).cast("double").as("sum_tax"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val tableCompactSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax,
+      |  max(l_orderkey) AS max_key
+      |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+      |GROUP BY 1""".stripMargin
+}

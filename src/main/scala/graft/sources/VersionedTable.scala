@@ -1,14 +1,26 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
+  Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Minimal snapshot-isolation commit log over parquet — the
-  * concurrent-writer upgrade [[AtomicDir]] cannot give (its swap is
-  * single-writer by contract) and the role Delta/Iceberg play in a
-  * production lakehouse, built from nothing but parquet + an atomic
-  * no-overwrite rename (no connector jars ship in this environment).
+/** Snapshot-isolation commit log over parquet — the concurrent-writer
+  * upgrade [[AtomicDir]] cannot give (its swap is single-writer by
+  * contract) and the role Delta/Iceberg play in a production lakehouse,
+  * built from nothing but parquet + an atomic no-overwrite rename (no
+  * connector jars ship in this environment).
   *
   * Layout under the table root:
   * {{{
@@ -21,42 +33,77 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   - **Write**: stage parquet into a fresh `data/c<token>/` subdir
   *     (invisible to every reader — readers ONLY open files their
   *     pinned manifest names), build the next manifest (append =
-  *     predecessor's files + staged; overwrite = staged only), write
-  *     it to a dot-temp, then PUBLISH with `FileContext.rename(…,
-  *     Rename.NONE)` — the no-overwrite rename that is atomic on
-  *     HDFS-like stores (the arbiter Delta uses there; an S3 deploy
-  *     swaps in an external lock/conditional-put, same seam). Losing
-  *     the race throws `FileAlreadyExistsException` → re-read the new
-  *     latest, rebuild the manifest, retry with the next version
-  *     number. The staged data files never move, so a retry re-links,
-  *     never re-writes.
+  *     predecessor's files + staged; overwrite = staged only;
+  *     compact = predecessor's files minus the compacted set plus
+  *     staged), write it to a dot-temp, then PUBLISH with
+  *     `FileContext.rename(…, Rename.NONE)` — the no-overwrite rename
+  *     that is atomic on HDFS-like stores (the arbiter Delta uses
+  *     there; an S3 deploy swaps in an external lock/conditional-put,
+  *     same seam). Losing the race throws
+  *     `FileAlreadyExistsException` → re-read the new latest, rebuild
+  *     the manifest, retry with the next version number. The staged
+  *     data files never move, so a retry re-links, never re-writes.
   *   - **Read**: pin a version (default: latest) by parsing ONE
-  *     manifest; the plan reads exactly that file set. Later commits
-  *     add new version files and new data subdirs — a pinned reader
-  *     never sees them, and nothing a committed manifest references is
-  *     ever mutated, so reader-during-commit isolation holds without
-  *     coordination.
+  *     manifest; the plan reads exactly that file set, under the
+  *     manifest's RECORDED schema (no footer inference — on a 100k-file
+  *     table the schema comes from one JSON read, not a footer list).
+  *   - **Skip**: a commit may record per-file zone maps (row count and
+  *     per-column min/max/null-count) in its manifest; [[readWhere]]
+  *     evaluates a predicate against them and plans ONLY the files
+  *     that may contain a match — the Delta/Iceberg data-skipping
+  *     role. Pruning is SOUND (a file is dropped only when the stats
+  *     prove no row can match; any unrecognized predicate shape keeps
+  *     the file) and the residual filter is always applied, so the
+  *     result equals an unpruned filtered read by construction.
   *   - **Crash**: a writer dying before publish leaves a dot-temp
   *     manifest and an unreferenced `data/c*` subdir — INVISIBLE
-  *     leftovers (latest version unchanged, reads unaffected).
-  *     [[vacuum]] deletes stale temps, data subdirs no retained
-  *     manifest references, and versions older than the retention
-  *     count.
+  *     leftovers. [[vacuum]] deletes stale temps, data subdirs no
+  *     retained manifest references, and versions older than the
+  *     retention count.
   *
   * Scale shape: commit cost is one rename + a manifest listing
   * O(files); reads list `_commits/` (O(versions), bounded by vacuum)
-  * and open O(files) parquet — table data never rewrites on commit,
-  * so a 100 TB table appends at the cost of its new partition alone.
+  * and open O(files) parquet — table data never rewrites on commit, so
+  * a 100 TB table appends at the cost of its new partition alone, and
+  * a zone-map-pruned point read opens O(matching files), not O(table).
   */
 object VersionedTable {
+
+  /** Per-column zone-map entry for one data file. `min`/`max` are the
+    * column's bounds encoded in a type-tagged orderable domain
+    * (`t` ∈ long | double | decimal | string | date | timestamp; dates
+    * as epoch days, timestamps as epoch micros); absent (None) when
+    * every row is NULL or the bound is not finitely representable
+    * (NaN/±Inf) — an absent bound keeps the file, never drops it.
+    */
+  final case class ColStats(t: String, min: Option[String],
+      max: Option[String], nulls: Long)
+
+  /** Zone map for one data file: row count + per-column [[ColStats]]. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
   /** `txn` carries the last committed micro-batch id per streaming
     * writer (the Delta `txn` action): a replayed `foreachBatch` call
     * finds its own batch id already recorded and skips — exactly-once
     * append from an at-least-once engine callback.
+    *
+    * `schemaJson` pins the snapshot schema (Spark StructType JSON);
+    * appends are REQUIRED to match it (names + types, order- and
+    * nullability-insensitive) — schema change is an overwrite, loudly.
     */
   final case class Manifest(version: Long, mode: String, files: Seq[String],
-      txn: Map[String, Long] = Map.empty)
+      txn: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None,
+      stats: Map[String, FileStats] = Map.empty)
+
+  /** A compaction lost its rebase: a racing commit removed or replaced
+    * files the compaction had read (overwrite, or another compaction of
+    * an overlapping file set). The compaction's staged output is
+    * deleted; rerun against the new snapshot. Racing APPENDS do not
+    * conflict — they rebase cleanly.
+    */
+  final class CompactionConflictException(msg: String)
+    extends java.io.IOException(msg)
 
   private val CommitsDir = "_commits"
   private val MaxRetries = 20
@@ -84,6 +131,8 @@ object VersionedTable {
   def manifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = versionFile(root, version)
     val f = fs(spark, p)
+    if (!f.exists(p)) throw new java.io.IOException(
+      s"version $version of $root does not exist (never committed, or vacuumed)")
     val in = f.open(p)
     val bytes = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -94,14 +143,19 @@ object VersionedTable {
   }
 
   /** Commit `df` as a new version. `overwrite = false` appends to the
-    * predecessor snapshot; `true` replaces it (old files stay on disk
-    * for pinned readers until [[vacuum]]). Returns the version number
-    * won. Safe under concurrent writers: the version-file rename is
-    * the arbiter; losers rebuild the manifest against the new latest
-    * and retry (bounded; the staged files are reused as-is).
+    * predecessor snapshot (schema must match it); `true` replaces it
+    * (old files stay on disk for pinned readers until [[vacuum]]).
+    * `statsColumns` selects columns to zone-map in the manifest for
+    * [[readWhere]] file skipping (`Seq("*")` = every supported column);
+    * the cost is one aggregate scan OF THE STAGED FILES ONLY. Returns
+    * the version number won. Safe under concurrent writers: the
+    * version-file rename is the arbiter; losers rebuild the manifest
+    * against the new latest and retry (bounded; the staged files are
+    * reused as-is).
     */
-  def commit(df: DataFrame, root: String, overwrite: Boolean = false): Long =
-    commitInternal(df, root, overwrite, None).get // no txn → never skipped
+  def commit(df: DataFrame, root: String, overwrite: Boolean = false,
+      statsColumns: Seq[String] = Nil): Long =
+    commitInternal(df, root, overwrite, None, statsColumns).get
 
   /** [[commit]] under a streaming writer's exactly-once contract: the
     * manifest records the last committed `batchId` per `writerId`
@@ -113,9 +167,10 @@ object VersionedTable {
     */
   def streamCommit(
       df: DataFrame, root: String, writerId: String, batchId: Long,
-      overwrite: Boolean = false): Option[Long] = {
+      overwrite: Boolean = false, statsColumns: Seq[String] = Nil)
+      : Option[Long] = {
     require(!writerId.contains("\""), s"writerId must not contain quotes")
-    commitInternal(df, root, overwrite, Some(writerId -> batchId))
+    commitInternal(df, root, overwrite, Some(writerId -> batchId), statsColumns)
   }
 
   /** A `foreachBatch` body appending each micro-batch exactly once:
@@ -134,28 +189,87 @@ object VersionedTable {
         .exists(v => manifest(spark, root, v).txn.get(wid).exists(_ >= bid))
     }
 
+  /** Type-agnostic schema compatibility for appends: same column names
+    * bound to the same data types, order- and nullability-insensitive
+    * (parquet writers flip nullability freely; a read under the pinned
+    * nullable-OR schema is always sound).
+    */
+  private def sameColumns(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
   private def commitInternal(
       df: DataFrame, root: String, overwrite: Boolean,
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)], statsColumns: Seq[String]): Option[Long] = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     f.mkdirs(commitsPath(root))
     // replay fast-path: skip before paying the stage write
     if (alreadyCommitted(spark, root, txn)) return None
-    // stage this commit's parquet in its own subdir (never moves)
+    val (stageRel, staged) = stage(df, root)
+    val stagedStats = collectStats(spark, root, staged, df.schema, statsColumns)
+    val schemaJson = df.schema.json
+    publish(spark, root, staged, stagedStats,
+      mode = if (overwrite) "overwrite" else "append",
+      schemaJson = schemaJson, txn = txn) { prevM =>
+      if (!overwrite) prevM.foreach { m =>
+        m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+          .filterNot(sameColumns(_, df.schema))
+          .foreach { prev =>
+            f.delete(new Path(rootP, stageRel), true)
+            throw new java.io.IOException(
+              s"append to $root with incompatible schema: table has " +
+                s"${prev.simpleString}, append staged ${df.schema.simpleString}" +
+                "; schema change requires overwrite = true")
+          }
+      }
+      val prevFiles = if (overwrite) Nil else prevM.map(_.files).getOrElse(Nil)
+      val prevStats =
+        if (overwrite) Map.empty[String, FileStats]
+        else prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles ++ staged, prevStats ++ stagedStats)
+    }
+  }
+
+  /** Stage `df`'s parquet under a fresh `data/c<token>/`, returning the
+    * stage dir's relative path and the sorted relative file list.
+    */
+  private def stage(df: DataFrame, root: String): (String, Seq[String]) = {
+    val spark = df.sparkSession
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val stageRel = s"data/c$token"
-    val stage = new Path(rootP, stageRel)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(stage.toString)
-    val staged = f.listStatus(stage).toSeq
+    val stageP = new Path(rootP, stageRel)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(stageP.toString)
+    val staged = f.listStatus(stageP).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$stageRel/${s.getPath.getName}")
       .sorted
     require(staged.nonEmpty || df.schema.nonEmpty,
-      s"staging $stage produced no parquet files")
+      s"staging $stageP produced no parquet files")
+    (stageRel, staged)
+  }
+
+  /** The shared publish loop: build the next manifest against the
+    * CURRENT latest (recomputed on every race retry via `link`, which
+    * returns the full file list + stats map for the new version, or
+    * throws to abort), write it to a dot-temp, atomic-no-overwrite
+    * rename into place. Returns None only on a txn replay skip.
+    */
+  private def publish(
+      spark: SparkSession, root: String, staged: Seq[String],
+      stagedStats: Map[String, FileStats], mode: String, schemaJson: String,
+      txn: Option[(String, Long)])(
+      link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
+      : Option[Long] = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
     val fc = FileContext.getFileContext(
       rootP.toUri, spark.sparkContext.hadoopConfiguration)
+    val stageDir = staged.headOption
+      .map(rel => new Path(rootP, rel.split("/").init.mkString("/")))
     var attempt = 0
     while (attempt < MaxRetries) {
       val prev = latestVersion(spark, root)
@@ -164,18 +278,17 @@ object VersionedTable {
       // may have published while we staged
       if (txn.exists { case (wid, bid) =>
           prevM.exists(_.txn.get(wid).exists(_ >= bid)) }) {
-        f.delete(stage, true) // our staged copy is the duplicate
+        stageDir.foreach(f.delete(_, true)) // our staged copy is the duplicate
         return None
       }
       val next = prev.fold(0L)(_ + 1L)
-      val files =
-        if (overwrite) staged
-        else prevM.map(_.files).getOrElse(Nil) ++ staged
+      val (files, stats) = link(prevM)
       // writer progress is metadata about the STREAM, not the data:
       // it survives an overwrite commit
       val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
-      val body = renderManifest(Manifest(next,
-        if (overwrite) "overwrite" else "append", files, txnMap))
+      val body = renderManifest(
+        Manifest(next, mode, files, txnMap, Some(schemaJson), stats))
+      val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -195,17 +308,435 @@ object VersionedTable {
       s"commit to $root lost the version race $MaxRetries times")
   }
 
+  // ---- zone-map stats ------------------------------------------------
+
+  /** The orderable-domain tag for a column, or None when the type has
+    * no zone-map encoding (arrays, maps, structs, binary — such
+    * columns are simply never pruned on).
+    */
+  private def statTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+      Some("long")
+    case FloatType | DoubleType => Some("double")
+    case _: DecimalType => Some("decimal")
+    case StringType => Some("string")
+    case DateType => Some("date")
+    // NTZ shares the micros domain: the engine pins every session to
+    // UTC (builder invariant), so the LTZ cast below is the identity
+    case TimestampType | TimestampNTZType => Some("timestamp")
+    case _ => None
+  }
+
+  /** Min/max/null-count per staged file for `statsColumns` (`"*"` =
+    * every supported column), computed with ONE aggregate over the
+    * staged files only — the Delta write-side stats pass. Bounds are
+    * encoded in the type's orderable domain (epoch days / micros for
+    * date / timestamp) so pruning never parses display formats.
+    */
+  private def collectStats(
+      spark: SparkSession, root: String, staged: Seq[String],
+      schema: StructType, statsColumns: Seq[String])
+      : Map[String, FileStats] = {
+    if (statsColumns.isEmpty || staged.isEmpty) return Map.empty
+    val cols: Seq[StructField] =
+      if (statsColumns == Seq("*")) {
+        schema.fields.toSeq.filter(f => statTag(f.dataType).isDefined)
+      } else {
+        statsColumns.map { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"stats column `$c` not in schema ${schema.simpleString}"))
+          require(statTag(f.dataType).isDefined,
+            s"stats column `$c` has unsupported type ${f.dataType.simpleString}")
+          f
+        }
+      }
+    if (cols.isEmpty) return Map.empty
+    def orderable(f: StructField): Column = f.dataType match {
+      case BooleanType => col(f.name).cast("long")
+      case DateType => unix_date(col(f.name)).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case TimestampNTZType => unix_micros(col(f.name).cast(TimestampType))
+      case _ => col(f.name)
+    }
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { f =>
+      Seq(min(orderable(f)).as(s"_min_${f.name}"),
+        max(orderable(f)).as(s"_max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))
+    }
+    val rootP = new Path(root)
+    val byFile = spark.read.schema(schema)
+      .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byName = staged.map(rel => rel.split("/").last -> rel).toMap
+    byFile.flatMap { r =>
+      val fileName = r.getAs[String]("_file").split("/").last
+      byName.get(fileName).map { rel =>
+        val colStats = cols.flatMap { f =>
+          val tag = statTag(f.dataType).get
+          def enc(v: Any): Option[String] = v match {
+            case null => None
+            case d: Double if d.isNaN || d.isInfinite => None
+            case f2: Float if f2.isNaN || f2.isInfinite => None
+            case bd: java.math.BigDecimal => Some(bd.toPlainString)
+            case x => Some(x.toString)
+          }
+          val mn = enc(r.getAs[Any](s"_min_${f.name}"))
+          val mx = enc(r.getAs[Any](s"_max_${f.name}"))
+          val nulls = r.getAs[Long](s"_nulls_${f.name}")
+          Some(f.name -> ColStats(tag, mn, mx, nulls))
+        }.toMap
+        rel -> FileStats(r.getAs[Long]("_rows"), colStats)
+      }
+    }.toMap
+  }
+
+  // ---- predicate → file pruning ---------------------------------------
+
+  /** A literal lowered into a stat column's orderable domain, for
+    * direct comparison against the manifest's min/max encoding.
+    * None = the literal doesn't lower (unknown type pairing, null,
+    * unparseable date string …) → the caller keeps the file.
+    */
+  private def lower(tag: String, lit: Literal): Option[Ordered[String]] = {
+    def num(bd: BigDecimal): Option[Ordered[String]] =
+      Some(new Ordered[String] {
+        def compare(that: String): Int = bd.compare(BigDecimal(that))
+      })
+    if (lit.value == null) return None
+    (tag, lit.dataType, lit.value) match {
+      case (("long" | "double" | "decimal"), _, v) => v match {
+        case i: Int => num(BigDecimal(i))
+        case l: Long => num(BigDecimal(l))
+        case s: Short => num(BigDecimal(s.toInt))
+        case b: Byte => num(BigDecimal(b.toInt))
+        case d: Double if !d.isNaN && !d.isInfinite => num(BigDecimal(d))
+        case fl: Float if !fl.isNaN && !fl.isInfinite =>
+          num(BigDecimal(fl.toDouble))
+        case dec: org.apache.spark.sql.types.Decimal =>
+          num(dec.toBigDecimal)
+        case b: Boolean => num(BigDecimal(if (b) 1 else 0))
+        case _ => None
+      }
+      case ("string", StringType, s: UTF8String) =>
+        // invert back: Ordered is "literal compared to stat"
+        Some(new Ordered[String] {
+          def compare(that: String): Int =
+            s.compareTo(UTF8String.fromString(that))
+        })
+      case ("date", DateType, days: Int) => num(BigDecimal(days))
+      case ("date", StringType, s: UTF8String) =>
+        try num(BigDecimal(java.time.LocalDate.parse(s.toString).toEpochDay))
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case ("timestamp", TimestampType | TimestampNTZType, micros: Long) =>
+        num(BigDecimal(micros))
+      case _ => None
+    }
+  }
+
+  /** The predicate RESOLVED against the snapshot schema and
+    * constant-folded (analyzer-inserted literal casts — a date-string
+    * comparison, say — become typed Literals), so [[mayMatch]] sees
+    * real Catalyst comparison nodes, never lazy column wrappers. None
+    * on any resolution failure → no pruning (sound).
+    */
+  private def resolvedPredicate(spark: SparkSession, schema: StructType,
+      predicate: Column): Option[Expression] =
+    try {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema)
+      empty.filter(predicate).queryExecution.analyzed
+        .collectFirst { case f: LogicalFilter => f.condition }
+        .map(_.transformUp {
+          case e if e.foldable && !e.isInstanceOf[Literal] =>
+            Literal(e.eval(null), e.dataType)
+        })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Casts whose unwrap is SOUND for zone-map pruning: exact (every
+    * source value representable in the target — no rounding, so the
+    * exact-math BigDecimal comparison in [[lower]] agrees with the
+    * cast-domain comparison) and order-preserving. Notably EXCLUDES
+    * long→double/float (rounds above 2^53 — equality pruning through it
+    * would over-drop).
+    */
+  private def exactWideningCast(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType |
+        DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case _ => false
+    }
+
+  /** True iff the file MAY contain a row matching `e`, judged from its
+    * zone map. Sound by construction: every unrecognized shape returns
+    * true (keep); a file is dropped only on a proof of emptiness.
+    */
+  private def mayMatch(e: Expression, fstats: FileStats): Boolean = {
+    def attrName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: Attribute => Some(a.name)
+      case c: Cast if exactWideningCast(c.child.dataType, c.dataType) =>
+        attrName(c.child)
+      case _ => None
+    }
+    def stats(x: Expression): Option[ColStats] =
+      attrName(x).flatMap(fstats.cols.get)
+    // compare literal against the column interval: cmpMin = sign of
+    // (lit - min), cmpMax = sign of (lit - max); None = can't judge
+    def interval(a: Expression, l: Literal): Option[(Int, Int)] =
+      stats(a).flatMap { cs =>
+        for {
+          lo <- lower(cs.t, l)
+          mn <- cs.min
+          mx <- cs.max
+        } yield (lo.compare(mn), lo.compare(mx))
+      }
+    def allNull(a: Expression): Boolean =
+      stats(a).exists(cs => cs.min.isEmpty && cs.nulls >= fstats.rows)
+    e match {
+      case And(l, r) => mayMatch(l, fstats) && mayMatch(r, fstats)
+      case Or(l, r) => mayMatch(l, fstats) || mayMatch(r, fstats)
+      case Not(_) => true
+      case IsNull(a) => stats(a).forall(_.nulls > 0)
+      case IsNotNull(a) => !allNull(a)
+      case EqualTo(a, l: Literal) =>
+        if (allNull(a)) false
+        else interval(a, l).forall { case (cMn, cMx) => cMn >= 0 && cMx <= 0 }
+      case EqualTo(l: Literal, a) => mayMatch(EqualTo(a, l), fstats)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        mayMatch(EqualTo(a, l), fstats)
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        mayMatch(EqualTo(a, l), fstats)
+      case GreaterThan(a, l: Literal) => // ∃ row > lit ⇐ max > lit
+        if (allNull(a)) false
+        else interval(a, l).forall { case (_, cMx) => cMx < 0 }
+      case GreaterThanOrEqual(a, l: Literal) =>
+        if (allNull(a)) false
+        else interval(a, l).forall { case (_, cMx) => cMx <= 0 }
+      case LessThan(a, l: Literal) => // ∃ row < lit ⇐ min < lit
+        if (allNull(a)) false
+        else interval(a, l).forall { case (cMn, _) => cMn > 0 }
+      case LessThanOrEqual(a, l: Literal) =>
+        if (allNull(a)) false
+        else interval(a, l).forall { case (cMn, _) => cMn >= 0 }
+      // flipped operand order: lit OP attr ≡ attr FLIP(OP) lit
+      case GreaterThan(l: Literal, a) => mayMatch(LessThan(a, l), fstats)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        mayMatch(LessThanOrEqual(a, l), fstats)
+      case LessThan(l: Literal, a) => mayMatch(GreaterThan(a, l), fstats)
+      case LessThanOrEqual(l: Literal, a) =>
+        mayMatch(GreaterThanOrEqual(a, l), fstats)
+      case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
+        if (allNull(a)) false
+        else lits.exists(l => mayMatch(EqualTo(a, l.asInstanceOf[Literal]),
+          fstats))
+      case _ => true
+    }
+  }
+
+  /** The manifest's file list split by `predicate` against the zone
+    * maps: (kept, dropped). Files without stats are always kept.
+    * Exposed for pruning-effectiveness assertions; [[readWhere]] is
+    * the consuming read path.
+    */
+  def pruneFiles(spark: SparkSession, root: String, predicate: Column,
+      version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val resolved = m.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .flatMap(resolvedPredicate(spark, _, predicate))
+    resolved match {
+      case None => (m.files, Nil) // can't judge: keep everything
+      case Some(e) =>
+        m.files.partition(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+    }
+  }
+
   /** The snapshot at `version` (default: latest) as a DataFrame whose
-    * plan reads EXACTLY that manifest's files — later commits are
-    * invisible to it by construction.
+    * plan reads EXACTLY that manifest's files under the manifest's
+    * recorded schema — later commits are invisible to it by
+    * construction.
     */
   def read(spark: SparkSession, root: String, version: Option[Long] = None)
       : DataFrame = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
+    readManifest(spark, root, manifest(spark, root, v), None)
+  }
+
+  /** A filtered snapshot read with zone-map file skipping: plans ONLY
+    * the files whose stats admit a match for `predicate`, then applies
+    * `predicate` as the residual filter (so even a conservative — or
+    * statless — manifest yields the exact filtered result; pruning
+    * changes the file list, never the answer). Supported prune shapes:
+    * comparisons / equality / IN between a stats column and a literal,
+    * IS [NOT] NULL, and AND/OR combinations; anything else keeps the
+    * file and filters at scan time.
+    */
+  def readWhere(spark: SparkSession, root: String, predicate: Column,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    readManifest(spark, root, manifest(spark, root, v), Some(predicate))
+      .filter(predicate)
+  }
+
+  private def readManifest(spark: SparkSession, root: String, m: Manifest,
+      predicate: Option[Column]): DataFrame = {
+    val schema = m.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val resolved = for {
+      p <- predicate
+      s <- schema
+      e <- resolvedPredicate(spark, s, p)
+    } yield e
+    val files = resolved match {
+      case Some(e) =>
+        m.files.filter(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+      case None => m.files
+    }
+    if (files.isEmpty) {
+      val s = schema.getOrElse(throw new java.io.IOException(
+        s"empty snapshot of $root has no recorded schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], s)
+    }
+    val abs = files.map(rel => new Path(new Path(root), rel).toString)
+    schema.fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
+  }
+
+  // ---- compaction ------------------------------------------------------
+
+  /** Rewrite the latest snapshot's files into `targetPartitions` larger
+    * ones — the small-file OPTIMIZE a streaming-append table needs
+    * (every micro-batch commit adds files; reads degrade O(files)).
+    * Data-identical by construction: the new version holds exactly the
+    * rows of the version read.
+    *
+    *   - `clusterBy` non-empty: range-repartition + sort on those
+    *     columns (one shuffle) so the rewritten files carry DISJOINT
+    *     zone-map ranges — compaction doubles as the clustering pass
+    *     that makes [[readWhere]] pruning sharp.
+    *   - `clusterBy` empty: `coalesce` bin-packing, NO shuffle — pure
+    *     file-count reduction at file-read cost.
+    *
+    * Concurrency: optimistic, Delta-style. A racing APPEND rebases
+    * cleanly (the compacted replacement plus the appended files — no
+    * lost update, verified per retry). A racing OVERWRITE or
+    * overlapping compaction removed files this pass read → the staged
+    * output is stale → [[CompactionConflictException]] and the staged
+    * files are deleted; rerun. Returns the committed version, or None
+    * when the table is empty or already a single file with nothing to
+    * gain.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetPartitions: Int = 1, clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    require(targetPartitions >= 1, "targetPartitions must be >= 1")
+    val v = pinVersion
+      .orElse(latestVersion(spark, root)).getOrElse(return None)
     val m = manifest(spark, root, v)
-    val abs = m.files.map(rel => new Path(new Path(root), rel).toString)
-    spark.read.parquet(abs: _*)
+    if (m.files.size <= targetPartitions && clusterBy.isEmpty) return None
+    val source = m.files.toSet
+    val snapshot = readManifest(spark, root, m, None)
+    val arranged =
+      if (clusterBy.isEmpty) snapshot.coalesce(targetPartitions)
+      else snapshot
+        .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (stageRel, staged) = stage(arranged, root)
+    val stagedStats =
+      collectStats(spark, root, staged, snapshot.schema, statsColumns)
+    val f = fs(spark, new Path(root))
+    publish(spark, root, staged, stagedStats, mode = "compact",
+      schemaJson = m.schemaJson.getOrElse(snapshot.schema.json),
+      txn = None) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!source.subsetOf(prevFiles.toSet)) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"compaction of $root@v$v raced a commit that removed files it " +
+            "read (overwrite or overlapping compaction); rerun")
+      }
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles.filterNot(source) ++ staged,
+        (prevStats -- source) ++ stagedStats)
+    }
+  }
+
+  // ---- change feed -----------------------------------------------------
+
+  /** Row-level changes between two committed versions — the CDC feed a
+    * downstream incremental consumer reads instead of re-scanning the
+    * table. Output: the table's columns plus `_change_type`
+    * (insert | delete) and `_commit_version`.
+    *
+    * Cost model, per intervening commit:
+    *   - `append` → its staged files READ DIRECTLY as inserts (zero
+    *     diffing — the 100 TB fast path; this is why the manifest
+    *     records per-commit file lineage);
+    *   - `compact` → no logical change, skipped entirely;
+    *   - `overwrite` → a full snapshot diff (`exceptAll` both ways,
+    *     multiplicity-correct) — inherently O(both snapshots) without
+    *     row-tracking metadata, so point a CDC consumer at append/
+    *     compact tables and treat overwrite as a rebuild barrier.
+    *
+    * Requires manifests for every version in [from, to] (vacuum
+    * retention must cover the range) and a stable schema across it.
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val manifests = (fromVersion to toVersion)
+      .map(v => v -> manifest(spark, root, v)).toMap
+    val schemas = manifests.values.flatMap(_.schemaJson).toSet
+    require(schemas.size <= 1,
+      s"schema changed inside the version range [$fromVersion, $toVersion]; " +
+        "read full snapshots instead")
+    val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val cur = manifests(v)
+      val prev = manifests(v - 1)
+      cur.mode match {
+        case "compact" => None // data-identical by contract
+        case "append" =>
+          val added = cur.files.filterNot(prev.files.toSet)
+          if (added.isEmpty) None
+          else Some(readFiles(spark, root, cur, added)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case _ => // overwrite: full multiset diff of the two snapshots
+          val before = readManifest(spark, root, prev, None)
+          val after = readManifest(spark, root, cur, None)
+          val ins = after.exceptAll(before)
+            .withColumn("_change_type", lit("insert"))
+          val del = before.exceptAll(after)
+            .withColumn("_change_type", lit("delete"))
+          Some(ins.unionAll(del).withColumn("_commit_version", lit(v)))
+      }
+    }
+    perVersion.reduceOption(_.unionAll(_)).getOrElse {
+      val base = readManifest(spark, root, manifests(toVersion), None)
+      base.withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+    }
+  }
+
+  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+      rels: Seq[String]): DataFrame = {
+    val abs = rels.map(rel => new Path(new Path(root), rel).toString)
+    m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
   }
 
   /** Delete crash leftovers and history past the retention count:
@@ -242,32 +773,63 @@ object VersionedTable {
     }
   }
 
-  // ---- manifest (de)serialization: flat JSON, no library ----------
+  // ---- manifest (de)serialization: Jackson tree model ------------------
+
+  private val mapper = new ObjectMapper()
 
   private def renderManifest(m: Manifest): String = {
-    val files = m.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    val txn = m.txn.toSeq.sorted
-      .map { case (w, b) => "\"" + w + "\":" + b }.mkString("{", ",", "}")
-    s"""{"version":${m.version},"mode":"${m.mode}","txn":$txn,"files":$files}"""
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("mode", m.mode)
+    val txn = root.putObject("txn")
+    m.txn.toSeq.sortBy(_._1).foreach { case (w, b) => txn.put(w, b) }
+    val files = root.putArray("files")
+    m.files.foreach(files.add)
+    m.schemaJson.foreach { sj =>
+      root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
+    }
+    if (m.stats.nonEmpty) {
+      val stats = root.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (file, fsStats) =>
+        val fn = stats.putObject(file)
+        fn.put("rows", fsStats.rows)
+        val colsN = fn.putObject("cols")
+        fsStats.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val cn = colsN.putObject(c)
+          cn.put("t", cs.t)
+          cs.min.foreach(cn.put("min", _))
+          cs.max.foreach(cn.put("max", _))
+          cn.put("nulls", cs.nulls)
+        }
+      }
+    }
+    mapper.writeValueAsString(root)
   }
 
   private[graft] def parseManifest(s: String): Manifest = {
-    val version = """"version":(\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new java.io.IOException(s"bad manifest: $s"))
-    val mode = """"mode":"([a-z]+)"""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("append")
-    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("")
-      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map(_.stripPrefix("\"").stripSuffix("\""))
-    val txn = """"txn":\{([^}]*)\}""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("")
-      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+    val n = mapper.readTree(s)
+    if (n == null || !n.has("version"))
+      throw new java.io.IOException(s"bad manifest: $s")
+    import scala.jdk.CollectionConverters._
+    def fields(o: JsonNode): Seq[(String, JsonNode)] =
+      if (o == null) Nil
+      else o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
+    val files = Option(n.get("files")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(_.asText()))
+    val txn = fields(n.get("txn")).map { case (k, v) => k -> v.asLong() }.toMap
+    val schemaJson = Option(n.get("schema")).map(mapper.writeValueAsString)
+    val stats = fields(n.get("stats")).map { case (file, fn) =>
+      val cols = fields(fn.get("cols")).map { case (c, cn) =>
+        c -> ColStats(cn.get("t").asText(),
+          Option(cn.get("min")).map(_.asText()),
+          Option(cn.get("max")).map(_.asText()),
+          Option(cn.get("nulls")).map(_.asLong()).getOrElse(0L))
       }.toMap
-    Manifest(version, mode, files, txn)
+      file -> FileStats(
+        Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
+    }.toMap
+    Manifest(n.get("version").asLong(),
+      Option(n.get("mode")).map(_.asText()).getOrElse("append"),
+      files, txn, schemaJson, stats)
   }
 }

