@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.t
+import graft.functions.UrlFunctions
+import graft.operators.Robots
+import graft.plans.NativeHtml
+import graft.sources.Warc
+
+/** The crawl-politeness loop, oracled: robots.txt parsing
+  * ([[graft.operators.Robots]]), per-domain allow/deny gating over the
+  * derived URL space, and the politeness-capped crawl FRONTIER — the
+  * next fetch wave computed from raw WARC bytes (links out, minus
+  * already-crawled, robots-gated, ranked by indegree, capped per host
+  * by crawl-delay budget). Closes the loop the round-14 front door
+  * opened: crawl → extract → link graph → frontier → (next crawl).
+  */
+object CrawlQueries {
+
+  // ---- robots.txt parse, pinned ------------------------------------
+  //
+  // DuckDB has no robots parser, so q_robots_rules follows the WARC
+  // pinned-row pattern: the REAL line fold runs over a constant
+  // multi-group fixture exercising comments, CRLF, multi-agent groups,
+  // empty paths, unknown directives and group restarts; the oracle
+  // carries the expected (agent, rtype, path, delay) rows. RobotsSpec
+  // asserts the same semantics locally first.
+
+  private[graft] val RobotsFixture: String =
+    "# graft crawl policy\r\n" +
+      "User-agent: graftbot\n" +
+      "User-agent: newsbot # co-grouped\n" +
+      "Disallow: /private/\n" +
+      "Allow: /private/ok\n" +
+      "Crawl-delay: 2.5\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "Disallow: /tmp/\n" +
+      "Unknown-directive: ignored\n" +
+      "User-agent: latebot\n" +
+      "Disallow: /\n"
+
+  def robotsRules(s: SparkSession, dir: String): DataFrame = {
+    // through a real file read (wholetext), like every other fixture
+    // input — the plan-audit bans driver-materialized scans
+    val f = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_robots_fixture")
+    java.nio.file.Files.createDirectories(f)
+    java.nio.file.Files.write(f.resolve("robots.txt"),
+      RobotsFixture.getBytes("UTF-8"))
+    s.read.option("wholetext", "true").text(f.toString)
+      .select(col("value").as("txt"))
+      .select(explode(Robots.robotsRules(col("txt"))).as("r"))
+      .select(col("r.agent").as("agent"), col("r.rtype").as("rtype"),
+        col("r.path").as("path"), col("r.delay").as("delay"))
+  }
+
+  val robotsRulesSql: String =
+    """SELECT * FROM (VALUES
+      |  ('graftbot', 'disallow', '/private/', CAST(NULL AS DOUBLE)),
+      |  ('newsbot', 'disallow', '/private/', CAST(NULL AS DOUBLE)),
+      |  ('graftbot', 'allow', '/private/ok', CAST(NULL AS DOUBLE)),
+      |  ('newsbot', 'allow', '/private/ok', CAST(NULL AS DOUBLE)),
+      |  ('graftbot', 'crawl-delay', '', 2.5),
+      |  ('newsbot', 'crawl-delay', '', 2.5),
+      |  ('*', 'disallow', '/tmp/', CAST(NULL AS DOUBLE)),
+      |  ('latebot', 'disallow', '/', CAST(NULL AS DOUBLE))
+      |) AS t(agent, rtype, path, delay)""".stripMargin
+
+  // ---- deterministic per-domain robots text -------------------------
+  //
+  // Each registrable domain srcN.{com|co.uk} publishes a policy keyed
+  // on N (the linkage-dirty-feed pattern: both engines know the
+  // construction; the operator under audit is the parse + RFC
+  // evaluation, which only the Spark side runs — the oracle replays
+  // the EFFECTIVE semantics closed-form, honest because the parser
+  // itself is pinned by q_robots_rules):
+  //   N %% 5 == 0 → a graftbot-specific group disallowing everything
+  //   N %% 3 == 0 → *: Disallow /doc/ but Allow /doc/2 (ids over 2…)
+  //   N %% 3 == 1 → *: empty Disallow (allow all)
+  //   N %% 3 == 2 → *: Disallow /private/ (matches nothing here)
+  //   every * group: Crawl-delay (N %% 4) + 1 seconds
+
+  private[graft] def domainN(domain: Column): Column =
+    regexp_extract(domain, "([0-9]+)", 1).cast("long")
+
+  private[graft] def robotsTxtFor(domain: Column): Column = {
+    val n = domainN(domain)
+    concat(
+      when(n % 5 === 0,
+        lit("User-agent: graftbot\nDisallow: /\n\n")).otherwise(lit("")),
+      lit("User-agent: *\n"),
+      lit("Crawl-delay: "), ((n % 4) + 1).cast("string"), lit("\n"),
+      when(n % 3 === 0, lit("Disallow: /doc/\nAllow: /doc/2\n"))
+        .when(n % 3 === 1, lit("Disallow:\n"))
+        .otherwise(lit("Disallow: /private/\n")))
+  }
+
+  /** Parsed, per-domain rule table off the deterministic policy text —
+    * |domains|-bounded (20 rows in, ≤ 5 rules each out), the shape a
+    * real crawl holds broadcast after fetching every robots.txt once.
+    */
+  private[graft] def robotsRulesFor(domains: DataFrame): DataFrame =
+    domains
+      .withColumn("r", explode(Robots.robotsRules(
+        robotsTxtFor(col("domain")))))
+      .select(col("domain"), col("r.agent").as("agent"),
+        col("r.rtype").as("rtype"), col("r.path").as("path"),
+        col("r.delay").as("delay"))
+
+  /** Every derived document URL gated as `graftbot` against its
+    * domain's parsed policy: per-domain URL counts, allowed counts,
+    * and the effective crawl delay. The rules ride a broadcast; the
+    * URL side never shuffles before the final |domains|-bounded
+    * rollup.
+    */
+  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+    val urls = WebQueries.docUrls(s, dir).select(
+      col("doc_id"),
+      UrlFunctions.registrableDomain(UrlFunctions.hostOf(col("url")))
+        .as("domain"),
+      regexp_extract(col("url"), "(/doc/[0-9]+)", 1).as("path"))
+    val rules = robotsRulesFor(urls.select("domain").distinct())
+    Robots.evaluate(urls, Robots.effectiveRules(rules, "graftbot"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        count(when(col("allowed"), 1)).as("n_allowed"),
+        max(col("crawl_delay")).as("crawl_delay"))
+  }
+
+  val robotsGateSql: String =
+    s"""WITH ${WebQueries.docUrlsCte},
+      |h AS (SELECT doc_id, ${UrlFunctions.hostOfSql("url")} AS host
+      |  FROM urls),
+      |d AS (SELECT doc_id,
+      |  ${UrlFunctions.registrableDomainSql("host")} AS domain FROM h),
+      |g AS (SELECT doc_id, domain,
+      |  CAST(regexp_extract(domain, '([0-9]+)', 1) AS BIGINT) AS n FROM d)
+      |SELECT domain, count(*) AS n_urls,
+      |  CAST(count(CASE WHEN n % 5 <> 0 AND (n % 3 <> 0 OR
+      |    starts_with(CAST(doc_id AS VARCHAR), '2')) THEN 1 END) AS BIGINT)
+      |    AS n_allowed,
+      |  CASE WHEN max(n) % 5 = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE CAST((max(n) % 4) + 1 AS DOUBLE) END AS crawl_delay
+      |FROM g GROUP BY domain""".stripMargin
+
+  // ---- the crawl frontier --------------------------------------------
+
+  /** The next fetch wave, computed END-TO-END from raw segment bytes:
+    * parse the shared 16-segment crawl fixture, walk every `<a href>`
+    * ([[NativeHtml.htmlLinks]]), resolve host-relative `/doc/N` links
+    * against the linking page's host, drop already-crawled targets
+    * (anti-join on the documents table), gate the survivors against
+    * each domain's parsed robots policy as `graftbot`, rank per host
+    * by inlink count, and cap each host's wave at
+    * `floor(12 / crawl_delay)` fetches — the politeness budget. At
+    * 100 TB this is exactly the frontier job a production crawler
+    * runs between waves: map-only parse, one distinct, one |frontier|
+    * aggregate, a broadcast robots join and one bounded per-host
+    * window.
+    */
+  def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val segPath = WebQueries.crawlSegments(s, dir)
+    val host = UrlFunctions.hostOf(col("url"))
+    val edges = Warc.records(s, segPath)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("src"),
+        host.as("host"),
+        UrlFunctions.registrableDomain(host).as("domain"),
+        explode(NativeHtml.htmlLinks(decode(col("body"), "UTF-8")))
+          .as("href"))
+      .filter(col("href").rlike("^/doc/[0-9]+$"))
+      .select(col("src"), col("host"), col("domain"),
+        regexp_extract(col("href"), "^/doc/([0-9]+)$", 1).cast("long")
+          .as("dst"))
+      .distinct()
+    val candidates = edges
+      .join(t(s, dir, "documents").select(col("doc_id")),
+        col("dst") === col("doc_id"), "left_anti")
+      .groupBy("host", "domain", "dst")
+      .agg(count(lit(1)).as("indegree"))
+      .withColumn("path", concat(lit("/doc/"), col("dst").cast("string")))
+    val rules = robotsRulesFor(candidates.select("domain").distinct())
+    val gated = Robots.evaluate(candidates,
+        Robots.effectiveRules(rules, "graftbot"))
+      .filter(col("allowed"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("indegree").desc, col("dst"))
+    gated
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= floor(lit(12.0) / col("crawl_delay")))
+      .select("host", "dst", "indegree", "rank")
+  }
+
+  val crawlFrontierSql: String =
+    s"""WITH ${WebQueries.docUrlsCte},
+      |hh AS (SELECT doc_id, ${UrlFunctions.hostOfSql("url")} AS host
+      |  FROM urls),
+      |hd AS (SELECT doc_id,  host,
+      |  ${UrlFunctions.registrableDomainSql("host")} AS domain FROM hh),
+      |raw AS (
+      |  SELECT doc_id AS src, host, domain, (doc_id*7+1) % 1000 AS dst
+      |    FROM hd
+      |  UNION
+      |  SELECT doc_id, host, domain, (doc_id*13+3) % 1000 FROM hd),
+      |deg AS (SELECT host, domain, dst, count(*) AS indegree FROM raw
+      |  WHERE dst NOT IN (SELECT doc_id FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |g AS (SELECT *,
+      |  CAST(regexp_extract(domain, '([0-9]+)', 1) AS BIGINT) AS n FROM deg),
+      |allowed AS (SELECT * FROM g WHERE n % 5 <> 0 AND (n % 3 <> 0 OR
+      |  starts_with(CAST(dst AS VARCHAR), '2'))),
+      |ranked AS (SELECT host, dst, indegree,
+      |  row_number() OVER (PARTITION BY host
+      |    ORDER BY indegree DESC, dst) AS rnk,
+      |  (n % 4) + 1 AS delay FROM allowed)
+      |SELECT host, dst, CAST(indegree AS BIGINT) AS indegree,
+      |  CAST(rnk AS BIGINT) AS rank
+      |FROM ranked WHERE rnk <= floor(12.0 / delay)""".stripMargin
+}

@@ -669,7 +669,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // ways (2 hash-repartition pairs) + the rollup union
       "q_table_changes" -> 6,
       // post-compaction pruned read + ONE rollup exchange
-      "q_table_compact" -> 1)
+      "q_table_compact" -> 1,
+      // one constant row through the line fold: map-only
+      "q_robots_rules" -> 0,
+      // rules side: domain distinct + group-selection window + per-
+      // domain fold (all |domains|-bounded); URL side: zero shuffles
+      // to the gate, ONE final domain rollup
+      "q_robots_gate" -> 4,
+      // edge distinct + (host,dst) indegree + bounded rules side
+      // (distinct/window/fold) + ONE per-host politeness window; the
+      // documents anti-join broadcasts
+      "q_crawl_frontier" -> 7)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet
