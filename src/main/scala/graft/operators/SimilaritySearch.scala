@@ -115,6 +115,92 @@ object SimilaritySearch {
       .toDF("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Margin-based bitext mining (the Artetxe & Schwenk margin-kNN
+    * criterion): candidate translation pairs between embedding sides
+    * `xs` and `ys`, scored by
+    * `margin(x, y) = cos(x, y) / ((avgKnn(x→Y) + avgKnn(y→X)) / 2)` —
+    * the ratio of the pair's similarity to each endpoint's local
+    * similarity neighborhood, which kills hub vectors that are "close
+    * to everything". Mined pairs are MUTUAL bests: y is x's
+    * highest-margin neighbor AND x is the best x claiming that y
+    * (forward "max" strategy + a per-y dedup), with `margin >=
+    * minMargin`.
+    *
+    * Determinism for the cross-engine gate: per-pair cosines round to
+    * 6 dp first; the k-NN neighborhood sums accumulate those rounded
+    * values as DECIMAL(18,6) (exact, order-independent); the margin is
+    * one fixed-shape double expression over the exact sums, rounded to
+    * 6 dp.
+    *
+    * Scale shape: BOTH sides are corpus-scale in real bitext mining
+    * (two monolingual crawls), so candidate generation is LSH-bucketed
+    * — random-hyperplane signatures on both sides, one EQUI join on
+    * the bucket label (never an all-pairs or broadcast-nested-loop
+    * stage), and the forward/backward k-NN neighborhoods are windows
+    * over the same scored candidate set, partitioned by x / y id.
+    * The neighborhoods (and therefore the margins) are approximate
+    * exactly the way production margin-kNN is: relative to the
+    * LSH-candidate set, with recall bought via `numBits`/`numTables`.
+    * Sides must carry DISJOINT ids. Output: x_id, y_id, cos_sim,
+    * margin.
+    */
+  def mineBitext(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minMargin: Double = 0.0,
+      numBits: Int = 8,
+      numTables: Int = 2): DataFrame = {
+    def sigs(df: DataFrame, idAlias: String, vecAlias: String) = {
+      val n = normalizedSide(df, idCol, idAlias, vecCol, vecAlias)
+      n.select(col(idAlias), col(vecAlias),
+        explode(array((0 until numTables).map { t =>
+          concat_ws(":", lit(t),
+            NativeVector.hyperplaneSig(col(vecAlias), numBits,
+              seed = 42L + t * 7919L))
+        }: _*)).as("bucket"))
+    }
+    val pairs = sigs(ys, "y_id", "y_vec")
+      .join(sigs(xs, "x_id", "x_vec"), Seq("bucket"))
+      .select(col("x_id"), col("y_id"),
+        round(NativeVector.dot(col("x_vec"), col("y_vec")), 6).as("cos_sim"))
+      .dropDuplicates("x_id", "y_id")
+    val wFwd = Window.partitionBy("x_id")
+      .orderBy(col("cos_sim").desc, col("y_id"))
+    val wBwd = Window.partitionBy("y_id")
+      .orderBy(col("cos_sim").desc, col("x_id"))
+    val fwd = pairs.withColumn("_rf", row_number().over(wFwd))
+      .filter(col("_rf") <= k)
+    val bwd = pairs.withColumn("_rb", row_number().over(wBwd))
+      .filter(col("_rb") <= k)
+    val dec = col("cos_sim").cast("decimal(18,6)")
+    val avgX = fwd.groupBy("x_id")
+      .agg(sum(dec).as("x_sum"), count(lit(1)).as("x_n"))
+    val avgY = bwd.groupBy("y_id")
+      .agg(sum(dec).as("y_sum"), count(lit(1)).as("y_n"))
+    val margin = round(
+      col("cos_sim") /
+        ((col("x_sum").cast("double") / col("x_n") +
+          col("y_sum").cast("double") / col("y_n")) / 2.0), 6)
+    val scored = fwd
+      .join(avgX, Seq("x_id"))
+      .join(avgY, Seq("y_id"))
+      .withColumn("margin", margin)
+      .filter(col("margin") >= minMargin)
+    val bestY = org.apache.spark.sql.expressions.Window
+      .partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    val bestX = org.apache.spark.sql.expressions.Window
+      .partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+    scored
+      .withColumn("_ry", row_number().over(bestY))
+      .filter(col("_ry") === 1)
+      .withColumn("_rx", row_number().over(bestX))
+      .filter(col("_rx") === 1)
+      .select("x_id", "y_id", "cos_sim", "margin")
+  }
+
   /** Window-based reference formulation of [[bruteForceTopK]] (same
     * results; full-shuffle plan). Kept for parity testing and for
     * callers that want the WindowGroupLimit path.

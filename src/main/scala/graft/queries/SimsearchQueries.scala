@@ -32,6 +32,77 @@ object SimsearchQueries {
       |  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Margin-kNN bitext mining ([[SimilaritySearch.mineBitext]]): the
+    * label-parity halves of the embedding table stand in for the two
+    * language sides; candidate pairs come from the LSH bucket join
+    * (both sides corpus-scale — never all-pairs), mined pairs are
+    * mutual margin-bests with the k=4 neighborhood criterion. The
+    * margin's neighborhood sums accumulate 6-dp-rounded cosines as
+    * DECIMAL(18,6), so the DuckDB replay — same sha-256-derived
+    * planes, same bucket labels, same windows — is exact.
+    */
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.mineBitext(
+      e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+      "vec_id", "embedding", k = 4)
+  }
+
+  /** numBits = 8, numTables = 2, seeds 42 + t*7919 — keep in sync with
+    * [[graft.operators.SimilaritySearch.mineBitext]] defaults.
+    */
+  val bitextMineSql: String =
+    """WITH n AS (SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> v / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) > 0),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT tt.t AS t, bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:' || CAST(42 + tt.t * 7919 AS VARCHAR) || ':' ||
+      |          CAST(bb.b AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 2) AS tt(t) CROSS JOIN range(0, 8) AS bb(b) CROSS JOIN d),
+      |sigs AS (
+      |  SELECT n.vec_id, n.label, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id, n.label, p.t),
+      |bkt AS (SELECT vec_id, label,
+      |    CAST(t AS VARCHAR) || ':' || CAST(sig AS VARCHAR) AS bucket FROM sigs),
+      |scored AS (SELECT DISTINCT xb.vec_id AS x_id, yb.vec_id AS y_id,
+      |    round(list_dot_product(xn.nv, yn.nv), 6) AS cos_sim
+      |  FROM (SELECT * FROM bkt WHERE label % 2 = 0) xb
+      |  JOIN (SELECT * FROM bkt WHERE label % 2 = 1) yb USING (bucket)
+      |  JOIN n xn ON xb.vec_id = xn.vec_id
+      |  JOIN n yn ON yb.vec_id = yn.vec_id),
+      |fwd AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |  ORDER BY cos_sim DESC, y_id) AS rn FROM scored),
+      |bwd AS (SELECT *, row_number() OVER (PARTITION BY y_id
+      |  ORDER BY cos_sim DESC, x_id) AS rn FROM scored),
+      |ax AS (SELECT x_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS x_sum,
+      |  count(*) AS x_n FROM fwd WHERE rn <= 4 GROUP BY 1),
+      |ay AS (SELECT y_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS y_sum,
+      |  count(*) AS y_n FROM bwd WHERE rn <= 4 GROUP BY 1),
+      |cand AS (SELECT f.x_id, f.y_id, f.cos_sim,
+      |    round(f.cos_sim / ((CAST(ax.x_sum AS DOUBLE) / ax.x_n +
+      |      CAST(ay.y_sum AS DOUBLE) / ay.y_n) / 2.0), 6) AS margin
+      |  FROM fwd f JOIN ax USING (x_id) JOIN ay USING (y_id)
+      |  WHERE f.rn <= 4),
+      |-- minMargin = 0.0 applies BEFORE the mutual windows (a below-
+      |-- threshold candidate cannot win an endpoint), mirroring mineBitext
+      |thresholded AS (SELECT * FROM cand WHERE margin >= 0.0),
+      |besty AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |  ORDER BY margin DESC, y_id) AS ry FROM thresholded),
+      |bestx AS (SELECT *, row_number() OVER (PARTITION BY y_id
+      |  ORDER BY margin DESC, x_id) AS rx FROM besty WHERE ry = 1)
+      |SELECT x_id, y_id, cos_sim, margin FROM bestx WHERE rx = 1""".stripMargin
+
   /** IVF (inverted-file) ANN with an UNTRAINED quantizer (iters=0):
     * centroids are the normalized vectors of the k smallest ids, so —
     * unlike the Lloyd-trained model, whose float cluster means depend

@@ -129,6 +129,43 @@ object TableQueries {
         max(col("l_orderkey")).as("max_key"))
   }
 
+  /** Exactly-once streaming appends PLUS full-history CDC, proved by
+    * one hash: three micro-batches land through the streaming
+    * `txn`-guarded commit path, batch 1 is then REPLAYED (the
+    * at-least-once delivery a real foreachBatch engine gives after a
+    * crash) and must be skipped, and the change feed bootstrapped from
+    * `fromVersion = -1` must reconstruct exactly the source table —
+    * one extra or missing row in any batch breaks the oracle.
+    */
+  def tableStreamFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_stream_table_feed")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val batches = (0L until 3L).map(k =>
+      orders.filter(col("o_orderkey") % 3 === k))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VersionedTable.streamCommit(b, root, "feed", i.toLong)
+    }
+    // the engine redelivers batch 1 after a simulated crash: the txn
+    // record must skip it, or version 3 appears and n_rows doubles
+    VersionedTable.streamCommit(batches(1), root, "feed", 1L)
+    val latest = VersionedTable.latestVersion(s, root).get
+    VersionedTable.changes(s, root, -1L, latest)
+      .groupBy(col("_commit_version").as("commit_version"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("_change_type")).as("change_type"), // all-insert, hashed
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("mass"))
+  }
+
+  val tableStreamFeedSql: String =
+    """SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+      |  count(*) AS n_rows,
+      |  'insert' AS change_type,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM orders GROUP BY 1""".stripMargin
+
   val tableCompactSql: String =
     """SELECT l_linestatus, count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

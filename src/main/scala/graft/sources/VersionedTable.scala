@@ -691,14 +691,19 @@ object VersionedTable {
     *     row-tracking metadata, so point a CDC consumer at append/
     *     compact tables and treat overwrite as a rebuild barrier.
     *
-    * Requires manifests for every version in [from, to] (vacuum
-    * retention must cover the range) and a stable schema across it.
+    * Requires manifests for every version in [max(from, 0), to]
+    * (vacuum retention must cover the range) and a stable schema
+    * across it. `fromVersion = -1` starts BEFORE the first commit, so
+    * version 0's rows stream as inserts too (the Delta
+    * `startingVersion = 0` convention) — the full-history replay an
+    * incremental consumer bootstraps from.
     */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
+    require(fromVersion >= -1L, s"fromVersion must be >= -1, got $fromVersion")
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val manifests = (fromVersion to toVersion)
+    val manifests = (math.max(fromVersion, 0L) to toVersion)
       .map(v => v -> manifest(spark, root, v)).toMap
     val schemas = manifests.values.flatMap(_.schemaJson).toSet
     require(schemas.size <= 1,
@@ -706,18 +711,21 @@ object VersionedTable {
         "read full snapshots instead")
     val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
       val cur = manifests(v)
-      val prev = manifests(v - 1)
+      val prevFiles: Seq[String] =
+        if (v == 0L) Nil else manifests(v - 1).files
       cur.mode match {
         case "compact" => None // data-identical by contract
         case "append" =>
-          val added = cur.files.filterNot(prev.files.toSet)
+          val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None
           else Some(readFiles(spark, root, cur, added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case _ => // overwrite: full multiset diff of the two snapshots
-          val before = readManifest(spark, root, prev, None)
           val after = readManifest(spark, root, cur, None)
+          val before =
+            if (v == 0L) after.limit(0)
+            else readManifest(spark, root, manifests(v - 1), None)
           val ins = after.exceptAll(before)
             .withColumn("_change_type", lit("insert"))
           val del = before.exceptAll(after)

@@ -670,6 +670,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_table_changes" -> 6,
       // post-compaction pruned read + ONE rollup exchange
       "q_table_compact" -> 1,
+      // append-only CDC feed: three file reads unioned + ONE rollup
+      "q_stream_table_feed" -> 1,
+      // two k-bounded topK aggregations (map-side combined), two
+      // neighborhood-sum rollups, the margin joins keyed on x/y ids
+      // and two <=k-row per-endpoint windows
+      "q_bitext_mine" -> 10,
       // one constant row through the line fold: map-only
       "q_robots_rules" -> 0,
       // rules side: domain distinct + group-selection window + per-

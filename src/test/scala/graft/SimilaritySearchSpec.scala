@@ -146,6 +146,40 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(rows.toSet === wide)
   }
 
+  test("mineBitext pairs identical vectors mutually and downweights hubs") {
+    // X side: x0 has an exact translation (y10); x1 only hub-matches.
+    // y12 is a HUB: moderately close to BOTH x0 and x1 — the margin
+    // criterion must not hand it to two queries (mutual-best dedup)
+    // and must prefer the exact pair for x0.
+    val xs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (10L, Array(1f, 0f, 0f)), // exact match of x0
+      (11L, Array(0f, 0.9f, 0.1f)), // near match of x1
+      (12L, Array(0.7f, 0.7f, 0.14f))) // hub
+      .toDF("vec_id", "embedding")
+    // numBits = 1 / 4 tables: near-exhaustive buckets, so this tiny
+    // fixture exercises the margin logic, not LSH recall
+    val mined = SimilaritySearch.mineBitext(xs, ys, "vec_id", "embedding",
+      k = 2, numBits = 1, numTables = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // every x and y appears at most once (mutual-best)
+    assert(mined.map(_._1).distinct.length === mined.length)
+    assert(mined.map(_._2).distinct.length === mined.length)
+    val byX = mined.map(t => t._1 -> t).toMap
+    assert(byX(0L)._2 === 10L, s"x0 must mine its exact pair, got $mined")
+    assert(byX(0L)._3 === 1.0)
+    assert(byX(1L)._2 === 11L, s"x1 must mine y11, not the hub, got $mined")
+    // identical vectors score above their neighborhood: margin > 1
+    assert(byX(0L)._4 > 1.0)
+    // minMargin filters below-threshold pairs
+    val strict = SimilaritySearch.mineBitext(xs, ys, "vec_id", "embedding",
+      k = 2, minMargin = byX(1L)._4 + 0.001, numBits = 1, numTables = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(!strict.exists(_._1 == 1L))
+  }
+
   test("lshNearDupCounts plan has no nested-loop join") {
     val corpus = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val plan = SimilaritySearch.lshNearDupCounts(

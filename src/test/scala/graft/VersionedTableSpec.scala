@@ -305,6 +305,14 @@ class VersionedTableSpec extends SparkSpec {
     val none = VersionedTable.changes(spark, root, 1L, 1L)
     assert(none.count() === 0L)
     assert(none.columns.contains("_change_type"))
+    // fromVersion = -1 bootstraps the FULL history: v0's rows stream
+    // as inserts too (Delta's startingVersion = 0 convention)
+    val boot = VersionedTable.changes(spark, root, -1L, 1L)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(boot === Seq(
+      (0L, "insert", 1L), (0L, "insert", 2L), (1L, "insert", 3L)))
   }
 
   test("q_scd_status runs identically off a manifest-pinned read") {
