@@ -53,7 +53,16 @@ object Soak {
     // heaviest live-engine gate (transformWithState + RocksDB state
     // store through real file micro-batches) — the r13 additions the
     // r13 verdict asked to see committed 10x ratios for
-    "q_entity_clusters", "q_stream_live_scd")
+    "q_entity_clusters", "q_stream_live_scd",
+    // the r14 storage + crawl paths: the versioned commit (stage,
+    // stats scan, zone-map-pruned read) and the raw-bytes frontier
+    // (segment parse, link distinct, robots gate, per-host caps) must
+    // both scale linearly in the corpus. q_bitext_mine is deliberately
+    // NOT soaked: its LSH in-bucket candidate volume is quadratic at
+    // FIXED numBits — the operator's contract is that bits grow
+    // ~log2(corpus/bucket-target), which the oracle pins at fixture
+    // scale (see mineBitext's scaladoc)
+    "q_table_skipping", "q_crawl_frontier")
 
   /** The second scale point (default 20×) for the iterative graph
     * pair: k-core peel depth can grow with the scaled graph's

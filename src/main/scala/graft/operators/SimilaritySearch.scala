@@ -143,6 +143,12 @@ object SimilaritySearch {
     * LSH-candidate set, with recall bought via `numBits`/`numTables`.
     * Sides must carry DISJOINT ids. Output: x_id, y_id, cos_sim,
     * margin.
+    *
+    * SIZING CONTRACT: in-bucket candidate volume is Σ_b |X_b|·|Y_b| —
+    * quadratic in bucket density, so `numBits` must grow with the
+    * corpus (≈ log2(n / target-bucket-size); each extra bit halves
+    * expected bucket size). The defaults fit the fixture scale; a
+    * corpus-scale run sizes bits from a corpus count first.
     */
   def mineBitext(
       xs: DataFrame,

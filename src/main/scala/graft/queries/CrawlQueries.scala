@@ -148,6 +148,58 @@ object CrawlQueries {
       |    ELSE CAST((max(n) % 4) + 1 AS DOUBLE) END AS crawl_delay
       |FROM g GROUP BY domain""".stripMargin
 
+  // ---- canonical-URL dedup ---------------------------------------------
+
+  /** The FIRST dedup stage of any real crawl: the same page arrives
+    * under many raw URLs (tracking params, fragments, case variants),
+    * and collapsing on the CANONICAL form — before any content hashing
+    * — removes refetch duplicates for the cost of one map-only rewrite
+    * plus one keyed window. Fixture: every document URL arrives in two
+    * raw variants (as-is, and with appended tracking params and a
+    * fragment); both canonicalize identically, the window keeps the
+    * lowest variant, and the per-domain rollup proves 2→1 collapse
+    * with the kept-set fingerprint (sum of kept doc ids × variants).
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = WebQueries.docUrls(s, dir).select("doc_id", "url")
+    val variants = base.select(col("doc_id"), lit(0L).as("variant"),
+        col("url"))
+      .unionAll(base.select(col("doc_id"), lit(1L).as("variant"),
+        concat(col("url"),
+          when(col("url").contains("?"), lit("&gclid=x#ref"))
+            .otherwise(lit("?utm_medium=social#ref"))).as("url")))
+    val canon = variants
+      .withColumn("canonical", UrlFunctions.canonicalizeUrl(col("url")))
+      .withColumn("domain", UrlFunctions.registrableDomain(
+        UrlFunctions.hostOf(col("url"))))
+    val w = Window.partitionBy("canonical")
+      .orderBy(col("variant"), col("doc_id"))
+    canon
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("_rn") === 1, 1)).as("n_canonical"),
+        sum(when(col("_rn") === 1, col("doc_id"))).as("kept_ids"),
+        sum(when(col("_rn") === 1, col("variant"))).as("kept_variants"))
+  }
+
+  /** Both variants of a doc canonicalize identically, so per domain:
+    * raw = 2×docs, canonical = docs, kept = variant-0 rows only.
+    */
+  val urlDedupSql: String =
+    s"""WITH ${WebQueries.docUrlsCte},
+      |h AS (SELECT doc_id, ${UrlFunctions.hostOfSql("url")} AS host
+      |  FROM urls),
+      |d AS (SELECT doc_id,
+      |  ${UrlFunctions.registrableDomainSql("host")} AS domain FROM h)
+      |SELECT domain, CAST(2 * count(*) AS BIGINT) AS n_raw,
+      |  CAST(count(*) AS BIGINT) AS n_canonical,
+      |  CAST(sum(doc_id) AS BIGINT) AS kept_ids,
+      |  CAST(0 AS BIGINT) AS kept_variants
+      |FROM d GROUP BY domain""".stripMargin
+
   // ---- the crawl frontier --------------------------------------------
 
   /** The next fetch wave, computed END-TO-END from raw segment bytes:

@@ -541,6 +541,21 @@ object VersionedTable {
     }
   }
 
+  /** Metadata-only COUNT(*): the snapshot's row count summed off the
+    * manifest's per-file stats — zero data files opened (the Delta
+    * trick that answers `SELECT count(*)` from the log). None when any
+    * file lacks stats (an unstatted commit landed in the lineage);
+    * fall back to counting the read then.
+    */
+  def rowCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val counts = m.files.map(m.stats.get(_).map(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** The manifest's file list split by `predicate` against the zone
     * maps: (kept, dropped). Files without stats are always kept.
     * Exposed for pruning-effectiveness assertions; [[readWhere]] is

@@ -685,7 +685,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // edge distinct + (host,dst) indegree + bounded rules side
       // (distinct/window/fold) + ONE per-host politeness window; the
       // documents anti-join broadcasts
-      "q_crawl_frontier" -> 7)
+      "q_crawl_frontier" -> 7,
+      // ONE canonical-key window (<=2-row partitions) + domain rollup
+      "q_url_dedup" -> 2)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

@@ -155,6 +155,11 @@ class VersionedTableSpec extends SparkSpec {
     // unprunable shapes keep every file and still answer correctly
     assert(VersionedTable.readWhere(spark, root, length(col("s")) === 1)
       .count() === 6L)
+    // metadata-only COUNT(*): summed off the manifest, no files opened
+    assert(VersionedTable.rowCount(spark, root) === Some(6L))
+    // an unstatted commit in the lineage -> None (fall back to a scan)
+    VersionedTable.commit(Seq((30L, "z")).toDF("id", "s"), root)
+    assert(VersionedTable.rowCount(spark, root).isEmpty)
   }
 
   test("skipping is SOUND across predicate shapes (pruned == unpruned filtered)") {
