@@ -129,6 +129,44 @@ object TableQueries {
         max(col("l_orderkey")).as("max_key"))
   }
 
+  /** Multi-dimensional data skipping: lineitem is Z-ORDER clustered on
+    * (l_orderkey, l_partkey) before the commit ([[graft.operators
+    * .ZOrder.cluster]] — Delta's `OPTIMIZE ZORDER BY` role), so the
+    * manifest's zone maps are tight in BOTH dimensions and the
+    * measured read prunes on a conjunction over both — where a
+    * single-column sort only ever prunes its leading dimension. The
+    * aggregate must still equal the oracle's direct filtered scan.
+    */
+  def tableZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_zorder")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    VersionedTable.commit(
+      graft.operators.ZOrder.cluster(li,
+        Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 16),
+      root, statsColumns = Seq("l_orderkey", "l_partkey"))
+    VersionedTable.readWhere(s, root,
+        col("l_orderkey") < 4000L && col("l_partkey") >= 1500L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_orderkey")).as("max_order"))
+  }
+
+  val tableZorderSql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(l_partkey) AS min_part,
+      |  max(l_orderkey) AS max_order
+      |FROM lineitem
+      |WHERE l_orderkey < 4000 AND l_partkey >= 1500""".stripMargin
+
   /** Exactly-once streaming appends PLUS full-history CDC, proved by
     * one hash: three micro-batches land through the streaming
     * `txn`-guarded commit path, batch 1 is then REPLAYED (the

@@ -670,6 +670,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_table_changes" -> 6,
       // post-compaction pruned read + ONE rollup exchange
       "q_table_compact" -> 1,
+      // z-pruned read + ONE grand-aggregate exchange (the z-cluster's
+      // range exchange ran at table-build time, not here)
+      "q_table_zorder" -> 1,
       // append-only CDC feed: three file reads unioned + ONE rollup
       "q_stream_table_feed" -> 1,
       // two k-bounded topK aggregations (map-side combined), two

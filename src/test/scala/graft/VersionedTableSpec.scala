@@ -214,6 +214,38 @@ class VersionedTableSpec extends SparkSpec {
       spark, root, col("ts") < "2024-02-01 00:00:00").count() === 1L)
   }
 
+  test("z-order clustering prunes on BOTH dimensions; a 1-D sort only on its own") {
+    // 32x32 grid of (x, y): z-order into 16 files -> each file covers
+    // a compact 2-D tile, so a range on EITHER axis drops most files.
+    // The single-column-sorted control prunes on x but NOT on y.
+    val grid = spark.range(0, 1024L).toDF("i")
+      .select((col("i") % 32).as("x"), (col("i") / 32).cast("long").as("y"))
+    val zRoot = freshRoot()
+    VersionedTable.commit(
+      graft.operators.ZOrder.cluster(grid, Seq("x", "y"), bits = 5,
+        numFiles = 16),
+      zRoot, statsColumns = Seq("x", "y"))
+    val sRoot = freshRoot()
+    VersionedTable.commit(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      sRoot, statsColumns = Seq("x", "y"))
+    def kept(root: String, p: org.apache.spark.sql.Column): Int =
+      VersionedTable.pruneFiles(spark, root, p)._1.size
+    // x-range: both layouts prune
+    assert(kept(zRoot, col("x") < 8L) < 16)
+    assert(kept(sRoot, col("x") < 8L) < 16)
+    // y-range: ONLY the z-ordered layout prunes (the control's files
+    // each span the full y domain)
+    assert(kept(zRoot, col("y") < 8L) < 16,
+      "z-order failed to prune on the second dimension")
+    assert(kept(sRoot, col("y") < 8L) === 16,
+      "the 1-D control unexpectedly pruned on y — fixture broken")
+    // and the pruned reads stay exact on both layouts
+    val p = col("x") < 8L && col("y") >= 24L
+    assert(VersionedTable.readWhere(spark, zRoot, p).count() === 8L * 8L)
+    assert(VersionedTable.readWhere(spark, sRoot, p).count() === 8L * 8L)
+  }
+
   // ---- schema pinning ---------------------------------------------------
 
   test("append with an incompatible schema fails loudly; overwrite may evolve") {
