@@ -146,7 +146,7 @@ object TableQueries {
         Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 16),
       root, statsColumns = Seq("l_orderkey", "l_partkey"))
     VersionedTable.readWhere(s, root,
-        col("l_orderkey") < 4000L && col("l_partkey") >= 1500L)
+        col("l_orderkey") < 1000L && col("l_partkey") >= 100L)
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -165,7 +165,7 @@ object TableQueries {
       |  min(l_partkey) AS min_part,
       |  max(l_orderkey) AS max_order
       |FROM lineitem
-      |WHERE l_orderkey < 4000 AND l_partkey >= 1500""".stripMargin
+      |WHERE l_orderkey < 1000 AND l_partkey >= 100""".stripMargin
 
   /** Exactly-once streaming appends PLUS full-history CDC, proved by
     * one hash: three micro-batches land through the streaming

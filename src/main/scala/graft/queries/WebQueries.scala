@@ -368,19 +368,29 @@ object WebQueries {
     segPath
   }
 
-  def crawlIngest(s: SparkSession, dir: String): DataFrame = {
-    val segPath = crawlSegments(s, dir)
-    // the measured pipeline: raw segments back to a domain rollup
+  /** Raw WARC records → (doc_id, domain, extracted): the per-record
+    * projection both the batch ingest and the STREAMING ingest's
+    * per-batch body run (boilerplate extraction + host/domain
+    * derivation; map-only).
+    */
+  private[graft] def extractedDocs(records: DataFrame): DataFrame = {
     val ex = NativeHtml.htmlExtract(decode(col("body"), "UTF-8"))
     val host = UrlFunctions.hostOf(col("url"))
-    val parsed = Warc.records(s, segPath)
+    records
       .filter(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
           .as("doc_id"),
         UrlFunctions.registrableDomain(host).as("domain"),
         ex.getField("text").as("extracted"))
-    parsed
+  }
+
+  /** The per-domain recovery rollup over extracted docs — shared by
+    * the batch and streaming ingest gates (same oracle).
+    */
+  private[graft] def recoveryRollup(
+      docs: DataFrame, s: SparkSession, dir: String): DataFrame =
+    docs
       .join(t(s, dir, "documents").select(col("doc_id"), col("text")),
         Seq("doc_id"))
       .groupBy("domain")
@@ -390,6 +400,52 @@ object WebQueries {
           .as("n_recovered"),
         sum(when(col("extracted") === col("text"), length(col("text"))))
           .cast("long").as("recovered_chars"))
+
+  def crawlIngest(s: SparkSession, dir: String): DataFrame = {
+    val segPath = crawlSegments(s, dir)
+    // the measured pipeline: raw segments back to a domain rollup
+    recoveryRollup(extractedDocs(Warc.records(s, segPath)), s, dir)
+  }
+
+  /** The crawl ingest LIVE: segments arrive as binaryFile micro-batches
+    * through the real engine (AvailableNow, 4 files per trigger), each
+    * batch parses + extracts with the SAME per-record projection as the
+    * batch path and lands in a [[graft.sources.VersionedTable]] via the
+    * txn-guarded streaming commit — exactly-once even if the engine
+    * replays a batch. The final rollup reads the versioned table's
+    * latest snapshot and must hash-equal q_crawl_ingest's oracle: a
+    * duplicated batch append, a lost segment, or an extraction drift
+    * between the batch and streaming bodies all break it. This is the
+    * shape a production crawler runs continuously: segments in, a
+    * versioned documents table out.
+    */
+  def streamCrawlIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val segPath = crawlSegments(s, dir)
+    val root = StreamGateQueries.tempRoot("graft_q_stream_crawl_tbl")
+    val ckpt = StreamGateQueries.tempRoot("graft_q_stream_crawl_ckpt")
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val stream = s.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", 4)
+      .schema(binarySchema)
+      .load(segPath)
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.VersionedTable.streamCommit(
+          extractedDocs(Warc.recordsOf(batch)), root, "crawl", batchId)
+        ()
+      }
+      .start().awaitTermination()
+    recoveryRollup(
+      graft.sources.VersionedTable.read(s, root), s, dir)
   }
 
   /** The crawl's LINK GRAPH recovered from raw bytes: parse the same

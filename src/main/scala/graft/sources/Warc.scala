@@ -67,15 +67,23 @@ object Warc {
     * input row (= one segment) per task; records stream out of a lazy
     * inflating iterator.
     */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val bin: Dataset[(String, Array[Byte])] = spark.read
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsOf(spark.read
       .format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-    bin.flatMap { case (file, bytes) => parseSegment(file, bytes) }.toDF()
+      .load(path))
+
+  /** [[records]] over an ALREADY-LOADED binaryFile frame carrying
+    * `path` and `content` columns — the entry a STREAMING ingest's
+    * `foreachBatch` body uses (each micro-batch of segment files
+    * parses with the identical lazy iterator; the static [[records]]
+    * delegates here).
+    */
+  def recordsOf(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => parseSegment(file, bytes) }.toDF()
   }
 
   /** Parse one segment's bytes into a lazy record iterator (exposed

@@ -662,6 +662,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_stream_domain_stats" -> 2,
       // ONE distinct on the extracted edge list (parse/explode map-only)
       "q_link_graph" -> 1,
+      // versioned-table read + doc_id join + domain rollup (the
+      // streaming commits ran at table-build time; mirrors the
+      // q_crawl_ingest budget without the segment-parse side)
+      "q_stream_crawl_ingest" -> 4,
       // zone-map-pruned manifest read + ONE rollup exchange (the
       // range-clustered commit shuffled at table-build time, not here)
       "q_table_skipping" -> 1,
