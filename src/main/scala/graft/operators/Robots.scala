@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * fetched — at 100 TB crawl scale the gate runs as a broadcast join
   * against a |domains × rules|-bounded table, never per-byte work.
   *
-  * Scope (documented subset): literal path prefixes only — the `*` /
-  * `$` wildcard extension is not interpreted (a wildcard rule still
-  * parses; its path simply matches as a literal). Group selection and
-  * precedence follow the RFC: the most specific matching user-agent
-  * group is used EXCLUSIVELY (fall back to `*` only when no specific
-  * group exists), the longest matching rule path wins, Allow beats
-  * Disallow on ties, no matching rule means allowed, and an
-  * empty-path rule is a no-op.
+  * Path matching implements the full RFC 9309 §2.2.3 pattern language
+  * — implicit start anchor, `*` matching any character run, trailing
+  * `$` anchoring the pattern end — via the codegen'd
+  * [[graft.plans.NativeRobots]] kernel (per-row rule patterns would
+  * recompile a regex per row through Catalyst's `Like`). Group
+  * selection and precedence follow the RFC: the most specific matching
+  * user-agent group is used EXCLUSIVELY (fall back to `*` only when no
+  * specific group exists), the most-octets matching rule pattern wins,
+  * Allow beats Disallow on ties, no matching rule means allowed, and
+  * an empty-path rule is a no-op.
   */
 object Robots {
 
@@ -78,9 +80,13 @@ object Robots {
         .when((key === "allow" || key === "disallow") && size(agents) > 0,
           mkAcc(agents, lit(true),
             mkRules(acc, kv, key, value, lit(null).cast("double"))))
+        // try_cast: the value is untrusted fetched text and the real
+        // web writes "Crawl-delay: 1s" — under ANSI mode a plain cast
+        // would fail the whole job on one malformed line; the contract
+        // is that garbage degrades to "no delay"
         .when(key === "crawl-delay" && size(agents) > 0,
           mkAcc(agents, lit(true),
-            mkRules(acc, kv, key, lit(""), value.cast("double"))))
+            mkRules(acc, kv, key, lit(""), value.try_cast("double"))))
         .otherwise(acc)
       },
       acc => acc.getField("rules"))
@@ -113,11 +119,14 @@ object Robots {
   }
 
   /** Gate `urls` (must carry `domain` and `path` columns) against the
-    * [[effectiveRules]] table: longest matching literal prefix wins,
-    * `allow` beats `disallow` on equal length, no match → allowed.
-    * Appends `allowed` (boolean), `matched_rule` (the winning rule
-    * path, NULL when none) and `crawl_delay` (seconds, NULL when
-    * unset).
+    * [[effectiveRules]] table: RFC 9309 pattern match (`*` / trailing
+    * `$` interpreted, implicit prefix otherwise) with most-octets
+    * precedence — the longest matching rule PATTERN wins (wildcards
+    * count as octets, the RFC's "most specific match" rule as
+    * implemented by the reference Google matcher) — and `allow` beats
+    * `disallow` on equal length; no match → allowed. Appends `allowed`
+    * (boolean), `matched_rule` (the winning rule path, NULL when none)
+    * and `crawl_delay` (seconds, NULL when unset).
     *
     * Scale shape: the rules fold into ONE array row per domain
     * (|rules per domain| is tens at most for real policies) and ride
@@ -137,7 +146,8 @@ object Robots {
         max(when(col("rtype") === "crawl-delay", col("delay")))
           .as("crawl_delay"))
     val matches = filter(col("_r_rules"),
-      r => col("path").startsWith(r.getField("path")))
+      r => graft.plans.NativeRobots.robotsMatch(
+        col("path"), r.getField("path")))
     // longest path first; 'allow' < 'disallow' lexically, so the
     // ascending rtype comparison breaks equal-length ties toward allow
     // get() is 0-based and NULL out-of-bounds regardless of ANSI mode

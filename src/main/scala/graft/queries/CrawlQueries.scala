@@ -70,6 +70,74 @@ object CrawlQueries {
       |  ('latebot', 'disallow', '/', CAST(NULL AS DOUBLE))
       |) AS t(agent, rtype, path, delay)""".stripMargin
 
+  // ---- RFC 9309 wildcard evaluation, pinned --------------------------
+  //
+  // The wildcard pattern language (`*`, trailing `$`) through the REAL
+  // parse → effectiveRules → evaluate chain, against a fixture policy
+  // exercising mid-pattern stars, end anchors, most-octets precedence
+  // between allow and disallow, the allow-wins length tie, the
+  // default-allow fall-through, and a malformed crawl-delay ("1s" —
+  // must degrade to NULL under ANSI, not fail the job). DuckDB has no
+  // robots matcher, so the oracle carries the closed-form expected
+  // verdicts (the same pinned-row pattern as q_robots_rules; RobotsSpec
+  // asserts each matcher branch locally first).
+
+  private[graft] val WildcardFixture: String =
+    "User-agent: graftbot\n" +
+      "Disallow: /*?sessionid=\n" + // mid-pattern star, 13 octets
+      "Allow: /doc/*$\n" + // anchored allow, 7 octets
+      "Disallow: /doc/\n" + // literal prefix, 5 octets
+      "Disallow: /tmp/*.pdf$\n" + // star + anchor, 11 octets
+      "Allow: /tmp/keep*\n" + // trailing star, 10 octets
+      "Allow: /x/*y\n" + // 5 octets — ties the next rule
+      "Disallow: /x/a*\n" + // 5 octets — allow wins the tie
+      "Crawl-delay: 1s\n" // malformed: degrades to NULL
+
+  private[graft] val WildcardPaths = Seq(
+    "/doc/123", // allow /doc/*$ (7) beats disallow /doc/ (5)
+    "/doc/1?sessionid=9", // disallow (13) beats allow (7)
+    "/tmp/report.pdf", // anchored disallow matches
+    "/tmp/keepsake.pdf", // disallow (11) beats allow (10)
+    "/tmp/keep/a.pdfz", // $ defeats the disallow; allow matches
+    "/x/ay", // 5-octet tie: allow wins
+    "/x/ab", // only the disallow matches (no trailing y)
+    "/other") // no rule matches: default allow
+
+  def robotsWildcards(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_robots_wildcards")
+    val rf = base.resolve("policy")
+    val uf = base.resolve("paths")
+    java.nio.file.Files.createDirectories(rf)
+    java.nio.file.Files.createDirectories(uf)
+    java.nio.file.Files.write(rf.resolve("robots.txt"),
+      WildcardFixture.getBytes("UTF-8"))
+    java.nio.file.Files.write(uf.resolve("paths.txt"),
+      WildcardPaths.mkString("\n").getBytes("UTF-8"))
+    val rules = s.read.option("wholetext", "true").text(rf.toString)
+      .select(lit("wild.example").as("domain"),
+        explode(Robots.robotsRules(col("value"))).as("r"))
+      .select(col("domain"), col("r.agent").as("agent"),
+        col("r.rtype").as("rtype"), col("r.path").as("path"),
+        col("r.delay").as("delay"))
+    val urls = s.read.text(uf.toString)
+      .select(lit("wild.example").as("domain"), col("value").as("path"))
+    Robots.evaluate(urls, Robots.effectiveRules(rules, "graftbot"))
+      .select("path", "allowed", "matched_rule", "crawl_delay")
+  }
+
+  val robotsWildcardsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('/doc/123', TRUE, '/doc/*$', CAST(NULL AS DOUBLE)),
+      |  ('/doc/1?sessionid=9', FALSE, '/*?sessionid=', CAST(NULL AS DOUBLE)),
+      |  ('/tmp/report.pdf', FALSE, '/tmp/*.pdf$', CAST(NULL AS DOUBLE)),
+      |  ('/tmp/keepsake.pdf', FALSE, '/tmp/*.pdf$', CAST(NULL AS DOUBLE)),
+      |  ('/tmp/keep/a.pdfz', TRUE, '/tmp/keep*', CAST(NULL AS DOUBLE)),
+      |  ('/x/ay', TRUE, '/x/*y', CAST(NULL AS DOUBLE)),
+      |  ('/x/ab', FALSE, '/x/a*', CAST(NULL AS DOUBLE)),
+      |  ('/other', TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
+      |) AS t(path, allowed, matched_rule, crawl_delay)""".stripMargin
+
   // ---- deterministic per-domain robots text -------------------------
   //
   // Each registrable domain srcN.{com|co.uk} publishes a policy keyed

@@ -192,11 +192,25 @@ object VersionedTable {
   /** Type-agnostic schema compatibility for appends: same column names
     * bound to the same data types, order- and nullability-insensitive
     * (parquet writers flip nullability freely; a read under the pinned
-    * nullable-OR schema is always sound).
+    * nullable-OR schema is always sound). Nullability is erased DEEPLY
+    * — struct fields, array `containsNull`, map `valueContainsNull` —
+    * because writers flip those just as freely as top-level nullability.
     */
+  private def eraseNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, eraseNullability(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(eraseNullability(a.elementType), containsNull = true)
+    case m: MapType => MapType(eraseNullability(m.keyType),
+      eraseNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def sameColumns(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
-      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    a.fields.map(f => (f.name, eraseNullability(f.dataType))).sortBy(_._1)
+      .toSeq ==
+      b.fields.map(f => (f.name, eraseNullability(f.dataType))).sortBy(_._1)
+        .toSeq
 
   private def commitInternal(
       df: DataFrame, root: String, overwrite: Boolean,
@@ -354,6 +368,13 @@ object VersionedTable {
     if (cols.isEmpty) return Map.empty
     def orderable(f: StructField): Column = f.dataType match {
       case BooleanType => col(f.name).cast("long")
+      // floats are WIDENED TO DOUBLE before min/max so the stored bound
+      // string lives in the same decimal grid [[lower]] puts float
+      // literals in (BigDecimal(fl.toDouble)); Float.toString's shortest
+      // round-trip form ("0.1") disagrees with the double expansion
+      // ("0.10000000149011612") and would silently drop matching files.
+      // The cast is exact and monotone, so min/max commute with it.
+      case FloatType => col(f.name).cast("double")
       case DateType => unix_date(col(f.name)).cast("long")
       case TimestampType => unix_micros(col(f.name))
       case TimestampNTZType => unix_micros(col(f.name).cast(TimestampType))
@@ -371,7 +392,7 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byName = staged.map(rel => rel.split("/").last -> rel).toMap
-    byFile.flatMap { r =>
+    val withRows = byFile.flatMap { r =>
       val fileName = r.getAs[String]("_file").split("/").last
       byName.get(fileName).map { rel =>
         val colStats = cols.flatMap { f =>
@@ -380,6 +401,10 @@ object VersionedTable {
             case null => None
             case d: Double if d.isNaN || d.isInfinite => None
             case f2: Float if f2.isNaN || f2.isInfinite => None
+            // defense in depth: orderable() already widens floats, but a
+            // raw Float must never be stored in its shortest-round-trip
+            // form — it would not match [[lower]]'s double-domain grid
+            case f2: Float => Some(f2.toDouble.toString)
             case bd: java.math.BigDecimal => Some(bd.toPlainString)
             case x => Some(x.toString)
           }
@@ -391,6 +416,14 @@ object VersionedTable {
         rel -> FileStats(r.getAs[Long]("_rows"), colStats)
       }
     }.toMap
+    // zero-row part files (an empty DataFrame committed with stats on)
+    // produce NO groupBy(input_file_name) row; without a backfilled
+    // entry, rowCount() would return None for every later version and
+    // the empty file would survive every pruned read forever
+    val emptyStats = FileStats(0L,
+      cols.map(f => f.name -> ColStats(statTag(f.dataType).get,
+        None, None, 0L)).toMap)
+    withRows ++ staged.filterNot(withRows.contains).map(_ -> emptyStats)
   }
 
   // ---- predicate → file pruning ---------------------------------------

@@ -93,6 +93,80 @@ class RobotsSpec extends SparkSpec {
       ("/public/x", true, null, 2.5)))
   }
 
+  test("RFC 9309 pattern matcher: *, trailing $, literal mid-pattern $") {
+    import graft.plans.NativeRobots.robotsMatchEval
+    def m(path: String, pat: String): Boolean =
+      robotsMatchEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(path),
+        org.apache.spark.unsafe.types.UTF8String.fromString(pat))
+    // plain prefix (implicit open end)
+    assert(m("/doc/123", "/doc/"))
+    assert(!m("/doc", "/doc/"))
+    // mid-pattern star, the RFC's canonical example shape
+    assert(m("/doc/1?sessionid=abc", "/*?sessionid="))
+    assert(!m("/doc/1?session=abc", "/*?sessionid="))
+    // trailing $ anchors the end
+    assert(m("/report.pdf", "/*.pdf$"))
+    assert(!m("/report.pdfz", "/*.pdf$"))
+    assert(m("/a.pdf.pdf", "/*.pdf$")) // backtrack to the LAST .pdf
+    // star matches the empty run
+    assert(m("/ab", "/a*b"))
+    assert(m("/aXYZb", "/a*b"))
+    // multiple stars
+    assert(m("/aXbYc", "/a*b*c"))
+    assert(!m("/aXbY", "/a*b*c"))
+    // $ not at the end is a literal
+    assert(m("/pa$th/x", "/pa$th"))
+    assert(!m("/path/x", "/pa$th"))
+    // bare "$" matches only the empty path; "*$" matches everything
+    assert(!m("/x", "$"))
+    assert(m("", "$"))
+    assert(m("/anything", "*$"))
+    // trailing star is redundant but legal
+    assert(m("/doc/5", "/doc/*"))
+    // nulls never match
+    assert(!robotsMatchEval(null,
+      org.apache.spark.unsafe.types.UTF8String.fromString("/")))
+  }
+
+  test("evaluation with wildcard rules: most-octets precedence, $ anchors") {
+    val rules = Seq(
+      ("w.com", "*", "disallow", "/*?sessionid=", null),
+      ("w.com", "*", "allow", "/doc/*$", null),
+      ("w.com", "*", "disallow", "/doc/", null),
+      ("w.com", "*", "disallow", "/tmp/*.pdf$", null),
+      ("w.com", "*", "allow", "/tmp/keep*", null))
+      .map { case (d, a, r, p, _) =>
+        (d, a, r, p, null.asInstanceOf[java.lang.Double]) }
+      .toDF("domain", "agent", "rtype", "path", "delay")
+    val urls = Seq(
+      ("w.com", "/doc/123"), // allow /doc/*$ (7) beats disallow /doc/ (5)
+      ("w.com", "/doc/1?sessionid=a"), // disallow (13) beats allow (7)
+      ("w.com", "/tmp/report.pdf"), // disallow /tmp/*.pdf$ only
+      ("w.com", "/tmp/keepsake.pdf"), // disallow (11) beats allow (10)
+      ("w.com", "/tmp/keep/a.pdfz") // $ fails on disallow; allow matches
+    ).toDF("domain", "path")
+    val out = Robots.evaluate(urls, Robots.effectiveRules(rules, "graftbot"))
+      .select("path", "allowed", "matched_rule")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+    assert(out === Seq(
+      ("/doc/123", true, "/doc/*$"),
+      ("/doc/1?sessionid=a", false, "/*?sessionid="),
+      ("/tmp/keep/a.pdfz", true, "/tmp/keep*"),
+      ("/tmp/keepsake.pdf", false, "/tmp/*.pdf$"),
+      ("/tmp/report.pdf", false, "/tmp/*.pdf$")))
+  }
+
+  test("malformed crawl-delay degrades to null instead of failing (ANSI)") {
+    val txt = "User-agent: *\nCrawl-delay: 1s\nDisallow: /x\n"
+    val rows = Seq(txt).toDF("txt")
+      .select(explode(Robots.robotsRules(col("txt"))).as("r"))
+      .select("r.rtype", "r.delay")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(rows === Seq(("crawl-delay", None), ("disallow", None)))
+  }
+
   test("allow/disallow tie at equal length: allow wins") {
     val rules = Seq(
       ("d.com", "*", "allow", "/a/", null.asInstanceOf[java.lang.Double]),

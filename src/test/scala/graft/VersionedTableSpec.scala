@@ -214,6 +214,75 @@ class VersionedTableSpec extends SparkSpec {
       spark, root, col("ts") < "2024-02-01 00:00:00").count() === 1L)
   }
 
+  test("float zone maps live in the double grid: a float-literal equality keeps its file") {
+    val root = freshRoot()
+    // two single-value files: min = max = the value; if the stored bound
+    // and the lowered literal used different decimal grids ("0.1" vs
+    // "0.10000000149011612") the matching file would be silently dropped
+    VersionedTable.commit(Seq((1L, 0.1f)).toDF("id", "f").coalesce(1),
+      root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((2L, 5.5f)).toDF("id", "f").coalesce(1),
+      root, statsColumns = Seq("*"))
+    val (kept, dropped) =
+      VersionedTable.pruneFiles(spark, root, col("f") === lit(0.1f))
+    assert(kept.size === 1 && dropped.size === 1,
+      s"float equality must keep exactly its file, got kept=$kept")
+    assert(VersionedTable.readWhere(spark, root, col("f") === lit(0.1f))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // pruned == unpruned across float/double literal shapes (the
+    // double literal goes through the Cast(float -> double) unwrap;
+    // 0.1d != 0.1f.toDouble, so BOTH reads are correctly empty)
+    val full = VersionedTable.read(spark, root)
+    Seq(col("f") === lit(0.1f), col("f") === lit(0.1d),
+      col("f") > lit(0.1f), col("f") <= lit(5.5f),
+      col("f") >= lit(0.1d)).foreach { p =>
+      val pruned = VersionedTable.readWhere(spark, root, p)
+        .collect().map(_.toString).sorted.toSeq
+      val direct = full.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(pruned === direct, s"pruned read diverged for predicate $p")
+    }
+  }
+
+  test("an empty statted append neither kills rowCount nor survives pruned reads") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      root, statsColumns = Seq("*"))
+    VersionedTable.commit(
+      Seq.empty[(Long, String)].toDF("id", "s").coalesce(1),
+      root, statsColumns = Seq("*"))
+    // the zero-row file gets a backfilled stats entry, so the
+    // metadata-only count survives the empty append ...
+    assert(VersionedTable.rowCount(spark, root) === Some(1L))
+    // ... and the empty file is dropped by every point read (its
+    // all-null bounds prove no row can match)
+    val (kept, dropped) =
+      VersionedTable.pruneFiles(spark, root, col("id") === 1L)
+    assert(kept.size === 1 && dropped.size === 1)
+    assert(VersionedTable.readWhere(spark, root, col("id") === 1L)
+      .count() === 1L)
+  }
+
+  test("append tolerates nested nullability flips; real type changes still fail") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val loose = Seq((1L, Seq("x"))).toDF("id", "arr") // containsNull = true
+    VersionedTable.commit(loose, root)
+    val strictSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("arr", ArrayType(StringType, containsNull = false),
+        nullable = false)))
+    val strict = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(2L, Seq("y"))),
+      strictSchema)
+    VersionedTable.commit(strict, root) // must NOT reject: same types
+    assert(VersionedTable.read(spark, root).count() === 2L)
+    val wrong = Seq((3L, Seq(9L))).toDF("id", "arr") // array<long>: real change
+    val e = intercept[java.io.IOException] {
+      VersionedTable.commit(wrong, root)
+    }
+    assert(e.getMessage.contains("incompatible schema"))
+  }
+
   test("z-order clustering prunes on BOTH dimensions; a 1-D sort only on its own") {
     // 32x32 grid of (x, y): z-order into 16 files -> each file covers
     // a compact 2-D tile, so a range on EITHER axis drops most files.
