@@ -167,6 +167,61 @@ object TableQueries {
       |FROM lineitem
       |WHERE l_orderkey < 1000 AND l_partkey >= 100""".stripMargin
 
+  /** Row-level takedown through the version log, proved against a
+    * DuckDB DELETE twin: the documents table lands range-clustered on
+    * `doc_id`, a takedown removes one whole source PLUS a contiguous
+    * id range ([[graft.sources.VersionedTable.delete]] — zone-map
+    * pruned candidate selection, whole-match files dropped without
+    * rewrite, partial files rewritten to survivors), and the output
+    * joins the SURVIVOR rollup read back from the table with the CDC
+    * `delete` rows [[graft.sources.VersionedTable.changes]] emitted
+    * for the commit. A delete that loses a survivor, keeps a matched
+    * row, or mis-lineages the change feed breaks the hash.
+    */
+  def tableDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_delete")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    val pred = col("source") === "src7" ||
+      (col("doc_id") >= 100L && col("doc_id") < 140L)
+    val v = VersionedTable.delete(s, root, pred).getOrElse(
+      throw new IllegalStateException("takedown matched no rows"))
+    val survivors = VersionedTable.read(s, root)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+    val deleted = VersionedTable.changes(s, root, v - 1L, v)
+      .filter(col("_change_type") === "delete")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("_n_del"), sum(col("doc_id")).as("_del_ids"))
+    survivors.join(deleted, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sum_ids"), col("sum_chars"),
+        coalesce(col("_n_del"), lit(0L)).as("n_deleted"),
+        coalesce(col("_del_ids"), lit(0L)).as("deleted_ids"))
+  }
+
+  val tableDeleteSql: String =
+    """WITH flagged AS (SELECT *,
+      |  (source = 'src7' OR (doc_id >= 100 AND doc_id < 140)) AS del
+      |  FROM documents),
+      |surv AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM flagged WHERE NOT del GROUP BY lang),
+      |gone AS (SELECT lang, count(*) AS n_deleted,
+      |    CAST(sum(doc_id) AS BIGINT) AS deleted_ids
+      |  FROM flagged WHERE del GROUP BY lang)
+      |SELECT s.lang, s.n_docs, s.sum_ids, s.sum_chars,
+      |  CAST(COALESCE(g.n_deleted, 0) AS BIGINT) AS n_deleted,
+      |  CAST(COALESCE(g.deleted_ids, 0) AS BIGINT) AS deleted_ids
+      |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
+
   /** Exactly-once streaming appends PLUS full-history CDC, proved by
     * one hash: three micro-batches land through the streaming
     * `txn`-guarded commit path, batch 1 is then REPLAYED (the

@@ -722,6 +722,138 @@ object VersionedTable {
     }
   }
 
+  // ---- row-level delete (takedown) --------------------------------------
+
+  /** Row-level `DELETE WHERE predicate` — the takedown operation an LLM
+    * corpus pipeline is legally required to run cheaply (copyright /
+    * PII removal), done Delta-style in two phases so cost scales with
+    * the MATCHING data, never the table:
+    *
+    *   1. **Prune**: the predicate is evaluated against the manifest's
+    *     zone maps; files whose stats prove no row can match are never
+    *     opened (on a z-ordered / clustered table a targeted takedown
+    *     touches O(matching files)).
+    *   2. **Count**: one aggregate over the surviving candidates finds
+    *     per-file match counts (driver-bounded: one row per candidate
+    *     file). Files where EVERY row matches are dropped from the
+    *     manifest without any rewrite — the whole-file fast path a
+    *     domain-level takedown hits when the table is clustered by the
+    *     takedown key. Files with partial hits are rewritten to their
+    *     survivors; files with zero hits (conservative zone maps) are
+    *     left untouched.
+    *
+    * SQL DELETE semantics: rows where the predicate is TRUE are
+    * removed; FALSE and NULL rows survive. The commit lands as mode
+    * `delete`, so [[changes]] emits real `delete` CDC rows diffed over
+    * the TOUCHED files only (not the overwrite rebuild-barrier), and
+    * [[vacuum]] physically destroys the removed files' bytes once they
+    * fall out of retention — the part of a takedown that actually
+    * discharges the legal obligation.
+    *
+    * `statsColumns`: zone-map columns for the rewritten files; when
+    * empty it defaults to `Seq("*")` IF the table already carries
+    * stats, so a delete never silently downgrades the metadata-only
+    * count path. Concurrency mirrors [[compact]]: a racing append
+    * rebases cleanly; a racing overwrite/compaction that removed files
+    * this delete read throws [[CompactionConflictException]] (staged
+    * survivors are cleaned up) — rerun against the new snapshot.
+    *
+    * Returns the committed version, or None when no row matches.
+    */
+  def delete(spark: SparkSession, root: String, predicate: Column,
+      statsColumns: Seq[String] = Nil,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    if (m.files.isEmpty) return None
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val resolved = schema.flatMap(resolvedPredicate(spark, _, predicate))
+    val candidates = resolved match {
+      case Some(e) =>
+        m.files.filter(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+      case None => m.files
+    }
+    if (candidates.isEmpty) return None
+    val keepStats =
+      if (statsColumns.nonEmpty) statsColumns
+      else if (m.stats.nonEmpty) Seq("*")
+      else Nil
+    // DELETE keeps FALSE and NULL rows; only TRUE rows go
+    val hit = coalesce(predicate, lit(false))
+    val counts = readFiles(spark, root, m, candidates)
+      .groupBy(input_file_name().as("_file"))
+      .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
+      .collect()
+    val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+    var fullDrop = Vector.empty[String]
+    var rewrite = Vector.empty[String]
+    counts.foreach { r =>
+      byName.get(r.getAs[String]("_file").split("/").last).foreach { rel =>
+        val matches = r.getAs[Long]("_matches")
+        if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
+        else if (matches > 0L) rewrite :+= rel
+      }
+    }
+    if (fullDrop.isEmpty && rewrite.isEmpty) return None
+    val (stageRel, staged, stagedStats) =
+      if (rewrite.isEmpty) (None, Nil, Map.empty[String, FileStats])
+      else {
+        val survivors = readFiles(spark, root, m, rewrite).filter(!hit)
+        val (rel, s) = stage(survivors, root)
+        (Some(rel), s,
+          collectStats(spark, root, s, survivors.schema, keepStats))
+      }
+    val removedSet = (fullDrop ++ rewrite).toSet
+    val f = fs(spark, new Path(root))
+    publish(spark, root, staged, stagedStats, mode = "delete",
+      schemaJson = m.schemaJson.getOrElse(
+        schema.getOrElse(throw new java.io.IOException(
+          s"snapshot of $root has no recorded schema")).json),
+      txn = None) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!removedSet.subsetOf(prevFiles.toSet)) {
+        stageRel.foreach(rel => f.delete(new Path(new Path(root), rel), true))
+        throw new CompactionConflictException(
+          s"delete on $root@v$v raced a commit that removed files it read " +
+            "(overwrite or compaction); rerun against the new snapshot")
+      }
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles.filterNot(removedSet) ++ staged,
+        (prevStats -- removedSet) ++ stagedStats)
+    }
+  }
+
+  // ---- snapshot export for foreign readers -------------------------------
+
+  /** Export a pinned snapshot as a symlink-style manifest — a plain
+    * text file of ABSOLUTE parquet paths, one per line — so readers
+    * that do not speak the commit protocol (plain `spark.read.parquet`,
+    * DuckDB `read_parquet([...])`, Trino's symlink table role) can read
+    * a CONSISTENT snapshot: the listed files never change after
+    * export (commits only add new files; only [[vacuum]] past
+    * retention invalidates an export). Written under
+    * `_export/v<version>.manifest.txt` in the table root and returned
+    * as the path list.
+    */
+  def exportSnapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): (String, Seq[String]) = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val abs = m.files.map(rel =>
+      f.makeQualified(new Path(rootP, rel)).toString)
+    val outP = new Path(new Path(rootP, "_export"), f"v$v%012d.manifest.txt")
+    f.mkdirs(outP.getParent)
+    val out = f.create(outP, true)
+    try out.write((abs.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    (outP.toString, abs)
+  }
+
   // ---- change feed -----------------------------------------------------
 
   /** Row-level changes between two committed versions — the CDC feed a
@@ -734,10 +866,15 @@ object VersionedTable {
     *     diffing — the 100 TB fast path; this is why the manifest
     *     records per-commit file lineage);
     *   - `compact` → no logical change, skipped entirely;
+    *   - `delete` → `delete` rows diffed over the TOUCHED files only
+    *     (removed files minus their rewritten survivors,
+    *     multiplicity-correct) — O(touched), never O(table), because
+    *     [[delete]] records exact file lineage;
     *   - `overwrite` → a full snapshot diff (`exceptAll` both ways,
     *     multiplicity-correct) — inherently O(both snapshots) without
     *     row-tracking metadata, so point a CDC consumer at append/
-    *     compact tables and treat overwrite as a rebuild barrier.
+    *     delete/compact tables and treat overwrite as a rebuild
+    *     barrier.
     *
     * Requires manifests for every version in [max(from, 0), to]
     * (vacuum retention must cover the range) and a stable schema
@@ -769,6 +906,21 @@ object VersionedTable {
           else Some(readFiles(spark, root, cur, added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
+        case "delete" =>
+          // deleted rows = removed files minus their rewritten
+          // survivors — bounded by the commit's TOUCHED files
+          val removed = prevFiles.filterNot(cur.files.toSet)
+          val added = cur.files.filterNot(prevFiles.toSet)
+          if (removed.isEmpty) None
+          else {
+            val before = readFiles(spark, root, cur, removed)
+            val after =
+              if (added.isEmpty) before.limit(0)
+              else readFiles(spark, root, cur, added)
+            Some(before.exceptAll(after)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
         case _ => // overwrite: full multiset diff of the two snapshots
           val after = readManifest(spark, root, cur, None)
           val before =
@@ -797,9 +949,14 @@ object VersionedTable {
 
   /** Delete crash leftovers and history past the retention count:
     * stale dot-temp manifests, version files older than the newest
-    * `keepVersions`, and `data/c*` subdirs referenced by NO retained
-    * manifest. Never touches anything a retained manifest names, so
-    * readers pinned inside the retention window are safe.
+    * `keepVersions`, `data/c*` subdirs referenced by NO retained
+    * manifest, and — file-granular, inside still-live subdirs —
+    * parquet files no retained manifest names (a [[delete]] or
+    * [[compact]] rewrote a file out of a commit dir whose siblings are
+    * still live: the removed file's BYTES must be destroyed for a
+    * takedown to discharge, even though its directory survives).
+    * Never touches anything a retained manifest names, so readers
+    * pinned inside the retention window are safe.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -817,15 +974,25 @@ object VersionedTable {
     val retained = versions.takeRight(keepVersions)
     versions.dropRight(keepVersions)
       .foreach(v => f.delete(versionFile(root, v), false))
-    val live: Set[String] = retained
+    val liveFiles: Set[String] = retained
       .flatMap(v => manifest(spark, root, v).files)
-      .map(_.split("/")(1)) // data/<cdir>/file -> <cdir>
       .toSet
+    val live: Set[String] =
+      liveFiles.map(_.split("/")(1)) // data/<cdir>/file -> <cdir>
     val dataDir = new Path(rootP, "data")
     if (f.exists(dataDir)) {
-      f.listStatus(dataDir).toSeq
-        .filter(s => s.isDirectory && !live.contains(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
+      f.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { s =>
+        val cdir = s.getPath.getName
+        if (!live.contains(cdir)) f.delete(s.getPath, true)
+        else {
+          // live dir: sweep individual parquet files rewritten away by
+          // a retained delete/compact commit
+          f.listStatus(s.getPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+              && !liveFiles.contains(s"data/$cdir/${st.getPath.getName}"))
+            .foreach(st => f.delete(st.getPath, false))
+        }
+      }
     }
   }
 

@@ -391,6 +391,137 @@ class VersionedTableSpec extends SparkSpec {
 
   // ---- change feed ------------------------------------------------------
 
+  // ---- row-level delete (takedown) --------------------------------------
+
+  test("delete rewrites only zone-map-hit files; whole-match files drop without rewrite") {
+    val root = freshRoot()
+    // three single-file commits with disjoint id ranges
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((10L, "j"), (11L, "k")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((20L, "t"), (21L, "u")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    val before = VersionedTable.manifest(spark, root, 2L).files.toSet
+    // partial hit in file 2 only: files 1 and 3 are zone-map-pruned and
+    // must keep their EXACT paths (no rewrite, no re-stage)
+    val v = VersionedTable.delete(spark, root, col("id") === 10L)
+    assert(v === Some(3L))
+    val after = VersionedTable.manifest(spark, root, 3L)
+    assert(after.mode === "delete")
+    val untouched = before.filter(after.files.toSet)
+    assert(untouched.size === 2, s"expected 2 untouched files, got $after")
+    assert(ids(root) === Seq(1L, 2L, 11L, 20L, 21L))
+    // stats survive the rewrite (keepStats defaulting): metadata count works
+    assert(VersionedTable.rowCount(spark, root) === Some(5L))
+    // whole-file takedown: every row of the (20, 21) file matches ->
+    // the file is DROPPED from the manifest with no rewrite at all
+    val nFilesBefore = after.files.size
+    VersionedTable.delete(spark, root, col("id") >= 20L)
+    val m4 = VersionedTable.manifest(spark, root, 4L)
+    assert(m4.files.size === nFilesBefore - 1)
+    assert(m4.files.toSet.subsetOf(after.files.toSet),
+      "a whole-match delete must not stage any new file")
+    assert(ids(root) === Seq(1L, 2L, 11L))
+    // no matching row -> no new version
+    assert(VersionedTable.delete(spark, root, col("id") === 999L).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root) === Some(4L))
+    // NULL predicate rows survive (SQL DELETE semantics)
+    val root2 = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, Some("x")), (2L, None), (3L, Some("x")))
+        .toDF("id", "s"), root2)
+    VersionedTable.delete(spark, root2, col("s") === "x")
+    assert(ids(root2) === Seq(2L))
+  }
+
+  test("delete emits CDC delete rows over touched files; time travel still works") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "par").repartition(2, col("par")),
+      root, statsColumns = Seq("*"))
+    VersionedTable.delete(spark, root, col("par") === "even" && col("id") > 4L)
+    // CDC: exactly the deleted rows, as delete rows, at the delete version
+    val ch = VersionedTable.changes(spark, root, 0L, 1L)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(ch === Seq((6L, "delete", 1L), (8L, "delete", 1L),
+      (10L, "delete", 1L)))
+    // survivors exact; the pre-delete snapshot still readable
+    assert(ids(root) === Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L))
+    assert(ids(root, Some(0L)) === (1L to 10L))
+  }
+
+  test("vacuum destroys the deleted file's bytes while its live siblings survive") {
+    val root = freshRoot()
+    // ONE commit staging two files in the SAME data/c* dir
+    VersionedTable.commit(
+      Seq((1L, "keep"), (2L, "take")).toDF("id", "s")
+        .repartition(2, col("s")), root, statsColumns = Seq("*"))
+    val m0 = VersionedTable.manifest(spark, root, 0L)
+    assert(m0.files.size === 2)
+    VersionedTable.delete(spark, root, col("s") === "take")
+    val m1 = VersionedTable.manifest(spark, root, 1L)
+    val removedRel = (m0.files.toSet -- m1.files.toSet).head
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val removedPath = new Path(new Path(root), removedRel)
+    assert(fs.exists(removedPath), "pre-vacuum the old bytes remain (time travel)")
+    // retention 1: only the delete version survives; the removed file's
+    // BYTES must be gone even though its directory is still live
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(!fs.exists(removedPath), "takedown bytes survived vacuum")
+    m1.files.foreach { rel =>
+      assert(fs.exists(new Path(new Path(root), rel)),
+        s"live sibling $rel was vacuumed")
+    }
+    assert(ids(root) === Seq(1L))
+  }
+
+  test("delete rebases over a racing append; conflicts on a racing overwrite") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root)
+    // racing APPEND lands after the delete pinned v0: the delete
+    // rebases — both the append's rows and the delete's effect land
+    VersionedTable.commit(Seq((5L, "e")).toDF("id", "s").coalesce(1), root)
+    assert(VersionedTable.delete(spark, root, col("id") === 2L,
+      pinVersion = Some(0L)) === Some(2L))
+    assert(ids(root) === Seq(1L, 5L))
+    // racing OVERWRITE removed the files the delete read: conflict,
+    // and the staged survivors are cleaned off disk
+    VersionedTable.commit(Seq((7L, "g"), (8L, "h")).toDF("id", "s")
+      .coalesce(1), root)
+    val pinned = VersionedTable.latestVersion(spark, root)
+    VersionedTable.commit(Seq((9L, "i")).toDF("id", "s"), root,
+      overwrite = true)
+    intercept[VersionedTable.CompactionConflictException] {
+      VersionedTable.delete(spark, root, col("id") === 7L,
+        pinVersion = pinned)
+    }
+    assert(ids(root) === Seq(9L))
+  }
+
+  test("exportSnapshot gives foreign readers a stable pinned snapshot") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    // exportSnapshot: a foreign reader (plain spark.read.parquet) sees
+    // the pinned snapshot byte-for-byte, even after later commits
+    val (manifestPath, files) = VersionedTable.exportSnapshot(spark, root)
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "s"), root)
+    val foreign = spark.read.parquet(files: _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(foreign === Seq(1L, 2L))
+    // the exported list file itself round-trips
+    val listed = spark.read.textFile(manifestPath).collect().toSeq
+    assert(listed.toSet === files.toSet)
+    val viaList = spark.read.parquet(listed: _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaList === Seq(1L, 2L))
+  }
+
   test("changes() streams appends file-wise, diffs overwrites, skips compactions") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v0
