@@ -73,9 +73,19 @@ object UrlFunctions {
   // ---- Spark side -------------------------------------------------
 
   /** Lowercased host of an absolute URL (userinfo and port stripped);
-    * '' when the input has no `scheme://` prefix.
+    * '' when the input has no `scheme://` prefix. Delegates to the
+    * single-pass [[graft.plans.NativeUrl]] kernel (the regex chain is
+    * kept as [[hostOfComposed]] for the differential gate).
     */
-  def hostOf(url: Column): Column = {
+  def hostOf(url: Column): Column =
+    graft.plans.NativeUrl.urlHost(url)
+
+  /** The original regex-composed formulation of [[hostOf]] — retained
+    * ONLY as the differential oracle for the native kernel
+    * (UrlFunctionsSpec asserts kernel == chain over the adversarial
+    * fixture corpus); production call sites use the kernel.
+    */
+  private[graft] def hostOfComposed(url: Column): Column = {
     val u = trim(url)
     val auth = regexp_extract(
       regexp_replace(u, SchemeRe, ""), "^([^/?#]*)", 1)
@@ -86,9 +96,19 @@ object UrlFunctions {
   }
 
   /** Canonical form of an absolute URL per the object contract; NULL
-    * for inputs without a `scheme://` prefix.
+    * for inputs without a `scheme://` prefix. Delegates to the
+    * single-pass [[graft.plans.NativeUrl]] kernel — the ~8-pass regex
+    * chain below ([[canonicalizeUrlComposed]]) was the costliest
+    * map-only projection in the bench sweep and is retained only as
+    * the kernel's differential oracle.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    graft.plans.NativeUrl.canonicalUrl(url)
+
+  /** Regex-composed twin of [[canonicalizeUrl]], for the differential
+    * gate only.
+    */
+  private[graft] def canonicalizeUrlComposed(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
     val rest = regexp_replace(u, SchemeRe, "")

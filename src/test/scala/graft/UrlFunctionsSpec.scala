@@ -83,6 +83,56 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got === Seq("host.com", ""))
   }
 
+  test("native canonicalize/host kernels == the regex-composed chains (differential)") {
+    // adversarial corpus: every contract branch plus shapes the regex
+    // chain handles incidentally (multiple @ and :, empty authority,
+    // trailing &, bare ?, non-digit ports, uppercase scheme, unicode)
+    val corpus = Seq(
+      "HTTP://User:Pw@WWW.Example.COM:80/Path/X",
+      "https://Site.ORG:443/a", "https://site.org:8080/a",
+      "http://h.com:443/a", "https://h.com:80/a",
+      "http://h.com/p?utm_source=x&id=7&gclid=g#frag",
+      "http://h.com/p?utm_medium=m", "http://h.com/p?keep=1&also=2#x",
+      "http://h.com", "http://h.com?a=1#f", "http://h.com#f",
+      "http://h.com/p?ref=x&referrer=y", "not a url", "/relative/path",
+      "  http://h.com/a  ", "http://a@b@c.com/x", "http://h.com:80:81/x",
+      "http://h.com:/x", "http://h.com:8x0/x", "http:///pathonly",
+      "ftp://files.example.net:21/pub", "scheme+x.y://Host/Q?utm_a=1",
+      "http://h.com/p?&&a=1&", "http://h.com/p?", "http://h.com/?#",
+      "http://h.com/p?utm_=x", "http://h.com/p?utm_a-b=1&_ga=2",
+      "http://ünïcode.example/päth?q=ü", "HTTPS://MIXED.CaSe/UPPER?Utm_x=1",
+      "http://h.com/deep/path/with?spm=a&real=b&fbclid=z",
+      "x://y", "://nothing", "", "   ")
+    val df = corpus.toDF("u").select(
+      UrlFunctions.canonicalizeUrl(col("u")).as("native_c"),
+      UrlFunctions.canonicalizeUrlComposed(col("u")).as("composed_c"),
+      UrlFunctions.hostOf(col("u")).as("native_h"),
+      UrlFunctions.hostOfComposed(col("u")).as("composed_h"),
+      col("u"))
+    df.collect().foreach { r =>
+      assert(Option(r.get(0)) === Option(r.get(1)),
+        s"canonicalize diverged on '${r.getString(4)}'")
+      assert(r.getString(2) === r.getString(3),
+        s"hostOf diverged on '${r.getString(4)}'")
+    }
+  }
+
+  test("the canonical-url and host expressions stay inside codegen") {
+    val df = spark.range(2).select(
+      graft.plans.NativeUrl.canonicalUrl(
+        concat(lit("http://w"), col("id").cast("string"),
+          lit(".example.com:80/p?utm_a=1&k=2"))).as("c"),
+      graft.plans.NativeUrl.urlHost(
+        concat(lit("http://H"), col("id").cast("string"),
+          lit(".example.com/x"))).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.orderBy("c").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq === Seq(
+      ("http://w0.example.com/p?k=2", "h0.example.com"),
+      ("http://w1.example.com/p?k=2", "h1.example.com")))
+  }
+
   test("the registrable-domain expression stays inside codegen") {
     // the whole point of the native kernel: no janino fallback
     // (concat with a non-foldable id so constant folding can't hide it)
