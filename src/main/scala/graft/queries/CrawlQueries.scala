@@ -286,7 +286,7 @@ object CrawlQueries {
   def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
     val segPath = WebQueries.crawlSegments(s, dir)
     val host = UrlFunctions.hostOf(col("url"))
-    val edges = Warc.records(s, segPath)
+    val edges = Warc.recordsStreamed(s, segPath)
       .filter(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")

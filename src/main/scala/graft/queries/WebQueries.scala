@@ -321,20 +321,37 @@ object WebQueries {
     * the cluster FS at the same seam). Shared by q_crawl_ingest and
     * q_link_graph.
     */
+  /** Bump when the segment construction changes: the fingerprint file
+    * keys fixture reuse, so a stale layout regenerates exactly once.
+    */
+  private val CrawlFixtureVersion = "v2-hadoopfs"
+
   private[graft] def crawlSegments(s: SparkSession, dir: String): String = {
     val segDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_crawl_${Integer.toHexString(dir.hashCode)}")
-    // regenerate the segment set wholesale (idempotent bytes)
+    val segPath = segDir.toString
+    // generate ONCE per (generator version, source dir): the fixture is
+    // harness input, and regenerating it inside every measured run would
+    // time fixture IO, not the crawl pipeline (cluster-honesty: the
+    // write itself goes through the Hadoop FS API below, so the same
+    // harness runs against a real cluster FS unchanged)
+    val marker = segDir.resolve("_fingerprint")
+    val want = s"$CrawlFixtureVersion:$dir"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == want) return segPath
     if (java.nio.file.Files.isDirectory(segDir)) {
       val it = java.nio.file.Files.list(segDir)
       try it.forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally it.close()
     }
     java.nio.file.Files.createDirectories(segDir)
-    val segPath = segDir.toString
     val out1 = (col("doc_id") * 7 + 1) % 1000
     val out2 = (col("doc_id") * 13 + 3) % 1000
+    val bcConf = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
     docUrls(s, dir)
       .select(col("doc_id"), col("url"),
         concat(
@@ -351,20 +368,25 @@ object WebQueries {
       .repartition(16, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(
-            java.nio.file.Paths.get(segPath, f"part-$pid%05d.warc.gz")))
-        try rows.foreach { r =>
-          val rec = Warc.writeRecord("response", r.getAs[String]("url"),
-            "2024-06-01T00:00:00Z", s"<urn:uuid:doc-${r.getAs[Long]("doc_id")}>",
-            "application/http;msgtype=response",
-            Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
-              r.getAs[String]("html").getBytes("UTF-8")))
-          val gz = new java.util.zip.GZIPOutputStream(out)
-          gz.write(rec); gz.finish()
-        } finally out.close()
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val seg = new org.apache.hadoop.fs.Path(
+            segPath, f"part-$pid%05d.warc.gz")
+          val fs = seg.getFileSystem(bcConf.value.value)
+          val out = fs.create(seg, true)
+          try rows.foreach { r =>
+            val rec = Warc.writeRecord("response", r.getAs[String]("url"),
+              "2024-06-01T00:00:00Z",
+              s"<urn:uuid:doc-${r.getAs[Long]("doc_id")}>",
+              "application/http;msgtype=response",
+              Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+                r.getAs[String]("html").getBytes("UTF-8")))
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(rec); gz.finish()
+          } finally out.close()
+        }
       }
+    java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
     segPath
   }
 
@@ -403,8 +425,9 @@ object WebQueries {
 
   def crawlIngest(s: SparkSession, dir: String): DataFrame = {
     val segPath = crawlSegments(s, dir)
-    // the measured pipeline: raw segments back to a domain rollup
-    recoveryRollup(extractedDocs(Warc.records(s, segPath)), s, dir)
+    // the measured pipeline: raw segments back to a domain rollup,
+    // through the STREAMED decode (per-task memory = buffer + record)
+    recoveryRollup(extractedDocs(Warc.recordsStreamed(s, segPath)), s, dir)
   }
 
   /** The crawl ingest LIVE: segments arrive as binaryFile micro-batches
@@ -460,7 +483,7 @@ object WebQueries {
     */
   def linkGraph(s: SparkSession, dir: String): DataFrame = {
     val segPath = crawlSegments(s, dir)
-    Warc.records(s, segPath)
+    Warc.recordsStreamed(s, segPath)
       .filter(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")

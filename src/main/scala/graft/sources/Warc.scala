@@ -86,6 +86,57 @@ object Warc {
       .flatMap { case (file, bytes) => parseSegment(file, bytes) }.toDF()
   }
 
+  /** [[records]] without the `binaryFile` whole-segment
+    * materialization: segments are enumerated as PATHS (one driver-side
+    * FS listing — the same metadata pass any file index costs), one
+    * task opens one segment as a `FileSystem` STREAM and inflates
+    * records directly off it. Peak task memory drops from |compressed
+    * segment| + |record| to |read buffer| + |record|, and the
+    * binaryFile 2 GB-per-file cap disappears — the shape a CommonCrawl
+    * ingest (1 GB gz segments, 32 concurrent tasks per host) needs.
+    * Record-for-record identical to [[records]] by construction: both
+    * feed the same [[recordIterator]].
+    */
+  def recordsStreamed(spark: SparkSession, path: String,
+      bufferBytes: Int = 64 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    // enumerate like binaryFile's pathGlobFilter=*.warc*
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = stats.filter(_.isFile)
+      .map(_.getPath)
+      .filter(_.getName.matches(".*\\.warc.*"))
+      .map(fs.makeQualified(_).toString)
+      .sorted
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    // one partition per segment: the crawl's own unit of parallelism
+    // (gzip members are not seekable, so there is no intra-file split)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val hp = new HPath(f)
+        val hfs = hp.getFileSystem(bcConf.value.value)
+        val raw = new java.io.BufferedInputStream(hfs.open(hp), bufferBytes)
+        raw.mark(2)
+        val b0 = raw.read(); val b1 = raw.read()
+        raw.reset()
+        val in: InputStream =
+          if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(raw, bufferBytes)
+          else raw
+        // the stream closes with the task, not the iterator — a
+        // downstream limit() may stop consuming mid-file
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => raw.close()))
+        recordIterator(f, in)
+      }
+    spark.createDataFrame(rdd)
+  }
+
   /** Parse one segment's bytes into a lazy record iterator (exposed
     * for tests; [[records]] is the distributed entry).
     */
@@ -97,6 +148,14 @@ object Warc {
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         new GZIPInputStream(raw, 64 * 1024)
       else raw
+    recordIterator(file, in)
+  }
+
+  /** The shared lazy record iterator both the byte[] and the streamed
+    * entries drain — ONE parser, so the two paths cannot diverge.
+    */
+  private def recordIterator(
+      file: String, in: InputStream): Iterator[WarcRecord] = {
     new Iterator[WarcRecord] {
       private var idx = 0L
       private var nextRec: WarcRecord = null

@@ -120,6 +120,47 @@ class WarcSpec extends SparkSpec {
     assert(info.isNullAt(info.fieldIndex("status")))
   }
 
+  test("recordsStreamed == records, record for record, on mixed segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_streamed")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      Warc.gzipMembers(Seq(infoRec, respRec)))
+    java.nio.file.Files.write(dir.resolve("b.warc"), respRec)
+    java.nio.file.Files.write(dir.resolve("ignored.txt"),
+      "not a segment".getBytes("UTF-8"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(
+        // file paths differ in scheme qualification; compare the names
+        regexp_extract(col("file"), "([^/]+)$", 1).as("f"),
+        col("rec_idx"), col("warc_type"), col("url"), col("ts"),
+        col("record_id"), col("status"), col("mime"),
+        sha2(col("body"), 256).as("body_sha"))
+      .collect().map(_.toString).sorted.toSeq
+    val a = canon(Warc.records(spark, dir.toString))
+    val b = canon(Warc.recordsStreamed(spark, dir.toString))
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("recordsStreamed decodes a segment far larger than its read buffer") {
+    // ~6 MB inflated across 2000 records, streamed through a 4 KB
+    // buffer: per-task residency is |buffer| + |record|, never |segment|
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_big")
+    val recs = (0 until 2000).map { i =>
+      rec("response", s"http://big.example/doc/$i",
+        "application/http;msgtype=response",
+        Warc.httpResponse(200, "OK", "text/html",
+          (s"<html><body><p>record $i " + "x" * 3000 + "</p></body></html>")
+            .getBytes("UTF-8")))
+    }
+    java.nio.file.Files.write(dir.resolve("big.warc.gz"),
+      Warc.gzipMembers(recs))
+    val got = Warc.recordsStreamed(spark, dir.toString, bufferBytes = 4096)
+    assert(got.count() === 2000L)
+    val tail = got.filter(col("rec_idx") === 1999L).collect().head
+    assert(tail.getAs[String]("url") === "http://big.example/doc/1999")
+    assert(new String(tail.getAs[Array[Byte]]("body"), "UTF-8")
+      .contains("record 1999"))
+  }
+
   test("q_warc_extract emits exactly the pinned oracle rows") {
     val rows = WebQueries.warcExtract(spark, "unused")
       .orderBy("ts").collect()
