@@ -157,9 +157,39 @@ object BenchGuard {
       cpus = root.path("cpus").asText(""))
   }
 
+  /** `bench/floors_prev.json` sibling of a floors path. */
+  def prevPath(floorsPath: String): String =
+    new java.io.File(floorsPath).toPath
+      .resolveSibling("floors_prev.json").toString
+
+  /** Queries whose floor was explicitly re-set (`--set-floor`) since
+    * the last rebaseline — exempt from the cross-round comparison,
+    * because the raise was a reviewed, committed acceptance.
+    */
+  def acceptedOverrides(floors: Floors): Set[String] =
+    "set-floor ([A-Za-z0-9_,]+)".r
+      .findAllMatchIn(floors.source)
+      .flatMap(_.group(1).split(','))
+      .toSet
+
   def main(args: Array[String]): Unit = {
     val update = args.contains("--update")
     val fromLastRun = args.contains("--from-last-run")
+    // --snapshot-prev: archive the CURRENT floors as last round's
+    // baseline (bench/floors_prev.json) before a regenerate/--update at
+    // HEAD overwrites them. The cross-round comparison below grades
+    // every run against BOTH files — without this, a regenerate-at-HEAD
+    // flow ratchets round-over-round drift in invisibly (the guard
+    // can't flag vs a floor file produced by the same drifted sweep).
+    if (args.contains("--snapshot-prev")) {
+      val floorsPath = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("bench/floors.json")
+      val floors = readFloors(floorsPath)
+      writeFloors(prevPath(floorsPath), floors)
+      System.err.println(s"[guard] snapshotted $floorsPath -> " +
+        prevPath(floorsPath))
+      return
+    }
     // --set-floor q=secs: accept a deliberate perf cost by raising one
     // query's floor in place (no bench run). Repeatable.
     val overrides = args.zip(args.drop(1) :+ "").collect {
@@ -300,14 +330,45 @@ object BenchGuard {
       System.err.println(s"[guard] floors updated: $floorsPath")
     }
 
+    // ---- cross-round comparison: last round's committed floors ------
+    // floors.json regenerates at HEAD every round, so a same-file
+    // comparison can never see round-over-round drift; floors_prev.json
+    // (written by --snapshot-prev at the previous regenerate) anchors
+    // the comparison one round back. Queries new since then have no
+    // prev floor (informational); explicitly --set-floor'd queries are
+    // reviewed acceptances and exempt.
+    val prevFlagged: Seq[Verdict] = {
+      val pp = prevPath(floorsPath)
+      if (!new java.io.File(pp).exists()) Nil
+      else {
+        val prev = readFloors(pp)
+        val accepted = acceptedOverrides(floors)
+        val rep = evaluate(prev, fresh.view.filterKeys(q =>
+          !accepted.contains(q)).toMap, calibration)
+        System.err.println(
+          f"[guard-prev] cross-round load factor ${rep.loadFactor}%.2f " +
+            s"(vs ${prev.source})")
+        val bad = rep.verdicts.filter(_.flagged)
+        bad.foreach { v =>
+          System.err.println(
+            f"[guard-prev] ${v.query}%-24s ${v.seconds}%8.3fs " +
+              f"prev-floor ${v.floor}%8.3fs norm ${v.normalizedRatio}%5.2fx " +
+              "CROSS-ROUND REGRESSION")
+        }
+        bad
+      }
+    }
+
     val flagged = report.verdicts.filter(_.flagged)
     val line = flagged.map(v => "\"" + v.query + "\":" +
       f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"bench_guard","flagged":$line,"load_factor":${report.loadFactor},"errors":${errors.size},"missing_floor":${report.missingFloor.size}}""")
+    val prevLine = prevFlagged.map(v => "\"" + v.query + "\":" +
+      f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
+    println(s"""{"metric":"bench_guard","flagged":$line,"prev_flagged":$prevLine,"load_factor":${report.loadFactor},"errors":${errors.size},"missing_floor":${report.missingFloor.size}}""")
     // a registered query without a floor is an UNGUARDED perf surface —
     // fail loudly (round 9 shipped exactly this silently); --update is
     // the fix, since it just added the missing floors from this run
-    if (flagged.nonEmpty || errors.nonEmpty ||
+    if (flagged.nonEmpty || prevFlagged.nonEmpty || errors.nonEmpty ||
       (report.missingFloor.nonEmpty && !update)) sys.exit(1)
   }
 }

@@ -62,7 +62,14 @@ object Soak {
     // FIXED numBits — the operator's contract is that bits grow
     // ~log2(corpus/bucket-target), which the oracle pins at fixture
     // scale (see mineBitext's scaladoc)
-    "q_table_skipping", "q_crawl_frontier")
+    "q_table_skipping", "q_crawl_frontier",
+    // the r14/r15 raw-bytes and commit-log write paths: full WARC
+    // ingest (streamed decode -> extract -> rollup), its exactly-once
+    // live-engine twin, compaction's rewrite commit, and the takedown
+    // delete (prune -> match-count -> rewrite -> CDC) — each must
+    // scale linearly in the corpus
+    "q_crawl_ingest", "q_stream_crawl_ingest", "q_table_compact",
+    "q_table_delete")
 
   /** The second scale point (default 20×) for the iterative graph
     * pair: k-core peel depth can grow with the scaled graph's
@@ -98,6 +105,12 @@ object Soak {
     }
     // warm the session (JIT, parquet footers, codegen) off the clock
     timed(spark, SoakQueries.head, src)
+    // crawl-segment fixtures are harness artifacts generated once per
+    // source dir (fingerprint-keyed): materialize BOTH scales off the
+    // clock so the first timed crawl query measures the pipeline, not
+    // fixture IO
+    graft.queries.WebQueries.crawlSegments(spark, src)
+    graft.queries.WebQueries.crawlSegments(spark, dst)
     val rows = SoakQueries.map { q =>
       val small = timed(spark, q, src)
       val big = timed(spark, q, dst)

@@ -399,26 +399,42 @@ object Graph {
       .select(col("walk_id"), col("walk_id").as("cur"),
         col("walk_id").cast("string").as("path"))
     for (k <- 1 to steps) {
-      // one sha per frontier row; candidates score with integer ops
+      // one sha per frontier row; candidates score with integer ops.
+      // The candidate stream (|frontier| × degree rows — the dominant
+      // shuffle) carries ONLY (walk_id, packed score): the growing
+      // path string stays out of it and re-attaches afterwards through
+      // a walk_id-co-partitioned |V|-row join (both sides already hash
+      // on walk_id, so the attach is exchange-free). Before this split
+      // every candidate row duplicated the path and the per-step agg
+      // dragged max(path) through its hash map — measurably the walk
+      // suite's whole shuffle-volume budget at 10× data.
       val h1 = conv(substring(sha2(concat_ws(":",
         lit(seed), col("walk_id"), lit(k)), 256), 1, 7), 16, 10)
         .cast("long")
       val score = ((col("__h1") + lit(1L)) * (col("dst") + lit(40503L))) %
         lit(2147483647L)
-      state = state
+      val chosen = state
+        .select(col("walk_id"), col("cur"))
         .withColumn("__h1", h1)
-        .join(sym, state("cur") === sym("src"))
-        .select(col("walk_id"), col("path"),
+        .join(sym, col("cur") === sym("src"))
+        .select(col("walk_id"),
           when(col("dst") < lit(4294967296L),
             score * lit(4294967296L) + col("dst"))
             .otherwise(raise_error(
               lit("randomWalks: node id >= 2^32 breaks hash packing")))
             .as("score"))
         .groupBy("walk_id")
-        .agg(min("score").as("score"), max("path").as("path"))
+        .agg(min("score").as("score"))
         .select(col("walk_id"),
-          (col("score") % lit(4294967296L)).as("cur"),
-          concat_ws(",", col("path"), col("score") % lit(4294967296L)).as("path"))
+          (col("score") % lit(4294967296L)).as("next"))
+      // eager localCheckpoint anchors the per-step plan (the attach
+      // join reads `state` twice; without the anchor the lineage would
+      // double every step) — the same per-round anchoring pageRank uses
+      state = state
+        .join(chosen, "walk_id")
+        .select(col("walk_id"), col("next").as("cur"),
+          concat_ws(",", col("path"), col("next")).as("path"))
+        .localCheckpoint(true)
     }
     state.select(col("walk_id"), col("path"))
   }

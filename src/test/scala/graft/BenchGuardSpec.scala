@@ -148,4 +148,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(committed.source.nonEmpty,
       "floors.json must name the measurement it came from")
   }
+
+  test("the committed CROSS-ROUND baseline exists and parses (floors_prev.json)") {
+    // floors.json regenerates at HEAD each round, so it can never see
+    // round-over-round drift by itself; floors_prev.json anchors the
+    // guard one round back and must ship alongside it
+    val prev = BenchGuard.readFloors("bench/floors_prev.json")
+    assert(prev.calibration > 0, "prev floors need a calibration anchor")
+    assert(prev.queries.nonEmpty)
+    assert(prev.source.nonEmpty, "prev floors must carry provenance")
+  }
+
+  test("--snapshot-prev archives the current floors verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("guard_prev")
+    val fp = dir.resolve("floors.json").toString
+    BenchGuard.writeFloors(fp, floors.copy(source = "round N sweep"))
+    BenchGuard.main(Array("--snapshot-prev", fp))
+    val back = BenchGuard.readFloors(BenchGuard.prevPath(fp))
+    assert(back.queries.keySet === floors.queries.keySet)
+    assert(back.source === "round N sweep")
+  }
+
+  test("set-floor acceptances are exempt from the cross-round comparison") {
+    val accepted = BenchGuard.acceptedOverrides(floors.copy(
+      source = "sweep 2026; set-floor q_a,q_graph_walks; set-floor q_z"))
+    assert(accepted === Set("q_a", "q_graph_walks", "q_z"))
+    assert(BenchGuard.acceptedOverrides(
+      floors.copy(source = "rebaseline last_run t sf0.1")) === Set.empty)
+  }
 }
