@@ -131,16 +131,25 @@ object Soak {
     println(json)
 
     // ---- second scale point for the graph pair (see [[Sf2Queries]])
+    //
+    // Fresh session: the sf1 sweep above leaves block-manager and
+    // broadcast debris from ~30 heavy queries in this JVM (RocksDB
+    // state stores, checkpoint blocks, file-index caches); the 20×
+    // iterative graph runs are the most heap-hungry measurements of
+    // the whole harness and must measure the GRAPH, not the sweep's
+    // leftovers (an 8 GB driver OOM'd here before the restart).
+    spark.stop()
+    val spark2 = Bench.buildSession()
     val dst2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR2", "/tmp/graft_sf2")
     val factor2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR2", "20").toInt
     if (!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dst2, "lineitem.parquet"))) {
       System.err.println(s"[soak] generating $dst2 = $src x$factor2 ...")
-      SoakGen.generate(spark, src, dst2, factor2)
+      SoakGen.generate(spark2, src, dst2, factor2)
     }
     val rows2 = Sf2Queries.map { q =>
-      val small = timed(spark, q, src)
-      val big = timed(spark, q, dst2)
+      val small = timed(spark2, q, src)
+      val big = timed(spark2, q, dst2)
       val ratio = if (small > 0) big / small else -1.0
       System.err.println(f"[soak2] $q%-28s sf0.1 $small%7.2f s  x$factor2 $big%7.2f s  ratio ${ratio}%5.2f")
       (q, small, big, ratio)
@@ -156,6 +165,6 @@ object Soak {
       json2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[soak] wrote $path2")
     println(json2)
-    spark.stop()
+    spark2.stop()
   }
 }

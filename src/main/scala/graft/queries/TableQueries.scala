@@ -222,6 +222,86 @@ object TableQueries {
       |  CAST(COALESCE(g.deleted_ids, 0) AS BIGINT) AS deleted_ids
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** Bloom-filter point-lookup skipping, proved against a direct scan:
+    * lineitem lands HASH-scattered across 16 files (every file's
+    * orderkey range overlaps every lookup, so zone maps keep all 16)
+    * with per-file Bloom sidecars on `l_orderkey`
+    * ([[graft.sources.VersionedTable]] bloomColumns — the Delta
+    * bloom-index role); the measured read is an IN-list point lookup
+    * (present keys + one absent) that plans only the files whose
+    * filters admit a key. At 100 TB this is the difference between a
+    * needle query opening O(1) files and scanning the table — the
+    * residual filter still applies, so the rollup equals the oracle's
+    * direct scan regardless of filter density.
+    */
+  def tablePointlookup(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_pointlookup")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    VersionedTable.commit(li.repartition(16, col("l_orderkey")), root,
+      statsColumns = Seq("l_orderkey"), bloomColumns = Seq("l_orderkey"),
+      bloomExpectedItems = 50000L)
+    VersionedTable.readWhere(s, root,
+        col("l_orderkey").isin(1L, 5L, 32L, 71L, 999999999L))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val tablePointlookupSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(l_orderkey) AS min_key,
+      |  max(l_orderkey) AS max_key
+      |FROM lineitem
+      |WHERE l_orderkey IN (1, 5, 32, 71, 999999999)
+      |GROUP BY 1""".stripMargin
+
+  /** Schema evolution through the commit log, proved against a
+    * closed-form twin: half the corpus lands WITHOUT `n_chars`, the
+    * other half appends WITH it under `mergeSchema = true` (the Delta
+    * role — the snapshot schema widens, old files read back NULL for
+    * the new column by parquet name resolution), and the final
+    * snapshot rollup counts/sums the column across the boundary. A
+    * widen that drops rows, misaligns columns, or backfills anything
+    * but NULL breaks the hash.
+    */
+  def tableEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_evolve")
+    val docs = t(s, dir, "documents")
+    VersionedTable.commit(
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "source"),
+      root, statsColumns = Seq("doc_id"))
+    VersionedTable.commit(
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "n_chars"),
+      root, statsColumns = Seq("doc_id"), mergeSchema = true)
+    VersionedTable.read(s, root)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  val tableEvolveSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS sum_chars,
+      |  max(doc_id) AS max_id
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Exactly-once streaming appends PLUS full-history CDC, proved by
     * one hash: three micro-batches land through the streaming
     * `txn`-guarded commit path, batch 1 is then REPLAYED (the

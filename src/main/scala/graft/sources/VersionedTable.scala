@@ -82,6 +82,15 @@ object VersionedTable {
   /** Zone map for one data file: row count + per-column [[ColStats]]. */
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
+  /** Per-commit Bloom sidecar references: column name → the sidecar
+    * files (one per contributing commit) whose indexes cover that
+    * column. The BITS live in sidecar files under the commit's own
+    * `data/c<token>/` dir, NEVER in the manifest JSON — at 100k files a
+    * megabyte-scale bitset per file would make the log unreadable (the
+    * same reason Delta keeps bloom indexes out of its log).
+    */
+  type BloomRefs = Map[String, Seq[String]]
+
   /** `txn` carries the last committed micro-batch id per streaming
     * writer (the Delta `txn` action): a replayed `foreachBatch` call
     * finds its own batch id already recorded and skips — exactly-once
@@ -89,12 +98,17 @@ object VersionedTable {
     *
     * `schemaJson` pins the snapshot schema (Spark StructType JSON);
     * appends are REQUIRED to match it (names + types, order- and
-    * nullability-insensitive) — schema change is an overwrite, loudly.
+    * nullability-insensitive). `mergeSchema = true` appends may ADD
+    * columns (the snapshot schema widens; old files read back NULL for
+    * them — parquet resolves by name) or OMIT columns (the append's
+    * files read back NULL there); a shared column changing TYPE is
+    * never coerced — that stays an explicit overwrite, loudly.
     */
   final case class Manifest(version: Long, mode: String, files: Seq[String],
       txn: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      stats: Map[String, FileStats] = Map.empty)
+      stats: Map[String, FileStats] = Map.empty,
+      blooms: BloomRefs = Map.empty)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -154,8 +168,11 @@ object VersionedTable {
     * reused as-is).
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
-      statsColumns: Seq[String] = Nil): Long =
-    commitInternal(df, root, overwrite, None, statsColumns).get
+      statsColumns: Seq[String] = Nil, mergeSchema: Boolean = false,
+      bloomColumns: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L, bloomFpp: Double = 0.01): Long =
+    commitInternal(df, root, overwrite, None, statsColumns, mergeSchema,
+      bloomColumns, bloomExpectedItems, bloomFpp).get
 
   /** [[commit]] under a streaming writer's exactly-once contract: the
     * manifest records the last committed `batchId` per `writerId`
@@ -212,9 +229,35 @@ object VersionedTable {
       b.fields.map(f => (f.name, eraseNullability(f.dataType))).sortBy(_._1)
         .toSeq
 
+  /** Schema evolution for `mergeSchema` appends (the Delta
+    * `mergeSchema=true` role): columns present in BOTH schemas must
+    * bind the same (nullability-erased) type; columns missing from the
+    * append read back as NULL from its files; NEW columns extend the
+    * table schema (appended after the existing fields, everything
+    * nullable — old files read back NULL for them). Returns the
+    * widened snapshot schema, or None when a shared column changes
+    * type (never silently coercible — that stays an explicit
+    * overwrite).
+    */
+  private def mergeSchemas(prev: StructType, next: StructType)
+      : Option[StructType] = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    val conflict = next.fields.exists(f => prevByName.get(f.name).exists(p =>
+      eraseNullability(p.dataType) != eraseNullability(f.dataType)))
+    if (conflict) return None
+    val added = next.fields.filterNot(f => prevByName.contains(f.name))
+    Some(StructType(
+      (prev.fields ++ added).map(f =>
+        StructField(f.name, f.dataType, nullable = true))))
+  }
+
   private def commitInternal(
       df: DataFrame, root: String, overwrite: Boolean,
-      txn: Option[(String, Long)], statsColumns: Seq[String]): Option[Long] = {
+      txn: Option[(String, Long)], statsColumns: Seq[String],
+      mergeSchema: Boolean = false,
+      bloomColumns: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L,
+      bloomFpp: Double = 0.01): Option[Long] = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -223,19 +266,39 @@ object VersionedTable {
     if (alreadyCommitted(spark, root, txn)) return None
     val (stageRel, staged) = stage(df, root)
     val stagedStats = collectStats(spark, root, staged, df.schema, statsColumns)
-    val schemaJson = df.schema.json
+    val stagedBlooms = collectBlooms(spark, root, stageRel, staged, df.schema,
+      bloomColumns, bloomExpectedItems, bloomFpp)
+    // the published schema may WIDEN under mergeSchema (computed per
+    // retry against the current latest inside the link callback; the
+    // publish loop re-reads it from this var on every attempt)
+    var schemaJson = df.schema.json
     publish(spark, root, staged, stagedStats,
       mode = if (overwrite) "overwrite" else "append",
-      schemaJson = schemaJson, txn = txn) { prevM =>
+      schemaJsonOf = () => schemaJson, txn = txn,
+      linkBlooms = prevM =>
+        if (overwrite) stagedBlooms
+        else mergeBloomRefs(
+          prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms)) { prevM =>
       if (!overwrite) prevM.foreach { m =>
         m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
           .filterNot(sameColumns(_, df.schema))
           .foreach { prev =>
-            f.delete(new Path(rootP, stageRel), true)
-            throw new java.io.IOException(
-              s"append to $root with incompatible schema: table has " +
-                s"${prev.simpleString}, append staged ${df.schema.simpleString}" +
-                "; schema change requires overwrite = true")
+            val widened =
+              if (mergeSchema) mergeSchemas(prev, df.schema) else None
+            widened match {
+              case Some(w) => schemaJson = w.json
+              case None =>
+                f.delete(new Path(rootP, stageRel), true)
+                throw new java.io.IOException(
+                  s"append to $root with incompatible schema: table has " +
+                    s"${prev.simpleString}, append staged " +
+                    s"${df.schema.simpleString}" +
+                    (if (mergeSchema)
+                      "; a shared column changed type — that requires " +
+                        "overwrite = true"
+                    else "; schema change requires overwrite = true " +
+                      "(or mergeSchema = true to add/omit columns)"))
+            }
           }
       }
       val prevFiles = if (overwrite) Nil else prevM.map(_.files).getOrElse(Nil)
@@ -274,8 +337,11 @@ object VersionedTable {
     */
   private def publish(
       spark: SparkSession, root: String, staged: Seq[String],
-      stagedStats: Map[String, FileStats], mode: String, schemaJson: String,
-      txn: Option[(String, Long)])(
+      stagedStats: Map[String, FileStats], mode: String,
+      schemaJsonOf: () => String,
+      txn: Option[(String, Long)],
+      linkBlooms: Option[Manifest] => BloomRefs =
+        prevM => prevM.map(_.blooms).getOrElse(Map.empty))(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -301,7 +367,8 @@ object VersionedTable {
       // it survives an overwrite commit
       val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val body = renderManifest(
-        Manifest(next, mode, files, txnMap, Some(schemaJson), stats))
+        Manifest(next, mode, files, txnMap, Some(schemaJsonOf()), stats,
+          linkBlooms(prevM)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -321,6 +388,237 @@ object VersionedTable {
     throw new java.io.IOException(
       s"commit to $root lost the version race $MaxRetries times")
   }
+
+  // ---- Bloom-filter point-lookup skipping ------------------------------
+  //
+  // Zone maps answer RANGE shapes; a point lookup (`id === X`) on a
+  // high-cardinality column whose values hash-scatter across files keeps
+  // every file (all ranges overlap). A per-file Bloom filter proves
+  // absence for most files, so an unclustered point read opens O(1)
+  // files — the Delta bloom-index role. Bits live in one sidecar per
+  // (commit, column) under the commit's data dir; the manifest carries
+  // only the sidecar PATHS. Pruning is SOUND: a file without a bloom
+  // entry, a missing/corrupt sidecar, or an un-lowerable literal all
+  // KEEP the file; only a definite bloom miss drops it (the filter's
+  // false-positive side keeps files, never drops them).
+
+  /** Bloom insertion domain per column type: integral/date/timestamp
+    * values insert as longs in the SAME orderable domain the zone maps
+    * use; strings insert raw. Floats/decimals/booleans have no bloom
+    * (equality on floats is ill-posed; booleans are pointless).
+    */
+  private def bloomTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+      TimestampType | TimestampNTZType => Some("long")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  private def mergeBloomRefs(a: BloomRefs, b: BloomRefs): BloomRefs =
+    (a.keySet ++ b.keySet).map { c =>
+      c -> (a.getOrElse(c, Nil) ++ b.getOrElse(c, Nil)).distinct
+    }.toMap
+
+  /** Build one Bloom filter per (staged file, bloom column) with a
+    * single distributed pass, write one sidecar file per column into
+    * the stage dir, and return the manifest references. Driver holds
+    * |staged files| × |columns| filters (~120 KB each at the default
+    * sizing) — bounded by ONE commit's file count, never the table's.
+    */
+  private def collectBlooms(
+      spark: SparkSession, root: String, stageRel: String,
+      staged: Seq[String], schema: StructType, bloomColumns: Seq[String],
+      expectedItems: Long, fpp: Double): BloomRefs = {
+    if (bloomColumns.isEmpty || staged.isEmpty) return Map.empty
+    import org.apache.spark.util.sketch.BloomFilter
+    val cols: Seq[StructField] = bloomColumns.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column `$c` not in schema ${schema.simpleString}"))
+      require(bloomTag(f.dataType).isDefined,
+        s"bloom column `$c` has unsupported type ${f.dataType.simpleString}")
+      f
+    }
+    val tags = cols.map(f => bloomTag(f.dataType).get).toArray
+    def domain(f: StructField): Column = f.dataType match {
+      case DateType => unix_date(col(f.name)).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case TimestampNTZType => unix_micros(col(f.name).cast(TimestampType))
+      case StringType => col(f.name)
+      case _ => col(f.name).cast("long")
+    }
+    val rootP = new Path(root)
+    val proj = spark.read.schema(schema)
+      .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
+      .select(input_file_name().as("_file") +:
+        cols.map(f => domain(f).as(f.name)): _*)
+    val n = cols.length
+    // per-(partition, file) partials; merged driver-side (a split file
+    // contributes one partial per split — same (m, k), merge is exact)
+    val partials = proj.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, Array[BloomFilter]]
+      it.foreach { row =>
+        val file = row.getString(0)
+        val bfs = acc.getOrElseUpdate(file,
+          Array.fill(n)(BloomFilter.create(expectedItems, fpp)))
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i + 1)) {
+            if (tags(i) == "long") bfs(i).putLong(row.getLong(i + 1))
+            else bfs(i).putString(row.getString(i + 1))
+          }
+          i += 1
+        }
+      }
+      acc.iterator.map { case (file, bfs) =>
+        file -> bfs.map { bf =>
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          out.toByteArray
+        }
+      }
+    }.collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[String, Array[BloomFilter]]
+    partials.foreach { case (file, bytesArr) =>
+      val name = file.split("/").last
+      val bfs = bytesArr.map(b =>
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      merged.get(name) match {
+        case Some(prev) =>
+          prev.zip(bfs).foreach { case (p, b) => p.mergeInPlace(b); () }
+        case None => merged(name) = bfs
+      }
+    }
+    val f = fs(spark, rootP)
+    cols.zipWithIndex.map { case (field, i) =>
+      val sidecarRel = s"$stageRel/_bloom_${field.name}.idx"
+      val entries = merged.toSeq.sortBy(_._1).map { case (name, bfs) =>
+        val out = new java.io.ByteArrayOutputStream()
+        bfs(i).writeTo(out)
+        name -> out.toByteArray
+      }
+      writeBloomSidecar(f, new Path(rootP, sidecarRel), tags(i), entries)
+      field.name -> Seq(sidecarRel)
+    }.toMap
+  }
+
+  /** Sidecar layout: magic, domain tag, then (bare file name, bloom
+    * bytes) frames. Bare names — the loader resolves them against the
+    * sidecar's own directory, so a table root can move wholesale.
+    */
+  private val BloomMagic = 0x47424C31 // "GBL1"
+
+  private def writeBloomSidecar(f: FileSystem, path: Path, tag: String,
+      entries: Seq[(String, Array[Byte])]): Unit = {
+    val out = new java.io.DataOutputStream(f.create(path, true))
+    try {
+      out.writeInt(BloomMagic)
+      out.writeUTF(tag)
+      out.writeInt(entries.size)
+      entries.foreach { case (name, bytes) =>
+        out.writeUTF(name)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Read one sidecar: (tag, rel-file → serialized bloom). None when
+    * the sidecar is missing or unreadable (vacuumed dir, torn write) —
+    * the caller simply loses pruning for those files, never soundness.
+    */
+  private def readBloomSidecar(f: FileSystem, root: String, sidecarRel: String)
+      : Option[(String, Map[String, Array[Byte]])] =
+    try {
+      val p = new Path(new Path(root), sidecarRel)
+      if (!f.exists(p)) return None
+      val dirRel = sidecarRel.split("/").init.mkString("/")
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(f.open(p), 64 * 1024))
+      try {
+        if (in.readInt() != BloomMagic) return None
+        val tag = in.readUTF()
+        val count = in.readInt()
+        val entries = (0 until count).map { _ =>
+          val name = in.readUTF()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          s"$dirRel/$name" -> bytes
+        }.toMap
+        Some(tag -> entries)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Column names probed by equality/IN shapes in `e` — the only
+    * shapes blooms can answer.
+    */
+  private def equalityColumns(e: Expression): Set[String] = {
+    def attrName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: Attribute => Some(a.name)
+      case c: Cast => attrName(c.child)
+      case _ => None
+    }
+    var out = Set.empty[String]
+    e.foreach {
+      case EqualTo(a, _: Literal) => out ++= attrName(a)
+      case EqualTo(_: Literal, a) => out ++= attrName(a)
+      case EqualNullSafe(a, _: Literal) => out ++= attrName(a)
+      case EqualNullSafe(_: Literal, a) => out ++= attrName(a)
+      case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
+        out ++= attrName(a)
+      case _ =>
+    }
+    out
+  }
+
+  /** Deserialize the blooms a predicate can use: column → (tag,
+    * rel-file → filter). Loaded once per read, only for the columns the
+    * predicate probes.
+    */
+  private def loadBlooms(spark: SparkSession, root: String, m: Manifest,
+      e: Expression)
+      : Map[String, (String, Map[String,
+        org.apache.spark.util.sketch.BloomFilter])] = {
+    if (m.blooms.isEmpty) return Map.empty
+    val wanted = equalityColumns(e).intersect(m.blooms.keySet)
+    if (wanted.isEmpty) return Map.empty
+    val f = fs(spark, new Path(root))
+    wanted.toSeq.flatMap { c =>
+      val loaded = m.blooms(c).flatMap(readBloomSidecar(f, root, _))
+      if (loaded.isEmpty) None
+      else {
+        val tag = loaded.head._1
+        val files = loaded.flatMap(_._2).map { case (rel, bytes) =>
+          rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }.toMap
+        Some(c -> (tag, files))
+      }
+    }.toMap
+  }
+
+  /** A literal lowered into a bloom's insertion domain; None keeps the
+    * file. The tag comes from the SIDECAR (the column's type at insert
+    * time), so a string literal can never probe a long-domain filter.
+    */
+  private def lowerBloom(tag: String, l: Literal)
+      : Option[Either[Long, String]] =
+    (tag, l.dataType, l.value) match {
+      case (_, _, null) => None
+      case ("long", ByteType, b: Byte) => Some(Left(b.toLong))
+      case ("long", ShortType, s: Short) => Some(Left(s.toLong))
+      case ("long", IntegerType, i: Int) => Some(Left(i.toLong))
+      case ("long", LongType, v: Long) => Some(Left(v))
+      case ("long", DateType, d: Int) => Some(Left(d.toLong))
+      case ("long", TimestampType | TimestampNTZType, m: Long) =>
+        Some(Left(m))
+      case ("string", StringType, s: UTF8String) => Some(Right(s.toString))
+      case _ => None
+    }
 
   // ---- zone-map stats ------------------------------------------------
 
@@ -508,10 +806,14 @@ object VersionedTable {
     }
 
   /** True iff the file MAY contain a row matching `e`, judged from its
-    * zone map. Sound by construction: every unrecognized shape returns
-    * true (keep); a file is dropped only on a proof of emptiness.
+    * zone map and (for equality shapes) its Bloom filters. Sound by
+    * construction: every unrecognized shape returns true (keep); a
+    * file is dropped only on a proof of emptiness. `bloomOf` resolves a
+    * column name to this file's (domain tag, filter) when one exists.
     */
-  private def mayMatch(e: Expression, fstats: FileStats): Boolean = {
+  private def mayMatch(e: Expression, fstats: FileStats,
+      bloomOf: String => Option[(String,
+        org.apache.spark.util.sketch.BloomFilter)] = _ => None): Boolean = {
     def attrName(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: Attribute => Some(a.name)
@@ -533,20 +835,33 @@ object VersionedTable {
       }
     def allNull(a: Expression): Boolean =
       stats(a).exists(cs => cs.min.isEmpty && cs.nulls >= fstats.rows)
+    // a definite bloom miss is a proof of absence for an equality;
+    // any uncertainty (no filter, un-lowerable literal) keeps the file
+    def bloomExcludes(a: Expression, l: Literal): Boolean =
+      (for {
+        name <- attrName(a)
+        (tag, bf) <- bloomOf(name)
+        probe <- lowerBloom(tag, l)
+      } yield probe match {
+        case Left(v) => !bf.mightContainLong(v)
+        case Right(s) => !bf.mightContainString(s)
+      }).getOrElse(false)
     e match {
-      case And(l, r) => mayMatch(l, fstats) && mayMatch(r, fstats)
-      case Or(l, r) => mayMatch(l, fstats) || mayMatch(r, fstats)
+      case And(l, r) =>
+        mayMatch(l, fstats, bloomOf) && mayMatch(r, fstats, bloomOf)
+      case Or(l, r) =>
+        mayMatch(l, fstats, bloomOf) || mayMatch(r, fstats, bloomOf)
       case Not(_) => true
       case IsNull(a) => stats(a).forall(_.nulls > 0)
       case IsNotNull(a) => !allNull(a)
       case EqualTo(a, l: Literal) =>
-        if (allNull(a)) false
+        if (allNull(a) || bloomExcludes(a, l)) false
         else interval(a, l).forall { case (cMn, cMx) => cMn >= 0 && cMx <= 0 }
-      case EqualTo(l: Literal, a) => mayMatch(EqualTo(a, l), fstats)
+      case EqualTo(l: Literal, a) => mayMatch(EqualTo(a, l), fstats, bloomOf)
       case EqualNullSafe(a, l: Literal) if l.value != null =>
-        mayMatch(EqualTo(a, l), fstats)
+        mayMatch(EqualTo(a, l), fstats, bloomOf)
       case EqualNullSafe(l: Literal, a) if l.value != null =>
-        mayMatch(EqualTo(a, l), fstats)
+        mayMatch(EqualTo(a, l), fstats, bloomOf)
       case GreaterThan(a, l: Literal) => // ∃ row > lit ⇐ max > lit
         if (allNull(a)) false
         else interval(a, l).forall { case (_, cMx) => cMx < 0 }
@@ -560,18 +875,41 @@ object VersionedTable {
         if (allNull(a)) false
         else interval(a, l).forall { case (cMn, _) => cMn >= 0 }
       // flipped operand order: lit OP attr ≡ attr FLIP(OP) lit
-      case GreaterThan(l: Literal, a) => mayMatch(LessThan(a, l), fstats)
+      case GreaterThan(l: Literal, a) =>
+        mayMatch(LessThan(a, l), fstats, bloomOf)
       case GreaterThanOrEqual(l: Literal, a) =>
-        mayMatch(LessThanOrEqual(a, l), fstats)
-      case LessThan(l: Literal, a) => mayMatch(GreaterThan(a, l), fstats)
+        mayMatch(LessThanOrEqual(a, l), fstats, bloomOf)
+      case LessThan(l: Literal, a) =>
+        mayMatch(GreaterThan(a, l), fstats, bloomOf)
       case LessThanOrEqual(l: Literal, a) =>
-        mayMatch(GreaterThanOrEqual(a, l), fstats)
+        mayMatch(GreaterThanOrEqual(a, l), fstats, bloomOf)
       case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
         if (allNull(a)) false
         else lits.exists(l => mayMatch(EqualTo(a, l.asInstanceOf[Literal]),
-          fstats))
+          fstats, bloomOf))
       case _ => true
     }
+  }
+
+  /** Stand-in for a file with no recorded zone map: judges nothing
+    * (every stats lookup misses → keep), so bloom-only commits still
+    * prune on equalities.
+    */
+  private val NoStats = FileStats(-1L, Map.empty)
+
+  /** The manifest's files that may match `e`, judged by zone maps AND
+    * bloom sidecars — the one pruning routine every read path calls.
+    */
+  private def filesMatching(spark: SparkSession, root: String, m: Manifest,
+      e: Expression): Seq[String] = {
+    val blooms = loadBlooms(spark, root, m, e)
+    def bloomFor(rel: String)(c: String)
+        : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+      blooms.get(c).flatMap { case (tag, byFile) =>
+        byFile.get(rel).map(tag -> _)
+      }
+    m.files.filter(rel =>
+      mayMatch(e, m.stats.getOrElse(rel, NoStats), bloomFor(rel)))
   }
 
   /** Metadata-only COUNT(*): the snapshot's row count summed off the
@@ -605,7 +943,8 @@ object VersionedTable {
     resolved match {
       case None => (m.files, Nil) // can't judge: keep everything
       case Some(e) =>
-        m.files.partition(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+        val kept = filesMatching(spark, root, m, e).toSet
+        m.files.partition(kept)
     }
   }
 
@@ -648,8 +987,7 @@ object VersionedTable {
       e <- resolvedPredicate(spark, s, p)
     } yield e
     val files = resolved match {
-      case Some(e) =>
-        m.files.filter(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+      case Some(e) => filesMatching(spark, root, m, e)
       case None => m.files
     }
     if (files.isEmpty) {
@@ -707,7 +1045,7 @@ object VersionedTable {
       collectStats(spark, root, staged, snapshot.schema, statsColumns)
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
-      schemaJson = m.schemaJson.getOrElse(snapshot.schema.json),
+      schemaJsonOf = () => m.schemaJson.getOrElse(snapshot.schema.json),
       txn = None) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
       if (!source.subsetOf(prevFiles.toSet)) {
@@ -770,8 +1108,7 @@ object VersionedTable {
     val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val resolved = schema.flatMap(resolvedPredicate(spark, _, predicate))
     val candidates = resolved match {
-      case Some(e) =>
-        m.files.filter(rel => m.stats.get(rel).forall(fs => mayMatch(e, fs)))
+      case Some(e) => filesMatching(spark, root, m, e)
       case None => m.files
     }
     if (candidates.isEmpty) return None
@@ -807,7 +1144,7 @@ object VersionedTable {
     val removedSet = (fullDrop ++ rewrite).toSet
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "delete",
-      schemaJson = m.schemaJson.getOrElse(
+      schemaJsonOf = () => m.schemaJson.getOrElse(
         schema.getOrElse(throw new java.io.IOException(
           s"snapshot of $root has no recorded schema")).json),
       txn = None) { prevM =>
@@ -1011,6 +1348,13 @@ object VersionedTable {
     m.schemaJson.foreach { sj =>
       root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
     }
+    if (m.blooms.nonEmpty) {
+      val bl = root.putObject("blooms")
+      m.blooms.toSeq.sortBy(_._1).foreach { case (c, refs) =>
+        val arr = bl.putArray(c)
+        refs.foreach(arr.add)
+      }
+    }
     if (m.stats.nonEmpty) {
       val stats = root.putObject("stats")
       m.stats.toSeq.sortBy(_._1).foreach { case (file, fsStats) =>
@@ -1051,8 +1395,11 @@ object VersionedTable {
       file -> FileStats(
         Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
     }.toMap
+    val blooms = fields(n.get("blooms")).map { case (c, arr) =>
+      c -> arr.elements().asScala.toSeq.map(_.asText())
+    }.toMap
     Manifest(n.get("version").asLong(),
       Option(n.get("mode")).map(_.asText()).getOrElse("append"),
-      files, txn, schemaJson, stats)
+      files, txn, schemaJson, stats, blooms)
   }
 }

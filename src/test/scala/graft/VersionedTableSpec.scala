@@ -283,6 +283,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("incompatible schema"))
   }
 
+  test("bloom sidecars prune point lookups zone maps cannot; pruned == direct") {
+    val root = freshRoot()
+    // ids hash-scattered across 8 files: every file's (min, max) range
+    // overlaps every lookup, so ZONE MAPS keep all 8 — the bloom is the
+    // only thing that can prove absence
+    val df = (1L to 4000L).map(i => (i, s"s${i % 7}")).toDF("id", "s")
+    VersionedTable.commit(df.repartition(8, col("id")), root,
+      statsColumns = Seq("*"), bloomColumns = Seq("id", "s"),
+      bloomExpectedItems = 1000L)
+    val (keptZone, _) =
+      VersionedTable.pruneFiles(spark, root, col("id") >= 0L)
+    assert(keptZone.size === 8, "range shapes keep everything (hash layout)")
+    val (keptPoint, droppedPoint) =
+      VersionedTable.pruneFiles(spark, root, col("id") === 1234L)
+    assert(droppedPoint.nonEmpty,
+      s"bloom must prune a point lookup, kept=${keptPoint.size}")
+    // correctness across shapes, including misses and IN lists
+    val full = VersionedTable.read(spark, root)
+    Seq(col("id") === 1234L, col("id") === 999999L,
+      col("id").isin(3L, 17L, 999999L), col("s") === "s3",
+      col("s") === "nope", col("id") === 10L && col("s") === "s3",
+      col("id") === 10L || col("id") === 20L).foreach { p =>
+      val pruned = VersionedTable.readWhere(spark, root, p)
+        .collect().map(_.toString).sorted.toSeq
+      val direct = full.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(pruned === direct, s"bloom-pruned read diverged on $p")
+    }
+    // a definite miss on every file -> zero files planned, zero rows
+    val (keptMiss, _) =
+      VersionedTable.pruneFiles(spark, root, col("id") === 999999L)
+    assert(keptMiss.isEmpty, s"an absent id must drop every file: $keptMiss")
+    // appends without blooms stay unpruned-but-correct (sound default)
+    VersionedTable.commit(Seq((999999L, "late")).toDF("id", "s"), root)
+    assert(VersionedTable.readWhere(spark, root, col("id") === 999999L)
+      .count() === 1L)
+    // string-domain blooms never probe with the wrong domain: a date-ish
+    // string literal against the string column stays exact
+    assert(VersionedTable.readWhere(spark, root, col("s") === "s4")
+      .count() === full.filter(col("s") === "s4").count())
+  }
+
   test("z-order clustering prunes on BOTH dimensions; a 1-D sort only on its own") {
     // 32x32 grid of (x, y): z-order into 16 files -> each file covers
     // a compact 2-D tile, so a range on EITHER axis drops most files.
@@ -502,6 +543,47 @@ class VersionedTableSpec extends SparkSpec {
         pinVersion = pinned)
     }
     assert(ids(root) === Seq(9L))
+  }
+
+  test("mergeSchema appends widen the snapshot; missing and new columns read NULL") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root,
+      statsColumns = Seq("*"))
+    // an append ADDING a column widens the pinned schema
+    VersionedTable.commit(
+      Seq((2L, "b", 0.5)).toDF("id", "s", "score").coalesce(1), root,
+      statsColumns = Seq("*"), mergeSchema = true)
+    val widened = VersionedTable.read(spark, root)
+    assert(widened.columns.toSeq === Seq("id", "s", "score"))
+    val rows = widened.orderBy("id").collect()
+    assert(rows(0).isNullAt(2), "old files must read NULL for the new column")
+    assert(rows(1).getDouble(2) === 0.5)
+    // an append OMITTING a column reads NULL from its own files
+    VersionedTable.commit(Seq(Tuple1(3L)).toDF("id").coalesce(1), root,
+      mergeSchema = true)
+    val r3 = VersionedTable.read(spark, root).filter(col("id") === 3L)
+      .collect().head
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+    // zone-map pruning stays SOUND across the evolution boundary:
+    // a predicate on the new column must keep the stat-less old files
+    val full = VersionedTable.read(spark, root)
+    Seq(col("score") > 0.1, col("score").isNull, col("id") >= 2L)
+      .foreach { p =>
+        val pruned = VersionedTable.readWhere(spark, root, p)
+          .collect().map(_.toString).sorted.toSeq
+        val direct = full.filter(p).collect().map(_.toString).sorted.toSeq
+        assert(pruned === direct, s"evolved pruned read diverged on $p")
+      }
+    // a shared column changing TYPE still fails loudly even with merge
+    val e = intercept[java.io.IOException] {
+      VersionedTable.commit(Seq((4L, 9L)).toDF("id", "s"), root,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("incompatible schema"))
+    // without mergeSchema the widened-table strict gate still holds
+    intercept[java.io.IOException] {
+      VersionedTable.commit(Seq(Tuple1(5L)).toDF("id"), root)
+    }
   }
 
   test("exportSnapshot gives foreign readers a stable pinned snapshot") {
