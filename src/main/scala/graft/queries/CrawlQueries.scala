@@ -83,7 +83,12 @@ object CrawlQueries {
   // asserts each matcher branch locally first).
 
   private[graft] val WildcardFixture: String =
-    "User-agent: graftbot\n" +
+    "# host: wild.example\n" + // comment line: parser strips it; the
+      // QUERY extracts the domain from it so the join key is
+      // DATA-DERIVED (a lit() domain on both sides constant-folds the
+      // equi-join into a nested-loop and the per-domain window into a
+      // partition-less one — the exact 100 TB cliffs PlanAuditSpec bans)
+      "User-agent: graftbot\n" +
       "Disallow: /*?sessionid=\n" + // mid-pattern star, 13 octets
       "Allow: /doc/*$\n" + // anchored allow, 7 octets
       "Disallow: /doc/\n" + // literal prefix, 5 octets
@@ -113,15 +118,22 @@ object CrawlQueries {
     java.nio.file.Files.write(rf.resolve("robots.txt"),
       WildcardFixture.getBytes("UTF-8"))
     java.nio.file.Files.write(uf.resolve("paths.txt"),
-      WildcardPaths.mkString("\n").getBytes("UTF-8"))
+      WildcardPaths.map(p => s"wild.example $p").mkString("\n")
+        .getBytes("UTF-8"))
+    // domain comes OUT OF THE DATA on both sides (the `# host:` header
+    // / the paths file's first field): the domain equi-join and the
+    // per-domain group stay keyed, never constant-folded
     val rules = s.read.option("wholetext", "true").text(rf.toString)
-      .select(lit("wild.example").as("domain"),
+      .select(
+        regexp_extract(col("value"), "# host: (\\S+)", 1).as("domain"),
         explode(Robots.robotsRules(col("value"))).as("r"))
       .select(col("domain"), col("r.agent").as("agent"),
         col("r.rtype").as("rtype"), col("r.path").as("path"),
         col("r.delay").as("delay"))
     val urls = s.read.text(uf.toString)
-      .select(lit("wild.example").as("domain"), col("value").as("path"))
+      .select(
+        substring_index(col("value"), " ", 1).as("domain"),
+        substring_index(col("value"), " ", -1).as("path"))
     Robots.evaluate(urls, Robots.effectiveRules(rules, "graftbot"))
       .select("path", "allowed", "matched_rule", "crawl_delay")
   }

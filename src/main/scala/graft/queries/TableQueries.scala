@@ -222,6 +222,153 @@ object TableQueries {
       |  CAST(COALESCE(g.deleted_ids, 0) AS BIGINT) AS deleted_ids
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** MERGE (keyed upsert / CDC apply) through the commit log, proved
+    * against a closed-form twin: the base table holds two thirds of
+    * the corpus key-clustered into 8 files, then ONE merge applies a
+    * CDC batch — updates (matched keys, n_chars bumped), inserts
+    * (unmatched keys), and tombstones (op = 'D' on the German docs,
+    * the op marker never reaching the table) — and the measured rollup
+    * reads BOTH the merged snapshot and the merge commit's CDC rows.
+    * A merge that drops a survivor, double-applies an update, inserts
+    * a tombstone, or emits wrong-direction CDC breaks the hash. The
+    * zone-map prune (source key bounds vs per-file doc_id ranges)
+    * keeps the rewrite O(matched files) — the 100 TB trickle-batch
+    * shape.
+    */
+  def tableMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_merge")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.filter(col("doc_id") % 3 =!= 2)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    val src = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 3 === 2)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+      .withColumn("op", when(col("lang") === "de", "D").otherwise("U"))
+    val v = VersionedTable.merge(s, root, src, Seq("doc_id"),
+      deleteMatched = Some(col("op") === "D")).getOrElse(
+      throw new IllegalStateException("merge was a no-op"))
+    val surv = VersionedTable.read(s, root)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+    val cdc = VersionedTable.changes(s, root, v - 1L, v)
+      .groupBy("lang")
+      .agg(
+        count(when(col("_change_type") === "insert", 1)).as("_ins"),
+        count(when(col("_change_type") === "delete", 1)).as("_del"))
+    surv.join(cdc, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sum_ids"), col("sum_chars"),
+        coalesce(col("_ins"), lit(0L)).as("n_cdc_ins"),
+        coalesce(col("_del"), lit(0L)).as("n_cdc_del"))
+  }
+
+  val tableMergeSql: String =
+    """WITH base AS (SELECT doc_id, source, lang, n_chars
+      |  FROM documents WHERE doc_id % 3 <> 2),
+      |src AS (SELECT doc_id, source, lang, n_chars + 1000 AS n_chars,
+      |    CASE WHEN lang = 'de' THEN 'D' ELSE 'U' END AS op
+      |  FROM documents WHERE doc_id % 3 = 0 OR doc_id % 3 = 2),
+      |matched AS (SELECT b.* FROM base b
+      |  WHERE b.doc_id IN (SELECT doc_id FROM src)),
+      |merged AS (
+      |  SELECT b.* FROM base b
+      |  WHERE b.doc_id NOT IN (SELECT doc_id FROM src)
+      |  UNION ALL
+      |  SELECT doc_id, source, lang, n_chars FROM src WHERE op = 'U'),
+      |surv AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM merged GROUP BY lang),
+      |ins AS (SELECT lang, count(*) AS n_cdc_ins FROM src
+      |  WHERE op = 'U' GROUP BY lang),
+      |del AS (SELECT lang, count(*) AS n_cdc_del FROM matched GROUP BY lang)
+      |SELECT s.lang, s.n_docs, s.sum_ids, s.sum_chars,
+      |  CAST(COALESCE(i.n_cdc_ins, 0) AS BIGINT) AS n_cdc_ins,
+      |  CAST(COALESCE(d.n_cdc_del, 0) AS BIGINT) AS n_cdc_del
+      |FROM surv s LEFT JOIN ins i USING (lang)
+      |LEFT JOIN del d USING (lang)""".stripMargin
+
+  /** Atomic predicate-scoped overwrite (the Delta `replaceWhere`
+    * backfill), proved against a closed-form twin: orders land
+    * date-clustered into 8 files, then ONE commit replaces the whole
+    * 1997 region with its re-derived urgent-only, price-doubled twin —
+    * whole-1997 files DROP with no rewrite, boundary files rewrite to
+    * survivors, non-1997 files never move. The measured rollup reads
+    * the final snapshot plus the replace commit's CDC (pre-images as
+    * deletes, replacements as inserts); a reader-visible delete/append
+    * gap, a leaked out-of-region row, or a lost boundary survivor
+    * breaks the hash.
+    */
+  def tableReplace(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_replace")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(
+      orders.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate"),
+      root, statsColumns = Seq("o_orderdate"))
+    val in1997 = col("o_orderdate") >= "1997-01-01" &&
+      col("o_orderdate") < "1998-01-01"
+    val repl = orders.filter(in1997 && col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val v = VersionedTable.replaceWhere(s, root, repl, in1997).getOrElse(
+      throw new IllegalStateException("replaceWhere committed nothing"))
+    val snap = VersionedTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+    val cdc = VersionedTable.changes(s, root, v - 1L, v)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("_change_type") === "insert", 1)).as("_ins"),
+        count(when(col("_change_type") === "delete", 1)).as("_del"))
+    snap.join(cdc, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n"), col("sum_price"),
+        col("first_date"), col("last_date"),
+        coalesce(col("_ins"), lit(0L)).as("n_cdc_ins"),
+        coalesce(col("_del"), lit(0L)).as("n_cdc_del"))
+  }
+
+  val tableReplaceSql: String =
+    """WITH repl AS (SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |    o_totalprice * 2 AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderpriority = '1-URGENT'),
+      |gone AS (SELECT o_orderpriority, count(*) AS n_cdc_del FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1),
+      |ins AS (SELECT o_orderpriority, count(*) AS n_cdc_ins FROM repl
+      |  GROUP BY 1),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    OR o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  UNION ALL SELECT * FROM repl),
+      |snap AS (SELECT o_orderpriority, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS sum_price,
+      |    min(o_orderdate) AS first_date,
+      |    max(o_orderdate) AS last_date
+      |  FROM merged GROUP BY 1)
+      |SELECT s.o_orderpriority, s.n, s.sum_price, s.first_date, s.last_date,
+      |  CAST(COALESCE(i.n_cdc_ins, 0) AS BIGINT) AS n_cdc_ins,
+      |  CAST(COALESCE(g.n_cdc_del, 0) AS BIGINT) AS n_cdc_del
+      |FROM snap s LEFT JOIN ins i USING (o_orderpriority)
+      |LEFT JOIN gone g USING (o_orderpriority)""".stripMargin
+
   /** Bloom-filter point-lookup skipping, proved against a direct scan:
     * lineitem lands HASH-scattered across 16 files (every file's
     * orderkey range overlaps every lookup, so zone maps keep all 16)
@@ -338,6 +485,71 @@ object TableQueries {
       |  'insert' AS change_type,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Exactly-once STREAMING MERGE — the foreachBatch SCD-1 upsert that
+    * serves a live table off a CDC stream: the corpus seeds the table,
+    * three micro-batches then each upsert their third of the keys
+    * (n_chars rewritten per batch), tombstone the Chinese docs, and
+    * insert synthetic clones of the English docs, every batch through
+    * the txn-guarded [[VersionedTable.merge]]. Batch 1 is then
+    * REPLAYED (at-least-once delivery after a crash) and must be
+    * skipped by its txn record — if it lands, a fourth merge version
+    * appears and the hashed `n_versions` column breaks against the
+    * closed-form DuckDB twin. The rollup reads the final snapshot, so
+    * a lost survivor, a double-applied update, or a resurrected
+    * tombstone breaks the hash too.
+    */
+  def tableStreamMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_stream_table_merge")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    def batch(k: Long): DataFrame = {
+      val third = docs.filter(col("doc_id") % 3 === k)
+      val upserts = third
+        .withColumn("n_chars", col("n_chars") * 10 + lit(k))
+        .withColumn("op", when(col("lang") === "zh", "D").otherwise("U"))
+      val clones = third.filter(col("lang") === "en")
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          lit("clone").as("source"), col("lang"), col("n_chars"),
+          lit("U").as("op"))
+      upserts.unionByName(clones)
+    }
+    (0L until 3L).foreach { k =>
+      VersionedTable.merge(s, root, batch(k), Seq("doc_id"),
+        deleteMatched = Some(col("op") === "D"),
+        txn = Some(("scd1", k)))
+    }
+    // the engine redelivers batch 1 after a simulated crash: the txn
+    // record must skip it, or a fourth merge version appears
+    VersionedTable.merge(s, root, batch(1L), Seq("doc_id"),
+      deleteMatched = Some(col("op") === "D"), txn = Some(("scd1", 1L)))
+    val latest = VersionedTable.latestVersion(s, root).get
+    VersionedTable.read(s, root)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_versions", lit(latest))
+  }
+
+  val tableStreamMergeSql: String =
+    """WITH updated AS (
+      |  SELECT doc_id, lang, n_chars * 10 + (doc_id % 3) AS n_chars
+      |  FROM documents WHERE lang <> 'zh'
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+      |  FROM documents WHERE lang = 'en')
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM updated GROUP BY lang""".stripMargin
 
   val tableCompactSql: String =
     """SELECT l_linestatus, count(*) AS n,

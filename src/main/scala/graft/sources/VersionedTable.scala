@@ -1161,6 +1161,299 @@ object VersionedTable {
     }
   }
 
+  // ---- MERGE (keyed upsert / CDC apply) ----------------------------------
+
+  private val DelFlag = "_graft_merge_delete"
+
+  /** Every table column must exist in `source` with the same type
+    * (nullability- and order-insensitive, deep nullability erasure
+    * like appends); EXTRA source columns are allowed — they exist only for
+    * the `deleteMatched` predicate and never reach the table.
+    */
+  private def requireMergeSchema(table: StructType, source: StructType,
+      root: String): Unit = {
+    val srcByName = source.fields.map(f => f.name -> f.dataType).toMap
+    table.fields.foreach { f =>
+      srcByName.get(f.name) match {
+        case None => throw new java.io.IOException(
+          s"merge into $root: source is missing table column `${f.name}`")
+        case Some(dt)
+          if eraseNullability(dt) != eraseNullability(f.dataType) =>
+          throw new java.io.IOException(
+            s"merge into $root: column `${f.name}` has type " +
+              s"${dt.simpleString}, table has ${f.dataType.simpleString}")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Delta-style `MERGE INTO`, keyed on `keys` — the upsert an SCD /
+    * CDC-apply pipeline runs against its serving table:
+    *
+    *   - WHEN MATCHED AND `deleteMatched`          → DELETE target row
+    *   - WHEN MATCHED (otherwise)                  → UPDATE SET * (the
+    *     source row replaces the target row wholesale)
+    *   - WHEN NOT MATCHED AND NOT `deleteMatched`  → INSERT * (an
+    *     unmatched tombstone is a no-op, the standard CDC-apply rule)
+    *
+    * `deleteMatched` is evaluated on SOURCE rows (a CDC op marker like
+    * `col("op") === "D"`); extra source columns may feed it and never
+    * reach the table. Source rows with a NULL key never match (SQL
+    * join semantics) and land as inserts. The source must be UNIQUE on
+    * `keys` over non-null-key rows — multiple source rows hitting one
+    * target row is ambiguous, and like Delta the merge fails loudly
+    * (one aggregate over the source checks this up front).
+    *
+    * Cost scales with the MATCHING data, never the table, in three
+    * bounded phases:
+    *
+    *   1. **Prune**: one aggregate computes the source's per-key
+    *      min/max; files whose zone maps prove no key in that range
+    *      are never opened (on a key-clustered table a trickle batch
+    *      touches O(batch) files).
+    *   2. **Touch**: a semi join of the surviving candidate files
+    *      against the distinct source keys finds the files that
+    *      actually CONTAIN a matched key (driver-bounded: one row per
+    *      candidate file). Untouched files carry into the new version
+    *      as-is — their stats, bytes and bloom entries never move.
+    *   3. **Rewrite**: touched files are rewritten to survivors (rows
+    *      whose key is not in the source) plus updates; inserts are
+    *      source rows whose key appears in NO touched file. One staged
+    *      write carries all three.
+    *
+    * The commit lands as mode `merge`, so [[changes]] emits exact CDC:
+    * pre-images of updated/deleted rows as `delete`, updated/inserted
+    * rows as `insert`, multiset-diffed over the touched files only.
+    * `txn` gives exactly-once replay protection for streaming upserts
+    * (the foreachBatch MERGE pattern). Concurrency mirrors [[delete]]:
+    * racing appends rebase; a racing commit that removed files this
+    * merge read throws [[CompactionConflictException]].
+    *
+    * Returns the committed version; None when the merge is a no-op
+    * (nothing matched, nothing to insert) or a txn replay.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], deleteMatched: Option[Column] = None,
+      statsColumns: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    if (alreadyCommitted(spark, root, txn)) return None
+    val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    requireMergeSchema(schema, source.schema, root)
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key `$k` is not a table column"))
+    val isDel = coalesce(deleteMatched.getOrElse(lit(false)), lit(false))
+    val src = source.withColumn(DelFlag, isDel)
+      .select(schema.fieldNames.map(col).toSeq :+ col(DelFlag): _*)
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // uniqueness gate: ambiguous multi-match merges fail loudly
+    val dup = src.filter(keyNotNull).groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"merge source is not unique on keys ${keys.mkString(",")}: " +
+        dup.head.toSeq.init.mkString("(", ",", ")") + " appears " +
+        dup.head.getLong(dup.head.length - 1) + " times")
+    val keepStats =
+      if (statsColumns.nonEmpty) statsColumns
+      else if (m.stats.nonEmpty) Seq("*") else Nil
+
+    // phase 1: zone-map prune on the source's key bounds
+    val prunable = keys.filter(k =>
+      statTag(schema(schema.fieldIndex(k)).dataType).isDefined)
+    val candidates: Seq[String] =
+      if (m.files.isEmpty) Nil
+      else if (prunable.isEmpty) m.files
+      else {
+        val aggs = prunable.flatMap(k =>
+          Seq(min(col(k)).as(s"_min_$k"), max(col(k)).as(s"_max_$k")))
+        val b = src.filter(keyNotNull).agg(aggs.head, aggs.tail: _*)
+          .collect().head
+        if (prunable.forall(k => b.isNullAt(b.fieldIndex(s"_min_$k")))) Nil
+        else {
+          val pred = prunable.flatMap { k =>
+            val lo = b.get(b.fieldIndex(s"_min_$k"))
+            val hi = b.get(b.fieldIndex(s"_max_$k"))
+            if (lo == null) None
+            else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+          }.reduceOption(_ && _)
+          pred.flatMap(resolvedPredicate(spark, schema, _)) match {
+            case Some(e) => filesMatching(spark, root, m, e)
+            case None => m.files
+          }
+        }
+      }
+
+    // phase 2: which candidate files CONTAIN a matched key
+    val srcKeys = src.filter(keyNotNull).select(keys.map(col): _*).distinct()
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+        readFiles(spark, root, m, candidates)
+          .withColumn("_file", input_file_name())
+          .join(srcKeys, keys.toSeq, "left_semi")
+          .select("_file").distinct().collect()
+          .flatMap(r => byName.get(r.getString(0).split("/").last)).toSeq
+      }
+
+    // phase 3: rewrite touched files; route source rows
+    val out: DataFrame =
+      if (touched.isEmpty) src.filter(!col(DelFlag)).drop(DelFlag)
+      else {
+        val touchedRows = readFiles(spark, root, m, touched)
+        val survivors = touchedRows.join(srcKeys, keys.toSeq, "left_anti")
+        // matched keys can ONLY live in touched files (a candidate file
+        // containing one is touched by construction)
+        val tKeys = touchedRows.select(keys.map(col): _*).distinct()
+        val updates = src.join(tKeys, keys.toSeq, "left_semi")
+          .filter(!col(DelFlag)).drop(DelFlag)
+        val inserts = src.join(tKeys, keys.toSeq, "left_anti")
+          .filter(!col(DelFlag)).drop(DelFlag)
+        survivors.unionByName(updates).unionByName(inserts)
+      }
+    if (touched.isEmpty && out.isEmpty) return None // pure-tombstone no-op
+    val (stageRel, staged) = stage(out, root)
+    val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
+    val removedSet = touched.toSet
+    val f = fs(spark, new Path(root))
+    publish(spark, root, staged, stagedStats, mode = "merge",
+      schemaJsonOf = () => schema.json, txn = txn) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!removedSet.subsetOf(prevFiles.toSet)) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"merge into $root@v$v raced a commit that removed files it read " +
+            "(overwrite, delete or compaction); rerun against the new " +
+            "snapshot")
+      }
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles.filterNot(removedSet) ++ staged,
+        (prevStats -- removedSet) ++ stagedStats)
+    }
+  }
+
+  // ---- replaceWhere (atomic predicate-scoped overwrite) ------------------
+
+  /** Atomic `INSERT OVERWRITE ... WHERE predicate` — the Delta
+    * `replaceWhere` role an incremental backfill runs: rows matching
+    * `predicate` are replaced by `df`, everything else is untouched,
+    * all in ONE commit (a reader never sees the deleted-but-not-yet-
+    * reinserted gap a delete+append pair would expose).
+    *
+    * Every row of `df` must itself satisfy `predicate` (checked with
+    * one job; a violating replacement would silently leak rows outside
+    * the replaced region — Delta enforces the same constraint).
+    * Pruning and rewrite mirror [[delete]]: zone maps bound the files
+    * opened, whole-match files drop with no rewrite, partial-hit files
+    * rewrite to survivors. The commit lands as mode `replace`, so
+    * [[changes]] emits exact `delete` pre-images and `insert` rows
+    * diffed over the touched + staged files only.
+    *
+    * Returns the committed version, or None on a txn replay.
+    */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame,
+      predicate: Column, statsColumns: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    if (alreadyCommitted(spark, root, txn)) return None
+    val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    requireMergeSchema(schema, df.schema, root)
+    val repl = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val hit = coalesce(predicate, lit(false))
+    if (!repl.filter(!hit).isEmpty) throw new IllegalArgumentException(
+      s"replaceWhere into $root: replacement rows must satisfy the " +
+        "predicate; at least one does not")
+    val keepStats =
+      if (statsColumns.nonEmpty) statsColumns
+      else if (m.stats.nonEmpty) Seq("*") else Nil
+    val resolved = resolvedPredicate(spark, schema, predicate)
+    val candidates = resolved match {
+      case Some(e) => filesMatching(spark, root, m, e)
+      case None => m.files
+    }
+    var fullDrop = Vector.empty[String]
+    var rewrite = Vector.empty[String]
+    if (candidates.nonEmpty) {
+      val counts = readFiles(spark, root, m, candidates)
+        .groupBy(input_file_name().as("_file"))
+        .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
+        .collect()
+      val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+      counts.foreach { r =>
+        byName.get(r.getAs[String]("_file").split("/").last).foreach { rel =>
+          val matches = r.getAs[Long]("_matches")
+          if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
+          else if (matches > 0L) rewrite :+= rel
+        }
+      }
+    }
+    val out: DataFrame =
+      if (rewrite.isEmpty) repl
+      else readFiles(spark, root, m, rewrite).filter(!hit).unionByName(repl)
+    val (stageRel, staged) = stage(out, root)
+    val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
+    val removedSet = (fullDrop ++ rewrite).toSet
+    val f = fs(spark, new Path(root))
+    publish(spark, root, staged, stagedStats, mode = "replace",
+      schemaJsonOf = () => schema.json, txn = txn) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!removedSet.subsetOf(prevFiles.toSet)) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"replaceWhere into $root@v$v raced a commit that removed files " +
+            "it read (overwrite, delete or compaction); rerun against the " +
+            "new snapshot")
+      }
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles.filterNot(removedSet) ++ staged,
+        (prevStats -- removedSet) ++ stagedStats)
+    }
+  }
+
+  // ---- timestamp time travel ---------------------------------------------
+
+  /** The newest version whose commit file landed at or before
+    * `timestampMillis` (epoch millis), judged by the commit file's
+    * filesystem modification time — the same clock Delta's
+    * `timestampAsOf` reads. None when the table has no commit that
+    * old. The mapping is monotone because versions publish strictly in
+    * order through the rename arbiter.
+    */
+  def versionAsOf(spark: SparkSession, root: String,
+      timestampMillis: Long): Option[Long] = {
+    val dir = commitsPath(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          s.getModificationTime <= timestampMillis
+      }
+      .map(s => s.getPath.getName.drop(1).dropRight(5).toLong)
+      .sorted.lastOption
+  }
+
+  /** Snapshot read pinned by TIMESTAMP instead of version. */
+  def readAsOf(spark: SparkSession, root: String,
+      timestampMillis: Long): DataFrame = {
+    val v = versionAsOf(spark, root, timestampMillis).getOrElse(
+      throw new java.io.IOException(
+        s"no commit under $root at or before epoch-millis $timestampMillis"))
+    read(spark, root, Some(v))
+  }
+
   // ---- snapshot export for foreign readers -------------------------------
 
   /** Export a pinned snapshot as a symlink-style manifest — a plain
@@ -1257,6 +1550,28 @@ object VersionedTable {
             Some(before.exceptAll(after)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
+          }
+        case "merge" | "replace" =>
+          // both directions, multiset-diffed over the TOUCHED +
+          // staged files only (survivors rewritten unchanged cancel):
+          // pre-images of updated/deleted/replaced rows as `delete`,
+          // updated/inserted/replacement rows as `insert`
+          val removed = prevFiles.filterNot(cur.files.toSet)
+          val added = cur.files.filterNot(prevFiles.toSet)
+          if (removed.isEmpty && added.isEmpty) None
+          else {
+            val empty = readManifest(spark, root, cur, None).limit(0)
+            val before =
+              if (removed.isEmpty) empty
+              else readFiles(spark, root, cur, removed)
+            val after =
+              if (added.isEmpty) empty
+              else readFiles(spark, root, cur, added)
+            val ins = after.exceptAll(before)
+              .withColumn("_change_type", lit("insert"))
+            val del = before.exceptAll(after)
+              .withColumn("_change_type", lit("delete"))
+            Some(ins.unionAll(del).withColumn("_commit_version", lit(v)))
           }
         case _ => // overwrite: full multiset diff of the two snapshots
           val after = readManifest(spark, root, cur, None)

@@ -694,7 +694,27 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // documents anti-join broadcasts
       "q_crawl_frontier" -> 7,
       // ONE canonical-key window (<=2-row partitions) + domain rollup
-      "q_url_dedup" -> 2)
+      "q_url_dedup" -> 2,
+      // rules side: ONE |domains|-bounded fold to the broadcast array;
+      // the URL side never shuffles (the domain key is data-derived so
+      // the equi-join/window can't constant-fold degenerate)
+      "q_robots_wildcards" -> 1,
+      // survivor rollup + the CDC touched-file diff (exceptAll pair) +
+      // the lang join of the two rollups; the delete's own rewrite ran
+      // at table-build time
+      "q_table_delete" -> 3,
+      // widened-snapshot read + ONE rollup exchange
+      "q_table_evolve" -> 1,
+      // bloom-pruned read + ONE rollup exchange
+      "q_table_pointlookup" -> 1,
+      // snapshot rollup + CDC both-direction exceptAll over touched
+      // files + the lang join; the merge's rewrite ran at build time
+      "q_table_merge" -> 4,
+      // same shape as q_table_merge for the replace commit
+      "q_table_replace" -> 4,
+      // final snapshot rollup only — the three txn-guarded merges (and
+      // the skipped replay) ran at table-build time
+      "q_stream_table_merge" -> 1)
     // every registered query must carry an explicit ceiling — a new
     // query cannot land unaudited
     val unbudgeted = Queries.all.keySet -- budget.keySet

@@ -634,6 +634,166 @@ class VersionedTableSpec extends SparkSpec {
       (0L, "insert", 1L), (0L, "insert", 2L), (1L, "insert", 3L)))
   }
 
+  test("merge upserts keyed rows: update matched, insert unmatched, tombstone deletes") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "s", "n").coalesce(1), root, statsColumns = Seq("*"))
+    // source: update id=2, delete id=3 (op marker is an EXTRA column
+    // that never reaches the table), insert id=4, unmatched tombstone
+    // id=9 is a no-op
+    val src = Seq(
+      (2L, "B", 200L, "U"), (3L, "c", 30L, "D"),
+      (4L, "d", 40L, "U"), (9L, "z", 90L, "D"))
+      .toDF("id", "s", "n", "op")
+    val v = VersionedTable.merge(spark, root, src, Seq("id"),
+      deleteMatched = Some(col("op") === "D"))
+    assert(v === Some(1L))
+    assert(VersionedTable.manifest(spark, root, 1L).mode === "merge")
+    val rows = VersionedTable.read(spark, root)
+      .select("id", "s", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", 10L), (2L, "B", 200L), (4L, "d", 40L)))
+    // stats survive: metadata-only count still answers
+    assert(VersionedTable.rowCount(spark, root) === Some(3L))
+    // CDC: pre-images of updated/deleted rows as delete, updated +
+    // inserted rows as insert — survivors (id=1) never appear
+    val ch = VersionedTable.changes(spark, root, 0L, 1L)
+      .select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(ch === Seq((2L, "delete"), (2L, "insert"), (3L, "delete"),
+      (4L, "insert")))
+    // time travel to the pre-merge snapshot still works
+    assert(ids(root, Some(0L)) === Seq(1L, 2L, 3L))
+    // a no-op merge (nothing matched, only tombstones) commits nothing
+    assert(VersionedTable.merge(spark, root,
+      Seq((99L, "x", 0L, "D")).toDF("id", "s", "n", "op"), Seq("id"),
+      deleteMatched = Some(col("op") === "D")).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root) === Some(1L))
+  }
+
+  test("merge touches only files containing matched keys; null keys insert") {
+    val root = freshRoot()
+    // three single-file commits with disjoint id ranges
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((10L, "j"), (11L, "k")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((20L, "t"), (21L, "u")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    val before = VersionedTable.manifest(spark, root, 2L).files.toSet
+    // source hits only the middle file's range; a null-key row inserts
+    val src = Seq((Some(10L), "J"), (None: Option[Long], "nil"))
+      .toDF("id", "s")
+    VersionedTable.merge(spark, root, src, Seq("id"))
+    val after = VersionedTable.manifest(spark, root, 3L)
+    val untouched = before.filter(after.files.toSet)
+    assert(untouched.size === 2,
+      s"only the matched file may be rewritten; kept $untouched")
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+      .sortBy(t => (t._1.isEmpty, t._1.map(_.toString.toLong)))
+    assert(rows === Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (Some(10L), "J"),
+      (Some(11L), "k"), (Some(20L), "t"), (Some(21L), "u"),
+      (None, "nil")).sortBy(t => (t._1.isEmpty, t._1)))
+  }
+
+  test("merge rejects ambiguous sources and schema drift; races conflict") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root)
+    // duplicate keys in the source are ambiguous — fail loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "s"), Seq("id"))
+    }
+    // a missing table column fails loudly
+    intercept[java.io.IOException] {
+      VersionedTable.merge(spark, root, Seq(1L).toDF("id"), Seq("id"))
+    }
+    // exactly-once: the same (writer, batch) never lands twice
+    assert(VersionedTable.merge(spark, root,
+      Seq((1L, "A")).toDF("id", "s"), Seq("id"),
+      txn = Some(("up", 7L))) === Some(1L))
+    assert(VersionedTable.merge(spark, root,
+      Seq((1L, "A")).toDF("id", "s"), Seq("id"),
+      txn = Some(("up", 7L))).isEmpty)
+    // racing overwrite removed the file the merge read: conflict
+    val pinned = VersionedTable.latestVersion(spark, root)
+    VersionedTable.commit(Seq((9L, "i")).toDF("id", "s"), root,
+      overwrite = true)
+    intercept[VersionedTable.CompactionConflictException] {
+      VersionedTable.merge(spark, root,
+        Seq((1L, "zz")).toDF("id", "s"), Seq("id"), pinVersion = pinned)
+    }
+    assert(ids(root) === Seq(9L))
+  }
+
+  test("replaceWhere swaps the matched region atomically and rejects leaks") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L), (4L, "z", 40L))
+        .toDF("id", "par", "n").repartition(3, col("par")),
+      root, statsColumns = Seq("*"))
+    val before = VersionedTable.manifest(spark, root, 0L).files.toSet
+    // replace the whole par=x region with two new rows
+    val repl = Seq((7L, "x", 70L), (8L, "x", 80L)).toDF("id", "par", "n")
+    val v = VersionedTable.replaceWhere(spark, root, repl,
+      col("par") === "x")
+    assert(v === Some(1L))
+    val after = VersionedTable.manifest(spark, root, 1L)
+    assert(after.mode === "replace")
+    // the y and z files never move
+    assert(before.filter(after.files.toSet).size >= 1)
+    assert(ids(root) === Seq(3L, 4L, 7L, 8L))
+    // CDC: replaced pre-images as delete, replacements as insert
+    val ch = VersionedTable.changes(spark, root, 0L, 1L)
+      .select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(ch === Seq((1L, "delete"), (2L, "delete"),
+      (7L, "insert"), (8L, "insert")))
+    // a replacement row OUTSIDE the predicate region is a leak — refuse
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(spark, root,
+        Seq((9L, "w", 90L)).toDF("id", "par", "n"), col("par") === "x")
+    }
+    // exactly-once txn replay skips
+    assert(VersionedTable.replaceWhere(spark, root,
+      Seq((5L, "y", 50L)).toDF("id", "par", "n"), col("par") === "y",
+      txn = Some(("bf", 3L))) === Some(2L))
+    assert(VersionedTable.replaceWhere(spark, root,
+      Seq((6L, "y", 60L)).toDF("id", "par", "n"), col("par") === "y",
+      txn = Some(("bf", 3L))).isEmpty)
+    // id=3 (the old y row) was replaced by id=5
+    assert(ids(root) === Seq(4L, 5L, 7L, 8L))
+  }
+
+  test("readAsOf pins a snapshot by commit timestamp") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // pin distinct commit mtimes deterministically (no wall-clock sleeps)
+    def setTime(v: Long, t: Long): Unit =
+      fs.setTimes(new Path(root, f"_commits/v$v%012d.json"), t, -1L)
+    VersionedTable.commit(Seq(2L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v2
+    setTime(0L, 1000L); setTime(1L, 2000L); setTime(2L, 3000L)
+    assert(VersionedTable.versionAsOf(spark, root, 999L).isEmpty)
+    assert(VersionedTable.versionAsOf(spark, root, 1000L) === Some(0L))
+    assert(VersionedTable.versionAsOf(spark, root, 2500L) === Some(1L))
+    assert(VersionedTable.versionAsOf(spark, root, 999999L) === Some(2L))
+    assert(VersionedTable.readAsOf(spark, root, 2500L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L))
+    intercept[java.io.IOException] {
+      VersionedTable.readAsOf(spark, root, 1L)
+    }
+  }
+
   test("q_scd_status runs identically off a manifest-pinned read") {
     val dir = "/root/testdata/sf0.001"
     val root = freshRoot()
