@@ -222,6 +222,73 @@ object TableQueries {
       |  CAST(COALESCE(g.deleted_ids, 0) AS BIGINT) AS deleted_ids
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** Deletion-vector takedown through the commit log, proved against a
+    * DuckDB DELETE twin: the corpus lands key-clustered in 8 files,
+    * one [[VersionedTable.deleteVectored]] then kills the takedown set
+    * WITHOUT rewriting a single data file (the query throws if the
+    * file list moved), the CDC feed must emit exactly the newly-dead
+    * rows, the metadata-only row count must stay exact (hashed as
+    * `meta_rows`), and a compact PURGE must reproduce the same live
+    * rows from plain files. At 100 TB this is the row-granular
+    * takedown: O(matching rows) written, zero files rewritten until
+    * the deferred purge.
+    */
+  def tableDv(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_dv")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    val pred = col("source") === "src5" ||
+      (col("doc_id") >= 200L && col("doc_id") < 260L)
+    val v = VersionedTable.deleteVectored(s, root, pred).getOrElse(
+      throw new IllegalStateException("vectored takedown matched no rows"))
+    val before = VersionedTable.manifest(s, root, v - 1L).files
+    if (VersionedTable.manifest(s, root, v).files != before)
+      throw new IllegalStateException(
+        "deleteVectored must not rewrite data files")
+    val metaRows = VersionedTable.rowCount(s, root).getOrElse(
+      throw new IllegalStateException("metadata count unavailable"))
+    val cdc = VersionedTable.changes(s, root, v - 1L, v)
+      .filter(col("_change_type") === "delete")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("_n_del"), sum(col("doc_id")).as("_del_ids"))
+    // purge: vectors clear, live rows must round-trip into plain files
+    VersionedTable.compact(s, root, targetPartitions = 4,
+      clusterBy = Seq("doc_id"))
+    val surv = VersionedTable.read(s, root)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+    surv.join(cdc, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sum_ids"), col("sum_chars"),
+        coalesce(col("_n_del"), lit(0L)).as("n_deleted"),
+        coalesce(col("_del_ids"), lit(0L)).as("deleted_ids"),
+        lit(metaRows).as("meta_rows"))
+  }
+
+  val tableDvSql: String =
+    """WITH flagged AS (SELECT *,
+      |  (source = 'src5' OR (doc_id >= 200 AND doc_id < 260)) AS del
+      |  FROM documents),
+      |surv AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM flagged WHERE NOT del GROUP BY lang),
+      |gone AS (SELECT lang, count(*) AS n_deleted,
+      |    CAST(sum(doc_id) AS BIGINT) AS deleted_ids
+      |  FROM flagged WHERE del GROUP BY lang)
+      |SELECT s.lang, s.n_docs, s.sum_ids, s.sum_chars,
+      |  CAST(COALESCE(g.n_deleted, 0) AS BIGINT) AS n_deleted,
+      |  CAST(COALESCE(g.deleted_ids, 0) AS BIGINT) AS deleted_ids,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM flagged WHERE NOT del)
+      |    AS meta_rows
+      |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
+
   /** MERGE (keyed upsert / CDC apply) through the commit log, proved
     * against a closed-form twin: the base table holds two thirds of
     * the corpus key-clustered into 8 files, then ONE merge applies a

@@ -104,11 +104,21 @@ object VersionedTable {
     * files read back NULL there); a shared column changing TYPE is
     * never coerced — that stays an explicit overwrite, loudly.
     */
+  /** Deletion-vector state for ONE data file: `refs` are the parquet
+    * sidecars holding `(file, pos)` rows for its dead positions (one
+    * per dvdelete commit that touched it — positions across commits
+    * are DISJOINT because each delete evaluates on the live view);
+    * `dead` is their total count, so metadata-only reads never open
+    * the sidecars.
+    */
+  final case class DvEntry(refs: Seq[String], dead: Long)
+
   final case class Manifest(version: Long, mode: String, files: Seq[String],
       txn: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       stats: Map[String, FileStats] = Map.empty,
-      blooms: BloomRefs = Map.empty)
+      blooms: BloomRefs = Map.empty,
+      dvs: Map[String, DvEntry] = Map.empty)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -341,7 +351,17 @@ object VersionedTable {
       schemaJsonOf: () => String,
       txn: Option[(String, Long)],
       linkBlooms: Option[Manifest] => BloomRefs =
-        prevM => prevM.map(_.blooms).getOrElse(Map.empty))(
+        prevM => prevM.map(_.blooms).getOrElse(Map.empty),
+      // default: carry the predecessor's deletion vectors RESTRICTED
+      // to files that survive into the new version — so any op that
+      // rewrites or drops a file (delete/merge/replace/compact/
+      // overwrite) implicitly clears its vectors, by construction
+      linkDvs: (Option[Manifest], Seq[String]) => Map[String, DvEntry] =
+        (prevM, files) => {
+          val keep = files.toSet
+          prevM.map(_.dvs).getOrElse(Map.empty)
+            .filter { case (f, _) => keep.contains(f) }
+        })(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -368,7 +388,7 @@ object VersionedTable {
       val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val body = renderManifest(
         Manifest(next, mode, files, txnMap, Some(schemaJsonOf()), stats,
-          linkBlooms(prevM)))
+          linkBlooms(prevM), linkDvs(prevM, files)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -924,7 +944,8 @@ object VersionedTable {
       throw new java.io.IOException(s"no committed version under $root"))
     val m = manifest(spark, root, v)
     val counts = m.files.map(m.stats.get(_).map(_.rows))
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum - m.dvs.values.map(_.dead).sum)
   }
 
   /** The manifest's file list split by `predicate` against the zone
@@ -996,8 +1017,7 @@ object VersionedTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], s)
     }
-    val abs = files.map(rel => new Path(new Path(root), rel).toString)
-    schema.fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
+    readFilesLive(spark, root, m, files)
   }
 
   // ---- compaction ------------------------------------------------------
@@ -1032,7 +1052,10 @@ object VersionedTable {
     val v = pinVersion
       .orElse(latestVersion(spark, root)).getOrElse(return None)
     val m = manifest(spark, root, v)
-    if (m.files.size <= targetPartitions && clusterBy.isEmpty) return None
+    // outstanding deletion vectors always compact (the purge that
+    // re-earns plain scans and lets vacuum destroy the dead bytes)
+    if (m.files.size <= targetPartitions && clusterBy.isEmpty &&
+      m.dvs.isEmpty) return None
     val source = m.files.toSet
     val snapshot = readManifest(spark, root, m, None)
     val arranged =
@@ -1048,11 +1071,12 @@ object VersionedTable {
       schemaJsonOf = () => m.schemaJson.getOrElse(snapshot.schema.json),
       txn = None) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
-      if (!source.subsetOf(prevFiles.toSet)) {
+      if (!source.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, source)) {
         f.delete(new Path(new Path(root), stageRel), true)
         throw new CompactionConflictException(
-          s"compaction of $root@v$v raced a commit that removed files it " +
-            "read (overwrite or overlapping compaction); rerun")
+          s"compaction of $root@v$v raced a commit that removed or " +
+            "re-vectored files it read; rerun")
       }
       val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
       (prevFiles.filterNot(source) ++ staged,
@@ -1118,8 +1142,10 @@ object VersionedTable {
       else Nil
     // DELETE keeps FALSE and NULL rows; only TRUE rows go
     val hit = coalesce(predicate, lit(false))
-    val counts = readFiles(spark, root, m, candidates)
-      .groupBy(input_file_name().as("_file"))
+    // provenance via the per-relation metadata column, never
+    // input_file_name() (which rejects the multi-source DV-join plan)
+    val counts = readFilesLivePos(spark, root, m, candidates)
+      .groupBy(col(DvRelCol).as("_file"))
       .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
       .collect()
     val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
@@ -1136,7 +1162,7 @@ object VersionedTable {
     val (stageRel, staged, stagedStats) =
       if (rewrite.isEmpty) (None, Nil, Map.empty[String, FileStats])
       else {
-        val survivors = readFiles(spark, root, m, rewrite).filter(!hit)
+        val survivors = readFilesLive(spark, root, m, rewrite).filter(!hit)
         val (rel, s) = stage(survivors, root)
         (Some(rel), s,
           collectStats(spark, root, s, survivors.schema, keepStats))
@@ -1149,15 +1175,112 @@ object VersionedTable {
           s"snapshot of $root has no recorded schema")).json),
       txn = None) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
-      if (!removedSet.subsetOf(prevFiles.toSet)) {
+      if (!removedSet.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, removedSet)) {
         stageRel.foreach(rel => f.delete(new Path(new Path(root), rel), true))
         throw new CompactionConflictException(
-          s"delete on $root@v$v raced a commit that removed files it read " +
-            "(overwrite or compaction); rerun against the new snapshot")
+          s"delete on $root@v$v raced a commit that removed or re-vectored " +
+            "files it read; rerun against the new snapshot")
       }
       val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
       (prevFiles.filterNot(removedSet) ++ staged,
         (prevStats -- removedSet) ++ stagedStats)
+    }
+  }
+
+  /** True when a racing commit changed the deletion vectors of any
+    * file in `rels` between the pinned manifest and `prev` — a rewrite
+    * computed from the pinned live view would resurrect the racing
+    * delete's rows, so every file-rewriting op conflicts on this.
+    */
+  private def dvsChanged(pinned: Manifest, prev: Option[Manifest],
+      rels: Iterable[String]): Boolean = {
+    val prevDvs = prev.map(_.dvs).getOrElse(Map.empty)
+    rels.exists(r =>
+      prevDvs.get(r).map(_.refs) != pinned.dvs.get(r).map(_.refs))
+  }
+
+  /** Row-level DELETE that rewrites NOTHING — the deletion-vector
+    * flavor of [[delete]] (the Delta DV role): matching rows' parquet
+    * row indexes land in a `(file, pos)` sidecar written
+    * DISTRIBUTED (never collected to the driver), the manifest maps
+    * each touched data file to its sidecars, and every semantic read
+    * anti-joins the dead positions out. Where [[delete]] costs a
+    * rewrite of every partially-hit file, this costs O(matching ROWS)
+    * — the takedown shape for a handful of documents inside 1 GB
+    * files across a 100 TB table.
+    *
+    * Trades, stated plainly:
+    *   - reads of touched files pay the anti join until a [[compact]]
+    *     purges them (compact reads the live view and clears vectors
+    *     for everything it rewrites — run it to re-earn plain scans
+    *     AND to physically destroy the bytes; a dvdelete alone does
+    *     NOT discharge a byte-destruction obligation until the
+    *     compact + vacuum pair runs);
+    *   - zone-map stats of touched files stay conservative (sound —
+    *     bounds may cover dead rows); [[rowCount]] subtracts the
+    *     recorded dead counts so metadata-only counts stay exact;
+    *   - [[exportSnapshot]] refuses while vectors are outstanding
+    *     (foreign readers cannot apply them).
+    *
+    * CDC: the commit lands as mode `dvdelete`; [[changes]] emits the
+    * newly-dead rows as `delete`, bounded by the touched files.
+    * Concurrency: racing appends rebase; a racing commit that removed
+    * OR re-vectored a file this delete read conflicts loudly (keeps
+    * recorded dead counts exact). Returns the committed version, or
+    * None when nothing matches.
+    */
+  def deleteVectored(spark: SparkSession, root: String, predicate: Column,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    if (m.files.isEmpty) return None
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val resolved = schema.flatMap(resolvedPredicate(spark, _, predicate))
+    val candidates = resolved match {
+      case Some(e) => filesMatching(spark, root, m, e)
+      case None => m.files
+    }
+    if (candidates.isEmpty) return None
+    val hit = coalesce(predicate, lit(false))
+    val hits = readFilesLivePos(spark, root, m, candidates)
+      .filter(hit)
+      .select(col(DvRelCol).as("file"), col(DvPosCol).as("pos"))
+    val (stageRel, refs) = stage(hits, root)
+    val f = fs(spark, new Path(root))
+    // per-file dead counts off the staged sidecar (no recompute;
+    // driver-bounded: one row per touched file)
+    val newDead = dvRows(spark, root, refs)
+      .groupBy("file").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newDead.isEmpty) {
+      f.delete(new Path(new Path(root), stageRel), true)
+      return None
+    }
+    publish(spark, root, Nil, Map.empty, mode = "dvdelete",
+      schemaJsonOf = () => m.schemaJson.getOrElse(
+        throw new java.io.IOException(
+          s"snapshot of $root has no recorded schema")),
+      txn = None,
+      linkDvs = (prevM, files) => {
+        val keep = files.toSet
+        val carried = prevM.map(_.dvs).getOrElse(Map.empty)
+          .filter { case (fl, _) => keep.contains(fl) }
+        newDead.foldLeft(carried) { case (acc, (fl, n)) =>
+          val prev = acc.getOrElse(fl, DvEntry(Nil, 0L))
+          acc + (fl -> DvEntry(prev.refs ++ refs, prev.dead + n))
+        }
+      }) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!newDead.keySet.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, newDead.keySet)) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"deleteVectored on $root@v$v raced a commit that removed or " +
+            "re-vectored files it read; rerun against the new snapshot")
+      }
+      (prevFiles, prevM.map(_.stats).getOrElse(Map.empty))
     }
   }
 
@@ -1295,8 +1418,8 @@ object VersionedTable {
       if (candidates.isEmpty) Nil
       else {
         val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
-        readFiles(spark, root, m, candidates)
-          .withColumn("_file", input_file_name())
+        readFilesLivePos(spark, root, m, candidates)
+          .withColumnRenamed(DvRelCol, "_file")
           .join(srcKeys, keys.toSeq, "left_semi")
           .select("_file").distinct().collect()
           .flatMap(r => byName.get(r.getString(0).split("/").last)).toSeq
@@ -1306,7 +1429,7 @@ object VersionedTable {
     val out: DataFrame =
       if (touched.isEmpty) src.filter(!col(DelFlag)).drop(DelFlag)
       else {
-        val touchedRows = readFiles(spark, root, m, touched)
+        val touchedRows = readFilesLive(spark, root, m, touched)
         val survivors = touchedRows.join(srcKeys, keys.toSeq, "left_anti")
         // matched keys can ONLY live in touched files (a candidate file
         // containing one is touched by construction)
@@ -1325,12 +1448,12 @@ object VersionedTable {
     publish(spark, root, staged, stagedStats, mode = "merge",
       schemaJsonOf = () => schema.json, txn = txn) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
-      if (!removedSet.subsetOf(prevFiles.toSet)) {
+      if (!removedSet.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, candidates)) {
         f.delete(new Path(new Path(root), stageRel), true)
         throw new CompactionConflictException(
-          s"merge into $root@v$v raced a commit that removed files it read " +
-            "(overwrite, delete or compaction); rerun against the new " +
-            "snapshot")
+          s"merge into $root@v$v raced a commit that removed or " +
+            "re-vectored files it read; rerun against the new snapshot")
       }
       val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
       (prevFiles.filterNot(removedSet) ++ staged,
@@ -1385,8 +1508,8 @@ object VersionedTable {
     var fullDrop = Vector.empty[String]
     var rewrite = Vector.empty[String]
     if (candidates.nonEmpty) {
-      val counts = readFiles(spark, root, m, candidates)
-        .groupBy(input_file_name().as("_file"))
+      val counts = readFilesLivePos(spark, root, m, candidates)
+        .groupBy(col(DvRelCol).as("_file"))
         .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
         .collect()
       val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
@@ -1400,7 +1523,7 @@ object VersionedTable {
     }
     val out: DataFrame =
       if (rewrite.isEmpty) repl
-      else readFiles(spark, root, m, rewrite).filter(!hit).unionByName(repl)
+      else readFilesLive(spark, root, m, rewrite).filter(!hit).unionByName(repl)
     val (stageRel, staged) = stage(out, root)
     val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
     val removedSet = (fullDrop ++ rewrite).toSet
@@ -1408,12 +1531,12 @@ object VersionedTable {
     publish(spark, root, staged, stagedStats, mode = "replace",
       schemaJsonOf = () => schema.json, txn = txn) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
-      if (!removedSet.subsetOf(prevFiles.toSet)) {
+      if (!removedSet.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, removedSet)) {
         f.delete(new Path(new Path(root), stageRel), true)
         throw new CompactionConflictException(
-          s"replaceWhere into $root@v$v raced a commit that removed files " +
-            "it read (overwrite, delete or compaction); rerun against the " +
-            "new snapshot")
+          s"replaceWhere into $root@v$v raced a commit that removed or " +
+            "re-vectored files it read; rerun against the new snapshot")
       }
       val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
       (prevFiles.filterNot(removedSet) ++ staged,
@@ -1471,6 +1594,9 @@ object VersionedTable {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val m = manifest(spark, root, v)
+    if (m.dvs.nonEmpty) throw new java.io.IOException(
+      s"snapshot $root@v$v has outstanding deletion vectors, which " +
+        "foreign plain-parquet readers cannot apply; compact first")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val abs = m.files.map(rel =>
@@ -1538,16 +1664,49 @@ object VersionedTable {
             .withColumn("_commit_version", lit(v)))
         case "delete" =>
           // deleted rows = removed files minus their rewritten
-          // survivors — bounded by the commit's TOUCHED files
+          // survivors — bounded by the commit's TOUCHED files; the
+          // before-image is the PREDECESSOR's live view (rows a prior
+          // deletion vector already killed must not re-emit)
           val removed = prevFiles.filterNot(cur.files.toSet)
           val added = cur.files.filterNot(prevFiles.toSet)
           if (removed.isEmpty) None
           else {
-            val before = readFiles(spark, root, cur, removed)
+            val before = readFilesLive(spark, root, manifests(v - 1), removed)
             val after =
               if (added.isEmpty) before.limit(0)
               else readFiles(spark, root, cur, added)
             Some(before.exceptAll(after)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        case "dvdelete" =>
+          // newly-dead rows = THIS commit's sidecar positions joined
+          // back to their files — bounded by the touched files, and
+          // exact because racing re-vectoring conflicts at commit time
+          val prevDvRefs: Set[String] =
+            (if (v == 0L) Map.empty[String, DvEntry]
+             else manifests(v - 1).dvs).values.flatMap(_.refs).toSet
+          val newRefs = cur.dvs.values.flatMap(_.refs).toSet -- prevDvRefs
+          val touched = cur.dvs.collect {
+            case (fl, e) if e.refs.exists(newRefs.contains) => fl
+          }.toSeq
+          if (newRefs.isEmpty || touched.isEmpty) None
+          else {
+            val dv = dvRows(spark, root, newRefs.toSeq.sorted)
+              .select(col("file").as("_graft_dv_file"),
+                col("pos").as("_graft_dv_deadpos"))
+            val deadDelta =
+              cur.dvs.values.map(_.dead).sum -
+                (if (v == 0L) 0L
+                 else manifests(v - 1).dvs.values.map(_.dead).sum)
+            val dvSide =
+              if (deadDelta <= DvBroadcastMaxRows) broadcast(dv) else dv
+            val raw = readFilesRawPos(spark, root, cur, touched)
+            Some(raw.join(dvSide,
+              raw(DvRelCol) === dvSide("_graft_dv_file") &&
+                raw(DvPosCol) === dvSide("_graft_dv_deadpos"),
+              "left_semi")
+              .drop(DvRelCol, DvPosCol)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           }
@@ -1563,7 +1722,7 @@ object VersionedTable {
             val empty = readManifest(spark, root, cur, None).limit(0)
             val before =
               if (removed.isEmpty) empty
-              else readFiles(spark, root, cur, removed)
+              else readFilesLive(spark, root, manifests(v - 1), removed)
             val after =
               if (added.isEmpty) empty
               else readFiles(spark, root, cur, added)
@@ -1599,6 +1758,77 @@ object VersionedTable {
       .fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
   }
 
+  // ---- deletion-vector read plumbing -------------------------------------
+  //
+  // A deletion vector marks rows of an EXISTING parquet file dead
+  // without rewriting the file (the Delta DV role): the manifest maps
+  // a data file to parquet sidecars of `(file, pos)` dead positions,
+  // `pos` being the parquet row index Spark exposes as
+  // `_metadata.row_index`. Every semantic read anti-joins the dead
+  // positions out; file paths join on their root-relative form
+  // (`data/c<token>/part-*.parquet` — the last three path segments),
+  // never on absolute URIs, so a relocated table keeps its vectors.
+
+  private val DvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Dead-position sets at or under this many rows ride a broadcast
+    * into the anti join (~64 MB of (path, long) pairs); bigger vectors
+    * fall back to a shuffled anti join — correct either way, and the
+    * decision is made from manifest metadata, zero files opened.
+    */
+  private val DvBroadcastMaxRows = 4000000L
+
+  private val DvRelCol = "_graft_dv_rel"
+  private val DvPosCol = "_graft_dv_pos"
+
+  private def fileRelOf(c: Column): Column = substring_index(c, "/", -3)
+
+  /** `rels` read RAW (vectors NOT applied) with position provenance
+    * attached as [[DvRelCol]] / [[DvPosCol]].
+    */
+  private def readFilesRawPos(spark: SparkSession, root: String, m: Manifest,
+      rels: Seq[String]): DataFrame =
+    readFiles(spark, root, m, rels)
+      .withColumn(DvRelCol, fileRelOf(col("_metadata.file_path")))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  private def dvRows(spark: SparkSession, root: String,
+      refs: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema)
+      .parquet(refs.map(rel => new Path(new Path(root), rel).toString): _*)
+
+  /** The LIVE rows of `rels` under `m` (deletion vectors applied),
+    * position provenance still attached.
+    */
+  private def readFilesLivePos(spark: SparkSession, root: String,
+      m: Manifest, rels: Seq[String]): DataFrame = {
+    val raw = readFilesRawPos(spark, root, m, rels)
+    val dirty = rels.filter(m.dvs.contains)
+    if (dirty.isEmpty) return raw
+    val refs = dirty.flatMap(m.dvs(_).refs).distinct
+    val dead = dirty.map(m.dvs(_).dead).sum
+    val dv = dvRows(spark, root, refs)
+      .select(col("file").as("_graft_dv_file"),
+        col("pos").as("_graft_dv_deadpos"))
+    val dvSide = if (dead <= DvBroadcastMaxRows) broadcast(dv) else dv
+    raw.join(dvSide,
+      raw(DvRelCol) === dvSide("_graft_dv_file") &&
+        raw(DvPosCol) === dvSide("_graft_dv_deadpos"),
+      "left_anti")
+  }
+
+  /** The LIVE rows of `rels` under `m` — the one read every semantic
+    * consumer (snapshot read, delete/merge/replace rewrite, compact,
+    * CDC pre-image) goes through. Files without vectors read plain,
+    * zero overhead.
+    */
+  private def readFilesLive(spark: SparkSession, root: String, m: Manifest,
+      rels: Seq[String]): DataFrame =
+    if (!rels.exists(m.dvs.contains)) readFiles(spark, root, m, rels)
+    else readFilesLivePos(spark, root, m, rels).drop(DvRelCol, DvPosCol)
+
   /** Delete crash leftovers and history past the retention count:
     * stale dot-temp manifests, version files older than the newest
     * `keepVersions`, `data/c*` subdirs referenced by NO retained
@@ -1627,7 +1857,13 @@ object VersionedTable {
     versions.dropRight(keepVersions)
       .foreach(v => f.delete(versionFile(root, v), false))
     val liveFiles: Set[String] = retained
-      .flatMap(v => manifest(spark, root, v).files)
+      .flatMap { v =>
+        val mm = manifest(spark, root, v)
+        // deletion-vector sidecars are parquet too: a retained
+        // manifest's vectors must survive the file-granular sweep, or
+        // the dead rows would resurrect
+        mm.files ++ mm.dvs.values.flatMap(_.refs)
+      }
       .toSet
     val live: Set[String] =
       liveFiles.map(_.split("/")(1)) // data/<cdir>/file -> <cdir>
@@ -1668,6 +1904,15 @@ object VersionedTable {
       m.blooms.toSeq.sortBy(_._1).foreach { case (c, refs) =>
         val arr = bl.putArray(c)
         refs.foreach(arr.add)
+      }
+    }
+    if (m.dvs.nonEmpty) {
+      val dvs = root.putObject("dvs")
+      m.dvs.toSeq.sortBy(_._1).foreach { case (file, e) =>
+        val en = dvs.putObject(file)
+        val arr = en.putArray("refs")
+        e.refs.foreach(arr.add)
+        en.put("dead", e.dead)
       }
     }
     if (m.stats.nonEmpty) {
@@ -1713,8 +1958,14 @@ object VersionedTable {
     val blooms = fields(n.get("blooms")).map { case (c, arr) =>
       c -> arr.elements().asScala.toSeq.map(_.asText())
     }.toMap
+    val dvs = fields(n.get("dvs")).map { case (file, en) =>
+      file -> DvEntry(
+        Option(en.get("refs")).toSeq
+          .flatMap(_.elements().asScala.toSeq.map(_.asText())),
+        Option(en.get("dead")).map(_.asLong()).getOrElse(0L))
+    }.toMap
     Manifest(n.get("version").asLong(),
       Option(n.get("mode")).map(_.asText()).getOrElse("append"),
-      files, txn, schemaJson, stats, blooms)
+      files, txn, schemaJson, stats, blooms, dvs)
   }
 }

@@ -710,6 +710,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // snapshot rollup + CDC both-direction exceptAll over touched
       // files + the lang join; the merge's rewrite ran at build time
       "q_table_merge" -> 4,
+      // post-purge snapshot rollup + CDC rollup (the dv semi join
+      // broadcasts; delete/compact rewrites ran at build time) + the
+      // lang join of the two
+      "q_table_dv" -> 2,
       // same shape as q_table_merge for the replace commit
       "q_table_replace" -> 4,
       // final snapshot rollup only — the three txn-guarded merges (and

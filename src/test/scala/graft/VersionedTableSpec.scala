@@ -771,6 +771,149 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) === Seq(4L, 5L, 7L, 8L))
   }
 
+  test("deleteVectored kills rows without touching a data file; counts stay exact") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "par").repartition(2, col("par")),
+      root, statsColumns = Seq("*"))
+    val m0 = VersionedTable.manifest(spark, root, 0L)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val sizes0 = m0.files.map(rel =>
+      rel -> fs.getFileStatus(new Path(root, rel)).getLen).toMap
+    val v = VersionedTable.deleteVectored(spark, root,
+      col("par") === "even" && col("id") > 4L)
+    assert(v === Some(1L))
+    val m1 = VersionedTable.manifest(spark, root, 1L)
+    assert(m1.mode === "dvdelete")
+    // every data file survives byte-identical — nothing was rewritten
+    assert(m1.files === m0.files)
+    m1.files.foreach { rel =>
+      assert(fs.getFileStatus(new Path(root, rel)).getLen === sizes0(rel))
+    }
+    assert(m1.dvs.values.map(_.dead).sum === 3L)
+    // reads exclude the dead rows; metadata-only count stays exact
+    assert(ids(root) === Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L))
+    assert(VersionedTable.rowCount(spark, root) === Some(7L))
+    // pinned pre-delete snapshot still sees everything
+    assert(ids(root, Some(0L)) === (1L to 10L))
+    // stacked second vector on the SAME file: disjoint positions add
+    VersionedTable.deleteVectored(spark, root, col("id") === 2L)
+    assert(ids(root) === Seq(1L, 3L, 4L, 5L, 7L, 9L))
+    assert(VersionedTable.rowCount(spark, root) === Some(6L))
+    // predicate matching nothing (or only already-dead rows): no commit
+    assert(VersionedTable.deleteVectored(spark, root,
+      col("id") === 2L).isEmpty)
+    assert(VersionedTable.deleteVectored(spark, root,
+      col("id") === 999L).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root) === Some(2L))
+    // CDC: exactly the newly-dead rows per commit
+    val ch = VersionedTable.changes(spark, root, 0L, 2L)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(ch === Seq((6L, "delete", 1L), (8L, "delete", 1L),
+      (10L, "delete", 1L), (2L, "delete", 2L)))
+  }
+
+  test("rewriting ops respect vectors; compact purges them and vacuum kills the bytes") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("id", "s", "n").coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.deleteVectored(spark, root, col("id") === 2L)
+    // a rewrite-flavored delete on the dirty file must NOT resurrect
+    // id=2 into the survivors
+    VersionedTable.delete(spark, root, col("id") === 4L)
+    assert(ids(root) === Seq(1L, 3L))
+    // merge on the live view: id=3 updates, dead id=2 stays dead (it
+    // no longer matches, so a same-key source row INSERTS)
+    VersionedTable.merge(spark, root,
+      Seq((3L, "C", 300L)).toDF("id", "s", "n"), Seq("id"))
+    assert(VersionedTable.read(spark, root)
+      .select("id", "n").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq((1L, 10L), (3L, 300L)))
+    // export refuses while vectors are outstanding... on a fresh table
+    val root2 = freshRoot()
+    VersionedTable.commit(
+      (1L to 6L).map(i => (i, i * 10L)).toDF("id", "n").coalesce(1),
+      root2, statsColumns = Seq("*"))
+    VersionedTable.deleteVectored(spark, root2, col("id") <= 2L)
+    intercept[java.io.IOException] {
+      VersionedTable.exportSnapshot(spark, root2)
+    }
+    val m1 = VersionedTable.manifest(spark, root2, 1L)
+    val dirtyRel = m1.dvs.keys.head
+    // compact = the purge: vectors clear, live rows survive
+    VersionedTable.compact(spark, root2, targetPartitions = 1)
+    val m2 = VersionedTable.manifest(spark, root2,
+      VersionedTable.latestVersion(spark, root2).get)
+    assert(m2.dvs.isEmpty)
+    assert(VersionedTable.read(spark, root2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L, 5L, 6L))
+    // ...and export works again
+    VersionedTable.exportSnapshot(spark, root2)
+    // vacuum past retention destroys the dirty file's bytes (the
+    // compact+vacuum pair is what discharges a byte-destruction
+    // takedown after a vectored delete)
+    val fs = new Path(root2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(root2, dirtyRel)))
+    VersionedTable.vacuum(spark, root2, keepVersions = 1)
+    assert(!fs.exists(new Path(root2, dirtyRel)),
+      "vectored-dead bytes survived compact+vacuum")
+    assert(VersionedTable.read(spark, root2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L, 5L, 6L))
+    // vacuum KEEPS sidecars of retained dirty manifests
+    val root3 = freshRoot()
+    VersionedTable.commit(
+      (1L to 4L).map(i => (i, i)).toDF("id", "n").coalesce(1), root3,
+      statsColumns = Seq("*"))
+    VersionedTable.deleteVectored(spark, root3, col("id") === 1L)
+    VersionedTable.vacuum(spark, root3, keepVersions = 1)
+    assert(VersionedTable.read(spark, root3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(2L, 3L, 4L))
+  }
+
+  test("deleteVectored conflicts with racing rewrites; racing appends rebase") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root)
+    // racing APPEND: the vectored delete pinned v0, the append lands
+    // after — both effects land
+    VersionedTable.commit(Seq((5L, "e")).toDF("id", "s").coalesce(1), root)
+    assert(VersionedTable.deleteVectored(spark, root, col("id") === 2L,
+      pinVersion = Some(0L)) === Some(2L))
+    assert(ids(root) === Seq(1L, 5L))
+    // racing OVERWRITE removed the file it read: conflict
+    val pinned = VersionedTable.latestVersion(spark, root)
+    VersionedTable.commit(Seq((9L, "i")).toDF("id", "s"), root,
+      overwrite = true)
+    intercept[VersionedTable.CompactionConflictException] {
+      VersionedTable.deleteVectored(spark, root, col("id") === 1L,
+        pinVersion = pinned)
+    }
+    // racing DVDELETE on the same file: conflict (keeps dead counts
+    // exact); rerun against the new snapshot succeeds
+    val root2 = freshRoot()
+    VersionedTable.commit((1L to 6L).map(i => (i, i)).toDF("id", "n")
+      .coalesce(1), root2)
+    VersionedTable.deleteVectored(spark, root2, col("id") === 1L)
+    intercept[VersionedTable.CompactionConflictException] {
+      VersionedTable.deleteVectored(spark, root2, col("id") === 2L,
+        pinVersion = Some(0L))
+    }
+    assert(VersionedTable.deleteVectored(spark, root2,
+      col("id") === 2L).isDefined)
+    assert(VersionedTable.read(spark, root2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L, 5L, 6L))
+  }
+
   test("readAsOf pins a snapshot by commit timestamp") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
