@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Queries.t
 import graft.functions.UrlFunctions
-import graft.operators.Robots
+import graft.operators.{Robots, Sitemaps}
 import graft.plans.NativeHtml
-import graft.sources.Warc
+import graft.sources.{VersionedTable, Warc}
 
 /** The crawl-politeness loop, oracled: robots.txt parsing
   * ([[graft.operators.Robots]]), per-domain allow/deny gating over the
@@ -149,6 +149,179 @@ object CrawlQueries {
       |  ('/x/ab', FALSE, '/x/a*', CAST(NULL AS DOUBLE)),
       |  ('/other', TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
       |) AS t(path, allowed, matched_rule, crawl_delay)""".stripMargin
+
+  // ---- sitemap discovery + ingestion, pinned -------------------------
+  //
+  // The robots `Sitemap:` directive → sitemap-index resolution →
+  // urlset entry extraction chain, through the REAL parse operators
+  // ([[Sitemaps]]) over files on disk: one sitemap is referenced BOTH
+  // directly from robots and via the index (the distinct must collapse
+  // it or every entry double-counts), one urlset entry carries an
+  // entity-escaped query string, one a malformed lastmod and one a
+  // malformed priority (untrusted fetched text degrades to NULL, never
+  // fails the job), and a loc-less entry is dropped. DuckDB has no XML
+  // machinery, so the oracle carries the closed-form rows (the pinned
+  // pattern of q_robots_rules / q_robots_wildcards; SitemapsSpec gates
+  // each parse branch locally first).
+
+  private[graft] val SitemapFixtures: Seq[(String, String)] = Seq(
+    "robots.txt" ->
+      ("User-agent: *\n" +
+        "Disallow: /private/\n" +
+        "Sitemap: https://site.example/smindex.xml\n" +
+        "# Sitemap: https://site.example/commented-out.xml\n" +
+        "sitemap: https://site.example/sm2.xml\n"),
+    "smindex.xml" ->
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <sitemap><loc>https://site.example/sm1.xml</loc>" +
+        "<lastmod>2024-01-05</lastmod></sitemap>\n" +
+        "  <sitemap>\n    <loc> https://site.example/sm2.xml </loc>\n" +
+        "  </sitemap>\n" +
+        "</sitemapindex>\n"),
+    "sm1.xml" ->
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <url><loc>https://site.example/a</loc>" +
+        "<lastmod>2024-03-01T12:30:00+00:00</lastmod>" +
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n" +
+        "  <url>\n    <loc>https://site.example/p?x=1&amp;y=2</loc>\n" +
+        "    <lastmod>garbage</lastmod>\n  </url>\n" +
+        "  <url><priority>0.5</priority></url>\n" +
+        "</urlset>\n"),
+    "sm2.xml" ->
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <url><loc>https://site.example/b</loc>" +
+        "<lastmod>2023-12-31</lastmod>" +
+        "<priority>not-a-number</priority></url>\n" +
+        "  <url><loc>https://other.example/c</loc></url>\n" +
+        "</urlset>\n"))
+
+  def sitemapIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q_sitemap_ingest")
+    java.nio.file.Files.createDirectories(base)
+    SitemapFixtures.foreach { case (name, body) =>
+      java.nio.file.Files.write(base.resolve(name), body.getBytes("UTF-8"))
+    }
+    // the "fetched web": url -> document body, one row per file
+    val docs = s.read.option("wholetext", "true").text(base.toString)
+      .select(
+        concat(lit("https://site.example/"),
+          element_at(split(input_file_name(), "/"), -1)).as("url"),
+        col("value").as("xml"))
+    val seeds = docs.filter(col("url").endsWith("/robots.txt"))
+      .select(explode(Sitemaps.sitemapsOf(col("xml"))).as("sm_url"))
+    val fetched = seeds.join(docs, col("sm_url") === col("url"), "inner")
+    val fromIndex = fetched.filter(Sitemaps.isSitemapIndex(col("xml")))
+      .select(explode(Sitemaps.sitemapIndexLocs(col("xml"))).as("leaf_url"))
+    val leafUrls = fetched.filter(!Sitemaps.isSitemapIndex(col("xml")))
+      .select(col("sm_url").as("leaf_url"))
+      .unionByName(fromIndex).distinct()
+    val leaves = leafUrls.join(docs, col("leaf_url") === col("url"), "inner")
+    leaves
+      .select(
+        element_at(split(col("leaf_url"), "/"), -1).as("sitemap"),
+        explode(Sitemaps.sitemapEntries(col("xml"))).as("e"))
+      .filter(col("e.loc").isNotNull)
+      .select(
+        col("sitemap"),
+        col("e.loc").as("page"),
+        graft.plans.NativeUrl.urlHost(col("e.loc")).as("host"),
+        col("e.lastmod_ts").as("lastmod_ts"),
+        col("e.changefreq").as("changefreq"),
+        col("e.priority").as("priority"))
+  }
+
+  val sitemapIngestSql: String =
+    """SELECT * FROM (VALUES
+      |  ('sm1.xml', 'https://site.example/a', 'site.example',
+      |    TIMESTAMP '2024-03-01 12:30:00', 'daily', 0.8),
+      |  ('sm1.xml', 'https://site.example/p?x=1&y=2', 'site.example',
+      |    CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS DOUBLE)),
+      |  ('sm2.xml', 'https://site.example/b', 'site.example',
+      |    TIMESTAMP '2023-12-31 00:00:00', CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS DOUBLE)),
+      |  ('sm2.xml', 'https://other.example/c', 'other.example',
+      |    CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS DOUBLE))
+      |) AS t(sitemap, page, host, lastmod_ts, changefreq, priority)"""
+      .stripMargin
+
+  /** Recrawl planning — the freshness loop a production crawler runs
+    * daily: per-domain sitemap XML is BUILT from the corpus (one
+    * urlset per source, deterministic per-doc lastmod), parsed back
+    * through the real [[Sitemaps.sitemapEntries]] kernel, and joined
+    * against the stored crawl state (a [[VersionedTable]]-committed
+    * last-crawled table read through a pinned manifest); a URL is due
+    * when it was never crawled or its sitemap lastmod moved past the
+    * stored crawl stamp. The oracle replays the closed form (the
+    * parser itself is pinned by q_sitemap_ingest). Scale shape: the
+    * XML build/parse is one map-only pass bounded by the protocol's
+    * 50k-URL sitemap cap per row, the state join is an equi join on
+    * url, and the rollup is one exchange.
+    */
+  def recrawlPlan(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_recrawl_plan")
+    val docs = t(s, dir, "documents").select("doc_id", "source")
+    val url = concat(lit("https://"), col("source"),
+      lit(".example/doc/"), col("doc_id").cast("string"))
+    val lastmod = date_add(to_date(lit("2024-01-01")),
+      (col("doc_id") % 90).cast("int"))
+    // stored crawl state: two thirds of the corpus has been crawled
+    VersionedTable.commit(
+      docs.filter(col("doc_id") % 3 =!= 1)
+        .select(url.as("url"),
+          date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 60).cast("int")).cast("timestamp")
+            .as("last_crawled")),
+      root)
+    val state = VersionedTable.read(s, root)
+    // one urlset document per domain, entries carried as real XML
+    val entryXml = concat(lit("<url><loc>"), url,
+      lit("</loc><lastmod>"), date_format(lastmod, "yyyy-MM-dd"),
+      lit("</lastmod></url>"))
+    val sitemapXml = docs
+      .select(col("source"), entryXml.as("e"))
+      .groupBy("source")
+      .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("e"))),
+        lit("</urlset>")).as("xml"))
+    val entries = sitemapXml
+      .select(col("source"),
+        explode(Sitemaps.sitemapEntries(col("xml"))).as("en"))
+      .select(col("source"), col("en.loc").as("url"),
+        col("en.lastmod_ts").as("lastmod_ts"))
+    val due = coalesce(col("lastmod_ts") > col("last_crawled"), lit(true))
+    entries.join(state, Seq("url"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        count(when(due, 1)).as("n_fetch"),
+        min(when(due, col("lastmod_ts"))).as("first_due"),
+        max(when(due, col("lastmod_ts"))).as("last_due"))
+  }
+
+  val recrawlPlanSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, source,
+      |    CAST(DATE '2024-01-01' + CAST(doc_id % 90 AS INTEGER)
+      |      AS TIMESTAMP) AS lastmod_ts
+      |  FROM documents),
+      |st AS (SELECT doc_id,
+      |    CAST(DATE '2024-01-01' + CAST(doc_id % 60 AS INTEGER)
+      |      AS TIMESTAMP) AS last_crawled
+      |  FROM documents WHERE doc_id % 3 <> 1),
+      |plan AS (
+      |  SELECT e.source, e.lastmod_ts,
+      |    (st.doc_id IS NULL OR e.lastmod_ts > st.last_crawled) AS is_due
+      |  FROM e LEFT JOIN st ON e.doc_id = st.doc_id)
+      |SELECT source, count(*) AS n_urls,
+      |  CAST(count(CASE WHEN is_due THEN 1 END) AS BIGINT) AS n_fetch,
+      |  min(CASE WHEN is_due THEN lastmod_ts END) AS first_due,
+      |  max(CASE WHEN is_due THEN lastmod_ts END) AS last_due
+      |FROM plan GROUP BY source""".stripMargin
 
   // ---- deterministic per-domain robots text -------------------------
   //

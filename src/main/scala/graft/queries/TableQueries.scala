@@ -289,6 +289,57 @@ object TableQueries {
       |    AS meta_rows
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** Targeted vector purge through the commit log: after a vectored
+    * takedown, [[VersionedTable.purgeVectors]] rewrites ONLY the dirty
+    * files to their live rows (the query throws if a clean file moved
+    * or any vector survived) — the O(dirty) maintenance pass that
+    * re-earns plain scans and lets vacuum destroy the dead bytes,
+    * where a whole-table compact would read 100 TB to discharge a
+    * 4-file takedown. The post-purge rollup plus the metadata-only
+    * row count must match the DuckDB DELETE twin exactly.
+    */
+  def tablePurge(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_purge")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    val pred = col("source") === "src4" ||
+      (col("doc_id") >= 300L && col("doc_id") < 360L)
+    val v = VersionedTable.deleteVectored(s, root, pred).getOrElse(
+      throw new IllegalStateException("vectored takedown matched no rows"))
+    val mPre = VersionedTable.manifest(s, root, v)
+    val clean = mPre.files.filterNot(mPre.dvs.contains)
+    VersionedTable.purgeVectors(s, root).getOrElse(
+      throw new IllegalStateException("purge found no vectors"))
+    val mPost = VersionedTable.manifest(s, root,
+      VersionedTable.latestVersion(s, root).get)
+    if (mPost.dvs.nonEmpty)
+      throw new IllegalStateException("vectors survived the purge")
+    if (!clean.forall(mPost.files.contains))
+      throw new IllegalStateException("purge moved a clean file")
+    val metaRows = VersionedTable.rowCount(s, root).getOrElse(
+      throw new IllegalStateException("metadata count unavailable"))
+    VersionedTable.read(s, root)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("meta_rows", lit(metaRows))
+  }
+
+  val tablePurgeSql: String =
+    """WITH surv AS (SELECT * FROM documents
+      |  WHERE NOT (source = 'src4' OR (doc_id >= 300 AND doc_id < 360)))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS meta_rows
+      |FROM surv GROUP BY source""".stripMargin
+
   /** MERGE (keyed upsert / CDC apply) through the commit log, proved
     * against a closed-form twin: the base table holds two thirds of
     * the corpus key-clustered into 8 files, then ONE merge applies a

@@ -1084,6 +1084,115 @@ object VersionedTable {
     }
   }
 
+  // ---- partial compaction (the 100 TB OPTIMIZE shape) --------------------
+
+  /** Bin-pack/rewrite ONLY `rels` — the incremental OPTIMIZE a 100 TB
+    * table actually runs (whole-table [[compact]] reads everything; a
+    * maintenance pass must cost O(selected files), leaving the healthy
+    * 99% of the table untouched). Selected files' LIVE rows (deletion
+    * vectors applied — a partial compact doubles as a targeted purge)
+    * rewrite into `targetPartitions` files, optionally range-clustered
+    * on `clusterBy`; every other file carries into the new version
+    * as-is, stats and bytes unmoved. Commits as mode `compact`
+    * (data-identical by contract, so the change feed skips it).
+    * Concurrency mirrors [[compact]]: racing appends rebase; a racing
+    * commit that removed or re-vectored a selected file conflicts.
+    *
+    * `statsColumns` defaults like [[delete]]: `"*"` when the table
+    * already carries stats, so a maintenance pass never silently
+    * downgrades the metadata-only count path.
+    */
+  def compactFiles(spark: SparkSession, root: String, rels: Seq[String],
+      targetPartitions: Int = 1, clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil,
+      pinVersion: Option[Long] = None): Option[Long] = {
+    require(targetPartitions >= 1, "targetPartitions must be >= 1")
+    if (rels.isEmpty) return None
+    val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val unknown = rels.filterNot(m.files.contains)
+    require(unknown.isEmpty,
+      s"compactFiles: not in snapshot v$v: ${unknown.mkString(", ")}")
+    val keepStats =
+      if (statsColumns.nonEmpty) statsColumns
+      else if (m.stats.nonEmpty) Seq("*") else Nil
+    val live = readFilesLive(spark, root, m, rels)
+    val arranged =
+      if (clusterBy.isEmpty) live.coalesce(targetPartitions)
+      else live
+        .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (stageRel, staged) = stage(arranged, root)
+    val stagedStats =
+      collectStats(spark, root, staged, live.schema, keepStats)
+    val source = rels.toSet
+    val f = fs(spark, new Path(root))
+    publish(spark, root, staged, stagedStats, mode = "compact",
+      schemaJsonOf = () => m.schemaJson.getOrElse(live.schema.json),
+      txn = None) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (!source.subsetOf(prevFiles.toSet) ||
+          dvsChanged(m, prevM, source)) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"compactFiles on $root@v$v raced a commit that removed or " +
+            "re-vectored files it read; rerun")
+      }
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles.filterNot(source) ++ staged,
+        (prevStats -- source) ++ stagedStats)
+    }
+  }
+
+  /** The small-file maintenance pass: bin-pack every data file at or
+    * under `maxFileBytes` (judged from filesystem sizes — one driver
+    * listing bounded by the file count) into files of roughly
+    * `targetFileBytes`, leaving healthy files alone. No-op (None)
+    * unless at least two small files exist. The scheduled-job shape of
+    * the Delta OPTIMIZE-small-files role.
+    */
+  def compactSmall(spark: SparkSession, root: String,
+      maxFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    require(maxFileBytes > 0 && targetFileBytes >= maxFileBytes,
+      "need 0 < maxFileBytes <= targetFileBytes")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val sized = m.files.map(rel =>
+      rel -> f.getFileStatus(new Path(rootP, rel)).getLen)
+    val small = sized.filter(_._2 <= maxFileBytes)
+    if (small.size < 2) return None
+    val target = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    compactFiles(spark, root, small.map(_._1), target, clusterBy,
+      statsColumns, pinVersion = Some(v))
+  }
+
+  /** Rewrite ONLY the deletion-vector-dirty files to their live rows,
+    * clearing their vectors — the targeted purge that re-earns plain
+    * scans and (with [[vacuum]] past retention) physically destroys
+    * the dead bytes, at O(dirty files) cost instead of the whole-table
+    * compact. Each dirty file rewrites to one file by default. None
+    * when the table has no outstanding vectors.
+    */
+  def purgeVectors(spark: SparkSession, root: String,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    if (m.dvs.isEmpty) return None
+    val dirty = m.files.filter(m.dvs.contains)
+    compactFiles(spark, root, dirty,
+      targetPartitions = math.max(1, dirty.size),
+      statsColumns = statsColumns, pinVersion = Some(v))
+  }
+
   // ---- row-level delete (takedown) --------------------------------------
 
   /** Row-level `DELETE WHERE predicate` — the takedown operation an LLM
@@ -1227,11 +1336,14 @@ object VersionedTable {
     * newly-dead rows as `delete`, bounded by the touched files.
     * Concurrency: racing appends rebase; a racing commit that removed
     * OR re-vectored a file this delete read conflicts loudly (keeps
-    * recorded dead counts exact). Returns the committed version, or
-    * None when nothing matches.
+    * recorded dead counts exact). `txn` gives exactly-once replay
+    * protection for streaming takedown feeds. Returns the committed
+    * version, or None when nothing matches or the txn already landed.
     */
   def deleteVectored(spark: SparkSession, root: String, predicate: Column,
-      pinVersion: Option[Long] = None): Option[Long] = {
+      pinVersion: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Option[Long] = {
+    if (alreadyCommitted(spark, root, txn)) return None
     val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val m = manifest(spark, root, v)
@@ -1262,7 +1374,7 @@ object VersionedTable {
       schemaJsonOf = () => m.schemaJson.getOrElse(
         throw new java.io.IOException(
           s"snapshot of $root has no recorded schema")),
-      txn = None,
+      txn = txn,
       linkDvs = (prevM, files) => {
         val keep = files.toSet
         val carried = prevM.map(_.dvs).getOrElse(Map.empty)

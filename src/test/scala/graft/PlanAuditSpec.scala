@@ -699,6 +699,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the URL side never shuffles (the domain key is data-derived so
       // the equi-join/window can't constant-fold degenerate)
       "q_robots_wildcards" -> 1,
+      // ONE distinct on the resolved leaf-sitemap urls (|sitemaps|-
+      // bounded); both fetch joins broadcast, entry explode is map-only
+      "q_sitemap_ingest" -> 1,
+      // per-domain XML fold + the url state join + the domain rollup;
+      // the state table's commit ran at build time
+      "q_recrawl_plan" -> 4,
       // survivor rollup + the CDC touched-file diff (exceptAll pair) +
       // the lang join of the two rollups; the delete's own rewrite ran
       // at table-build time
@@ -714,6 +720,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // broadcasts; delete/compact rewrites ran at build time) + the
       // lang join of the two
       "q_table_dv" -> 2,
+      // post-purge plain read + ONE rollup exchange (the vectored
+      // delete and the targeted purge ran at table-build time)
+      "q_table_purge" -> 1,
       // same shape as q_table_merge for the replace commit
       "q_table_replace" -> 4,
       // final snapshot rollup only — the three txn-guarded merges (and

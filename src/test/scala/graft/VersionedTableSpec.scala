@@ -914,6 +914,149 @@ class VersionedTableSpec extends SparkSpec {
       Seq(3L, 4L, 5L, 6L))
   }
 
+  test("compactSmall bin-packs only the small files; healthy files never move") {
+    val root = freshRoot()
+    // three 1-row files (small) + one 1000-row file (healthy)
+    (1L to 3L).foreach { i =>
+      VersionedTable.commit(Seq((i, s"s$i")).toDF("id", "s").coalesce(1),
+        root, statsColumns = Seq("*"))
+    }
+    VersionedTable.commit(
+      (100L until 1100L).map(i => (i, s"x$i")).toDF("id", "s").coalesce(1),
+      root, statsColumns = Seq("*"))
+    val m = VersionedTable.manifest(spark, root, 3L)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val big = m.files.maxBy(rel =>
+      fs.getFileStatus(new Path(root, rel)).getLen)
+    val bigLen = fs.getFileStatus(new Path(root, big)).getLen
+    val v = VersionedTable.compactSmall(spark, root,
+      maxFileBytes = bigLen - 1)
+    assert(v === Some(4L))
+    val m4 = VersionedTable.manifest(spark, root, 4L)
+    assert(m4.mode === "compact")
+    // the healthy file carried over untouched; smalls merged into one
+    assert(m4.files.contains(big))
+    assert(m4.files.size === 2, s"expected big + 1 packed, got ${m4.files}")
+    assert(ids(root).size === 1003)
+    assert(VersionedTable.rowCount(spark, root) === Some(1003L))
+    // nothing small left: rerun is a no-op
+    assert(VersionedTable.compactSmall(spark, root,
+      maxFileBytes = 1L).isEmpty)
+  }
+
+  test("purgeVectors rewrites only dirty files; clean files and bytes survive") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((10L, "j"), (11L, "k")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.deleteVectored(spark, root, col("id") === 10L)
+    val m2 = VersionedTable.manifest(spark, root, 2L)
+    val dirty = m2.dvs.keys.toSet
+    val clean = m2.files.toSet -- dirty
+    assert(dirty.size === 1 && clean.size === 1)
+    val v = VersionedTable.purgeVectors(spark, root)
+    assert(v === Some(3L))
+    val m3 = VersionedTable.manifest(spark, root, 3L)
+    assert(m3.dvs.isEmpty)
+    assert(clean.subsetOf(m3.files.toSet), "clean file must not move")
+    assert(!dirty.subsetOf(m3.files.toSet), "dirty file must rewrite")
+    assert(ids(root) === Seq(1L, 2L, 11L))
+    assert(VersionedTable.rowCount(spark, root) === Some(3L))
+    // export works again; a purge-less table refused above
+    VersionedTable.exportSnapshot(spark, root)
+    // vacuum destroys the dirty file's bytes
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    dirty.foreach(rel => assert(!fs.exists(new Path(root, rel)),
+      "purged dead bytes survived vacuum"))
+    assert(ids(root) === Seq(1L, 2L, 11L))
+    // no vectors -> purge is a no-op
+    assert(VersionedTable.purgeVectors(spark, root).isEmpty)
+  }
+
+  test("compactFiles conflicts on racing rewrites of its selection") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s").coalesce(1), root)
+    val m = VersionedTable.manifest(spark, root, 1L)
+    // racing append rebases fine
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s").coalesce(1), root)
+    assert(VersionedTable.compactFiles(spark, root, m.files,
+      pinVersion = Some(1L)) === Some(3L))
+    assert(ids(root) === Seq(1L, 2L, 3L))
+    // racing overwrite conflicts
+    val pinned = VersionedTable.latestVersion(spark, root)
+    val mPin = VersionedTable.manifest(spark, root, pinned.get)
+    VersionedTable.commit(Seq((9L, "i")).toDF("id", "s"), root,
+      overwrite = true)
+    intercept[VersionedTable.CompactionConflictException] {
+      VersionedTable.compactFiles(spark, root, mPin.files,
+        pinVersion = pinned)
+    }
+    assert(ids(root) === Seq(9L))
+  }
+
+  test("mixed racing committers: appends, merges and vectored deletes never lose an update") {
+    // the protocol's whole-point stress: three writers race ALL
+    // different op types against one table; every op either lands or
+    // conflicts loudly — silent lost updates and resurrected rows are
+    // the failure modes this gate excludes
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 30L).map(i => (i, "base")).toDF("id", "s")
+        .repartition(3, col("id")), root, statsColumns = Seq("*"))
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def retrying[T](op: => Option[T]): Option[T] = {
+      var out: Option[T] = None
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 10) {
+        try { out = op; done = true }
+        catch {
+          case _: VersionedTable.CompactionConflictException =>
+            attempts += 1 // rerun against the new snapshot, per contract
+        }
+      }
+      assert(done, "op conflicted 10 times straight")
+      out
+    }
+    val ops = Seq(
+      Future(blocking(retrying(Some(VersionedTable.commit(
+        Seq((100L, "app")).toDF("id", "s"), root))))),
+      Future(blocking(retrying(VersionedTable.merge(spark, root,
+        Seq((5L, "merged"), (101L, "ins")).toDF("id", "s"), Seq("id"))))),
+      Future(blocking(retrying(VersionedTable.deleteVectored(spark, root,
+        col("id") === 7L)))),
+      Future(blocking(retrying(VersionedTable.delete(spark, root,
+        col("id") === 9L)))))
+    Await.result(Future.sequence(ops), 300.seconds)
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // every op's effect is present exactly once
+    assert(rows(100L) === "app")
+    assert(rows(5L) === "merged")
+    assert(rows(101L) === "ins")
+    assert(!rows.contains(7L), "vectored delete lost")
+    assert(!rows.contains(9L), "rewrite delete lost")
+    assert(rows.size === 30 - 2 + 2)
+    // metadata count survives the melee when stats stayed intact
+    VersionedTable.rowCount(spark, root).foreach(n =>
+      assert(n === rows.size.toLong))
+    // replayed streaming takedown: txn-guarded dvdelete lands once
+    val before = VersionedTable.latestVersion(spark, root)
+    VersionedTable.deleteVectored(spark, root, col("id") === 11L,
+      txn = Some(("takedown", 1L)))
+    assert(VersionedTable.deleteVectored(spark, root, col("id") === 11L,
+      txn = Some(("takedown", 1L))).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root)
+      === before.map(_ + 1L))
+  }
+
   test("readAsOf pins a snapshot by commit timestamp") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
