@@ -289,6 +289,97 @@ object TableQueries {
       |    AS meta_rows
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** ANALYZE through the commit log: an unstatted append DISABLES the
+    * metadata-only count (the query throws if it does not — that None
+    * is the contract that stats never guess), one
+    * [[VersionedTable.analyzeStats]] pass then reads ONLY the
+    * stat-less files and commits a metadata-only `stats` version, and
+    * the re-enabled count plus a zone-map-PRUNED read off the
+    * backfilled stats must match the twin — an unsound backfilled
+    * bound would silently drop matching files here.
+    */
+  def tableAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_analyze")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    VersionedTable.commit( // a writer that forgot statsColumns
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root)
+    if (VersionedTable.rowCount(s, root).isDefined)
+      throw new IllegalStateException(
+        "rowCount must refuse to guess over unstatted files")
+    VersionedTable.analyzeStats(s, root).getOrElse(
+      throw new IllegalStateException("analyze found nothing to do"))
+    val metaRows = VersionedTable.rowCount(s, root).getOrElse(
+      throw new IllegalStateException("analyze did not re-enable counts"))
+    VersionedTable.readWhere(s, root,
+        col("doc_id") >= 100L && col("doc_id") < 400L)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("meta_rows", lit(metaRows))
+  }
+
+  val tableAnalyzeSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS meta_rows
+      |FROM documents
+      |WHERE doc_id >= 100 AND doc_id < 400
+      |GROUP BY lang""".stripMargin
+
+  /** Exactly-once STREAMING TAKEDOWN — the DMCA/PII feed shape: three
+    * micro-batches each vector-delete their third of the Chinese docs
+    * through the txn-guarded [[VersionedTable.deleteVectored]] (zero
+    * data files rewritten), batch 1 is REPLAYED after a simulated
+    * crash and must be skipped by its txn record (the hashed
+    * `n_versions` breaks if a fourth delete version appears), and the
+    * final live rollup must equal the closed-form twin — a resurrected
+    * row or double-counted vector breaks the hash.
+    */
+  def tableStreamDv(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_stream_table_dv")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    (0L until 3L).foreach { k =>
+      VersionedTable.deleteVectored(s, root,
+        col("lang") === "zh" && col("doc_id") % 3 === k,
+        txn = Some(("wipe", k)))
+    }
+    // at-least-once redelivery of batch 1: the txn record must skip it
+    VersionedTable.deleteVectored(s, root,
+      col("lang") === "zh" && col("doc_id") % 3 === 1L,
+      txn = Some(("wipe", 1L)))
+    val latest = VersionedTable.latestVersion(s, root).get
+    VersionedTable.read(s, root)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_versions", lit(latest))
+  }
+
+  val tableStreamDvSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY source""".stripMargin
+
   /** Targeted vector purge through the commit log: after a vectored
     * takedown, [[VersionedTable.purgeVectors]] rewrites ONLY the dirty
     * files to their live rows (the query throws if a clean file moved

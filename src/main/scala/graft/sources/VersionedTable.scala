@@ -1084,6 +1084,44 @@ object VersionedTable {
     }
   }
 
+  // ---- ANALYZE (metadata-only stats backfill) ----------------------------
+
+  /** Backfill zone-map / row-count stats for files that LACK them —
+    * the ANALYZE TABLE role: one unstatted append (a writer that
+    * didn't pass `statsColumns`) permanently disables the
+    * metadata-only COUNT(*) and keeps every pruned read opening its
+    * files; this pass reads ONLY the stat-less files, computes their
+    * stats, and commits a metadata-only version (mode `stats` — zero
+    * data files moved, the change feed skips it as data-identical).
+    * Stats describe the PHYSICAL file (deletion-vector dead rows
+    * included — [[rowCount]] subtracts the recorded dead counts
+    * separately, and wider-than-live bounds are sound for pruning).
+    * Racing commits never conflict: stats for a file a racing rewrite
+    * removed are simply dropped at publish. Returns the committed
+    * version, or None when every file already carries stats.
+    */
+  def analyzeStats(spark: SparkSession, root: String,
+      statsColumns: Seq[String] = Seq("*")): Option[Long] = {
+    require(statsColumns.nonEmpty, "analyzeStats needs stats columns")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val missing = m.files.filterNot(m.stats.contains)
+    if (missing.isEmpty) return None
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    val fresh = collectStats(spark, root, missing, schema, statsColumns)
+    publish(spark, root, Nil, Map.empty, mode = "stats",
+      schemaJsonOf = () => schema.json, txn = None) { prevM =>
+      val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      val keep = prevFiles.toSet
+      val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      (prevFiles,
+        prevStats ++ fresh.filter { case (f, _) => keep.contains(f) })
+    }
+  }
+
   // ---- partial compaction (the 100 TB OPTIMIZE shape) --------------------
 
   /** Bin-pack/rewrite ONLY `rels` — the incremental OPTIMIZE a 100 TB
@@ -1767,7 +1805,7 @@ object VersionedTable {
       val prevFiles: Seq[String] =
         if (v == 0L) Nil else manifests(v - 1).files
       cur.mode match {
-        case "compact" => None // data-identical by contract
+        case "compact" | "stats" => None // data-identical by contract
         case "append" =>
           val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None

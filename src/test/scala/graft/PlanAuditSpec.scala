@@ -723,6 +723,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // post-purge plain read + ONE rollup exchange (the vectored
       // delete and the targeted purge ran at table-build time)
       "q_table_purge" -> 1,
+      // backfilled-stats pruned read + ONE rollup exchange (the
+      // analyze pass ran at table-build time)
+      "q_table_analyze" -> 1,
+      // live read (dv anti join broadcasts) + ONE rollup exchange;
+      // the three txn-guarded vector deletes ran at build time
+      "q_stream_table_dv" -> 1,
       // same shape as q_table_merge for the replace commit
       "q_table_replace" -> 4,
       // final snapshot rollup only — the three txn-guarded merges (and

@@ -1057,6 +1057,37 @@ class VersionedTableSpec extends SparkSpec {
       === before.map(_ + 1L))
   }
 
+  test("analyzeStats backfills only stat-less files and re-enables metadata counts") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    VersionedTable.commit(Seq((10L, "j")).toDF("id", "s").coalesce(1), root)
+    // the unstatted append disables the metadata count (never guess)
+    assert(VersionedTable.rowCount(spark, root).isEmpty)
+    val statted = VersionedTable.manifest(spark, root, 1L).stats.keySet
+    val v = VersionedTable.analyzeStats(spark, root)
+    assert(v === Some(2L))
+    val m2 = VersionedTable.manifest(spark, root, 2L)
+    assert(m2.mode === "stats")
+    assert(m2.files === VersionedTable.manifest(spark, root, 1L).files,
+      "analyze must not move data files")
+    // pre-existing stats survive verbatim; missing ones are filled
+    statted.foreach(rel => assert(m2.stats.contains(rel)))
+    assert(m2.stats.keySet === m2.files.toSet)
+    assert(VersionedTable.rowCount(spark, root) === Some(3L))
+    // the backfilled bounds are SOUND: pruned read == direct filter
+    val pruned = VersionedTable.readWhere(spark, root, col("id") >= 10L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned === Seq(10L))
+    val (kept, dropped) = VersionedTable.pruneFiles(spark, root,
+      col("id") >= 10L)
+    assert(dropped.nonEmpty, "backfilled stats must actually prune")
+    assert(kept.nonEmpty)
+    // all statted: rerun is a no-op; the feed skips the stats commit
+    assert(VersionedTable.analyzeStats(spark, root).isEmpty)
+    assert(VersionedTable.changes(spark, root, 1L, 2L).count() === 0L)
+  }
+
   test("readAsOf pins a snapshot by commit timestamp") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
