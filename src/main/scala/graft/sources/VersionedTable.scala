@@ -1498,9 +1498,11 @@ object VersionedTable {
     * pre-images of updated/deleted rows as `delete`, updated/inserted
     * rows as `insert`, multiset-diffed over the touched files only.
     * `txn` gives exactly-once replay protection for streaming upserts
-    * (the foreachBatch MERGE pattern). Concurrency mirrors [[delete]]:
-    * racing appends rebase; a racing commit that removed files this
-    * merge read throws [[CompactionConflictException]].
+    * (the foreachBatch MERGE pattern). `clusterBy` range-clusters the
+    * rewrite so a key-clustered table stays sharply pruneable under a
+    * stream of trickle merges. Concurrency mirrors [[delete]]: racing
+    * appends rebase; a racing commit that removed files this merge
+    * read throws [[CompactionConflictException]].
     *
     * Returns the committed version; None when the merge is a no-op
     * (nothing matched, nothing to insert) or a txn replay.
@@ -1509,7 +1511,8 @@ object VersionedTable {
       keys: Seq[String], deleteMatched: Option[Column] = None,
       statsColumns: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      pinVersion: Option[Long] = None): Option[Long] = {
+      pinVersion: Option[Long] = None,
+      clusterBy: Seq[String] = Nil): Option[Long] = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (alreadyCommitted(spark, root, txn)) return None
     val v = pinVersion.orElse(latestVersion(spark, root)).getOrElse(
@@ -1591,7 +1594,19 @@ object VersionedTable {
         survivors.unionByName(updates).unionByName(inserts)
       }
     if (touched.isEmpty && out.isEmpty) return None // pure-tombstone no-op
-    val (stageRel, staged) = stage(out, root)
+    // clusterBy keeps a key-clustered table SHARP under trickle merges:
+    // without it every rewrite would interleave survivors, updates and
+    // inserts into key-overlapping files, widening zone maps merge
+    // over merge until the prune stops biting
+    // touched.size + 1 partitions: inserts whose keys fall OUTSIDE the
+    // touched files' ranges get their own range partition instead of
+    // widening a survivor file's zone map
+    val arranged =
+      if (clusterBy.isEmpty) out
+      else out
+        .repartitionByRange(touched.size + 1, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (stageRel, staged) = stage(arranged, root)
     val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
     val removedSet = touched.toSet
     val f = fs(spark, new Path(root))

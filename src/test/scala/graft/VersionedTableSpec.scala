@@ -701,6 +701,32 @@ class VersionedTableSpec extends SparkSpec {
       (None, "nil")).sortBy(t => (t._1.isEmpty, t._1)))
   }
 
+  test("clusterBy merges keep a key-clustered table sharply pruneable") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, statsColumns = Seq("id"))
+    // ten trickle merges, each touching keys across the whole range,
+    // every rewrite re-clustered on id
+    (0 until 10).foreach { k =>
+      VersionedTable.merge(spark, root,
+        Seq((40L * k + 7L, s"up$k"), (1000L + k, s"new$k"))
+          .toDF("id", "s"),
+        Seq("id"), clusterBy = Seq("id"))
+    }
+    // a narrow point read still drops most files
+    val (kept, dropped) = VersionedTable.pruneFiles(spark, root,
+      col("id") === 207L)
+    assert(dropped.size > kept.size,
+      s"clustered merges lost pruning: kept ${kept.size}, " +
+        s"dropped ${dropped.size}")
+    val rows = VersionedTable.readWhere(spark, root, col("id") === 207L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((207L, "up5")))
+    assert(VersionedTable.read(spark, root).count() === 410L)
+  }
+
   test("merge rejects ambiguous sources and schema drift; races conflict") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root)
