@@ -289,6 +289,52 @@ object TableQueries {
       |    AS meta_rows
       |FROM surv s LEFT JOIN gone g USING (lang)""".stripMargin
 
+  /** Tagged-release reproducibility through the commit log: the
+    * corpus lands, gets tagged as a RELEASE, then suffers a vectored
+    * takedown, a purge AND a vacuum — and the tagged read must still
+    * reproduce the original corpus bit-for-bit (the training-run
+    * citation that must never rot), while the live read reflects the
+    * takedown. Hashed columns carry BOTH rollups; a tag that drifts
+    * with the live table, or a vacuum that destroys a tagged
+    * release's files, breaks the oracle.
+    */
+  def tableTag(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_tag")
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      root, statsColumns = Seq("doc_id"))
+    VersionedTable.tag(s, root, "release-1.0")
+    VersionedTable.deleteVectored(s, root, col("lang") === "fr")
+    VersionedTable.purgeVectors(s, root)
+    VersionedTable.vacuum(s, root, keepVersions = 1)
+    val release = VersionedTable.readTag(s, root, "release-1.0")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("rel_docs"), sum(col("n_chars")).as("rel_chars"))
+    val live = VersionedTable.read(s, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("live_docs"),
+        sum(col("n_chars")).as("live_chars"))
+    release.join(live, Seq("lang"), "left")
+      .select(col("lang"), col("rel_docs"), col("rel_chars"),
+        coalesce(col("live_docs"), lit(0L)).as("live_docs"),
+        coalesce(col("live_chars"), lit(0L)).as("live_chars"))
+  }
+
+  val tableTagSql: String =
+    """WITH rel AS (SELECT lang, count(*) AS rel_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS rel_chars
+      |  FROM documents GROUP BY lang),
+      |live AS (SELECT lang, count(*) AS live_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS live_chars
+      |  FROM documents WHERE lang <> 'fr' GROUP BY lang)
+      |SELECT r.lang, r.rel_docs, r.rel_chars,
+      |  CAST(COALESCE(l.live_docs, 0) AS BIGINT) AS live_docs,
+      |  CAST(COALESCE(l.live_chars, 0) AS BIGINT) AS live_chars
+      |FROM rel r LEFT JOIN live l USING (lang)""".stripMargin
+
   /** ANALYZE through the commit log: an unstatted append DISABLES the
     * metadata-only count (the query throws if it does not — that None
     * is the contract that stats never guess), one

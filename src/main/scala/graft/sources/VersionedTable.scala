@@ -1709,6 +1709,90 @@ object VersionedTable {
     }
   }
 
+  // ---- tags (dataset releases) -------------------------------------------
+  //
+  // A tag is a named pin on a version — the "training-set v1.0" role:
+  // a corpus release a training run can cite FOREVER, immune to both
+  // later commits and vacuum retention (vacuum keeps every tagged
+  // version's manifest and files alive alongside the last-K window).
+  // Tags live as one tiny JSON file each under `_tags/`, published by
+  // the same dot-temp + rename discipline as manifests.
+
+  private def tagsPath(root: String) = new Path(root, "_tags")
+
+  private val TagName = "^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$".r
+
+  /** Pin `name` to `version` (default: latest). Retagging an existing
+    * name moves it (the release-candidate flow); the write is atomic
+    * so readers never observe a torn tag.
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(TagName.matches(name),
+      s"tag name `$name` must match ${TagName.regex}")
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val dir = tagsPath(root)
+    val fsys = fs(spark, dir)
+    if (!fsys.exists(versionFile(root, v)))
+      throw new java.io.IOException(s"cannot tag $root@v$v: no manifest")
+    fsys.mkdirs(dir)
+    val tmp = new Path(dir, s".$name.json.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(s"""{"version":$v}""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // plain rename (overwrite allowed): retagging moves the pin
+    fsys.delete(new Path(dir, s"$name.json"), false)
+    if (!fsys.rename(tmp, new Path(dir, s"$name.json")))
+      throw new java.io.IOException(s"tagging $name on $root failed")
+    v
+  }
+
+  /** The version a tag pins, or None when the tag does not exist. */
+  def tagVersion(spark: SparkSession, root: String,
+      name: String): Option[Long] = {
+    val p = new Path(tagsPath(root), s"$name.json")
+    val fsys = fs(spark, p)
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    val bytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val n = mapper.readTree(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    Option(n.get("version")).map(_.asLong())
+  }
+
+  /** Snapshot read pinned by TAG. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tagVersion(spark, root, name).getOrElse(
+      throw new java.io.IOException(s"no tag `$name` under $root"))
+    read(spark, root, Some(v))
+  }
+
+  /** All tags, name → pinned version. */
+  def listTags(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = tagsPath(root)
+    val fsys = fs(spark, dir)
+    if (!fsys.exists(dir)) return Map.empty
+    fsys.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap { n =>
+        val name = n.dropRight(5)
+        tagVersion(spark, root, name).map(name -> _)
+      }.toMap
+  }
+
+  /** Drop a tag; its version becomes vacuumable once outside the
+    * retention window. Returns whether the tag existed.
+    */
+  def deleteTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val p = new Path(tagsPath(root), s"$name.json")
+    fs(spark, p).delete(p, false)
+  }
+
   // ---- timestamp time travel ---------------------------------------------
 
   /** The newest version whose commit file landed at or before
@@ -2018,8 +2102,13 @@ object VersionedTable {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
       .sorted
-    val retained = versions.takeRight(keepVersions)
-    versions.dropRight(keepVersions)
+    // tagged versions are RELEASES: they survive retention forever
+    // (with their files), or a cited training snapshot would rot
+    val tagged = listTags(spark, root).values.toSet
+    val window = versions.takeRight(keepVersions).toSet
+    val retained = versions.filter(v =>
+      window.contains(v) || tagged.contains(v))
+    versions.filterNot(retained.toSet)
       .foreach(v => f.delete(versionFile(root, v), false))
     val liveFiles: Set[String] = retained
       .flatMap { v =>

@@ -726,6 +726,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // backfilled-stats pruned read + ONE rollup exchange (the
       // analyze pass ran at table-build time)
       "q_table_analyze" -> 1,
+      // release rollup + live rollup + the lang join (tag/takedown/
+      // purge/vacuum ran at table-build time)
+      "q_table_tag" -> 3,
       // live read (dv anti join broadcasts) + ONE rollup exchange;
       // the three txn-guarded vector deletes ran at build time
       "q_stream_table_dv" -> 1,

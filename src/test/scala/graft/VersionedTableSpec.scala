@@ -1114,6 +1114,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, root, 1L, 2L).count() === 0L)
   }
 
+  test("tags pin releases: readable forever, immune to vacuum, movable, droppable") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0
+    VersionedTable.tag(spark, root, "corpus-v1.0")
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(9L).toDF("id"), root,
+      overwrite = true) // v2
+    VersionedTable.commit(Seq(10L).toDF("id"), root) // v3
+    assert(VersionedTable.tagVersion(spark, root, "corpus-v1.0")
+      === Some(0L))
+    assert(VersionedTable.listTags(spark, root)
+      === Map("corpus-v1.0" -> 0L))
+    // vacuum keeps the tagged release alongside the last-K window
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedTable.readTag(spark, root, "corpus-v1.0")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L))
+    assert(ids(root) === Seq(9L, 10L))
+    // the UNtagged overwritten version is gone
+    intercept[java.io.IOException] {
+      VersionedTable.manifest(spark, root, 1L)
+    }
+    // retagging moves the pin; a bad name refuses; tagging a vacuumed
+    // version refuses
+    VersionedTable.tag(spark, root, "corpus-v1.0", Some(3L))
+    assert(VersionedTable.tagVersion(spark, root, "corpus-v1.0")
+      === Some(3L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(spark, root, "../escape")
+    }
+    intercept[java.io.IOException] {
+      VersionedTable.tag(spark, root, "ghost", Some(1L))
+    }
+    // dropping the tag releases the version to the next vacuum
+    assert(VersionedTable.deleteTag(spark, root, "corpus-v1.0"))
+    assert(!VersionedTable.deleteTag(spark, root, "corpus-v1.0"))
+    VersionedTable.commit(Seq(11L).toDF("id"), root) // v4
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    intercept[java.io.IOException] {
+      VersionedTable.manifest(spark, root, 0L)
+    }
+    assert(ids(root) === Seq(9L, 10L, 11L))
+  }
+
   test("readAsOf pins a snapshot by commit timestamp") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
