@@ -1742,10 +1742,11 @@ object VersionedTable {
     try out.write(s"""{"version":$v}""".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // plain rename (overwrite allowed): retagging moves the pin
-    fsys.delete(new Path(dir, s"$name.json"), false)
-    if (!fsys.rename(tmp, new Path(dir, s"$name.json")))
-      throw new java.io.IOException(s"tagging $name on $root failed")
+    // atomic OVERWRITE rename: retagging moves the pin without a
+    // window where the tag is missing
+    val fc = FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, s"$name.json"), Options.Rename.OVERWRITE)
     v
   }
 
