@@ -2024,11 +2024,13 @@ object VersionedTable {
     StructField("pos", LongType, nullable = false)))
 
   /** Dead-position sets at or under this many rows ride a broadcast
-    * into the anti join (~64 MB of (path, long) pairs); bigger vectors
-    * fall back to a shuffled anti join — correct either way, and the
-    * decision is made from manifest metadata, zero files opened.
+    * into the anti join (a ~60 MB hash relation of (path, pos) pairs —
+    * sized for a modest 4 GB executor, not just this harness); bigger
+    * vectors fall back to a shuffled anti join — correct either way,
+    * and the decision is made from manifest metadata, zero files
+    * opened.
     */
-  private val DvBroadcastMaxRows = 4000000L
+  private val DvBroadcastMaxRows = 1000000L
 
   private val DvRelCol = "_graft_dv_rel"
   private val DvPosCol = "_graft_dv_pos"
