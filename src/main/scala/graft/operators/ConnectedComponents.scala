@@ -134,6 +134,10 @@ object ConnectedComponents {
             coalesce(col("m_comp"), col("component")).as("component"))
       }
       val (cp, nextSum) = checkpointWithMetric(next, labelChecksum)
+      // the superseded label checkpoint is dead the moment cp lands —
+      // free its blocks so a deep graph holds ONE |V|-row state, not
+      // one per round (Blocks hygiene; cp itself is the live state)
+      Blocks.drop(labels)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = cp
@@ -214,6 +218,7 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct()
       val (cp, nextSum) = checkpointWithMetric(next, edgeChecksum)
+      Blocks.drop(edges) // superseded round state — same hygiene as resolve
       converged = nextSum == prevSum
       prevSum = nextSum
       edges = cp

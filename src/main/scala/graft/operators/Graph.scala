@@ -168,6 +168,9 @@ object Graph {
         col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
+    // everything downstream reads `oriented`; the canonical edge
+    // anchor is superseded the moment it lands
+    Blocks.drop(canon)
 
     // out-adjacency arrays: O(sqrt(|E|))-bounded by the orientation,
     // so collect_list state is bounded no matter how skewed the graph
@@ -259,8 +262,12 @@ object Graph {
         p = if (p == "src") "dst" else "src"
       }
       val (cp, s) = checkpointWithMetric(next, edgeChecksum)
-      if (s == sum) done = true
-      else { cur = cp; sum = s; key = p; peeled += chunk }
+      // free the superseded edge set's blocks immediately — converged
+      // rounds discard cp (identical content), advancing rounds
+      // discard the previous state; either way exactly one edge-set
+      // checkpoint stays resident
+      if (s == sum) { done = true; Blocks.drop(cp) }
+      else { Blocks.drop(cur); cur = cp; sum = s; key = p; peeled += chunk }
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }
@@ -347,13 +354,20 @@ object Graph {
         .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
     }
+    // each new anchor frees the superseded rank table's blocks (and,
+    // once the first anchor lands, the degree table the initial ranks
+    // derived from) — only the LATEST |V|-row state stays resident
+    var anchored: DataFrame = null
     var remaining = iters
     while (remaining > 0) {
       val chunk = math.min(2, remaining)
       ranks = (1 to chunk).foldLeft(ranks)((r, _) => step(r))
         .localCheckpoint(true)
+      if (anchored ne null) Blocks.drop(anchored) else Blocks.drop(degrees)
+      anchored = ranks
       remaining -= chunk
     }
+    if (anchored ne null) Blocks.drop(sym)
     ranks.select(col("node"), col("r").as("rank"))
   }
 
@@ -398,22 +412,22 @@ object Graph {
       .distinct()
       .select(col("walk_id"), col("walk_id").as("cur"),
         col("walk_id").cast("string").as("path"))
-    for (k <- 1 to steps) {
-      // one sha per frontier row; candidates score with integer ops.
-      // The candidate stream (|frontier| × degree rows — the dominant
-      // shuffle) carries ONLY (walk_id, packed score): the growing
-      // path string stays out of it and re-attaches afterwards through
-      // a walk_id-co-partitioned |V|-row join (both sides already hash
-      // on walk_id, so the attach is exchange-free). Before this split
-      // every candidate row duplicated the path and the per-step agg
-      // dragged max(path) through its hash map — measurably the walk
-      // suite's whole shuffle-volume budget at 10× data.
+    // one sha per frontier row; candidates score with integer ops.
+    // The candidate stream (|frontier| × degree rows — the dominant
+    // shuffle) carries ONLY (walk_id, packed score): the growing
+    // path string stays out of it and re-attaches afterwards through
+    // a walk_id-co-partitioned |V|-row join (both sides already hash
+    // on walk_id, so the attach is exchange-free). Before this split
+    // every candidate row duplicated the path and the per-step agg
+    // dragged max(path) through its hash map — measurably the walk
+    // suite's whole shuffle-volume budget at 10× data.
+    def hop(st: DataFrame, k: Int): DataFrame = {
       val h1 = conv(substring(sha2(concat_ws(":",
         lit(seed), col("walk_id"), lit(k)), 256), 1, 7), 16, 10)
         .cast("long")
       val score = ((col("__h1") + lit(1L)) * (col("dst") + lit(40503L))) %
         lit(2147483647L)
-      val chosen = state
+      val chosen = st
         .select(col("walk_id"), col("cur"))
         .withColumn("__h1", h1)
         .join(sym, col("cur") === sym("src"))
@@ -427,15 +441,25 @@ object Graph {
         .agg(min("score").as("score"))
         .select(col("walk_id"),
           (col("score") % lit(4294967296L)).as("next"))
-      // eager localCheckpoint anchors the per-step plan (the attach
-      // join reads `state` twice; without the anchor the lineage would
-      // double every step) — the same per-round anchoring pageRank uses
-      state = state
-        .join(chosen, "walk_id")
+      st.join(chosen, "walk_id")
         .select(col("walk_id"), col("next").as("cur"),
           concat_ws(",", col("path"), col("next")).as("path"))
-        .localCheckpoint(true)
     }
+    // ONE hop per eager localCheckpoint: unlike pageRank (whose
+    // cheap |V|-row step makes 2-per-job chunking a win), a walk hop
+    // reads its input state TWICE (choose + attach), so chaining a
+    // second hop un-anchored re-executes the first hop's candidate
+    // join — measured slower than paying the extra job. Each new
+    // anchor frees the superseded one's storage blocks — without
+    // that, `steps` copies of the walk state sit in the block manager
+    // for the whole query (the r15 floor breach on this operator).
+    var anchored: DataFrame = null
+    for (k <- 1 to steps) {
+      state = hop(state, k).localCheckpoint(true)
+      if (anchored ne null) Blocks.drop(anchored)
+      anchored = state
+    }
+    Blocks.drop(sym)
     state.select(col("walk_id"), col("path"))
   }
 }

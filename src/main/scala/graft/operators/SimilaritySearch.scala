@@ -421,19 +421,12 @@ object SimilaritySearch {
     * mid-loop fails the call — rerun it (deterministic); see the
     * restart-contract note on [[graft.operators.Graph]].
     */
-  /** Free a `localCheckpoint`ed frame's storage blocks NOW instead of
-    * at query end. `Dataset.unpersist` can't (checkpoint RDDs never
-    * enter the cache manager), so walk to the materialized
-    * `LogicalRDD` leaf and unpersist the RDD itself — without this, a
-    * k-round loop holds k copies of the running state in the block
-    * manager at once.
+  /** Free a `localCheckpoint`ed frame's storage blocks NOW — alias
+    * kept for the established call sites; the shared implementation
+    * (used by every iterative operator) lives in [[Blocks.drop]].
     */
   private[graft] def dropCheckpointBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Blocks.drop(df)
 
   def kCenterSelect(
       corpus: DataFrame,

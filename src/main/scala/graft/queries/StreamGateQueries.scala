@@ -181,13 +181,19 @@ object StreamGateQueries {
     * resolve over every pair — q_dedup_clusters' oracle.
     */
   def streamCluster(s: SparkSession, dir: String): DataFrame = {
+    // the candidate pipeline (shingle → minhash → band join) is the
+    // expensive part — pin it ONCE: idSlices' min/max probe plus the
+    // three batch filters would otherwise re-execute it four times
     val pairs = DedupQueries.dedupMinHash(s, dir)
       .select(col("id_a"), col("id_b"),
         greatest(col("id_a"), col("id_b")).as("__arr"))
+      .localCheckpoint()
     val state = tempRoot("graft_q_stream_cluster")
     idSlices(pairs, "__arr").zipWithIndex.foreach { case (b, i) =>
       ClusterStream.mergeBatch(b.select("id_a", "id_b"), state, i.toLong)
     }
+    // the labels read the parquet state store, not `pairs`
+    graft.operators.Blocks.drop(pairs)
     ClusterStream.labels(s, state)
       .withColumnRenamed("node", "doc_id")
   }

@@ -41,17 +41,15 @@ object ClusterStream {
       stateDir: String,
       batchId: Long): Unit = {
     val spark = pairs.sparkSession
-    val prior = BatchState.read(spark, stateDir) match {
-      case Some(state) =>
-        // partition discovery types small batch_id values as int
-        val before = state.filter(col("batch_id").cast("long") < batchId)
-        val latest = before.agg(max(col("batch_id").cast("long"))).head()
-        if (latest.isNullAt(0)) None
-        else Some(before
-          .filter(col("batch_id").cast("long") === latest.getLong(0))
-          .select("node", "component"))
-      case None => None
-    }
+    // the latest prior batch comes from a driver FS LISTING, not a
+    // Spark job: the old max-aggregate probe scanned every batch
+    // directory's footers per micro-batch (and was a measurable slice
+    // of the r15 q_stream_cluster floor breach); reading the single
+    // chosen directory also skips partition discovery over the store
+    val prior = BatchState.committedBatchIds(spark, stateDir)
+      .filter(_ < batchId).lastOption
+      .map(latest => spark.read.parquet(s"$stateDir/batch_id=$latest")
+        .select("node", "component"))
     val starEdges = prior.map(_.select(
       col("node").as("id_a"), col("component").as("id_b")))
     val edges = starEdges match {
@@ -74,11 +72,10 @@ object ClusterStream {
     */
   def labels(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    BatchState.read(spark, stateDir) match {
+    BatchState.maxBatchId(spark, stateDir) match {
       case None => Seq.empty[(Long, Long)].toDF("node", "component")
-      case Some(state) =>
-        val latest = state.agg(max(col("batch_id").cast("long"))).head().getLong(0)
-        state.filter(col("batch_id").cast("long") === latest)
+      case Some(latest) =>
+        spark.read.parquet(s"$stateDir/batch_id=$latest")
           .select("node", "component")
     }
   }

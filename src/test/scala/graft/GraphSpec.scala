@@ -201,4 +201,35 @@ class GraphSpec extends SparkSpec {
     // each leaf gets a quarter share of the hub
     assert(r(2L) == 150000000000L + 85L * 250000000000L / 100L)
   }
+
+  // ------------------------------------------------------------ hygiene
+
+  test("iterative ops free every superseded checkpoint's blocks") {
+    // contract behind the r15 q_graph_walks floor breach: a k-round
+    // loop must hold ONE running state in the block manager, not k.
+    // Each op runs, collects, then releases its result's own anchors
+    // via Blocks.drop — after which NO persisted RDD the op created
+    // may remain registered (unpersist updates the registry
+    // synchronously even with blocking = false).
+    import graft.operators.{Blocks, ConnectedComponents, Graph}
+    val sc = spark.sparkContext
+    def residual(run: => DataFrame): Int = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = run
+      out.collect()
+      Blocks.drop(out)
+      (sc.getPersistentRDDs.keySet -- before).size
+    }
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val g = edges(es: _*)
+    assert(residual(Graph.randomWalks(g, 5, seed = 3L, canonical = true)) == 0)
+    assert(residual(Graph.pageRank(g, 5, canonical = true)) == 0)
+    assert(residual(Graph.kcore(g, 2, canonical = true)) == 0)
+    assert(residual(Graph.triangles(g, canonical = true)) == 0)
+    assert(residual(ConnectedComponents.resolve(g, "a", "b")) == 0)
+    assert(residual(ConnectedComponents.resolveStars(g, "a", "b")) == 0)
+  }
 }
