@@ -113,12 +113,20 @@ object VersionedTable {
     */
   final case class DvEntry(refs: Seq[String], dead: Long)
 
+  /** `ts` is the IN-COMMIT timestamp (epoch millis, clamped strictly
+    * increasing against the predecessor at publish time) — the clock
+    * [[versionAsOf]] trusts. File mtimes are only a fallback for
+    * legacy manifests: on object stores a rename is a copy whose
+    * mtime is the COPY time, so mtimes can invert across versions.
+    * 0 = legacy manifest with no recorded timestamp.
+    */
   final case class Manifest(version: Long, mode: String, files: Seq[String],
       txn: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       stats: Map[String, FileStats] = Map.empty,
       blooms: BloomRefs = Map.empty,
-      dvs: Map[String, DvEntry] = Map.empty)
+      dvs: Map[String, DvEntry] = Map.empty,
+      ts: Long = 0L)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -126,8 +134,22 @@ object VersionedTable {
     * deleted; rerun against the new snapshot. Racing APPENDS do not
     * conflict — they rebase cleanly.
     */
-  final class CompactionConflictException(msg: String)
+  class CompactionConflictException(msg: String)
     extends java.io.IOException(msg)
+
+  /** A MERGE lost its rebase to a racing APPEND: files landed after
+    * the merge pinned its snapshot, and their zone maps cannot prove
+    * they are free of the merge's source keys — rebasing would let
+    * the merge insert a key the append just wrote, ending the table
+    * with duplicate keys (the exact invariant merge enforces; Delta
+    * raises ConcurrentAppendException here for the same reason).
+    * Subclass of [[CompactionConflictException]] so the uniform retry
+    * contract — rerun against the new snapshot — applies unchanged.
+    * Appends whose zone maps are provably disjoint from the source's
+    * key bounds still rebase freely.
+    */
+  final class ConcurrentAppendException(msg: String)
+    extends CompactionConflictException(msg)
 
   private val CommitsDir = "_commits"
   private val MaxRetries = 20
@@ -386,9 +408,14 @@ object VersionedTable {
       // writer progress is metadata about the STREAM, not the data:
       // it survives an overwrite commit
       val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
+      // in-commit timestamp, clamped strictly increasing against the
+      // predecessor: versionAsOf stays monotone even under writer
+      // clock skew or object-store rename-as-copy mtimes
+      val commitTs = math.max(System.currentTimeMillis(),
+        prevM.map(_.ts + 1L).getOrElse(Long.MinValue))
       val body = renderManifest(
         Manifest(next, mode, files, txnMap, Some(schemaJsonOf()), stats,
-          linkBlooms(prevM), linkDvs(prevM, files)))
+          linkBlooms(prevM), linkDvs(prevM, files), ts = commitTs))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -1500,9 +1527,15 @@ object VersionedTable {
     * `txn` gives exactly-once replay protection for streaming upserts
     * (the foreachBatch MERGE pattern). `clusterBy` range-clusters the
     * rewrite so a key-clustered table stays sharply pruneable under a
-    * stream of trickle merges. Concurrency mirrors [[delete]]: racing
-    * appends rebase; a racing commit that removed files this merge
-    * read throws [[CompactionConflictException]].
+    * stream of trickle merges. Concurrency: a racing commit that
+    * removed files this merge read throws
+    * [[CompactionConflictException]]; a racing APPEND rebases only
+    * when its files' zone maps prove it holds none of the merge keys,
+    * else [[ConcurrentAppendException]] (still the retry contract) —
+    * unlike [[delete]], a merge must re-check appends or a just-
+    * appended key would be inserted twice. The source is materialized
+    * once up front (localCheckpoint) so all three phases see the same
+    * rows even from a non-deterministic source.
     *
     * Returns the committed version; None when the merge is a no-op
     * (nothing matched, nothing to insert) or a txn replay.
@@ -1525,8 +1558,29 @@ object VersionedTable {
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key `$k` is not a table column"))
     val isDel = coalesce(deleteMatched.getOrElse(lit(false)), lit(false))
+    // MATERIALIZE the source before any phase reads it: the gate, the
+    // key-bounds aggregate, the touch probe and the rewrite branches
+    // each run as independent jobs, and a non-deterministic source (a
+    // foreachBatch micro-batch, rand-derived columns, a concurrently
+    // mutated table) re-evaluated per job could pass the uniqueness
+    // gate yet route different rows per phase — silently losing or
+    // duplicating rows. Delta's MERGE materializes for the same
+    // reason. Blocks are freed on every exit path.
     val src = source.withColumn(DelFlag, isDel)
       .select(schema.fieldNames.map(col).toSeq :+ col(DelFlag): _*)
+      .localCheckpoint()
+    try mergePinned(spark, root, src, keys, statsColumns, txn, clusterBy,
+      v, m, schema)
+    finally graft.operators.Blocks.drop(src)
+  }
+
+  /** [[merge]] phases 1–3 against the pinned snapshot (`src` already
+    * schema-aligned, flagged and materialized).
+    */
+  private def mergePinned(spark: SparkSession, root: String, src: DataFrame,
+      keys: Seq[String], statsColumns: Seq[String],
+      txn: Option[(String, Long)], clusterBy: Seq[String],
+      v: Long, m: Manifest, schema: StructType): Option[Long] = {
     val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     // uniqueness gate: ambiguous multi-match merges fail loudly
     val dup = src.filter(keyNotNull).groupBy(keys.map(col): _*).count()
@@ -1539,18 +1593,23 @@ object VersionedTable {
       if (statsColumns.nonEmpty) statsColumns
       else if (m.stats.nonEmpty) Seq("*") else Nil
 
-    // phase 1: zone-map prune on the source's key bounds
+    // phase 1: zone-map prune on the source's key bounds. The
+    // resolved bounds expression is also the racing-append overlap
+    // judge at publish time, so it is computed once here.
     val prunable = keys.filter(k =>
       statTag(schema(schema.fieldIndex(k)).dataType).isDefined)
-    val candidates: Seq[String] =
-      if (m.files.isEmpty) Nil
-      else if (prunable.isEmpty) m.files
+    // noKeyedRows: the source has no non-null-key rows at all — no
+    // file can contain a match and no append can collide
+    var noKeyedRows = false
+    val keyBounds: Option[Expression] =
+      if (prunable.isEmpty) None
       else {
         val aggs = prunable.flatMap(k =>
           Seq(min(col(k)).as(s"_min_$k"), max(col(k)).as(s"_max_$k")))
         val b = src.filter(keyNotNull).agg(aggs.head, aggs.tail: _*)
           .collect().head
-        if (prunable.forall(k => b.isNullAt(b.fieldIndex(s"_min_$k")))) Nil
+        noKeyedRows = prunable.forall(k => b.isNullAt(b.fieldIndex(s"_min_$k")))
+        if (noKeyedRows) None
         else {
           val pred = prunable.flatMap { k =>
             val lo = b.get(b.fieldIndex(s"_min_$k"))
@@ -1558,11 +1617,14 @@ object VersionedTable {
             if (lo == null) None
             else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
           }.reduceOption(_ && _)
-          pred.flatMap(resolvedPredicate(spark, schema, _)) match {
-            case Some(e) => filesMatching(spark, root, m, e)
-            case None => m.files
-          }
+          pred.flatMap(resolvedPredicate(spark, schema, _))
         }
+      }
+    val candidates: Seq[String] =
+      if (m.files.isEmpty || noKeyedRows) Nil
+      else keyBounds match {
+        case Some(e) => filesMatching(spark, root, m, e)
+        case None => m.files
       }
 
     // phase 2: which candidate files CONTAIN a matched key
@@ -1621,6 +1683,31 @@ object VersionedTable {
             "re-vectored files it read; rerun against the new snapshot")
       }
       val prevStats = prevM.map(_.stats).getOrElse(Map.empty)
+      // racing-append guard: files that landed AFTER the pinned
+      // snapshot never went through the touch probe, so a source key
+      // hiding in one would be inserted AGAIN by this merge —
+      // duplicate keys. Rebase only when every appended file's zone
+      // map is provably disjoint from the source's key bounds; a
+      // stat-less append (or an un-judgeable key type) conflicts
+      // conservatively and the caller reruns against the new snapshot.
+      if (!noKeyedRows) {
+        val pinnedSet = m.files.toSet
+        val appended = prevFiles.filterNot(pinnedSet)
+        val colliding = keyBounds match {
+          case _ if appended.isEmpty => Nil
+          case Some(e) => appended.filter(rel =>
+            mayMatch(e, prevStats.getOrElse(rel, NoStats)))
+          case None => appended
+        }
+        if (colliding.nonEmpty) {
+          f.delete(new Path(new Path(root), stageRel), true)
+          throw new ConcurrentAppendException(
+            s"merge into $root@v$v raced an append whose files may " +
+              s"contain merge keys (${colliding.take(3).mkString(", ")}" +
+              (if (colliding.size > 3) ", …" else "") +
+              "); rerun against the new snapshot")
+        }
+      }
       (prevFiles.filterNot(removedSet) ++ staged,
         (prevStats -- removedSet) ++ stagedStats)
     }
@@ -1747,6 +1834,20 @@ object VersionedTable {
     val fc = FileContext.getFileContext(
       dir.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new Path(dir, s"$name.json"), Options.Rename.OVERWRITE)
+    // re-verify AFTER the tag is visible: a vacuum snapshots listTags
+    // before it deletes, so a tag landing mid-vacuum can pin a version
+    // whose manifest was just destroyed — a permanent tag readTag can
+    // never serve. Detect the overlap, remove the bad tag, and fail
+    // loudly so the caller re-tags a retained version. (If this
+    // retag OVERWROTE an older pin, that pin is gone too — the error
+    // is the contract; see the vacuum scaladoc's single-maintenance-
+    // writer note.)
+    if (!fsys.exists(versionFile(root, v))) {
+      fsys.delete(new Path(dir, s"$name.json"), false)
+      throw new java.io.IOException(
+        s"tag `$name` raced a vacuum that destroyed $root@v$v; " +
+          "re-tag a still-retained version")
+    }
     v
   }
 
@@ -1796,26 +1897,36 @@ object VersionedTable {
 
   // ---- timestamp time travel ---------------------------------------------
 
-  /** The newest version whose commit file landed at or before
-    * `timestampMillis` (epoch millis), judged by the commit file's
-    * filesystem modification time — the same clock Delta's
-    * `timestampAsOf` reads. None when the table has no commit that
-    * old. The mapping is monotone because versions publish strictly in
-    * order through the rename arbiter.
+  /** The newest version committed at or before `timestampMillis`
+    * (epoch millis), judged by the IN-COMMIT timestamp each manifest
+    * records at publish time (clamped strictly increasing against its
+    * predecessor — Delta's in-commit-timestamp approach). Commit-file
+    * mtimes are only the fallback for legacy manifests without a
+    * recorded `ts`: on object stores rename is a copy and mtime the
+    * copy time, so raw mtimes can invert across versions — mixed or
+    * fallback timestamps are therefore re-clamped monotone in version
+    * order here, so the pick can never return version N while
+    * excluding N−1. None when the table has no commit that old.
     */
   def versionAsOf(spark: SparkSession, root: String,
       timestampMillis: Long): Option[Long] = {
     val dir = commitsPath(root)
     val f = fs(spark, dir)
     if (!f.exists(dir)) return None
-    f.listStatus(dir).toSeq
+    val byVersion = f.listStatus(dir).toSeq
       .filter { s =>
         val n = s.getPath.getName
-        n.startsWith("v") && n.endsWith(".json") &&
-          s.getModificationTime <= timestampMillis
+        n.startsWith("v") && n.endsWith(".json")
       }
-      .map(s => s.getPath.getName.drop(1).dropRight(5).toLong)
-      .sorted.lastOption
+      .map(s => s.getPath.getName.drop(1).dropRight(5).toLong -> s)
+      .sortBy(_._1)
+    var clamped = Long.MinValue
+    byVersion.flatMap { case (v, s) =>
+      val recorded = manifest(spark, root, v).ts
+      val raw = if (recorded > 0L) recorded else s.getModificationTime
+      clamped = if (clamped == Long.MinValue) raw else math.max(raw, clamped + 1L)
+      if (clamped <= timestampMillis) Some(v) else None
+    }.lastOption
   }
 
   /** Snapshot read pinned by TIMESTAMP instead of version. */
@@ -2061,7 +2172,15 @@ object VersionedTable {
     if (dirty.isEmpty) return raw
     val refs = dirty.flatMap(m.dvs(_).refs).distinct
     val dead = dirty.map(m.dvs(_).dead).sum
+    // filter the sidecar rows to the DIRTY files before the size
+    // decision bites: sidecars are shared across every file their
+    // dvdelete commit touched, so for a subset read (or after partial
+    // rewrites) the raw sidecar content can far exceed `dead` — the
+    // per-file sum the broadcast cap is sized against. The isin
+    // pushes down to the sidecar scan, so only the relevant (file,
+    // pos) rows are ever read, broadcast or shuffled.
     val dv = dvRows(spark, root, refs)
+      .filter(col("file").isin(dirty: _*))
       .select(col("file").as("_graft_dv_file"),
         col("pos").as("_graft_dv_deadpos"))
     val dvSide = if (dead <= DvBroadcastMaxRows) broadcast(dv) else dv
@@ -2091,6 +2210,13 @@ object VersionedTable {
     * takedown to discharge, even though its directory survives).
     * Never touches anything a retained manifest names, so readers
     * pinned inside the retention window are safe.
+    *
+    * Maintenance concurrency contract: run ONE vacuum at a time (a
+    * single maintenance writer). Concurrent COMMITS are safe — a
+    * racing commit only adds files under a brand-new data subdir and
+    * a version newer than the retention window. A [[tag]] racing a
+    * vacuum is detected by the tag itself (it re-verifies its version
+    * file after landing and fails loudly if the vacuum destroyed it).
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -2149,6 +2275,7 @@ object VersionedTable {
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("mode", m.mode)
+    if (m.ts > 0L) root.put("ts", m.ts)
     val txn = root.putObject("txn")
     m.txn.toSeq.sortBy(_._1).foreach { case (w, b) => txn.put(w, b) }
     val files = root.putArray("files")
@@ -2223,6 +2350,7 @@ object VersionedTable {
     }.toMap
     Manifest(n.get("version").asLong(),
       Option(n.get("mode")).map(_.asText()).getOrElse("append"),
-      files, txn, schemaJson, stats, blooms, dvs)
+      files, txn, schemaJson, stats, blooms, dvs,
+      ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 }

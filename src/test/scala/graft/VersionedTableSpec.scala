@@ -701,6 +701,86 @@ class VersionedTableSpec extends SparkSpec {
       (None, "nil")).sortBy(t => (t._1.isEmpty, t._1)))
   }
 
+  test("merge pins a non-deterministic source: one consistent row per key") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (50L to 150L).map(i => (i, "base")).toDF("id", "s")
+        .repartition(3, col("id")), root, statsColumns = Seq("*"))
+    // rand-derived source: without up-front materialization the
+    // uniqueness gate, touch probe and update/insert branches would
+    // each re-evaluate it and could route DIFFERENT rows per phase
+    val src = spark.range(1, 101).select(col("id"),
+      concat(lit("v"), (rand(7) * 1000000).cast("long").cast("string")).as("s"))
+    VersionedTable.merge(spark, root, src, Seq("id"))
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly one row per key, no losses, no duplicates
+    assert(rows.map(_._1).sorted === (1L to 150L))
+    // keys 1–49 inserted and 50–100 updated — all carry a source value
+    rows.filter(_._1 <= 100L).foreach { case (id, s) =>
+      assert(s.startsWith("v"), s"key $id kept '$s': a phase saw different source rows")
+    }
+    rows.filter(_._1 > 100L).foreach { case (_, s) => assert(s === "base") }
+  }
+
+  test("merge conflicts with a racing append that may hold its keys; disjoint appends rebase") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), root, statsColumns = Seq("*"))
+    val pinned = VersionedTable.latestVersion(spark, root)
+    // racing append lands AFTER the merge pinned v0 and contains a
+    // merge key: rebasing would insert id=5 twice — must conflict
+    VersionedTable.commit(Seq((5L, "raced")).toDF("id", "s").coalesce(1),
+      root, statsColumns = Seq("*"))
+    val e = intercept[VersionedTable.ConcurrentAppendException] {
+      VersionedTable.merge(spark, root,
+        Seq((5L, "mine")).toDF("id", "s"), Seq("id"), pinVersion = pinned)
+    }
+    assert(e.getMessage.contains("raced an append"))
+    // retry against the new snapshot lands; exactly one id=5 row
+    VersionedTable.merge(spark, root,
+      Seq((5L, "mine")).toDF("id", "s"), Seq("id"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 5L).collect().map(_.getString(1)).toSeq
+      === Seq("mine"))
+    // a racing append whose zone maps are DISJOINT from the merge
+    // keys still rebases freely — concurrency is only surrendered
+    // where the stats cannot prove safety
+    val pinned2 = VersionedTable.latestVersion(spark, root)
+    VersionedTable.commit(Seq((900L, "far")).toDF("id", "s").coalesce(1),
+      root, statsColumns = Seq("*"))
+    VersionedTable.merge(spark, root,
+      Seq((2L, "B")).toDF("id", "s"), Seq("id"), pinVersion = pinned2)
+    val fin = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fin(2L) === "B" && fin(900L) === "far")
+    // a STAT-LESS racing append cannot prove disjointness: conflict
+    val pinned3 = VersionedTable.latestVersion(spark, root)
+    VersionedTable.commit(Seq((901L, "bare")).toDF("id", "s").coalesce(1), root)
+    intercept[VersionedTable.ConcurrentAppendException] {
+      VersionedTable.merge(spark, root,
+        Seq((2L, "BB")).toDF("id", "s"), Seq("id"), pinVersion = pinned3)
+    }
+  }
+
+  test("in-commit timestamps keep versionAsOf strictly monotone") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), root)
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root)
+    val ts = (0L to 2L).map(v => VersionedTable.manifest(spark, root, v).ts)
+    // recorded, and strictly increasing even for same-millisecond
+    // commits (the publish clamp) — immune to rename-mtime inversion
+    assert(ts.forall(_ > 0L), s"in-commit ts missing: $ts")
+    assert(ts === ts.sorted && ts.distinct === ts, s"not strictly monotone: $ts")
+    assert(VersionedTable.versionAsOf(spark, root, ts(0) - 1L).isEmpty)
+    assert(VersionedTable.versionAsOf(spark, root, ts(0)) === Some(0L))
+    assert(VersionedTable.versionAsOf(spark, root, ts(1)) === Some(1L))
+    assert(VersionedTable.versionAsOf(spark, root, ts(2) + 1000L) === Some(2L))
+    assert(VersionedTable.readAsOf(spark, root, ts(1))
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+  }
+
   test("clusterBy merges keep a key-clustered table sharply pruneable") {
     val root = freshRoot()
     VersionedTable.commit(
@@ -1158,16 +1238,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) === Seq(9L, 10L, 11L))
   }
 
-  test("readAsOf pins a snapshot by commit timestamp") {
+  test("readAsOf falls back to mtimes for legacy manifests, clamped monotone") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(2L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v2
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // strip the in-commit ts: a pre-ts manifest generation must still
+    // time-travel off the commit files' mtimes
+    def legacyize(v: Long): Unit = {
+      val p = new Path(root, f"_commits/v$v%012d.json")
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val out = fs.create(p, true)
+      try out.write(body.replaceAll(""","ts":\d+""", "").getBytes("UTF-8"))
+      finally out.close()
+    }
     // pin distinct commit mtimes deterministically (no wall-clock sleeps)
     def setTime(v: Long, t: Long): Unit =
       fs.setTimes(new Path(root, f"_commits/v$v%012d.json"), t, -1L)
-    VersionedTable.commit(Seq(2L).toDF("id"), root) // v1
-    VersionedTable.commit(Seq(3L).toDF("id"), root) // v2
+    (0L to 2L).foreach(legacyize)
     setTime(0L, 1000L); setTime(1L, 2000L); setTime(2L, 3000L)
     assert(VersionedTable.versionAsOf(spark, root, 999L).isEmpty)
     assert(VersionedTable.versionAsOf(spark, root, 1000L) === Some(0L))
@@ -1179,6 +1271,12 @@ class VersionedTableSpec extends SparkSpec {
     intercept[java.io.IOException] {
       VersionedTable.readAsOf(spark, root, 1L)
     }
+    // object-store mtime INVERSION (v1's copy stamped after v2's):
+    // the ascending clamp keeps the mapping monotone — the pick can
+    // never return v2 while excluding v1
+    setTime(1L, 5000L)
+    assert(VersionedTable.versionAsOf(spark, root, 3000L) === Some(0L))
+    assert(VersionedTable.versionAsOf(spark, root, 5001L) === Some(2L))
   }
 
   test("q_scd_status runs identically off a manifest-pinned read") {
