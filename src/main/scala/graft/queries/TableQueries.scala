@@ -47,6 +47,60 @@ object TableQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** Hive-style partition columns end to end: lineitem lands
+    * month-partitioned (`l_month=1995-01-01/` directory layout, exact
+    * min = max partition stats off the path), a second commit APPENDS
+    * into the same layout (the spec is a table property), one month is
+    * atomically backfilled discount-free through a per-partition
+    * [[VersionedTable.replaceWhere]] (the whole partition's files drop
+    * wholesale — no rewrite read), and the measured read prunes to the
+    * six queried months' files before any data file opens. The rollup
+    * must hash-match DuckDB's direct scan with the backfill expressed
+    * as a CASE — proving layout, inheritance, pruning and the atomic
+    * swap are all value-lossless.
+    */
+  def tablePartition(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_partition")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .withColumn("l_month", trunc(col("l_shipdate"), "month"))
+    VersionedTable.commit(li.filter(col("l_shipdate") < "1996-01-01"),
+      root, partitionBy = Seq("l_month"), statsColumns = Seq("*"))
+    // append WITHOUT restating the spec: the layout is inherited
+    VersionedTable.commit(li.filter(col("l_shipdate") >= "1996-01-01"), root)
+    // per-partition backfill: March 1996 re-lands discount-free in one
+    // atomic commit (readers never see the month half-replaced)
+    val marchPred = col("l_month") === lit("1996-03-01").cast("date")
+    val repl = VersionedTable.readWhere(s, root, marchPred)
+      .withColumn("l_discount", lit(0.0))
+    VersionedTable.replaceWhere(s, root, repl, marchPred)
+    VersionedTable.readWhere(s, root,
+        col("l_month") >= "1996-01-01" && col("l_month") <= "1996-06-01")
+      .groupBy("l_month", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  val tablePartitionSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_quantity, l_extendedprice,
+      |    CASE WHEN date_trunc('month', l_shipdate) = DATE '1996-03-01'
+      |      THEN 0.0 ELSE l_discount END AS l_discount,
+      |    CAST(date_trunc('month', l_shipdate) AS DATE) AS l_month
+      |  FROM lineitem)
+      |SELECT l_month, l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM li
+      |WHERE l_month >= DATE '1996-01-01' AND l_month <= DATE '1996-06-01'
+      |GROUP BY 1, 2""".stripMargin
+
   val tableSkippingSql: String =
     """SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -126,7 +126,8 @@ object VersionedTable {
       stats: Map[String, FileStats] = Map.empty,
       blooms: BloomRefs = Map.empty,
       dvs: Map[String, DvEntry] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      partitionBy: Seq[String] = Nil)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -202,9 +203,10 @@ object VersionedTable {
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
       statsColumns: Seq[String] = Nil, mergeSchema: Boolean = false,
       bloomColumns: Seq[String] = Nil,
-      bloomExpectedItems: Long = 100000L, bloomFpp: Double = 0.01): Long =
+      bloomExpectedItems: Long = 100000L, bloomFpp: Double = 0.01,
+      partitionBy: Seq[String] = Nil): Long =
     commitInternal(df, root, overwrite, None, statsColumns, mergeSchema,
-      bloomColumns, bloomExpectedItems, bloomFpp).get
+      bloomColumns, bloomExpectedItems, bloomFpp, partitionBy).get
 
   /** [[commit]] under a streaming writer's exactly-once contract: the
     * manifest records the last committed `batchId` per `writerId`
@@ -289,15 +291,49 @@ object VersionedTable {
       mergeSchema: Boolean = false,
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 100000L,
-      bloomFpp: Double = 0.01): Option[Long] = {
+      bloomFpp: Double = 0.01,
+      partitionBy: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     f.mkdirs(commitsPath(root))
     // replay fast-path: skip before paying the stage write
     if (alreadyCommitted(spark, root, txn)) return None
-    val (stageRel, staged) = stage(df, root)
-    val stagedStats = collectStats(spark, root, staged, df.schema, statsColumns)
+    // the partition spec is a TABLE property: an append inherits the
+    // predecessor's, may not contradict it, and only an overwrite may
+    // change it (same rule as a schema type change)
+    val prevParts = latestVersion(spark, root)
+      .map(v => manifest(spark, root, v).partitionBy)
+    val effParts: Seq[String] =
+      if (overwrite) partitionBy
+      else prevParts match {
+        case Some(pp) if pp.nonEmpty =>
+          require(partitionBy.isEmpty || partitionBy == pp,
+            s"append to $root partitioned by (${partitionBy.mkString(",")}) " +
+              s"but the table is partitioned by (${pp.mkString(",")}); " +
+              "repartitioning requires overwrite = true")
+          pp
+        case Some(_) =>
+          require(partitionBy.isEmpty,
+            s"append to $root with partitionBy but the table is " +
+              "unpartitioned; partitioning requires overwrite = true")
+          Nil
+        case None => partitionBy
+      }
+    effParts.foreach { p =>
+      val fd = df.schema.fields.find(_.name == p).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column `$p` not in schema ${df.schema.simpleString}"))
+      require(statTag(fd.dataType).isDefined,
+        s"partition column `$p` has unsupported type ${fd.dataType.simpleString}")
+      require(!bloomColumns.contains(p),
+        s"partition column `$p` cannot carry a bloom filter — its " +
+          "exact per-file bounds already prune point lookups")
+    }
+    val (stageRel, staged) = stage(df, root, effParts)
+    val stagedStats = withPartitionStats(
+      collectStats(spark, root, staged, df.schema, statsColumns, effParts),
+      staged, effParts, df.schema)
     val stagedBlooms = collectBlooms(spark, root, stageRel, staged, df.schema,
       bloomColumns, bloomExpectedItems, bloomFpp)
     // the published schema may WIDEN under mergeSchema (computed per
@@ -310,7 +346,8 @@ object VersionedTable {
       linkBlooms = prevM =>
         if (overwrite) stagedBlooms
         else mergeBloomRefs(
-          prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms)) { prevM =>
+          prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms),
+      linkParts = _ => effParts) { prevM =>
       if (!overwrite) prevM.foreach { m =>
         m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
           .filterNot(sameColumns(_, df.schema))
@@ -343,22 +380,110 @@ object VersionedTable {
 
   /** Stage `df`'s parquet under a fresh `data/c<token>/`, returning the
     * stage dir's relative path and the sorted relative file list.
+    * With `partitionBy` the write lays out Hive-style `col=value/`
+    * subdirectories under the stage dir and the returned rels carry
+    * the partition segments (`data/c<token>/p=5/part-*.parquet`).
     */
-  private def stage(df: DataFrame, root: String): (String, Seq[String]) = {
+  private def stage(df: DataFrame, root: String,
+      partitionBy: Seq[String] = Nil): (String, Seq[String]) = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val stageRel = s"data/c$token"
     val stageP = new Path(rootP, stageRel)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(stageP.toString)
-    val staged = f.listStatus(stageP).toSeq
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stageP.toString)
+    val prefix = f.makeQualified(stageP).toString + "/"
+    val it = f.listFiles(stageP, true)
+    val staged = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$stageRel/${s.getPath.getName}")
-      .sorted
+      .map(s => s"$stageRel/" +
+        f.makeQualified(s.getPath).toString.stripPrefix(prefix))
+      .toSeq.sorted
     require(staged.nonEmpty || df.schema.nonEmpty,
       s"staging $stageP produced no parquet files")
     (stageRel, staged)
+  }
+
+  // ---- Hive-style partition columns --------------------------------------
+  //
+  // A partitioned table commits its data under `col=value/` directory
+  // layout (foreign-reader compatible), and the manifest records the
+  // partition spec. Pruning needs NO separate machinery: each file's
+  // partition values are parsed off its OWN path at commit time and
+  // recorded as exact (min = max = value) zone-map stats, so
+  // [[readWhere]]'s one pruning routine handles partition predicates,
+  // range predicates and their combinations uniformly — and a
+  // partition-restricted predicate prunes to exactly the partition's
+  // files before any data file opens.
+
+  /** Partition-column stats parsed off a staged file's rel path —
+    * exact bounds, zero data read. Types whose path rendering does
+    * not round-trip into the zone-map grid (float/decimal/timestamp)
+    * are skipped: no stats = never pruned = sound.
+    */
+  private def partitionPathStats(rel: String, partitionBy: Seq[String],
+      schema: StructType): Map[String, ColStats] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val byName = rel.split("/").flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(ExternalCatalogUtils.unescapePathName(seg.take(i)) ->
+        ExternalCatalogUtils.unescapePathName(seg.drop(i + 1)))
+    }.toMap
+    partitionBy.flatMap { p =>
+      val dt = schema.fields.find(_.name == p).map(_.dataType)
+      for {
+        t <- dt
+        tag <- statTag(t)
+        raw <- byName.get(p)
+        cs <- encodePartitionValue(t, tag, raw)
+      } yield p -> cs
+    }.toMap
+  }
+
+  private def encodePartitionValue(dt: DataType, tag: String,
+      raw: String): Option[ColStats] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__")
+      // the null partition: every row's value is null — allNull prunes
+      // equalities and IS NOT NULL regardless of the file's row count
+      return Some(ColStats(tag, None, None, Long.MaxValue))
+    val enc: Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(raw.toLong.toString).toOption
+      case BooleanType => raw match {
+        case "true" => Some("1"); case "false" => Some("0"); case _ => None
+      }
+      case DateType =>
+        scala.util.Try(
+          java.time.LocalDate.parse(raw).toEpochDay.toString).toOption
+      case StringType => Some(raw)
+      case DoubleType => scala.util.Try(raw.toDouble.toString).toOption
+      // float/decimal/timestamp path strings do not reliably
+      // round-trip into the stats grid — leave unpruned
+      case _ => None
+    }
+    enc.map(v => ColStats(tag, Some(v), Some(v), 0L))
+  }
+
+  /** Overlay exact path-derived partition stats onto the collected
+    * stats map — creating a rows-unknown entry (rows = -1) for files
+    * with no collected stats, so partition pruning works even on a
+    * stats-off commit. [[rowCount]] and [[analyzeStats]] treat
+    * negative rows as "no stats".
+    */
+  private def withPartitionStats(stats: Map[String, FileStats],
+      staged: Seq[String], partitionBy: Seq[String],
+      schema: StructType): Map[String, FileStats] = {
+    if (partitionBy.isEmpty) return stats
+    staged.map { rel =>
+      val pcols = partitionPathStats(rel, partitionBy, schema)
+      val base = stats.getOrElse(rel, FileStats(-1L, Map.empty))
+      rel -> base.copy(cols = base.cols ++ pcols)
+    }.toMap
   }
 
   /** The shared publish loop: build the next manifest against the
@@ -383,7 +508,11 @@ object VersionedTable {
           val keep = files.toSet
           prevM.map(_.dvs).getOrElse(Map.empty)
             .filter { case (f, _) => keep.contains(f) }
-        })(
+        },
+      // partition spec: carried forward by default; commit overrides
+      // on overwrite / first commit
+      linkParts: Option[Manifest] => Seq[String] =
+        prevM => prevM.map(_.partitionBy).getOrElse(Nil))(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -415,7 +544,8 @@ object VersionedTable {
         prevM.map(_.ts + 1L).getOrElse(Long.MinValue))
       val body = renderManifest(
         Manifest(next, mode, files, txnMap, Some(schemaJsonOf()), stats,
-          linkBlooms(prevM), linkDvs(prevM, files), ts = commitTs))
+          linkBlooms(prevM), linkDvs(prevM, files), ts = commitTs,
+          partitionBy = linkParts(prevM)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -694,10 +824,11 @@ object VersionedTable {
     */
   private def collectStats(
       spark: SparkSession, root: String, staged: Seq[String],
-      schema: StructType, statsColumns: Seq[String])
+      schema: StructType, statsColumns: Seq[String],
+      partitionBy: Seq[String] = Nil)
       : Map[String, FileStats] = {
     if (statsColumns.isEmpty || staged.isEmpty) return Map.empty
-    val cols: Seq[StructField] =
+    val cols0: Seq[StructField] =
       if (statsColumns == Seq("*")) {
         schema.fields.toSeq.filter(f => statTag(f.dataType).isDefined)
       } else {
@@ -710,7 +841,11 @@ object VersionedTable {
           f
         }
       }
-    if (cols.isEmpty) return Map.empty
+    // partition columns never aggregate here: they are absent from the
+    // data files (the directory name carries them) and their EXACT
+    // stats come off the path in [[withPartitionStats]]
+    val cols = cols0.filterNot(f => partitionBy.contains(f.name))
+    if (cols.isEmpty && partitionBy.isEmpty) return Map.empty
     def orderable(f: StructField): Column = f.dataType match {
       case BooleanType => col(f.name).cast("long")
       // floats are WIDENED TO DOUBLE before min/max so the stored bound
@@ -731,14 +866,22 @@ object VersionedTable {
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))
     }
     val rootP = new Path(root)
+    // key by the path TAIL deep enough to include the partition
+    // segments: dynamic-partition writes reuse part-file names across
+    // `col=value/` dirs, so the bare name alone is ambiguous there
+    val tailDepth = 1 + partitionBy.size
+    // plain file read — partition columns are not aggregated, so no
+    // partition discovery is needed (absent columns read as null)
     val byFile = spark.read.schema(schema)
       .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
-      .groupBy(input_file_name().as("_file"))
+      .groupBy(substring_index(input_file_name(), "/", -tailDepth).as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val byName = staged.map(rel => rel.split("/").last -> rel).toMap
+    val byName = staged
+      .map(rel => rel.split("/").takeRight(tailDepth).mkString("/") -> rel)
+      .toMap
     val withRows = byFile.flatMap { r =>
-      val fileName = r.getAs[String]("_file").split("/").last
+      val fileName = r.getAs[String]("_file")
       byName.get(fileName).map { rel =>
         val colStats = cols.flatMap { f =>
           val tag = statTag(f.dataType).get
@@ -970,7 +1113,9 @@ object VersionedTable {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val m = manifest(spark, root, v)
-    val counts = m.files.map(m.stats.get(_).map(_.rows))
+    // rows < 0 marks a partition-stats-only entry (partition values
+    // recorded for pruning, row count never collected) — unknown, not 0
+    val counts = m.files.map(m.stats.get(_).map(_.rows).filter(_ >= 0L))
     if (counts.exists(_.isEmpty)) None
     else Some(counts.flatten.sum - m.dvs.values.map(_.dead).sum)
   }
@@ -1090,9 +1235,11 @@ object VersionedTable {
       else snapshot
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root)
-    val stagedStats =
-      collectStats(spark, root, staged, snapshot.schema, statsColumns)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val stagedStats = withPartitionStats(
+      collectStats(spark, root, staged, snapshot.schema, statsColumns,
+        m.partitionBy),
+      staged, m.partitionBy, snapshot.schema)
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
       schemaJsonOf = () => m.schemaJson.getOrElse(snapshot.schema.json),
@@ -1133,12 +1280,17 @@ object VersionedTable {
     val v = latestVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val m = manifest(spark, root, v)
-    val missing = m.files.filterNot(m.stats.contains)
+    // rows < 0 = a partition-stats-only placeholder: partition values
+    // are recorded but the data stats were never collected — backfill
+    val missing = m.files.filterNot(rel =>
+      m.stats.get(rel).exists(_.rows >= 0L))
     if (missing.isEmpty) return None
     val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new java.io.IOException(
         s"snapshot of $root has no recorded schema"))
-    val fresh = collectStats(spark, root, missing, schema, statsColumns)
+    val fresh = withPartitionStats(
+      collectStats(spark, root, missing, schema, statsColumns, m.partitionBy),
+      missing, m.partitionBy, schema)
     publish(spark, root, Nil, Map.empty, mode = "stats",
       schemaJsonOf = () => schema.json, txn = None) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
@@ -1188,9 +1340,10 @@ object VersionedTable {
       else live
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root)
-    val stagedStats =
-      collectStats(spark, root, staged, live.schema, keepStats)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val stagedStats = withPartitionStats(
+      collectStats(spark, root, staged, live.schema, keepStats, m.partitionBy),
+      staged, m.partitionBy, live.schema)
     val source = rels.toSet
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
@@ -1322,11 +1475,12 @@ object VersionedTable {
       .groupBy(col(DvRelCol).as("_file"))
       .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
       .collect()
-    val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+    // DvRelCol IS the manifest rel (partition segments included)
+    val known = candidates.toSet
     var fullDrop = Vector.empty[String]
     var rewrite = Vector.empty[String]
     counts.foreach { r =>
-      byName.get(r.getAs[String]("_file").split("/").last).foreach { rel =>
+      Some(r.getAs[String]("_file")).filter(known).foreach { rel =>
         val matches = r.getAs[Long]("_matches")
         if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
         else if (matches > 0L) rewrite :+= rel
@@ -1337,9 +1491,11 @@ object VersionedTable {
       if (rewrite.isEmpty) (None, Nil, Map.empty[String, FileStats])
       else {
         val survivors = readFilesLive(spark, root, m, rewrite).filter(!hit)
-        val (rel, s) = stage(survivors, root)
-        (Some(rel), s,
-          collectStats(spark, root, s, survivors.schema, keepStats))
+        val (rel, s) = stage(survivors, root, m.partitionBy)
+        (Some(rel), s, withPartitionStats(
+          collectStats(spark, root, s, survivors.schema, keepStats,
+            m.partitionBy),
+          s, m.partitionBy, survivors.schema))
       }
     val removedSet = (fullDrop ++ rewrite).toSet
     val f = fs(spark, new Path(root))
@@ -1632,12 +1788,12 @@ object VersionedTable {
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
-        val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+        val known = candidates.toSet
         readFilesLivePos(spark, root, m, candidates)
           .withColumnRenamed(DvRelCol, "_file")
           .join(srcKeys, keys.toSeq, "left_semi")
           .select("_file").distinct().collect()
-          .flatMap(r => byName.get(r.getString(0).split("/").last)).toSeq
+          .map(_.getString(0)).filter(known).toSeq
       }
 
     // phase 3: rewrite touched files; route source rows
@@ -1668,8 +1824,10 @@ object VersionedTable {
       else out
         .repartitionByRange(touched.size + 1, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root)
-    val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val stagedStats = withPartitionStats(
+      collectStats(spark, root, staged, out.schema, keepStats, m.partitionBy),
+      staged, m.partitionBy, out.schema)
     val removedSet = touched.toSet
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "merge",
@@ -1764,9 +1922,9 @@ object VersionedTable {
         .groupBy(col(DvRelCol).as("_file"))
         .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
         .collect()
-      val byName = candidates.map(rel => rel.split("/").last -> rel).toMap
+      val known = candidates.toSet
       counts.foreach { r =>
-        byName.get(r.getAs[String]("_file").split("/").last).foreach { rel =>
+        Some(r.getAs[String]("_file")).filter(known).foreach { rel =>
           val matches = r.getAs[Long]("_matches")
           if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
           else if (matches > 0L) rewrite :+= rel
@@ -1776,8 +1934,10 @@ object VersionedTable {
     val out: DataFrame =
       if (rewrite.isEmpty) repl
       else readFilesLive(spark, root, m, rewrite).filter(!hit).unionByName(repl)
-    val (stageRel, staged) = stage(out, root)
-    val stagedStats = collectStats(spark, root, staged, out.schema, keepStats)
+    val (stageRel, staged) = stage(out, root, m.partitionBy)
+    val stagedStats = withPartitionStats(
+      collectStats(spark, root, staged, out.schema, keepStats, m.partitionBy),
+      staged, m.partitionBy, out.schema)
     val removedSet = (fullDrop ++ rewrite).toSet
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "replace",
@@ -2115,8 +2275,35 @@ object VersionedTable {
   private def readFiles(spark: SparkSession, root: String, m: Manifest,
       rels: Seq[String]): DataFrame = {
     val abs = rels.map(rel => new Path(new Path(root), rel).toString)
-    m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-      .fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (m.partitionBy.isEmpty)
+      schema.fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
+    else {
+      // partitioned layout: the partition columns live in the
+      // `col=value/` directory names. Spark's own partition DISCOVERY
+      // cannot span commit dirs (it requires one uniform structure
+      // under basePath and rejects `data/c1/d=x` next to
+      // `data/c2/d=y`) and reorders partition columns last — so the
+      // values are reconstructed from `_metadata.file_path` instead:
+      // one scan, no discovery cost, recorded column order preserved.
+      val s = schema.getOrElse(throw new java.io.IOException(
+        s"partitioned snapshot of $root has no recorded schema"))
+      val parts = m.partitionBy.toSet
+      val dataSchema = StructType(s.fields.filterNot(f => parts(f.name)))
+      val base = spark.read.schema(dataSchema).parquet(abs: _*)
+      val withParts = m.partitionBy.foldLeft(base) { (df, p) =>
+        val seg = regexp_extract(col("_metadata.file_path"),
+          "/" + java.util.regex.Pattern.quote(p) + "=([^/]+)/", 1)
+        // Hive path escaping is %XX; a literal '+' is NOT an escape —
+        // shield it before url_decode (which would turn it into a space)
+        val decoded = url_decode(regexp_replace(seg, "\\+", "%2B"))
+        val typed = when(decoded === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(decoded)
+          .cast(s.fields.find(_.name == p).get.dataType)
+        df.withColumn(p, typed)
+      }
+      withParts.select(s.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   // ---- deletion-vector read plumbing -------------------------------------
@@ -2146,7 +2333,12 @@ object VersionedTable {
   private val DvRelCol = "_graft_dv_rel"
   private val DvPosCol = "_graft_dv_pos"
 
-  private def fileRelOf(c: Column): Column = substring_index(c, "/", -3)
+  /** The manifest-rel of a file off its absolute path: the trailing
+    * `data/c<token>/[col=value/…]file` segments — depth 3 plus one
+    * per partition column.
+    */
+  private def fileRelOf(c: Column, nPartCols: Int): Column =
+    substring_index(c, "/", -(3 + nPartCols))
 
   /** `rels` read RAW (vectors NOT applied) with position provenance
     * attached as [[DvRelCol]] / [[DvPosCol]].
@@ -2154,7 +2346,8 @@ object VersionedTable {
   private def readFilesRawPos(spark: SparkSession, root: String, m: Manifest,
       rels: Seq[String]): DataFrame =
     readFiles(spark, root, m, rels)
-      .withColumn(DvRelCol, fileRelOf(col("_metadata.file_path")))
+      .withColumn(DvRelCol,
+        fileRelOf(col("_metadata.file_path"), m.partitionBy.size))
       .withColumn(DvPosCol, col("_metadata.row_index"))
 
   private def dvRows(spark: SparkSession, root: String,
@@ -2257,10 +2450,15 @@ object VersionedTable {
         if (!live.contains(cdir)) f.delete(s.getPath, true)
         else {
           // live dir: sweep individual parquet files rewritten away by
-          // a retained delete/compact commit
-          f.listStatus(s.getPath).toSeq
+          // a retained delete/compact commit — RECURSIVE, so a
+          // partitioned commit's `col=value/` subdirectories are swept
+          // file-granularly too
+          val prefix = f.makeQualified(s.getPath).toString + "/"
+          val it = f.listFiles(s.getPath, true)
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
-              && !liveFiles.contains(s"data/$cdir/${st.getPath.getName}"))
+              && !liveFiles.contains(s"data/$cdir/" +
+                f.makeQualified(st.getPath).toString.stripPrefix(prefix)))
             .foreach(st => f.delete(st.getPath, false))
         }
       }
@@ -2276,6 +2474,10 @@ object VersionedTable {
     root.put("version", m.version)
     root.put("mode", m.mode)
     if (m.ts > 0L) root.put("ts", m.ts)
+    if (m.partitionBy.nonEmpty) {
+      val pb = root.putArray("partitionBy")
+      m.partitionBy.foreach(pb.add)
+    }
     val txn = root.putObject("txn")
     m.txn.toSeq.sortBy(_._1).foreach { case (w, b) => txn.put(w, b) }
     val files = root.putArray("files")
@@ -2351,6 +2553,8 @@ object VersionedTable {
     Manifest(n.get("version").asLong(),
       Option(n.get("mode")).map(_.asText()).getOrElse("append"),
       files, txn, schemaJson, stats, blooms, dvs,
-      ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
+      ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      partitionBy = Option(n.get("partitionBy")).toSeq
+        .flatMap(_.elements().asScala.toSeq.map(_.asText())))
   }
 }

@@ -669,6 +669,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // zone-map-pruned manifest read + ONE rollup exchange (the
       // range-clustered commit shuffled at table-build time, not here)
       "q_table_skipping" -> 1,
+      // partition-pruned read (six months' files) + ONE rollup
+      // exchange; the partitioned commits and the per-partition
+      // replaceWhere ran at table-build time
+      "q_table_partition" -> 1,
       // append branch: rollup only; overwrite branch: exceptAll both
       // ways (2 hash-repartition pairs) + the rollup union
       "q_table_changes" -> 6,
