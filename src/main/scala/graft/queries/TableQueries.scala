@@ -47,6 +47,67 @@ object TableQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** Streaming change-feed CONSUMPTION: a follower table continuously
+    * applies the source table's CDC through
+    * [[graft.streaming.ChangeFeedStream]] — the Delta readChangeFeed +
+    * startingVersion role. The source mutates through its whole op
+    * vocabulary (seed, append, keyed MERGE with price bumps and
+    * inserts, predicate DELETE), the follower consumes ONE source
+    * version per batch off its own txn watermark, a caught-up tick
+    * and a replayed tick both land nothing, and the rollup reads the
+    * FOLLOWER — so a lost update, double-applied merge, resurrected
+    * delete or broken watermark all break the hash against DuckDB's
+    * closed-form twin of the source's final state.
+    */
+  def tableStreamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ChangeFeedStream
+    val src = StreamGateQueries.tempRoot("graft_q_cdc_src")
+    val dst = StreamGateQueries.tempRoot("graft_q_cdc_dst")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === 0),
+      src, statsColumns = Seq("*"))                               // v0 seed
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === 1),
+      src)                                                        // v1 append
+    VersionedTable.merge(s, src,                                  // v2 merge
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    VersionedTable.delete(s, src,                                 // v3 delete
+      col("o_orderpriority") === "1-URGENT")
+    val batches = ChangeFeedStream.sync(s, src, dst,
+      Seq("o_orderkey"), "follower")
+    // caught up + crash-redelivery: neither may land anything
+    val idle = ChangeFeedStream.sync(s, src, dst,
+      Seq("o_orderkey"), "follower")
+    VersionedTable.read(s, dst)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("mass"))
+      .withColumn("n_batches", lit(batches.toLong))
+      .withColumn("n_idle", lit(idle.toLong))
+      .withColumn("consumed",
+        lit(ChangeFeedStream.lastConsumed(s, dst, "follower")))
+  }
+
+  val tableStreamCdcApplySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 3 IN (0, 1) OR o_orderkey % 5 = 0)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass,
+      |  CAST(4 AS BIGINT) AS n_batches,
+      |  CAST(0 AS BIGINT) AS n_idle,
+      |  CAST(3 AS BIGINT) AS consumed
+      |FROM base
+      |WHERE o_orderpriority <> '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   /** Hive-style partition columns end to end: lineitem lands
     * month-partitioned (`l_month=1995-01-01/` directory layout, exact
     * min = max partition stats off the path), a second commit APPENDS

@@ -683,6 +683,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_table_zorder" -> 1,
       // append-only CDC feed: three file reads unioned + ONE rollup
       "q_stream_table_feed" -> 1,
+      // the rollup reads the converged FOLLOWER snapshot: ONE
+      // exchange; the CDC slices merged at table-build time
+      "q_stream_table_cdc_apply" -> 1,
       // two k-bounded topK aggregations (map-side combined), two
       // neighborhood-sum rollups, the margin joins keyed on x/y ids
       // and two <=k-row per-endpoint windows
