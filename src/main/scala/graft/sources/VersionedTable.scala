@@ -120,6 +120,17 @@ object VersionedTable {
     * mtime is the COPY time, so mtimes can invert across versions.
     * 0 = legacy manifest with no recorded timestamp.
     */
+  /** A parquet CHECKPOINT of the manifest's (file, stats) body:
+    * `path` the `_commits/`-relative parquet file, `version` the
+    * commit it snapshotted. Version JSONs written after it carry only
+    * a DELTA against it, so at 100k files the per-commit JSON stays
+    * KB-sized instead of tens of MB rewritten whole (the Delta
+    * checkpoint + incremental-log shape, collapsed to one delta hop:
+    * read cost = one small JSON + one immutable parquet, O(1) files
+    * at any history length, and the parquet is cached driver-side).
+    */
+  final case class CkptRef(path: String, version: Long)
+
   final case class Manifest(version: Long, mode: String, files: Seq[String],
       txn: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
@@ -127,7 +138,11 @@ object VersionedTable {
       blooms: BloomRefs = Map.empty,
       dvs: Map[String, DvEntry] = Map.empty,
       ts: Long = 0L,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // the checkpoint this manifest's body was resolved THROUGH (kept
+      // on the resolved Manifest so the next publish can extend the
+      // delta chain); never compared for equality semantics
+      ckpt: Option[CkptRef] = None)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -174,7 +189,10 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Parse one committed manifest. */
+  /** Parse one committed manifest, resolving through its parquet
+    * checkpoint when the version JSON is a delta (read cost: one
+    * small JSON + one cached immutable parquet — O(1) files).
+    */
   def manifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = versionFile(root, version)
     val f = fs(spark, p)
@@ -186,7 +204,99 @@ object VersionedTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
       out.toByteArray
     } finally in.close()
-    parseManifest(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val (m, delta) = parseManifestParts(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    delta match {
+      case None => m
+      case Some(d) =>
+        val ref = m.ckpt.getOrElse(throw new java.io.IOException(
+          s"delta manifest v$version of $root carries no checkpoint ref"))
+        val (files0, stats0) = loadCheckpoint(spark, root, ref)
+        m.copy(
+          files = files0.filterNot(d.remove) ++ d.addFiles,
+          stats = (stats0 -- d.remove) ++ d.addStats)
+    }
+  }
+
+  // ---- manifest checkpointing (the 100k-file log shape) ------------------
+
+  /** Delta body of a checkpoint-referencing version JSON. */
+  private[graft] final case class CkptDelta(remove: Set[String],
+      addFiles: Seq[String], addStats: Map[String, FileStats])
+
+  /** files.size at which version JSONs switch from self-contained to
+    * checkpoint + delta; and how many delta commits ride one
+    * checkpoint before a fresh one is written.
+    */
+  private def ckptThreshold(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.checkpointThreshold", "1000").toInt
+  private def ckptInterval(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.checkpointInterval", "10").toInt
+
+  // checkpoints are immutable once referenced — cache the parsed body
+  // so repeated manifest() resolutions cost zero I/O (bounded: the
+  // handful of tables a driver touches; cleared wholesale when full)
+  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Map[String, FileStats])]()
+
+  private[graft] def loadCheckpoint(spark: SparkSession, root: String,
+      ref: CkptRef): (Seq[String], Map[String, FileStats]) = {
+    val abs = new Path(commitsPath(root), ref.path).toString
+    val cached = ckptCache.get(abs)
+    if (cached != null) return cached
+    val rows = spark.read.parquet(abs)
+      .select("idx", "file", "stats").collect()
+      .sortBy(_.getLong(0))
+    val files = rows.map(_.getString(1)).toSeq
+    val stats = rows.flatMap { r =>
+      if (r.isNullAt(2)) None
+      else Some(r.getString(1) -> parseFileStats(r.getString(2)))
+    }.toMap
+    if (ckptCache.size > 8) ckptCache.clear()
+    ckptCache.put(abs, (files, stats))
+    (files, stats)
+  }
+
+  private[graft] def writeCheckpoint(spark: SparkSession, root: String,
+      m: Manifest): CkptRef = {
+    import spark.implicits._
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val dir = f"ckpt-v${m.version}%012d-$token.parquet"
+    val rows = m.files.zipWithIndex.map { case (fl, i) =>
+      (i.toLong, fl, m.stats.get(fl).map(renderFileStats).orNull)
+    }
+    rows.toDF("idx", "file", "stats").coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(commitsPath(root), dir).toString)
+    CkptRef(dir, m.version)
+  }
+
+  /** Render the version JSON — self-contained below the file-count
+    * threshold, checkpoint + delta above it. May write a fresh
+    * checkpoint parquet (every `checkpointInterval` commits, or when
+    * the chain has none to extend).
+    */
+  private[graft] def renderManifestAuto(spark: SparkSession, root: String,
+      m: Manifest): String = {
+    if (m.files.size < ckptThreshold(spark)) return renderManifest(m)
+    val usable = m.ckpt.filter(c => m.version - c.version < ckptInterval(spark))
+    usable match {
+      case Some(c) =>
+        val (files0, stats0) = loadCheckpoint(spark, root, c)
+        val base = files0.toSet
+        val cur = m.files.toSet
+        val remove = files0.filterNot(cur)
+        val add = m.files.filterNot(base)
+        val addStats = m.stats.filter { case (fl, fsEntry) =>
+          cur.contains(fl) && !stats0.get(fl).contains(fsEntry)
+        }
+        renderManifest(m.copy(ckpt = Some(c)), Some(CkptDelta(
+          remove.toSet, add, addStats)))
+      case None =>
+        val c = writeCheckpoint(spark, root, m)
+        renderManifest(m.copy(ckpt = Some(c)),
+          Some(CkptDelta(Set.empty, Nil, Map.empty)))
+    }
   }
 
   /** Commit `df` as a new version. `overwrite = false` appends to the
@@ -542,10 +652,12 @@ object VersionedTable {
       // clock skew or object-store rename-as-copy mtimes
       val commitTs = math.max(System.currentTimeMillis(),
         prevM.map(_.ts + 1L).getOrElse(Long.MinValue))
-      val body = renderManifest(
+      val body = renderManifestAuto(spark, root,
         Manifest(next, mode, files, txnMap, Some(schemaJsonOf()), stats,
           linkBlooms(prevM), linkDvs(prevM, files), ts = commitTs,
-          partitionBy = linkParts(prevM)))
+          partitionBy = linkParts(prevM),
+          // extend the predecessor's delta chain when one exists
+          ckpt = prevM.flatMap(_.ckpt)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -2432,15 +2544,23 @@ object VersionedTable {
       window.contains(v) || tagged.contains(v))
     versions.filterNot(retained.toSet)
       .foreach(v => f.delete(versionFile(root, v), false))
-    val liveFiles: Set[String] = retained
-      .flatMap { v =>
-        val mm = manifest(spark, root, v)
+    val retainedManifests = retained.map(v => manifest(spark, root, v))
+    val liveFiles: Set[String] = retainedManifests
+      .flatMap { mm =>
         // deletion-vector sidecars are parquet too: a retained
         // manifest's vectors must survive the file-granular sweep, or
         // the dead rows would resurrect
         mm.files ++ mm.dvs.values.flatMap(_.refs)
       }
       .toSet
+    // manifest checkpoints referenced by NO retained delta manifest
+    // are crash/race leftovers (or belong to vacuumed history) —
+    // destroy them like any other unreferenced bytes
+    val liveCkpts = retainedManifests.flatMap(_.ckpt).map(_.path).toSet
+    f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("ckpt-")
+        && !liveCkpts.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
     val live: Set[String] =
       liveFiles.map(_.split("/")(1)) // data/<cdir>/file -> <cdir>
     val dataDir = new Path(rootP, "data")
@@ -2469,7 +2589,50 @@ object VersionedTable {
 
   private val mapper = new ObjectMapper()
 
-  private def renderManifest(m: Manifest): String = {
+  private def putFileStats(parent: ObjectNode, file: String,
+      fsStats: FileStats): Unit = {
+    val fn = parent.putObject(file)
+    fn.put("rows", fsStats.rows)
+    val colsN = fn.putObject("cols")
+    fsStats.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      val cn = colsN.putObject(c)
+      cn.put("t", cs.t)
+      cs.min.foreach(cn.put("min", _))
+      cs.max.foreach(cn.put("max", _))
+      cn.put("nulls", cs.nulls)
+    }
+  }
+
+  private[graft] def renderFileStats(fsStats: FileStats): String = {
+    val n = mapper.createObjectNode()
+    putFileStats(n, "s", fsStats)
+    mapper.writeValueAsString(n.get("s"))
+  }
+
+  private def parseFileStatsNode(fn: JsonNode): FileStats = {
+    import scala.jdk.CollectionConverters._
+    def fields(o: JsonNode): Seq[(String, JsonNode)] =
+      if (o == null) Nil
+      else o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
+    val cols = fields(fn.get("cols")).map { case (c, cn) =>
+      c -> ColStats(cn.get("t").asText(),
+        Option(cn.get("min")).map(_.asText()),
+        Option(cn.get("max")).map(_.asText()),
+        Option(cn.get("nulls")).map(_.asLong()).getOrElse(0L))
+    }.toMap
+    FileStats(Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
+  }
+
+  private[graft] def parseFileStats(s: String): FileStats =
+    parseFileStatsNode(mapper.readTree(s))
+
+  /** `delta = None`: the legacy self-contained JSON (full file list +
+    * stats inline). `delta = Some(d)`: `m.ckpt` is referenced and
+    * only the remove/add/addStats delta lands in the JSON — the
+    * KB-sized commit record a 100k-file table writes.
+    */
+  private[graft] def renderManifest(m: Manifest,
+      delta: Option[CkptDelta] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("mode", m.mode)
@@ -2480,8 +2643,6 @@ object VersionedTable {
     }
     val txn = root.putObject("txn")
     m.txn.toSeq.sortBy(_._1).foreach { case (w, b) => txn.put(w, b) }
-    val files = root.putArray("files")
-    m.files.foreach(files.add)
     m.schemaJson.foreach { sj =>
       root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
     }
@@ -2501,25 +2662,47 @@ object VersionedTable {
         en.put("dead", e.dead)
       }
     }
-    if (m.stats.nonEmpty) {
-      val stats = root.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (file, fsStats) =>
-        val fn = stats.putObject(file)
-        fn.put("rows", fsStats.rows)
-        val colsN = fn.putObject("cols")
-        fsStats.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-          val cn = colsN.putObject(c)
-          cn.put("t", cs.t)
-          cs.min.foreach(cn.put("min", _))
-          cs.max.foreach(cn.put("max", _))
-          cn.put("nulls", cs.nulls)
+    delta match {
+      case None =>
+        val files = root.putArray("files")
+        m.files.foreach(files.add)
+        if (m.stats.nonEmpty) {
+          val stats = root.putObject("stats")
+          m.stats.toSeq.sortBy(_._1).foreach { case (file, fsStats) =>
+            putFileStats(stats, file, fsStats)
+          }
         }
-      }
+      case Some(d) =>
+        val ref = m.ckpt.getOrElse(throw new IllegalStateException(
+          "delta render without a checkpoint ref"))
+        val cn = root.putObject("checkpoint")
+        cn.put("path", ref.path)
+        cn.put("version", ref.version)
+        if (d.remove.nonEmpty) {
+          val rm = root.putArray("remove")
+          d.remove.toSeq.sorted.foreach(rm.add)
+        }
+        if (d.addFiles.nonEmpty) {
+          val ad = root.putArray("add")
+          d.addFiles.foreach(ad.add)
+        }
+        if (d.addStats.nonEmpty) {
+          val as = root.putObject("addStats")
+          d.addStats.toSeq.sortBy(_._1).foreach { case (file, fsStats) =>
+            putFileStats(as, file, fsStats)
+          }
+        }
     }
     mapper.writeValueAsString(root)
   }
 
-  private[graft] def parseManifest(s: String): Manifest = {
+  /** Parse a version JSON WITHOUT checkpoint resolution: the returned
+    * Manifest's files/stats are the inline body (empty for a delta
+    * JSON — the second component then carries the delta to apply
+    * against the referenced checkpoint).
+    */
+  private[graft] def parseManifestParts(s: String)
+      : (Manifest, Option[CkptDelta]) = {
     val n = mapper.readTree(s)
     if (n == null || !n.has("version"))
       throw new java.io.IOException(s"bad manifest: $s")
@@ -2527,19 +2710,13 @@ object VersionedTable {
     def fields(o: JsonNode): Seq[(String, JsonNode)] =
       if (o == null) Nil
       else o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
-    val files = Option(n.get("files")).toSeq
+    def strArr(name: String): Seq[String] = Option(n.get(name)).toSeq
       .flatMap(_.elements().asScala.toSeq.map(_.asText()))
+    val files = strArr("files")
     val txn = fields(n.get("txn")).map { case (k, v) => k -> v.asLong() }.toMap
     val schemaJson = Option(n.get("schema")).map(mapper.writeValueAsString)
     val stats = fields(n.get("stats")).map { case (file, fn) =>
-      val cols = fields(fn.get("cols")).map { case (c, cn) =>
-        c -> ColStats(cn.get("t").asText(),
-          Option(cn.get("min")).map(_.asText()),
-          Option(cn.get("max")).map(_.asText()),
-          Option(cn.get("nulls")).map(_.asLong()).getOrElse(0L))
-      }.toMap
-      file -> FileStats(
-        Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
+      file -> parseFileStatsNode(fn)
     }.toMap
     val blooms = fields(n.get("blooms")).map { case (c, arr) =>
       c -> arr.elements().asScala.toSeq.map(_.asText())
@@ -2550,11 +2727,30 @@ object VersionedTable {
           .flatMap(_.elements().asScala.toSeq.map(_.asText())),
         Option(en.get("dead")).map(_.asLong()).getOrElse(0L))
     }.toMap
-    Manifest(n.get("version").asLong(),
+    val ckpt = Option(n.get("checkpoint")).map(cn =>
+      CkptRef(cn.get("path").asText(), cn.get("version").asLong()))
+    val delta = ckpt.map(_ => CkptDelta(
+      strArr("remove").toSet,
+      strArr("add"),
+      fields(n.get("addStats")).map { case (file, fn) =>
+        file -> parseFileStatsNode(fn)
+      }.toMap))
+    (Manifest(n.get("version").asLong(),
       Option(n.get("mode")).map(_.asText()).getOrElse("append"),
       files, txn, schemaJson, stats, blooms, dvs,
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       partitionBy = Option(n.get("partitionBy")).toSeq
-        .flatMap(_.elements().asScala.toSeq.map(_.asText())))
+        .flatMap(_.elements().asScala.toSeq.map(_.asText())),
+      ckpt = ckpt), delta)
+  }
+
+  /** Legacy entry point for self-contained JSONs (specs); a delta
+    * JSON must resolve through [[manifest]] instead.
+    */
+  private[graft] def parseManifest(s: String): Manifest = {
+    val (m, delta) = parseManifestParts(s)
+    require(delta.isEmpty,
+      "parseManifest on a checkpoint-delta JSON — use manifest() to resolve")
+    m
   }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.{CkptDelta, CkptRef, ColStats, FileStats, Manifest}
+
+/** Manifest checkpointing — the 100k-file log shape: above a
+  * file-count threshold the (files, stats) body spills to an
+  * immutable parquet checkpoint and each commit writes only a
+  * KB-sized JSON delta against it; a fresh checkpoint lands every
+  * `checkpointInterval` commits. Read cost is ONE small JSON + ONE
+  * cached parquet — O(1) files at any history length or table size.
+  */
+class VersionedTableCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vtc").toString
+
+  private def versionBody(root: String, v: Long): String = {
+    val p = new Path(root, f"_commits/v$v%012d.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  private def withCkptConf[T](threshold: Int, interval: Int)(body: => T): T = {
+    spark.conf.set("spark.graft.manifest.checkpointThreshold", threshold.toString)
+    spark.conf.set("spark.graft.manifest.checkpointInterval", interval.toString)
+    try body finally {
+      spark.conf.unset("spark.graft.manifest.checkpointThreshold")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
+  test("above the threshold, commits write deltas and reads resolve identically") {
+    withCkptConf(threshold = 3, interval = 4) {
+      val root = freshRoot()
+      // v0: 1 file (below threshold) — legacy self-contained JSON
+      VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root,
+        statsColumns = Seq("*"))
+      assert(!versionBody(root, 0L).contains("checkpoint"))
+      // v1–v3: grow past the threshold — checkpoint + deltas appear
+      (2L to 4L).foreach(i => VersionedTable.commit(
+        Seq((i, s"v$i")).toDF("id", "s").coalesce(1), root,
+        statsColumns = Seq("*")))
+      assert(versionBody(root, 2L).contains("checkpoint"),
+        "files >= threshold must switch to checkpoint + delta")
+      val m3 = VersionedTable.manifest(spark, root, 3L)
+      assert(m3.files.size === 4 && m3.ckpt.nonEmpty)
+      // the delta JSON does NOT restate the full file list
+      val body3 = versionBody(root, 3L)
+      assert(!body3.contains("\"files\""), s"delta restated files: $body3")
+      // resolved manifests drive every read path exactly as before
+      assert(VersionedTable.read(spark, root)
+        .select("id").collect().map(_.getLong(0)).sorted === (1L to 4L))
+      assert(VersionedTable.rowCount(spark, root) === Some(4L))
+      val (kept, dropped) = VersionedTable.pruneFiles(spark, root, col("id") === 3L)
+      assert(kept.size === 1 && dropped.size === 3)
+      // delete across the checkpoint boundary: remove lands in the delta
+      VersionedTable.delete(spark, root, col("id") === 2L)
+      assert(VersionedTable.read(spark, root)
+        .select("id").collect().map(_.getLong(0)).sorted === Seq(1L, 3L, 4L))
+      assert(versionBody(root, 4L).contains("remove"))
+      // time travel through the chain still works
+      assert(VersionedTable.read(spark, root, Some(2L)).count() === 3L)
+    }
+  }
+
+  test("a fresh checkpoint lands every interval; vacuum destroys orphaned ones") {
+    withCkptConf(threshold = 2, interval = 3) {
+      val root = freshRoot()
+      (1L to 8L).foreach(i => VersionedTable.commit(
+        Seq((i, "x")).toDF("id", "s").coalesce(1), root,
+        statsColumns = Seq("*")))
+      val refs = (1L to 7L).map(v =>
+        VersionedTable.manifest(spark, root, v).ckpt.map(_.path))
+      // versions 1..3 ride the first checkpoint, 4..6 the second …
+      assert(refs.forall(_.nonEmpty))
+      assert(refs.distinct.size >= 2, s"expected rotating checkpoints: $refs")
+      val f = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def ckptDirs: Set[String] = {
+        f.listStatus(new Path(root, "_commits")).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
+      }
+      val before = ckptDirs
+      assert(before.size >= 2)
+      // retention keeps only the newest 2 versions: their checkpoint
+      // survives, every orphaned one is destroyed
+      VersionedTable.vacuum(spark, root, keepVersions = 2)
+      val live = (6L to 7L).flatMap(v =>
+        VersionedTable.manifest(spark, root, v).ckpt.map(_.path)).toSet
+      assert(ckptDirs === live,
+        s"vacuum left ${ckptDirs -- live}, destroyed ${live -- ckptDirs}")
+      // the retained snapshot still reads
+      assert(VersionedTable.read(spark, root).count() === 8L)
+    }
+  }
+
+  test("100k-entry manifests: the delta JSON is KB-sized and resolves fast") {
+    val root = freshRoot()
+    val files = (0 until 100000).map(i => f"data/c0/part-$i%06d.parquet")
+    val stats = files.map(fl => fl -> FileStats(1000L,
+      Map("id" -> ColStats("long", Some("0"), Some("999"), 0L)))).toMap
+    val m = Manifest(0L, "append", files, stats = stats,
+      schemaJson = Some("""{"type":"struct","fields":[]}"""))
+    // the legacy self-contained JSON: tens of MB, rewritten per commit
+    val legacy = VersionedTable.renderManifest(m)
+    assert(legacy.length > 5 * 1000 * 1000,
+      s"legacy 100k-file manifest unexpectedly small: ${legacy.length}")
+    // checkpointed: the parquet holds the body once; the per-commit
+    // JSON carries only the delta — documented bound: < 64 KB for a
+    // trickle commit against a 100k-file table
+    new java.io.File(root, "_commits").mkdirs()
+    val ref = VersionedTable.writeCheckpoint(spark, root, m)
+    val delta = VersionedTable.renderManifest(
+      m.copy(version = 1L, ckpt = Some(ref)),
+      Some(CkptDelta(Set(files.head), Seq("data/c1/new.parquet"),
+        Map("data/c1/new.parquet" -> FileStats(10L, Map.empty)))))
+    assert(delta.length < 64 * 1024,
+      s"delta JSON not KB-sized: ${delta.length}")
+    // resolution: first load parses the parquet once; the warm-cache
+    // path (every subsequent manifest() on the chain) must be
+    // milliseconds — documented bound: < 1 s for 100k entries warm
+    val (f0, s0) = VersionedTable.loadCheckpoint(spark, root, ref)
+    assert(f0.size === 100000 && s0.size === 100000)
+    val t0 = System.nanoTime()
+    val (f1, _) = VersionedTable.loadCheckpoint(spark, root, ref)
+    val warmMs = (System.nanoTime() - t0) / 1e6
+    assert(f1.size === 100000)
+    assert(warmMs < 1000.0, s"warm checkpoint resolve took $warmMs ms")
+  }
+}

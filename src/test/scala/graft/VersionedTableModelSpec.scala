@@ -29,7 +29,24 @@ class VersionedTableModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("random op sequences match the reference model at every step") {
-    Seeds.foreach { seed =>
+    Seeds.foreach(runSeed)
+  }
+
+  test("the same op sequences hold with manifest checkpointing active") {
+    // every version JSON past 2 files becomes a checkpoint delta and
+    // a fresh checkpoint rotates every 3 commits — the composition
+    // gate re-run through the 100k-file log shape
+    spark.conf.set("spark.graft.manifest.checkpointThreshold", "2")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "3")
+    try Seeds.take(2).foreach(runSeed)
+    finally {
+      spark.conf.unset("spark.graft.manifest.checkpointThreshold")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
+  private def runSeed(seed: Long): Unit = {
+    {
       val rnd = new scala.util.Random(seed)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_vt_model_$seed").toString
