@@ -47,6 +47,47 @@ object TableQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** Column mapping end to end: half of orders lands price-clustered,
+    * `o_totalprice` is RENAMED to `o_revenue` (a metadata-only commit
+    * — zero files move), the other half APPENDS under the new logical
+    * name (its files writing the immutable physical name), and the
+    * measured read filters + aggregates on the renamed column — so
+    * old files, new files, zone-map pruning through the map and the
+    * scan-side alias must all agree with DuckDB running on the
+    * original column, or the hash breaks.
+    */
+  def tableRename(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_rename")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(6, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice"),
+      root, statsColumns = Seq("*"))
+    VersionedTable.renameColumn(s, root, "o_totalprice", "o_revenue")
+    VersionedTable.commit(
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "o_revenue")
+        .repartitionByRange(6, col("o_revenue"))
+        .sortWithinPartitions("o_revenue"),
+      root, statsColumns = Seq("*"))
+    VersionedTable.readWhere(s, root,
+        col("o_revenue") >= 50000.0 && col("o_revenue") < 150000.0)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_revenue").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+
+  val tableRenameSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_totalprice >= 50000.0 AND o_totalprice < 150000.0
+      |GROUP BY 1""".stripMargin
+
   /** Streaming change-feed CONSUMPTION: a follower table continuously
     * applies the source table's CDC through
     * [[graft.streaming.ChangeFeedStream]] — the Delta readChangeFeed +

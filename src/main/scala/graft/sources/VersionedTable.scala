@@ -8,9 +8,9 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
-  Literal, Not, Or}
+  And, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+  LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -142,7 +142,12 @@ object VersionedTable {
       // the checkpoint this manifest's body was resolved THROUGH (kept
       // on the resolved Manifest so the next publish can extend the
       // delta chain); never compared for equality semantics
-      ckpt: Option[CkptRef] = None)
+      ckpt: Option[CkptRef] = None,
+      // column mapping: LOGICAL name → PHYSICAL name as stored in the
+      // parquet files (only non-identity entries). renameColumn is a
+      // metadata-only commit that moves the logical name; files,
+      // stats and bloom sidecars (all keyed PHYSICAL) never move
+      colMap: Map[String, String] = Map.empty)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -412,8 +417,24 @@ object VersionedTable {
     // the partition spec is a TABLE property: an append inherits the
     // predecessor's, may not contradict it, and only an overwrite may
     // change it (same rule as a schema type change)
-    val prevParts = latestVersion(spark, root)
-      .map(v => manifest(spark, root, v).partitionBy)
+    val prevMeta = latestVersion(spark, root)
+      .map(v => manifest(spark, root, v))
+    val prevParts = prevMeta.map(_.partitionBy)
+    // column mapping: appends inherit (their files must write the
+    // table's physical names); overwrite resets to identity
+    val effColMap: Map[String, String] =
+      if (overwrite) Map.empty
+      else prevMeta.map(_.colMap).getOrElse(Map.empty)
+    // a column may not reuse a physical name the map still points at
+    // under a DIFFERENT logical name — old files' bytes for that
+    // physical column would silently read back as the new column
+    df.schema.fieldNames.foreach { nme =>
+      effColMap.collectFirst {
+        case (l, p) if p == nme && l != nme => l
+      }.foreach(l => throw new IllegalArgumentException(
+        s"append to $root: column `$nme` reuses the physical name of " +
+          s"renamed column `$l`; pick another name"))
+    }
     val effParts: Seq[String] =
       if (overwrite) partitionBy
       else prevParts match {
@@ -440,12 +461,16 @@ object VersionedTable {
         s"partition column `$p` cannot carry a bloom filter — its " +
           "exact per-file bounds already prune point lookups")
     }
-    val (stageRel, staged) = stage(df, root, effParts)
+    val physCols = physName(effColMap) _
+    val (stageRel, staged) = stage(df, root, effParts, effColMap)
     val stagedStats = withPartitionStats(
-      collectStats(spark, root, staged, df.schema, statsColumns, effParts),
+      collectStats(spark, root, staged, physSchema(df.schema, effColMap),
+        if (statsColumns == Seq("*")) statsColumns
+        else statsColumns.map(physCols), effParts),
       staged, effParts, df.schema)
-    val stagedBlooms = collectBlooms(spark, root, stageRel, staged, df.schema,
-      bloomColumns, bloomExpectedItems, bloomFpp)
+    val stagedBlooms = collectBlooms(spark, root, stageRel, staged,
+      physSchema(df.schema, effColMap), bloomColumns.map(physCols),
+      bloomExpectedItems, bloomFpp)
     // the published schema may WIDEN under mergeSchema (computed per
     // retry against the current latest inside the link callback; the
     // publish loop re-reads it from this var on every attempt)
@@ -457,7 +482,8 @@ object VersionedTable {
         if (overwrite) stagedBlooms
         else mergeBloomRefs(
           prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms),
-      linkParts = _ => effParts) { prevM =>
+      linkParts = _ => effParts,
+      linkColMap = _ => effColMap) { prevM =>
       if (!overwrite) prevM.foreach { m =>
         m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
           .filterNot(sameColumns(_, df.schema))
@@ -495,14 +521,15 @@ object VersionedTable {
     * the partition segments (`data/c<token>/p=5/part-*.parquet`).
     */
   private def stage(df: DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): (String, Seq[String]) = {
+      partitionBy: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty): (String, Seq[String]) = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val stageRel = s"data/c$token"
     val stageP = new Path(rootP, stageRel)
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+    val w = toPhysicalDf(df, colMap).write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stageP.toString)
     val prefix = f.makeQualified(stageP).toString + "/"
@@ -516,6 +543,91 @@ object VersionedTable {
     require(staged.nonEmpty || df.schema.nonEmpty,
       s"staging $stageP produced no parquet files")
     (stageRel, staged)
+  }
+
+  // ---- column mapping (rename without rewrite) ---------------------------
+
+  private def physName(colMap: Map[String, String])(c: String): String =
+    colMap.getOrElse(c, c)
+
+  private def physSchema(schema: StructType,
+      colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = physName(colMap)(f.name))))
+
+  private def mapStatsCols(cols: Seq[String],
+      colMap: Map[String, String]): Seq[String] =
+    if (colMap.isEmpty || cols == Seq("*")) cols
+    else cols.map(physName(colMap))
+
+  /** Rename a frame's columns logical → physical before a staged
+    * write, so every data file of the table carries ONE physical
+    * naming regardless of rename history.
+    */
+  private def toPhysicalDf(df: DataFrame,
+      colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(physName(colMap)(c))): _*)
+
+  /** Rewrite a resolved predicate's attribute names logical →
+    * physical, so zone-map stats and bloom sidecars (keyed physical)
+    * prune renamed columns without any per-lookup translation.
+    */
+  private def toPhysicalExpr(e: Expression,
+      colMap: Map[String, String]): Expression =
+    if (colMap.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if colMap.contains(a.name) =>
+        a.withName(colMap(a.name))
+      case a: UnresolvedAttribute if colMap.contains(a.nameParts.last) =>
+        UnresolvedAttribute(Seq(colMap(a.nameParts.last)))
+    }
+
+  /** Move logical column `from` to `to` — a METADATA-ONLY commit
+    * (mode `rename`): the manifest's schema renames the field and the
+    * column map records `to → physical(from)`; no data file, stat or
+    * bloom sidecar moves (they are all keyed by the PHYSICAL name,
+    * which never changes). Reads resolve the map inside the scan
+    * projection; appends and rewrites keep writing the physical name.
+    * Constraints: `from` must exist, `to` must be free, partition
+    * columns cannot rename (their physical name IS the directory
+    * layout), and a later ADDED column may not reuse a physical name
+    * the map still points at (guarded at append time). Racing schema
+    * changes conflict. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    require(schema.fieldNames.contains(from),
+      s"rename: no column `$from` in ${schema.simpleString}")
+    require(!schema.fieldNames.contains(to),
+      s"rename: column `$to` already exists")
+    require(TagName.matches(to), s"rename: invalid column name `$to`")
+    require(!m.partitionBy.contains(from),
+      s"rename: `$from` is a partition column — its physical name is " +
+        "the directory layout; repartition via overwrite instead")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newColMap = (m.colMap - from) +
+      (to -> physName(m.colMap)(from))
+    publish(spark, root, Nil, Map.empty, mode = "rename",
+      schemaJsonOf = () => newSchema.json, txn = None,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => newColMap.filterNot { case (l, p) => l == p }) {
+      prevM =>
+        if (prevM.map(_.schemaJson) != Some(m.schemaJson)) throw
+          new CompactionConflictException(
+            s"rename on $root@v$v raced a schema change; rerun")
+        (prevM.map(_.files).getOrElse(Nil),
+          prevM.map(_.stats).getOrElse(Map.empty))
+    }.getOrElse(throw new IllegalStateException("rename cannot replay"))
   }
 
   // ---- Hive-style partition columns --------------------------------------
@@ -622,7 +734,11 @@ object VersionedTable {
       // partition spec: carried forward by default; commit overrides
       // on overwrite / first commit
       linkParts: Option[Manifest] => Seq[String] =
-        prevM => prevM.map(_.partitionBy).getOrElse(Nil))(
+        prevM => prevM.map(_.partitionBy).getOrElse(Nil),
+      // column mapping: carried forward by default; rename rewrites
+      // it, overwrite resets it
+      linkColMap: Option[Manifest] => Map[String, String] =
+        prevM => prevM.map(_.colMap).getOrElse(Map.empty))(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -657,7 +773,8 @@ object VersionedTable {
           linkBlooms(prevM), linkDvs(prevM, files), ts = commitTs,
           partitionBy = linkParts(prevM),
           // extend the predecessor's delta chain when one exists
-          ckpt = prevM.flatMap(_.ckpt)))
+          ckpt = prevM.flatMap(_.ckpt),
+          colMap = linkColMap(prevM)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -1203,7 +1320,10 @@ object VersionedTable {
     * bloom sidecars — the one pruning routine every read path calls.
     */
   private def filesMatching(spark: SparkSession, root: String, m: Manifest,
-      e: Expression): Seq[String] = {
+      e0: Expression): Seq[String] = {
+    // stats and bloom sidecars key by PHYSICAL column names; the
+    // predicate arrives logical — translate once here
+    val e = toPhysicalExpr(e0, m.colMap)
     val blooms = loadBlooms(spark, root, m, e)
     def bloomFor(rel: String)(c: String)
         : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
@@ -1347,10 +1467,10 @@ object VersionedTable {
       else snapshot
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap)
     val stagedStats = withPartitionStats(
-      collectStats(spark, root, staged, snapshot.schema, statsColumns,
-        m.partitionBy),
+      collectStats(spark, root, staged, physSchema(snapshot.schema, m.colMap),
+        mapStatsCols(statsColumns, m.colMap), m.partitionBy),
       staged, m.partitionBy, snapshot.schema)
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
@@ -1401,7 +1521,8 @@ object VersionedTable {
       .getOrElse(throw new java.io.IOException(
         s"snapshot of $root has no recorded schema"))
     val fresh = withPartitionStats(
-      collectStats(spark, root, missing, schema, statsColumns, m.partitionBy),
+      collectStats(spark, root, missing, physSchema(schema, m.colMap),
+        mapStatsCols(statsColumns, m.colMap), m.partitionBy),
       missing, m.partitionBy, schema)
     publish(spark, root, Nil, Map.empty, mode = "stats",
       schemaJsonOf = () => schema.json, txn = None) { prevM =>
@@ -1452,9 +1573,10 @@ object VersionedTable {
       else live
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap)
     val stagedStats = withPartitionStats(
-      collectStats(spark, root, staged, live.schema, keepStats, m.partitionBy),
+      collectStats(spark, root, staged, physSchema(live.schema, m.colMap),
+        mapStatsCols(keepStats, m.colMap), m.partitionBy),
       staged, m.partitionBy, live.schema)
     val source = rels.toSet
     val f = fs(spark, new Path(root))
@@ -1603,10 +1725,10 @@ object VersionedTable {
       if (rewrite.isEmpty) (None, Nil, Map.empty[String, FileStats])
       else {
         val survivors = readFilesLive(spark, root, m, rewrite).filter(!hit)
-        val (rel, s) = stage(survivors, root, m.partitionBy)
+        val (rel, s) = stage(survivors, root, m.partitionBy, m.colMap)
         (Some(rel), s, withPartitionStats(
-          collectStats(spark, root, s, survivors.schema, keepStats,
-            m.partitionBy),
+          collectStats(spark, root, s, physSchema(survivors.schema, m.colMap),
+            mapStatsCols(keepStats, m.colMap), m.partitionBy),
           s, m.partitionBy, survivors.schema))
       }
     val removedSet = (fullDrop ++ rewrite).toSet
@@ -1936,9 +2058,10 @@ object VersionedTable {
       else out
         .repartitionByRange(touched.size + 1, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root, m.partitionBy)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap)
     val stagedStats = withPartitionStats(
-      collectStats(spark, root, staged, out.schema, keepStats, m.partitionBy),
+      collectStats(spark, root, staged, physSchema(out.schema, m.colMap),
+        mapStatsCols(keepStats, m.colMap), m.partitionBy),
       staged, m.partitionBy, out.schema)
     val removedSet = touched.toSet
     val f = fs(spark, new Path(root))
@@ -1966,7 +2089,8 @@ object VersionedTable {
         val colliding = keyBounds match {
           case _ if appended.isEmpty => Nil
           case Some(e) => appended.filter(rel =>
-            mayMatch(e, prevStats.getOrElse(rel, NoStats)))
+            mayMatch(toPhysicalExpr(e, m.colMap),
+              prevStats.getOrElse(rel, NoStats)))
           case None => appended
         }
         if (colliding.nonEmpty) {
@@ -2046,9 +2170,10 @@ object VersionedTable {
     val out: DataFrame =
       if (rewrite.isEmpty) repl
       else readFilesLive(spark, root, m, rewrite).filter(!hit).unionByName(repl)
-    val (stageRel, staged) = stage(out, root, m.partitionBy)
+    val (stageRel, staged) = stage(out, root, m.partitionBy, m.colMap)
     val stagedStats = withPartitionStats(
-      collectStats(spark, root, staged, out.schema, keepStats, m.partitionBy),
+      collectStats(spark, root, staged, physSchema(out.schema, m.colMap),
+        mapStatsCols(keepStats, m.colMap), m.partitionBy),
       staged, m.partitionBy, out.schema)
     val removedSet = (fullDrop ++ rewrite).toSet
     val f = fs(spark, new Path(root))
@@ -2230,6 +2355,11 @@ object VersionedTable {
     if (m.dvs.nonEmpty) throw new java.io.IOException(
       s"snapshot $root@v$v has outstanding deletion vectors, which " +
         "foreign plain-parquet readers cannot apply; compact first")
+    if (m.colMap.nonEmpty) throw new java.io.IOException(
+      s"snapshot $root@v$v has renamed columns (column mapping), which " +
+        "foreign plain-parquet readers resolve under their PHYSICAL " +
+        "names; rewrite via compact after an overwrite, or read the " +
+        "export knowing the physical naming")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val abs = m.files.map(rel =>
@@ -2288,7 +2418,9 @@ object VersionedTable {
       val prevFiles: Seq[String] =
         if (v == 0L) Nil else manifests(v - 1).files
       cur.mode match {
-        case "compact" | "stats" => None // data-identical by contract
+        // data-identical by contract (a rename range is additionally
+        // refused by the schema-stability guard above)
+        case "compact" | "stats" | "rename" => None
         case "append" =>
           val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None
@@ -2388,7 +2520,7 @@ object VersionedTable {
       rels: Seq[String]): DataFrame = {
     val abs = rels.map(rel => new Path(new Path(root), rel).toString)
     val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    if (m.partitionBy.isEmpty)
+    if (m.partitionBy.isEmpty && m.colMap.isEmpty)
       schema.fold(spark.read)(spark.read.schema(_)).parquet(abs: _*)
     else {
       // partitioned layout: the partition columns live in the
@@ -2398,10 +2530,14 @@ object VersionedTable {
       // `data/c2/d=y`) and reorders partition columns last — so the
       // values are reconstructed from `_metadata.file_path` instead:
       // one scan, no discovery cost, recorded column order preserved.
+      // Renamed columns read under their PHYSICAL name and alias back
+      // to the logical one in the same projection.
       val s = schema.getOrElse(throw new java.io.IOException(
-        s"partitioned snapshot of $root has no recorded schema"))
+        s"partitioned/mapped snapshot of $root has no recorded schema"))
       val parts = m.partitionBy.toSet
-      val dataSchema = StructType(s.fields.filterNot(f => parts(f.name)))
+      val phys = physName(m.colMap) _
+      val dataFields = s.fields.filterNot(f => parts(f.name))
+      val dataSchema = StructType(dataFields.map(f => f.copy(name = phys(f.name))))
       val base = spark.read.schema(dataSchema).parquet(abs: _*)
       val withParts = m.partitionBy.foldLeft(base) { (df, p) =>
         val seg = regexp_extract(col("_metadata.file_path"),
@@ -2414,7 +2550,8 @@ object VersionedTable {
           .cast(s.fields.find(_.name == p).get.dataType)
         df.withColumn(p, typed)
       }
-      withParts.select(s.fieldNames.map(col).toSeq: _*)
+      withParts.select(s.fieldNames.toSeq.map(n =>
+        if (parts(n)) col(n) else col(phys(n)).as(n)): _*)
     }
   }
 
@@ -2643,6 +2780,10 @@ object VersionedTable {
     }
     val txn = root.putObject("txn")
     m.txn.toSeq.sortBy(_._1).foreach { case (w, b) => txn.put(w, b) }
+    if (m.colMap.nonEmpty) {
+      val cm = root.putObject("colMap")
+      m.colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
     m.schemaJson.foreach { sj =>
       root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
     }
@@ -2741,7 +2882,9 @@ object VersionedTable {
       ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       partitionBy = Option(n.get("partitionBy")).toSeq
         .flatMap(_.elements().asScala.toSeq.map(_.asText())),
-      ckpt = ckpt), delta)
+      ckpt = ckpt,
+      colMap = fields(n.get("colMap"))
+        .map { case (l, p) => l -> p.asText() }.toMap), delta)
   }
 
   /** Legacy entry point for self-contained JSONs (specs); a delta

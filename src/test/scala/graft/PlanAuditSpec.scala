@@ -673,6 +673,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // exchange; the partitioned commits and the per-partition
       // replaceWhere ran at table-build time
       "q_table_partition" -> 1,
+      // zone-map-pruned read through the column map + ONE rollup
+      // exchange; rename is metadata-only, commits at build time
+      "q_table_rename" -> 1,
       // append branch: rollup only; overwrite branch: exceptAll both
       // ways (2 hash-repartition pairs) + the rollup union
       "q_table_changes" -> 6,
