@@ -53,6 +53,13 @@ import scala.jdk.CollectionConverters._
   * floor file documents the accepted regression. Measure the new
   * quiet-machine time first (SPARK_GRAFT_BENCH_ONLY=q sbt 'runMain
   * graft.Bench'), then set the floor to it.
+  *
+  * `--recheck` re-measures any flagged queries in a FRESH JVM before
+  * adjudicating: a long sweep accumulates JVM state (JIT tiers,
+  * block-manager pressure, GC debt) that single-query floors were not
+  * set under, so a flag only stands if the clean re-measurement also
+  * breaches. A failed recheck child leaves the flags standing — the
+  * path fails safe, never silent.
   */
 object BenchGuard {
 
@@ -172,9 +179,76 @@ object BenchGuard {
       .flatMap(_.group(1).split(','))
       .toSet
 
+  // ---- fresh-JVM recheck (flag de-noising) -----------------------------
+  //
+  // r15 measured the same binary at 4.16 s (builder sweep), 5.10 s
+  // (loaded HEAD run) and 7.85 s (driver sweep) for one query: a
+  // 235-query sweep accumulates JVM state (JIT tiers, block-manager
+  // pressure, GC debt) that single-query floors were never set under.
+  // `--recheck` re-measures ONLY the flagged queries in a fresh JVM —
+  // same binary, same Bench harness, inherited JVM flags — and a flag
+  // survives only if the clean measurement ALSO breaches its floor.
+
+  /** Run `graft.Bench` on `queries` in a brand-new JVM and return its
+    * (per-query seconds, calibration). None when the child fails.
+    */
+  private[graft] def freshJvmBench(sfDir: String,
+      queries: Seq[String]): Option[(Map[String, Double], Double)] = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", queries.mkString(","))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    if (rc != 0) {
+      System.err.println(s"[guard] recheck JVM exited $rc — flags stand")
+      None
+    } else parseBenchLine(out)
+  }
+
+  /** The last `{"metric":…}` JSON line of a Bench child's stdout. */
+  private[graft] def parseBenchLine(out: String)
+      : Option[(Map[String, Double], Double)] =
+    out.linesIterator.map(_.trim)
+      .filter(l => l.startsWith("{") && l.contains("\"metric\""))
+      .toSeq.lastOption.flatMap { l =>
+        try {
+          val n = mapper.readTree(l)
+          val qs = Option(n.get("queries")).map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+            .getOrElse(Map.empty[String, Double])
+          Some((qs, n.path("calibration").asDouble(0.0)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+  /** A flag survives the recheck only if the fresh-JVM measurement
+    * ALSO breaches the floor; a query the recheck failed to measure
+    * stays flagged (fail safe, never fail silent).
+    */
+  private[graft] def confirmFlags(floors: Floors, flagged: Seq[Verdict],
+      fresh2: Map[String, Double], calib2: Double): Seq[Verdict] =
+    if (flagged.isEmpty) Nil
+    else {
+      val wanted = flagged.map(_.query).toSet
+      val rep2 = evaluate(floors,
+        fresh2.view.filterKeys(wanted).toMap, calib2)
+      val still = rep2.verdicts.filter(_.flagged).map(_.query).toSet
+      val measured = rep2.verdicts.map(_.query).toSet
+      flagged.filter(v =>
+        still.contains(v.query) || !measured.contains(v.query))
+    }
+
   def main(args: Array[String]): Unit = {
     val update = args.contains("--update")
     val fromLastRun = args.contains("--from-last-run")
+    val recheck = args.contains("--recheck")
     // --snapshot-prev: archive the CURRENT floors as last round's
     // baseline (bench/floors_prev.json) before a regenerate/--update at
     // HEAD overwrites them. The cross-round comparison below grades
@@ -337,9 +411,9 @@ object BenchGuard {
     // the comparison one round back. Queries new since then have no
     // prev floor (informational); explicitly --set-floor'd queries are
     // reviewed acceptances and exempt.
-    val prevFlagged: Seq[Verdict] = {
+    val (prevFlagged0, prevFloors): (Seq[Verdict], Option[Floors]) = {
       val pp = prevPath(floorsPath)
-      if (!new java.io.File(pp).exists()) Nil
+      if (!new java.io.File(pp).exists()) (Nil, None)
       else {
         val prev = readFloors(pp)
         val accepted = acceptedOverrides(floors)
@@ -355,16 +429,41 @@ object BenchGuard {
               f"prev-floor ${v.floor}%8.3fs norm ${v.normalizedRatio}%5.2fx " +
               "CROSS-ROUND REGRESSION")
         }
-        bad
+        (bad, Some(prev))
       }
     }
 
-    val flagged = report.verdicts.filter(_.flagged)
+    val flagged0 = report.verdicts.filter(_.flagged)
+    // --recheck: adjudicate surviving flags against a fresh-JVM
+    // re-measurement before failing the build
+    val (flagged, prevFlagged) =
+      if (!recheck || (flagged0.isEmpty && prevFlagged0.isEmpty))
+        (flagged0, prevFlagged0)
+      else {
+        val names =
+          (flagged0.map(_.query) ++ prevFlagged0.map(_.query)).distinct
+        System.err.println(s"[guard] recheck: re-measuring " +
+          s"${names.mkString(", ")} in a fresh JVM")
+        freshJvmBench(sfDir, names) match {
+          case Some((fresh2, calib2)) =>
+            val ff = confirmFlags(floors, flagged0, fresh2, calib2)
+            val pf = prevFloors.map(confirmFlags(_, prevFlagged0,
+              fresh2, calib2)).getOrElse(Nil)
+            (flagged0.map(_.query).toSet -- ff.map(_.query).toSet)
+              .foreach(q => System.err.println(
+                s"[guard] $q: cleared by fresh-JVM recheck"))
+            (prevFlagged0.map(_.query).toSet -- pf.map(_.query).toSet)
+              .foreach(q => System.err.println(
+                s"[guard-prev] $q: cleared by fresh-JVM recheck"))
+            (ff, pf)
+          case None => (flagged0, prevFlagged0)
+        }
+      }
     val line = flagged.map(v => "\"" + v.query + "\":" +
       f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
     val prevLine = prevFlagged.map(v => "\"" + v.query + "\":" +
       f"${v.normalizedRatio}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"bench_guard","flagged":$line,"prev_flagged":$prevLine,"load_factor":${report.loadFactor},"errors":${errors.size},"missing_floor":${report.missingFloor.size}}""")
+    println(s"""{"metric":"bench_guard","flagged":$line,"prev_flagged":$prevLine,"load_factor":${report.loadFactor},"errors":${errors.size},"missing_floor":${report.missingFloor.size},"rechecked":${recheck && (flagged0.nonEmpty || prevFlagged0.nonEmpty)}}""")
     // a registered query without a floor is an UNGUARDED perf surface —
     // fail loudly (round 9 shipped exactly this silently); --update is
     // the fix, since it just added the missing floors from this run

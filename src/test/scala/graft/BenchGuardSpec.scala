@@ -176,4 +176,50 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.acceptedOverrides(
       floors.copy(source = "rebaseline last_run t sf0.1")) === Set.empty)
   }
+
+  // ---- fresh-JVM recheck adjudication ---------------------------------
+
+  test("recheck clears a flag the fresh JVM does not reproduce") {
+    // sweep-state flag: q_a 3x over floor in the long run…
+    val sweep = BenchGuard.evaluate(floors,
+      Map("q_a" -> 3.0, "q_b" -> 2.0), calibrationNow = 0.2)
+    val flagged = sweep.verdicts.filter(_.flagged)
+    assert(flagged.map(_.query) === Seq("q_a"))
+    // …but at floor in the clean JVM: the flag is dropped
+    val cleared = BenchGuard.confirmFlags(floors, flagged,
+      Map("q_a" -> 1.05), calib2 = 0.2)
+    assert(cleared.isEmpty)
+  }
+
+  test("recheck confirms a real regression and fails safe on a missing query") {
+    val sweep = BenchGuard.evaluate(floors,
+      Map("q_a" -> 3.0, "q_b" -> 6.0), calibrationNow = 0.2)
+    val flagged = sweep.verdicts.filter(_.flagged)
+    assert(flagged.map(_.query).sorted === Seq("q_a", "q_b"))
+    // q_a still 3x in the fresh JVM → stands; q_b absent from the
+    // recheck output (child skipped/crashed it) → stands, fail safe
+    val confirmed = BenchGuard.confirmFlags(floors, flagged,
+      Map("q_a" -> 3.1), calib2 = 0.2)
+    assert(confirmed.map(_.query).sorted === Seq("q_a", "q_b"))
+  }
+
+  test("recheck normalizes through the fresh JVM's own calibration") {
+    val sweep = BenchGuard.evaluate(floors,
+      Map("q_a" -> 3.0), calibrationNow = 0.2)
+    val flagged = sweep.verdicts.filter(_.flagged)
+    // the cold JVM runs everything 3x slower, probe included — the
+    // same 3.0 s measurement is load, not regression
+    assert(BenchGuard.confirmFlags(floors, flagged,
+      Map("q_a" -> 3.0), calib2 = 0.6).isEmpty)
+  }
+
+  test("parseBenchLine reads the last metric line of a Bench child") {
+    val out =
+      """[bench] pass 1 q_a 1.00 s
+        |{"metric":"total","value":9.9,"unit":"sec","queries":{"q_a":1.5,"q_b":0.5},"errors":{},"calibration":0.31,"sf":"/x"}
+        |""".stripMargin
+    val parsed = BenchGuard.parseBenchLine(out)
+    assert(parsed === Some((Map("q_a" -> 1.5, "q_b" -> 0.5), 0.31)))
+    assert(BenchGuard.parseBenchLine("garbage\nno json\n").isEmpty)
+  }
 }
