@@ -147,7 +147,11 @@ object VersionedTable {
       // parquet files (only non-identity entries). renameColumn is a
       // metadata-only commit that moves the logical name; files,
       // stats and bloom sidecars (all keyed PHYSICAL) never move
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      // physical names of DROPPED columns: their bytes still sit in
+      // old files, so a later added column may never reuse the name
+      // (old data would silently read back as the new column)
+      droppedCols: Seq[String] = Nil)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -426,14 +430,21 @@ object VersionedTable {
       if (overwrite) Map.empty
       else prevMeta.map(_.colMap).getOrElse(Map.empty)
     // a column may not reuse a physical name the map still points at
-    // under a DIFFERENT logical name — old files' bytes for that
-    // physical column would silently read back as the new column
+    // under a DIFFERENT logical name, nor a DROPPED column's physical
+    // name — old files' bytes for that physical column would silently
+    // read back as the new column
+    val effDropped: Seq[String] =
+      if (overwrite) Nil
+      else prevMeta.map(_.droppedCols).getOrElse(Nil)
     df.schema.fieldNames.foreach { nme =>
       effColMap.collectFirst {
         case (l, p) if p == nme && l != nme => l
       }.foreach(l => throw new IllegalArgumentException(
         s"append to $root: column `$nme` reuses the physical name of " +
           s"renamed column `$l`; pick another name"))
+      if (effDropped.contains(nme)) throw new IllegalArgumentException(
+        s"append to $root: column `$nme` reuses a DROPPED column's " +
+          "physical name; pick another name (or overwrite)")
     }
     val effParts: Seq[String] =
       if (overwrite) partitionBy
@@ -470,7 +481,7 @@ object VersionedTable {
       staged, effParts, df.schema)
     val stagedBlooms = collectBlooms(spark, root, stageRel, staged,
       physSchema(df.schema, effColMap), bloomColumns.map(physCols),
-      bloomExpectedItems, bloomFpp)
+      bloomExpectedItems, bloomFpp, effParts)
     // the published schema may WIDEN under mergeSchema (computed per
     // retry against the current latest inside the link callback; the
     // publish loop re-reads it from this var on every attempt)
@@ -483,7 +494,8 @@ object VersionedTable {
         else mergeBloomRefs(
           prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms),
       linkParts = _ => effParts,
-      linkColMap = _ => effColMap) { prevM =>
+      linkColMap = _ => effColMap,
+      linkDropped = _ => effDropped) { prevM =>
       if (!overwrite) prevM.foreach { m =>
         m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
           .filterNot(sameColumns(_, df.schema))
@@ -630,6 +642,42 @@ object VersionedTable {
     }.getOrElse(throw new IllegalStateException("rename cannot replay"))
   }
 
+  /** Drop logical column `name` — a METADATA-ONLY commit (mode
+    * `drop`): the manifest schema loses the field and the physical
+    * name lands on the dropped-tombstone list; no data file moves
+    * (the bytes stay in old files, excluded by the read schema).
+    * A later added column may never reuse the tombstoned physical
+    * name (old bytes would read back as the new column) — an
+    * overwrite resets the namespace. Partition columns cannot drop.
+    * Racing schema changes conflict. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    require(schema.fieldNames.contains(name),
+      s"drop: no column `$name` in ${schema.simpleString}")
+    require(schema.fields.length > 1, "drop: cannot drop the only column")
+    require(!m.partitionBy.contains(name),
+      s"drop: `$name` is a partition column — repartition via overwrite")
+    val phys = physName(m.colMap)(name)
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    publish(spark, root, Nil, Map.empty, mode = "drop",
+      schemaJsonOf = () => newSchema.json, txn = None,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => m.colMap - name,
+      linkDropped = _ => (m.droppedCols :+ phys).distinct) { prevM =>
+      if (prevM.map(_.schemaJson) != Some(m.schemaJson)) throw
+        new CompactionConflictException(
+          s"drop on $root@v$v raced a schema change; rerun")
+      (prevM.map(_.files).getOrElse(Nil),
+        prevM.map(_.stats).getOrElse(Map.empty))
+    }.getOrElse(throw new IllegalStateException("drop cannot replay"))
+  }
+
   // ---- Hive-style partition columns --------------------------------------
   //
   // A partitioned table commits its data under `col=value/` directory
@@ -738,7 +786,10 @@ object VersionedTable {
       // column mapping: carried forward by default; rename rewrites
       // it, overwrite resets it
       linkColMap: Option[Manifest] => Map[String, String] =
-        prevM => prevM.map(_.colMap).getOrElse(Map.empty))(
+        prevM => prevM.map(_.colMap).getOrElse(Map.empty),
+      // dropped-column tombstones: carried forward by default
+      linkDropped: Option[Manifest] => Seq[String] =
+        prevM => prevM.map(_.droppedCols).getOrElse(Nil))(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -774,7 +825,8 @@ object VersionedTable {
           partitionBy = linkParts(prevM),
           // extend the predecessor's delta chain when one exists
           ckpt = prevM.flatMap(_.ckpt),
-          colMap = linkColMap(prevM)))
+          colMap = linkColMap(prevM),
+          droppedCols = linkDropped(prevM)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -834,7 +886,8 @@ object VersionedTable {
   private def collectBlooms(
       spark: SparkSession, root: String, stageRel: String,
       staged: Seq[String], schema: StructType, bloomColumns: Seq[String],
-      expectedItems: Long, fpp: Double): BloomRefs = {
+      expectedItems: Long, fpp: Double,
+      partitionBy: Seq[String] = Nil): BloomRefs = {
     if (bloomColumns.isEmpty || staged.isEmpty) return Map.empty
     import org.apache.spark.util.sketch.BloomFilter
     val cols: Seq[StructField] = bloomColumns.map { c =>
@@ -887,8 +940,14 @@ object VersionedTable {
     }.collect()
     val merged = scala.collection.mutable.HashMap
       .empty[String, Array[BloomFilter]]
+    // sidecar entries key by the stage-dir-relative TAIL (partition
+    // segments + file name): the loader resolves entries against the
+    // sidecar's own directory, so the tail reaches files inside
+    // `col=value/` subdirs, and dynamic-partition writes that reuse a
+    // part-file name across partition dirs stay distinct
+    val tailDepth = 1 + partitionBy.size
     partials.foreach { case (file, bytesArr) =>
-      val name = file.split("/").last
+      val name = file.split("/").takeRight(tailDepth).mkString("/")
       val bfs = bytesArr.map(b =>
         BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
       merged.get(name) match {
@@ -1604,6 +1663,32 @@ object VersionedTable {
     * unless at least two small files exist. The scheduled-job shape of
     * the Delta OPTIMIZE-small-files role.
     */
+  /** Predicate-scoped OPTIMIZE — `OPTIMIZE WHERE date = X`, the
+    * maintenance shape a date-partitioned 100 TB table actually runs
+    * (yesterday's thousand streaming micro-batch files bin-pack into
+    * a handful; every other partition never moves): compacts ONLY the
+    * files whose partition values / zone maps admit `predicate`.
+    * Judged by the SAME pruning routine every read uses, so on a
+    * partitioned table a partition-equality predicate selects exactly
+    * that partition's files. Delegates to [[compactFiles]] (live rows,
+    * vector purge, optimistic rebase, conflict semantics). Returns
+    * None when the predicate selects nothing (or the table is empty).
+    */
+  def compactWhere(spark: SparkSession, root: String, predicate: Column,
+      targetPartitions: Int = 1, clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    val v = latestVersion(spark, root).getOrElse(return None)
+    val m = manifest(spark, root, v)
+    if (m.files.isEmpty) return None
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val rels = schema.flatMap(resolvedPredicate(spark, _, predicate)) match {
+      case Some(e) => filesMatching(spark, root, m, e)
+      case None => m.files // can't judge: whole-table OPTIMIZE
+    }
+    compactFiles(spark, root, rels, targetPartitions, clusterBy,
+      statsColumns, pinVersion = Some(v))
+  }
+
   def compactSmall(spark: SparkSession, root: String,
       maxFileBytes: Long = 32L << 20,
       targetFileBytes: Long = 128L << 20,
@@ -2418,9 +2503,9 @@ object VersionedTable {
       val prevFiles: Seq[String] =
         if (v == 0L) Nil else manifests(v - 1).files
       cur.mode match {
-        // data-identical by contract (a rename range is additionally
-        // refused by the schema-stability guard above)
-        case "compact" | "stats" | "rename" => None
+        // data-identical by contract (rename/drop ranges are
+        // additionally refused by the schema-stability guard above)
+        case "compact" | "stats" | "rename" | "drop" => None
         case "append" =>
           val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None
@@ -2784,6 +2869,10 @@ object VersionedTable {
       val cm = root.putObject("colMap")
       m.colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
     }
+    if (m.droppedCols.nonEmpty) {
+      val dc = root.putArray("droppedCols")
+      m.droppedCols.sorted.foreach(dc.add)
+    }
     m.schemaJson.foreach { sj =>
       root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
     }
@@ -2884,7 +2973,8 @@ object VersionedTable {
         .flatMap(_.elements().asScala.toSeq.map(_.asText())),
       ckpt = ckpt,
       colMap = fields(n.get("colMap"))
-        .map { case (l, p) => l -> p.asText() }.toMap), delta)
+        .map { case (l, p) => l -> p.asText() }.toMap,
+      droppedCols = strArr("droppedCols")), delta)
   }
 
   /** Legacy entry point for self-contained JSONs (specs); a delta

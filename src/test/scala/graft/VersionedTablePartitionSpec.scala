@@ -155,6 +155,67 @@ class VersionedTablePartitionSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 5L)
   }
 
+  test("compactWhere bin-packs ONE partition; the others never move") {
+    val root = freshRoot()
+    // a day of trickle appends: 5 small files land in d=2020-01-01,
+    // one healthy file in each other partition
+    VersionedTable.commit(sample, root, partitionBy = Seq("d"),
+      statsColumns = Seq("*"))
+    (10L to 14L).foreach(i => VersionedTable.commit(
+      Seq((i, "2020-01-01", s"t$i")).toDF("id", "d", "s")
+        .withColumn("d", col("d").cast("date")).coalesce(1), root))
+    val before = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    val day1 = before.files.filter(_.contains("d=2020-01-01"))
+    val others = before.files.filterNot(_.contains("d=2020-01-01")).toSet
+    assert(day1.size >= 6)
+    VersionedTable.compactWhere(spark, root,
+      col("d") === lit("2020-01-01").cast("date"), statsColumns = Seq("*"))
+    val after = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    // the other partitions' files carried through untouched
+    assert(others.subsetOf(after.files.toSet),
+      "compactWhere moved files outside the target partition")
+    val day1After = after.files.filter(_.contains("d=2020-01-01"))
+    assert(day1After.size < day1.size,
+      s"partition not bin-packed: ${day1.size} -> ${day1After.size}")
+    assert(day1After.forall(f => !day1.contains(f)))
+    // data identical
+    assert(VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === ((1L to 5L) ++ (10L to 14L)).sorted)
+    // a predicate matching nothing is a no-op
+    assert(VersionedTable.compactWhere(spark, root,
+      col("d") === lit("1990-01-01").cast("date")).isEmpty)
+  }
+
+  test("bloom sidecars prune point lookups inside partition subdirs") {
+    val root = freshRoot()
+    // ids hash-scatter across partitions: zone maps alone keep every
+    // file for a point lookup on id; the blooms must prove absence
+    // THROUGH the col=value/ subdirectory layout
+    val df = (1L to 300L).map(i => (i, s"2020-01-0${1 + (i % 3)}", s"r$i"))
+      .toDF("id", "d", "s").withColumn("d", col("d").cast("date"))
+    VersionedTable.commit(df.repartition(4, col("id")), root,
+      partitionBy = Seq("d"), statsColumns = Seq("*"),
+      bloomColumns = Seq("id"))
+    // partition columns may not carry blooms (their exact stats win)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(df, root, bloomColumns = Seq("d"))
+    }
+    val m = VersionedTable.manifest(spark, root, 0L)
+    assert(m.blooms.contains("id"))
+    val (kept, dropped) = VersionedTable.pruneFiles(spark, root,
+      col("id") === 137L)
+    assert(dropped.nonEmpty,
+      s"blooms pruned nothing through partition subdirs: kept ${kept.size}")
+    assert(VersionedTable.readWhere(spark, root, col("id") === 137L)
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("r137"))
+    // absence proof: a never-inserted id prunes every file
+    val (k2, _) = VersionedTable.pruneFiles(spark, root, col("id") === 9999L)
+    assert(k2.isEmpty, s"bloom absence proof failed: kept $k2")
+  }
+
   test("multi-level and null partitions prune soundly") {
     val root = freshRoot()
     val df = Seq(

@@ -114,4 +114,67 @@ class VersionedTableRenameSpec extends SparkSpec {
     // and export refuses only while a mapping is live
     VersionedTable.exportSnapshot(spark, root)
   }
+
+  test("dropColumn is metadata-only; the name is tombstoned against reuse") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "score")
+        .coalesce(1), root, statsColumns = Seq("*"))
+    val filesBefore = VersionedTable.manifest(spark, root, 0L).files
+    VersionedTable.dropColumn(spark, root, "score")
+    val m = VersionedTable.manifest(spark, root, 1L)
+    assert(m.files === filesBefore, "drop must move no data file")
+    assert(m.droppedCols === Seq("score"))
+    val back = VersionedTable.read(spark, root)
+    assert(back.columns.toSeq === Seq("id", "s"))
+    assert(back.count() === 2L)
+    // time travel before the drop still shows the column
+    assert(VersionedTable.read(spark, root, Some(0L)).columns.toSeq
+      === Seq("id", "s", "score"))
+    // appends under the narrowed schema work; reusing the dropped
+    // name is refused (old bytes would resurrect as the new column)
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root,
+      statsColumns = Seq("*"))
+    assert(VersionedTable.read(spark, root).count() === 3L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((4L, "d", 99L)).toDF("id", "s", "score"), root,
+        mergeSchema = true)
+    }
+    // a DIFFERENT new column is fine…
+    VersionedTable.commit(Seq((4L, "d", 99L)).toDF("id", "s", "points"),
+      root, mergeSchema = true)
+    assert(VersionedTable.read(spark, root).columns.toSeq
+      === Seq("id", "s", "points"))
+    // …and dropping a RENAMED column tombstones its PHYSICAL name
+    VersionedTable.renameColumn(spark, root, "points", "pts")
+    VersionedTable.dropColumn(spark, root, "pts")
+    val m2 = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(m2.droppedCols.sorted === Seq("points", "score"))
+    assert(m2.colMap === Map.empty)
+    // overwrite resets the namespace: the old names are reusable
+    VersionedTable.commit(Seq((9L, 1L)).toDF("id", "score"), root,
+      overwrite = true)
+    assert(VersionedTable.read(spark, root).columns.toSeq
+      === Seq("id", "score"))
+  }
+
+  test("drop guards: partition/only/missing columns") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, "2020-01-01")).toDF("id", "d")
+        .withColumn("d", col("d").cast("date")),
+      root, partitionBy = Seq("d"), statsColumns = Seq("*"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "d")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "nope")
+    }
+    VersionedTable.dropColumn(spark, root, "id")
+    intercept[IllegalArgumentException] { // only column left
+      VersionedTable.dropColumn(spark, root, "d")
+    }
+  }
 }
