@@ -2739,19 +2739,34 @@ object VersionedTable {
     * pinned inside the retention window are safe.
     *
     * Maintenance concurrency contract: run ONE vacuum at a time (a
-    * single maintenance writer). Concurrent COMMITS are safe — a
-    * racing commit only adds files under a brand-new data subdir and
-    * a version newer than the retention window. A [[tag]] racing a
-    * vacuum is detected by the tag itself (it re-verifies its version
-    * file after landing and fails loudly if the vacuum destroyed it).
+    * single maintenance writer). Concurrent COMMITS are safe when
+    * `minAgeMs` covers the stage→publish window (pass e.g. 1 h on a
+    * multi-writer table): a racing commit's staged-but-unpublished
+    * data dir, manifest checkpoint and dot-temp are unreferenced
+    * until its version rename lands, and the grace window keeps the
+    * sweep off anything that young. The default 0 keeps single-writer
+    * crash cleanup eager. A [[tag]] racing a vacuum is detected by
+    * the tag itself (it re-verifies its version file after landing
+    * and fails loudly if the vacuum destroyed it).
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+      minAgeMs: Long = 0L): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val dir = commitsPath(root)
     if (!f.exists(dir)) return
-    f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".tmp"))
+    // UNREFERENCED artifacts younger than minAgeMs are spared: a
+    // racing commit stages its data dir / checkpoint / dot-temp
+    // BEFORE the version rename makes them referenced, so a vacuum
+    // running beside live writers must pass a grace window (e.g.
+    // 1 h) — the default 0 keeps single-writer crash cleanup eager
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getModificationTime <= cutoff
+    f.listStatus(dir).toSeq.filter(s =>
+        s.getPath.getName.endsWith(".tmp") && oldEnough(s))
       .foreach(s => f.delete(s.getPath, false))
     val versions = f.listStatus(dir).toSeq
       .map(_.getPath.getName)
@@ -2781,7 +2796,7 @@ object VersionedTable {
     val liveCkpts = retainedManifests.flatMap(_.ckpt).map(_.path).toSet
     f.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.startsWith("ckpt-")
-        && !liveCkpts.contains(s.getPath.getName))
+        && !liveCkpts.contains(s.getPath.getName) && oldEnough(s))
       .foreach(s => f.delete(s.getPath, true))
     val live: Set[String] =
       liveFiles.map(_.split("/")(1)) // data/<cdir>/file -> <cdir>
@@ -2789,7 +2804,11 @@ object VersionedTable {
     if (f.exists(dataDir)) {
       f.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { s =>
         val cdir = s.getPath.getName
-        if (!live.contains(cdir)) f.delete(s.getPath, true)
+        if (!live.contains(cdir)) {
+          // a young unreferenced data dir may be a commit IN FLIGHT
+          // (staged, not yet published) — only reap past the window
+          if (oldEnough(s)) { f.delete(s.getPath, true); () }
+        }
         else {
           // live dir: sweep individual parquet files rewritten away by
           // a retained delete/compact commit — RECURSIVE, so a

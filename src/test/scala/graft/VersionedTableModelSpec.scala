@@ -60,7 +60,7 @@ class VersionedTableModelSpec extends SparkSpec {
       var nextId = 1000L
 
       (1 to StepsPerSeed).foreach { step =>
-        val op = rnd.nextInt(9)
+        val op = rnd.nextInt(11)
         val ids = model.keys.toSeq.sorted
         def someId(): Long =
           if (ids.isEmpty) 0L else ids(rnd.nextInt(ids.size))
@@ -119,6 +119,18 @@ class VersionedTableModelSpec extends SparkSpec {
             VersionedTable.commit(fresh.toDF("id", "v"), root)
             VersionedTable.analyzeStats(spark, root)
             model = model ++ fresh
+          case 9 => // metadata-only rename round trip: reads, writes
+            // and pruning must hold while the column map is LIVE
+            VersionedTable.renameColumn(spark, root, "v", "w")
+            val viaMap = VersionedTable.read(spark, root)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(viaMap === model,
+              s"seed $seed step $step: mapped read diverged")
+            VersionedTable.renameColumn(spark, root, "w", "v")
+          case 10 => // predicate-scoped OPTIMIZE of an id range
+            val lo = someId()
+            VersionedTable.compactWhere(spark, root,
+              col("id") >= lo && col("id") < lo + 10L)
         }
         val got = snapshot(root)
         assert(got === model,

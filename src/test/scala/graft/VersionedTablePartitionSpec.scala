@@ -216,6 +216,34 @@ class VersionedTablePartitionSpec extends SparkSpec {
     assert(k2.isEmpty, s"bloom absence proof failed: kept $k2")
   }
 
+  test("vacuum's grace window spares a staged-but-unpublished commit") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root,
+      statsColumns = Seq("*"))
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a commit IN FLIGHT: a staged data dir not yet named by
+    // any manifest (exactly what lives between stage() and publish())
+    val inflight = new Path(root, "data/cinflight0000000")
+    f.mkdirs(inflight)
+    val part = new Path(inflight, "part-00000.parquet")
+    val out = f.create(part, true); out.write(1); out.close()
+    // with the window, the young dir survives the sweep…
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 60L * 60L * 1000L)
+    assert(f.exists(inflight), "vacuum reaped an in-flight commit")
+    // …an OLD unreferenced dir (a true crash leftover) is reaped
+    f.setTimes(inflight, System.currentTimeMillis() - 2L * 60L * 60L * 1000L,
+      -1L)
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 60L * 60L * 1000L)
+    assert(!f.exists(inflight), "grace window never reaps old leftovers")
+    // and the default stays eager (single-writer crash cleanup)
+    f.mkdirs(inflight)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(!f.exists(inflight))
+    assert(VersionedTable.read(spark, root).count() === 1L)
+  }
+
   test("multi-level and null partitions prune soundly") {
     val root = freshRoot()
     val df = Seq(
