@@ -88,6 +88,50 @@ object TableQueries {
       |WHERE o_totalprice >= 50000.0 AND o_totalprice < 150000.0
       |GROUP BY 1""".stripMargin
 
+  /** Metadata-only TYPE WIDENING end to end: the pre-1995 half of
+    * orders commits with an INT order key (clustered on it, stats +
+    * blooms on), `widenColumn` flips the recorded schema to LONG
+    * moving zero files, the rest of orders appends with native long
+    * keys, and the measured read filters + joins nothing — it
+    * aggregates across the mixed int/long files, pruning through the
+    * shared long stats domain. DuckDB computes the twin off the
+    * original table; any upcast loss, broken zone map or widened-file
+    * mismatch breaks the hash.
+    */
+  def tableWiden(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_widen")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    VersionedTable.commit(
+      orders.filter(col("o_orderdate") < "1995-01-01")
+        .withColumn("o_orderkey", col("o_orderkey").cast("int"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, statsColumns = Seq("*"))
+    VersionedTable.widenColumn(s, root, "o_orderkey",
+      org.apache.spark.sql.types.LongType)
+    VersionedTable.commit(
+      orders.filter(col("o_orderdate") >= "1995-01-01")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, statsColumns = Seq("*"))
+    VersionedTable.readWhere(s, root, col("o_orderkey") % 10 === 0)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_mass"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("mass"))
+  }
+
+  val tableWidenSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_mass,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM orders
+      |WHERE o_orderkey % 10 = 0
+      |GROUP BY 1""".stripMargin
+
   /** Streaming change-feed CONSUMPTION: a follower table continuously
     * applies the source table's CDC through
     * [[graft.streaming.ChangeFeedStream]] — the Delta readChangeFeed +

@@ -642,6 +642,60 @@ object VersionedTable {
     }.getOrElse(throw new IllegalStateException("rename cannot replay"))
   }
 
+  /** Widenings the parquet reader performs in the scan itself AND
+    * whose zone-map domains coincide: every integral width shares the
+    * "long" stats/bloom domain, and float bounds are already stored
+    * in the double grid — so a widened table's OLD stats keep pruning
+    * exactly, with zero translation.
+    */
+  private val widenings: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set(ShortType, IntegerType, LongType),
+    ShortType -> Set(IntegerType, LongType),
+    IntegerType -> Set(LongType),
+    FloatType -> Set(DoubleType))
+
+  /** Widen logical column `name` to `to` — a METADATA-ONLY commit
+    * (mode `widen`): the manifest schema's field changes type and
+    * nothing else moves; old files read back widened inside the scan
+    * (the parquet reader upcasts against the recorded schema), new
+    * appends write the wide type, and zone-map / bloom pruning keeps
+    * biting because every allowed widening stays in the same stats
+    * domain (integrals share the long grid, float bounds are already
+    * double). Allowed: byte→short/int/long, short→int/long, int→long,
+    * float→double — the exact, order-preserving widenings; anything
+    * else (a narrowing, a decimal re-scale, string) remains an
+    * explicit overwrite. Racing schema changes conflict.
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      to: DataType): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    val schema = m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot of $root has no recorded schema"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widen: no column `$name` in ${schema.simpleString}"))
+    require(widenings.get(field.dataType).exists(_.contains(to)),
+      s"widen: ${field.dataType.simpleString} -> ${to.simpleString} is not " +
+        "an exact widening (allowed: integral up-chains, float->double); " +
+        "other type changes require overwrite = true")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    publish(spark, root, Nil, Map.empty, mode = "widen",
+      schemaJsonOf = () => newSchema.json, txn = None,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => m.colMap,
+      linkDropped = _ => m.droppedCols) { prevM =>
+      if (prevM.map(_.schemaJson) != Some(m.schemaJson)) throw
+        new CompactionConflictException(
+          s"widen on $root@v$v raced a schema change; rerun")
+      (prevM.map(_.files).getOrElse(Nil),
+        prevM.map(_.stats).getOrElse(Map.empty))
+    }.getOrElse(throw new IllegalStateException("widen cannot replay"))
+  }
+
   /** Drop logical column `name` — a METADATA-ONLY commit (mode
     * `drop`): the manifest schema loses the field and the physical
     * name lands on the dropped-tombstone list; no data file moves
@@ -2503,9 +2557,9 @@ object VersionedTable {
       val prevFiles: Seq[String] =
         if (v == 0L) Nil else manifests(v - 1).files
       cur.mode match {
-        // data-identical by contract (rename/drop ranges are
+        // data-identical by contract (rename/drop/widen ranges are
         // additionally refused by the schema-stability guard above)
-        case "compact" | "stats" | "rename" | "drop" => None
+        case "compact" | "stats" | "rename" | "drop" | "widen" => None
         case "append" =>
           val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None

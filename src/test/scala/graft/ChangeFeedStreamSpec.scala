@@ -89,6 +89,56 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(snap(dst) === Set((1L, "a"), (2L, "b")))
   }
 
+  test("a LIVE foreachBatch trigger drives the follower exactly once") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    VersionedTable.commit((1L to 10L).map(i => (i, "base")).toDF("id", "s"),
+      src, statsColumns = Seq("*"))
+    // three tick files; each micro-batch mutates the SOURCE through a
+    // txn-guarded op, then drains the follower — the real engine, the
+    // real at-least-once delivery
+    val ticks = java.nio.file.Files.createTempDirectory("cfs_ticks")
+    val ckpt = java.nio.file.Files.createTempDirectory("cfs_ckpt").toString
+    (0L to 2L).foreach(i =>
+      Seq(i).toDF("tick").coalesce(1).write.parquet(s"$ticks/t$i"))
+    def body(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      batch.collect().map(_.getLong(0)).sorted.headOption.foreach {
+        case 0L => VersionedTable.streamCommit(
+          Seq((21L, "app")).toDF("id", "s"), src, "mut", 0L); ()
+        case 1L => VersionedTable.merge(spark, src,
+          Seq((3L, "upd")).toDF("id", "s"), Seq("id"),
+          txn = Some(("mut2", 1L))); ()
+        case _ => VersionedTable.deleteVectored(spark, src,
+          col("id") === 7L, txn = Some(("mut3", 2L))); ()
+      }
+      ChangeFeedStream.sync(spark, src, dst, Seq("id"), "live")
+      ()
+    }
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .schema(Seq(1L).toDF("tick").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$ticks/t*")
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(body _)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(ckpt)
+    assert(snap(dst) === snap(src))
+    assert(snap(dst).size === 10)
+    val srcV = VersionedTable.latestVersion(spark, src)
+    val dstV = VersionedTable.latestVersion(spark, dst)
+    // crash-redelivery: a FRESH checkpoint replays every tick; the
+    // txn ledgers (source mutations AND follower applies) skip all of
+    // it — nothing lands twice anywhere
+    run(java.nio.file.Files.createTempDirectory("cfs_ckpt2").toString)
+    assert(VersionedTable.latestVersion(spark, src) === srcV)
+    assert(VersionedTable.latestVersion(spark, dst) === dstV)
+    assert(snap(dst) === snap(src))
+  }
+
   test("compaction-only slices advance the watermark without data") {
     val src = freshRoot()
     val dst = freshRoot()

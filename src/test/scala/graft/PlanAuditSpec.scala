@@ -676,6 +676,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // zone-map-pruned read through the column map + ONE rollup
       // exchange; rename is metadata-only, commits at build time
       "q_table_rename" -> 1,
+      // mixed int/long files upcast in-scan + ONE rollup exchange
+      "q_table_widen" -> 1,
       // append branch: rollup only; overwrite branch: exceptAll both
       // ways (2 hash-repartition pairs) + the rollup union
       "q_table_changes" -> 6,
