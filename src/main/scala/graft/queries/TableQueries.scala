@@ -88,6 +88,47 @@ object TableQueries {
       |WHERE o_totalprice >= 50000.0 AND o_totalprice < 150000.0
       |GROUP BY 1""".stripMargin
 
+  /** Manifest checkpointing under the oracle: with the spill
+    * threshold forced low, five trickle appends push the log into
+    * checkpoint + KB-delta mode (a fresh checkpoint rotates once
+    * mid-history), a predicate DELETE lands as a delta remove/add,
+    * and the measured read resolves the manifest THROUGH the parquet
+    * checkpoint chain — zone-map pruning included. DuckDB computes
+    * the twin directly; a lost delta entry, a stale checkpoint cache
+    * or a mis-applied remove all break the hash.
+    */
+  def tableCkpt(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_ckpt")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    s.conf.set("spark.graft.manifest.checkpointThreshold", "2")
+    s.conf.set("spark.graft.manifest.checkpointInterval", "3")
+    try {
+      (0L to 4L).foreach(k => VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 5 === k)
+          .repartitionByRange(2, col("o_totalprice"))
+          .sortWithinPartitions("o_totalprice"),
+        root, statsColumns = Seq("*")))
+      VersionedTable.delete(s, root, col("o_orderpriority") === "1-URGENT")
+      VersionedTable.readWhere(s, root, col("o_totalprice") >= 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("mass"))
+    } finally {
+      s.conf.unset("spark.graft.manifest.checkpointThreshold")
+      s.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
+  val tableCkptSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM orders
+      |WHERE o_orderpriority <> '1-URGENT' AND o_totalprice >= 100000.0
+      |GROUP BY 1""".stripMargin
+
   /** Metadata-only TYPE WIDENING end to end: the pre-1995 half of
     * orders commits with an INT order key (clustered on it, stats +
     * blooms on), `widenColumn` flips the recorded schema to LONG

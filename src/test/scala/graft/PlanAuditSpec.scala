@@ -678,6 +678,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_table_rename" -> 1,
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
+      // checkpoint-resolved pruned read + ONE rollup exchange; the
+      // log churn (5 appends, delete, checkpoint writes) at build time
+      "q_table_ckpt" -> 1,
       // append branch: rollup only; overwrite branch: exceptAll both
       // ways (2 hash-repartition pairs) + the rollup union
       "q_table_changes" -> 6,
