@@ -437,14 +437,20 @@ object VersionedTable {
       if (overwrite) Nil
       else prevMeta.map(_.droppedCols).getOrElse(Nil)
     df.schema.fieldNames.foreach { nme =>
-      effColMap.collectFirst {
-        case (l, p) if p == nme && l != nme => l
-      }.foreach(l => throw new IllegalArgumentException(
-        s"append to $root: column `$nme` reuses the physical name of " +
-          s"renamed column `$l`; pick another name"))
-      if (effDropped.contains(nme)) throw new IllegalArgumentException(
-        s"append to $root: column `$nme` reuses a DROPPED column's " +
-          "physical name; pick another name (or overwrite)")
+      // only an IDENTITY-mapped column writes under its own logical
+      // name; a column the map routes elsewhere (rename(a->b) then
+      // rename(c->a): `a` writes as physical `c`) can never collide
+      // with the physical name its logical name happens to equal
+      if (!effColMap.contains(nme)) {
+        effColMap.collectFirst {
+          case (l, p) if p == nme && l != nme => l
+        }.foreach(l => throw new IllegalArgumentException(
+          s"append to $root: column `$nme` reuses the physical name of " +
+            s"renamed column `$l`; pick another name"))
+        if (effDropped.contains(nme)) throw new IllegalArgumentException(
+          s"append to $root: column `$nme` reuses a DROPPED column's " +
+            "physical name; pick another name (or overwrite)")
+      }
     }
     val effParts: Seq[String] =
       if (overwrite) partitionBy
@@ -496,6 +502,27 @@ object VersionedTable {
       linkParts = _ => effParts,
       linkColMap = _ => effColMap,
       linkDropped = _ => effDropped) { prevM =>
+      if (!overwrite) {
+        // the staged layout was written against the PRE-STAGE latest's
+        // partition spec / column map / dropped tombstones; a racing
+        // overwrite that changed any of them (even with an identical
+        // column set, which passes the sameColumns drift check below)
+        // would otherwise have this append re-install the stale spec
+        // verbatim via linkParts/linkColMap/linkDropped — partitioned
+        // files would then read back with null partition values.
+        // Re-validate against the FRESH latest on every publish retry.
+        val freshParts = prevM.map(_.partitionBy).getOrElse(effParts)
+        val freshColMap = prevM.map(_.colMap).getOrElse(effColMap)
+        val freshDropped = prevM.map(_.droppedCols).getOrElse(effDropped)
+        if (freshParts != effParts || freshColMap != effColMap ||
+            freshDropped != effDropped) {
+          f.delete(new Path(rootP, stageRel), true)
+          throw new CompactionConflictException(
+            s"append to $root raced a commit that changed the table's " +
+              "partition spec, column mapping or dropped-column set; " +
+              "rerun against the new snapshot")
+        }
+      }
       if (!overwrite) prevM.foreach { m =>
         m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
           .filterNot(sameColumns(_, df.schema))
@@ -1001,7 +1028,11 @@ object VersionedTable {
     // part-file name across partition dirs stay distinct
     val tailDepth = 1 + partitionBy.size
     partials.foreach { case (file, bytesArr) =>
-      val name = file.split("/").takeRight(tailDepth).mkString("/")
+      // input_file_name() is URL-encoded; sidecar entries must key by
+      // the on-disk tail or the loader's manifest-rel lookups miss
+      // every file under a special-char `col=value/` segment
+      val name = decodeFilePath(
+        file.split("/").takeRight(tailDepth).mkString("/"))
       val bfs = bytesArr.map(b =>
         BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
       merged.get(name) match {
@@ -1216,7 +1247,8 @@ object VersionedTable {
     // partition discovery is needed (absent columns read as null)
     val byFile = spark.read.schema(schema)
       .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
-      .groupBy(substring_index(input_file_name(), "/", -tailDepth).as("_file"))
+      .groupBy(decodeFilePath(
+        substring_index(input_file_name(), "/", -tailDepth)).as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byName = staged
@@ -2548,10 +2580,25 @@ object VersionedTable {
       s"fromVersion $fromVersion > toVersion $toVersion")
     val manifests = (math.max(fromVersion, 0L) to toVersion)
       .map(v => v -> manifest(spark, root, v)).toMap
-    val schemas = manifests.values.flatMap(_.schemaJson).toSet
+    // schema stability is required only across versions that EMIT
+    // rows (plus the predecessor snapshots their before-images read).
+    // Metadata-only commits (rename/drop/widen) and compact/stats are
+    // data-identical and skipped below — a range that merely CROSSES
+    // one must not wedge a follower that consumes version by version.
+    val schemas = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val cur = manifests(v)
+      cur.mode match {
+        case "compact" | "stats" | "rename" | "drop" | "widen" => Nil
+        case "append" | "dvdelete" => cur.schemaJson.toSeq
+        case _ => // delete/merge/replace/overwrite read v-1 before-images
+          cur.schemaJson.toSeq ++
+            (if (v == 0L) Nil else manifests(v - 1).schemaJson.toSeq)
+      }
+    }.toSet
     require(schemas.size <= 1,
-      s"schema changed inside the version range [$fromVersion, $toVersion]; " +
-        "read full snapshots instead")
+      s"schema changed across row-emitting versions inside " +
+        s"[$fromVersion, $toVersion]; read full snapshots instead " +
+        "(or consume the range in slices that do not straddle the change)")
     val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
       val cur = manifests(v)
       val prevFiles: Seq[String] =
@@ -2681,9 +2728,12 @@ object VersionedTable {
       val withParts = m.partitionBy.foldLeft(base) { (df, p) =>
         val seg = regexp_extract(col("_metadata.file_path"),
           "/" + java.util.regex.Pattern.quote(p) + "=([^/]+)/", 1)
-        // Hive path escaping is %XX; a literal '+' is NOT an escape —
-        // shield it before url_decode (which would turn it into a space)
-        val decoded = url_decode(regexp_replace(seg, "\\+", "%2B"))
+        // TWO encoding layers come off: file_path URL-encodes the
+        // on-disk name (space → %20, % → %25), and the on-disk name
+        // itself Hive-escapes reserved chars in the VALUE (: → %3A).
+        // Both are %XX with a literal-'+' caveat, so decode twice with
+        // the '+' shield: `a:b` rides as `a%253Ab` → `a%3Ab` → `a:b`.
+        val decoded = decodeFilePath(decodeFilePath(seg))
         val typed = when(decoded === "__HIVE_DEFAULT_PARTITION__", lit(null))
           .otherwise(decoded)
           .cast(s.fields.find(_.name == p).get.dataType)
@@ -2721,12 +2771,31 @@ object VersionedTable {
   private val DvRelCol = "_graft_dv_rel"
   private val DvPosCol = "_graft_dv_pos"
 
+  /** Undo the URL-encoding `input_file_name()` / `_metadata.file_path`
+    * apply on top of the on-disk name (space → `%20`, `%` → `%25`, …),
+    * back to the raw listing form a manifest rel carries. A literal
+    * `+` is NOT an encoding (URI path encoding leaves it raw) — shield
+    * it so the decoder does not read it as a space. Hive partition
+    * escapes (`col=a%3Ab` for `a:b`) are part of the ON-DISK name and
+    * survive this decode intact — only the transport layer comes off.
+    */
+  private def decodeFilePath(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** Driver-side twin of [[decodeFilePath]]. */
+  private def decodeFilePath(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   /** The manifest-rel of a file off its absolute path: the trailing
     * `data/c<token>/[col=value/…]file` segments — depth 3 plus one
-    * per partition column.
+    * per partition column. The tail is split on the ENCODED path
+    * (encoded segments never contain `/`), then transport-decoded so
+    * the result compares equal to listing-derived manifest rels even
+    * when a partition value carries a space/percent/colon.
     */
   private def fileRelOf(c: Column, nPartCols: Int): Column =
-    substring_index(c, "/", -(3 + nPartCols))
+    decodeFilePath(substring_index(c, "/", -(3 + nPartCols)))
 
   /** `rels` read RAW (vectors NOT applied) with position provenance
     * attached as [[DvRelCol]] / [[DvPosCol]].
@@ -2799,9 +2868,16 @@ object VersionedTable {
     * data dir, manifest checkpoint and dot-temp are unreferenced
     * until its version rename lands, and the grace window keeps the
     * sweep off anything that young. The default 0 keeps single-writer
-    * crash cleanup eager. A [[tag]] racing a vacuum is detected by
-    * the tag itself (it re-verifies its version file after landing
-    * and fails loudly if the vacuum destroyed it).
+    * crash cleanup eager. A [[tag]] racing a vacuum is handled
+    * BEST-EFFORT: vacuum re-lists tags immediately before deleting
+    * version files (a freshly landed tag is honored), the tag
+    * re-verifies its version file after landing and fails loudly if a
+    * vacuum destroyed it, and vacuum finishes with a dangling-tag
+    * sweep that removes any tag left pinning a destroyed manifest —
+    * so the steady state is always consistent, but a tag landing in
+    * the residual window can be REMOVED rather than honored. For a
+    * hard no-loss guarantee, serialize tag() with vacuum under the
+    * single-maintenance-writer contract above.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
       minAgeMs: Long = 0L): Unit = {
@@ -2828,7 +2904,12 @@ object VersionedTable {
       .map(n => n.substring(1, n.length - 5).toLong)
       .sorted
     // tagged versions are RELEASES: they survive retention forever
-    // (with their files), or a cited training snapshot would rot
+    // (with their files), or a cited training snapshot would rot.
+    // Listed immediately before the deletes so a tag that landed
+    // while the tmp/ckpt sweeps above ran is still honored; a tag
+    // landing after this listing relies on its own post-visibility
+    // re-check plus the dangling-tag sweep at the end (best-effort —
+    // see the scaladoc).
     val tagged = listTags(spark, root).values.toSet
     val window = versions.takeRight(keepVersions).toSet
     val retained = versions.filter(v =>
@@ -2876,6 +2957,18 @@ object VersionedTable {
                 f.makeQualified(st.getPath).toString.stripPrefix(prefix)))
             .foreach(st => f.delete(st.getPath, false))
         }
+      }
+    }
+    // dangling-tag sweep: a tag() whose post-visibility re-check
+    // passed JUST before this vacuum deleted its version file would
+    // otherwise pin a destroyed manifest forever (readTag can never
+    // serve it). Remove any such tag so the table self-heals to a
+    // consistent state; only tags whose manifest is genuinely gone
+    // are touched, so a tag pinning retained history is never at risk.
+    listTags(spark, root).foreach { case (name, v) =>
+      if (!f.exists(versionFile(root, v))) {
+        f.delete(new Path(tagsPath(root), s"$name.json"), false)
+        ()
       }
     }
   }

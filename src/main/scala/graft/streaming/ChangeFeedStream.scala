@@ -72,17 +72,6 @@ object ChangeFeedStream {
     val from = lastConsumed(spark, followerRoot, readerId)
     if (from >= head) return None // caught up
     val to = math.min(head, from + maxVersions)
-    val ch = VersionedTable.changes(spark, sourceRoot, from, to)
-    // net effect per key across the slice: the latest version's
-    // change wins; within one version an insert (post-image) beats
-    // the delete (pre-image) — that pair IS an update
-    val ranked = ch.withColumn("_rk", row_number().over(
-      Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("_commit_version").desc,
-          when(col("_change_type") === "insert", 0).otherwise(1))))
-      .filter(col("_rk") === 1)
-      .withColumn("_graft_cdc_tombstone", col("_change_type") === "delete")
-      .drop("_rk", "_change_type", "_commit_version")
     // bootstrap: an empty follower seeded with the source's schema so
     // the first slice applies through the same merge path
     if (VersionedTable.latestVersion(spark, followerRoot).isEmpty) {
@@ -96,6 +85,33 @@ object ChangeFeedStream {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         followerRoot, statsColumns = Seq("*"))
     }
+    // a slice of ONLY data-identical commits (compact/stats/rename/
+    // drop/widen) advances the watermark without touching merge at
+    // all: the netted frame would be empty anyway, and binding it
+    // through merge would impose the source's post-rename column
+    // names on a follower that has not mirrored the rename — wedging
+    // the feed on a batch that carries no rows. Driver-side manifest
+    // modes decide; zero data jobs run.
+    val dataIdentical = Set("compact", "stats", "rename", "drop", "widen")
+    if (((from + 1) to to).forall(v =>
+        dataIdentical(VersionedTable.manifest(spark, sourceRoot, v).mode))) {
+      val advanced = VersionedTable.streamCommit(
+        VersionedTable.read(spark, followerRoot).limit(0),
+        followerRoot, readerId, to)
+      return Some(advanced.getOrElse(
+        VersionedTable.latestVersion(spark, followerRoot).get))
+    }
+    val ch = VersionedTable.changes(spark, sourceRoot, from, to)
+    // net effect per key across the slice: the latest version's
+    // change wins; within one version an insert (post-image) beats
+    // the delete (pre-image) — that pair IS an update
+    val ranked = ch.withColumn("_rk", row_number().over(
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "insert", 0).otherwise(1))))
+      .filter(col("_rk") === 1)
+      .withColumn("_graft_cdc_tombstone", col("_change_type") === "delete")
+      .drop("_rk", "_change_type", "_commit_version")
     val committed = VersionedTable.merge(spark, followerRoot, ranked, keys,
       deleteMatched = Some(col("_graft_cdc_tombstone")),
       txn = Some((readerId, to)))

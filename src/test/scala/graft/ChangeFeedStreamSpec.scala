@@ -154,4 +154,39 @@ class ChangeFeedStreamSpec extends SparkSpec {
     // and the follower does not loop on it
     assert(ChangeFeedStream.sync(spark, src, dst, Seq("id"), "f") === 0)
   }
+
+  test("a metadata-only schema commit does not wedge the follower") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), src,
+      statsColumns = Seq("*"))                                       // v0
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s").coalesce(1), src) // v1
+    ChangeFeedStream.sync(spark, src, dst, Seq("id"), "f")
+    // rename is DATA-IDENTICAL (changes() emits nothing for it), but
+    // its manifest carries a different schema — a range guard over
+    // ALL manifests in the slice would refuse every range crossing
+    // it, wedging the follower permanently even at maxVersions = 1
+    VersionedTable.renameColumn(spark, src, "s", "label")            // v2
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "label").coalesce(1),
+      src)                                                           // v3
+    // the rename version consumes as a pure watermark advance (no
+    // merge runs, so the source's new column names are NOT imposed on
+    // a follower that has not mirrored them yet)
+    assert(ChangeFeedStream.applyOnce(spark, src, dst, Seq("id"), "f",
+      maxVersions = 1).isDefined)
+    assert(ChangeFeedStream.lastConsumed(spark, dst, "f") === 2L)
+    assert(VersionedTable.read(spark, dst).columns.toSeq === Seq("id", "s"))
+    // the operator mirrors the rename, then consumption resumes
+    VersionedTable.renameColumn(spark, dst, "s", "label")
+    assert(ChangeFeedStream.sync(spark, src, dst, Seq("id"), "f") === 1)
+    assert(ChangeFeedStream.lastConsumed(spark, dst, "f") === 3L)
+    assert(VersionedTable.read(spark, dst).count() === 3L)
+    // a range straddling the rename with emitting versions on BOTH
+    // sides still refuses loudly — the union would be incoherent
+    VersionedTable.commit(Seq((4L, "d")).toDF("id", "label").coalesce(1), src)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, src, 0L, 4L).collect()
+    }
+    assert(e.getMessage.contains("row-emitting"))
+  }
 }

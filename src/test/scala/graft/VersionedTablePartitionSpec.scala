@@ -244,6 +244,52 @@ class VersionedTablePartitionSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 1L)
   }
 
+  test("special-char partition values survive stats, read-back, delete, merge and blooms") {
+    // space is raw on disk but URL-encoded by _metadata.file_path
+    // (%20); colon/equals/percent are Hive-escaped on disk (%3A…)
+    // and their '%' is THEN URL-encoded (%253A) — every rel-matching
+    // probe must land on the listing form or delete/merge silently
+    // no-op and stats/bloom sidecar keys miss
+    val root = freshRoot()
+    val vals = Seq("a b", "a:b", "a%b", "a=b", "a+b", "a#b")
+    val df = vals.zipWithIndex.map { case (p, i) => (i.toLong, p, s"x$i") }
+      .toDF("id", "p", "s")
+    VersionedTable.commit(df, root, partitionBy = Seq("p"),
+      statsColumns = Seq("*"), bloomColumns = Seq("id"))
+    // per-file stats keyed on the listing rel: rowCount sums them
+    assert(VersionedTable.rowCount(spark, root) === Some(6L),
+      "collectStats keyed files by the URL-encoded tail — stats lost")
+    // partition values decode back exactly (two layers: URL + Hive)
+    val back = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back === vals.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toMap,
+      s"partition read-back mangled values: $back")
+    // bloom sidecar keys reach files under special-char segments
+    val (kept, _) = VersionedTable.pruneFiles(spark, root, col("id") === 3L)
+    assert(kept.nonEmpty && kept.size < 6,
+      s"bloom/zone pruning missed special-char partition files: kept $kept")
+    // DELETE: the touched-file probe must match manifest rels
+    VersionedTable.delete(spark, root, col("s") === "x1") // lives in p='a:b'
+    assert(VersionedTable.read(spark, root).count() === 5L,
+      "delete silently no-opped: file_path rel never matched the manifest")
+    assert(!VersionedTable.read(spark, root).collect().exists(_.getLong(0) == 1L))
+    // MERGE: an update must rewrite in place, not insert a duplicate
+    val up = Seq((0L, "a b", "updated")).toDF("id", "p", "s")
+    VersionedTable.merge(spark, root, up, Seq("id"))
+    val r0 = VersionedTable.read(spark, root)
+      .filter(col("id") === 0L).collect()
+    assert(r0.length === 1 && r0.head.getString(2) === "updated",
+      s"merge touched-probe missed the special-char partition: ${r0.toSeq}")
+    assert(VersionedTable.read(spark, root).count() === 5L)
+    // vectored delete: the DV anti-join matches rels both directions
+    VersionedTable.deleteVectored(spark, root, col("s") === "x4") // p='a+b'
+    assert(VersionedTable.read(spark, root).count() === 4L,
+      "deletion vector never applied under a special-char partition")
+    // partition pruning on the special values themselves stays exact
+    assert(VersionedTable.readWhere(spark, root, col("p") === "a%b")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("multi-level and null partitions prune soundly") {
     val root = freshRoot()
     val df = Seq(

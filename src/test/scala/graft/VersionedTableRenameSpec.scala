@@ -115,6 +115,32 @@ class VersionedTableRenameSpec extends SparkSpec {
     VersionedTable.exportSnapshot(spark, root)
   }
 
+  test("a rename CHAIN that recycles a freed logical name still appends") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, 10L)).toDF("a", "c"), root,
+      statsColumns = Seq("*"))
+    VersionedTable.renameColumn(spark, root, "a", "b") // colMap b→a
+    VersionedTable.renameColumn(spark, root, "c", "a") // colMap b→a, a→c
+    // the append's `a` is itself MAPPED (writes physical `c`), so it
+    // can never collide with b's physical name `a` — the reuse guard
+    // must only fire for identity-mapped columns
+    VersionedTable.commit(Seq((2L, 20L)).toDF("b", "a"), root,
+      statsColumns = Seq("*"))
+    val rows = VersionedTable.read(spark, root).select("b", "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 10L), (2L, 20L)),
+      s"rename-chain append misrouted physical columns: $rows")
+    // pruning on the recycled name binds the RIGHT physical stats
+    assert(VersionedTable.readWhere(spark, root, col("a") === 20L)
+      .select("b").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the guard still fires where it must: a NEW identity-mapped
+    // column squatting on a still-live physical name
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((3L, 30L, "boom")).toDF("b", "a", "c"),
+        root, mergeSchema = true)
+    }
+  }
+
   test("dropColumn is metadata-only; the name is tombstoned against reuse") {
     val root = freshRoot()
     VersionedTable.commit(

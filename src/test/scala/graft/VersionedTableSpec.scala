@@ -1238,6 +1238,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(root) === Seq(9L, 10L, 11L))
   }
 
+  test("vacuum sweeps a dangling tag instead of pinning destroyed history") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(2L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v2
+    VersionedTable.tag(spark, root, "live", Some(2L))
+    VersionedTable.tag(spark, root, "raced", Some(0L))
+    // simulate the residual tag/vacuum race: the tag's re-check passed
+    // just before a concurrent vacuum destroyed its manifest — leaving
+    // a tag readTag can never serve
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, f"_commits/v${0L}%012d.json"), false)
+    assert(VersionedTable.tagVersion(spark, root, "raced") === Some(0L))
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    // the dangling tag is removed (self-heal), the live one honored
+    assert(VersionedTable.tagVersion(spark, root, "raced") === None,
+      "vacuum left a tag pinning a destroyed manifest")
+    assert(VersionedTable.tagVersion(spark, root, "live") === Some(2L))
+    assert(VersionedTable.readTag(spark, root, "live")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("readAsOf falls back to mtimes for legacy manifests, clamped monotone") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
