@@ -483,4 +483,151 @@ object SimilaritySearch {
       .toDF("center_rank", "vec_id", "min_dist")
       .withColumn("min_dist", round(col("min_dist"), 6))
   }
+
+  /** Cosine distance `1 − round(a·b, 6)` between unit vectors, with
+    * the SAME 6-dp HALF_UP rounding as the column form (Catalyst
+    * `Round` on a double lowers to `BigDecimal(d).setScale(6,
+    * HALF_UP)`, which goes through `Double.toString`'s canonical
+    * decimal — replicated here bit-for-bit so the local and
+    * distributed trajectories agree, and so a SQL oracle's `round`
+    * matches). The BigDecimal costs ~100 ns per pair next to a
+    * ~60 ns 64-dim dot — acceptable for a selection kernel that runs
+    * O(k) times per point; drop the rounding if chasing the last 2×.
+    */
+  private def dist6(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    1.0 - BigDecimal(s)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Exact Gonzalez farthest-point over an IN-MEMORY point set: seed
+    * is the smallest id, each round adds the point with the largest
+    * running min-distance to the chosen set (ties on the smaller id)
+    * — the same trajectory contract as [[kCenterSelect]], O(k·n·dim),
+    * order-independent (points are sorted by id first). Returns
+    * (rank, id, minDistAtSelection, vector); the seed's distance is
+    * None. Gonzalez 1985 ("Clustering to minimize the maximum
+    * intercluster distance").
+    */
+  private def gonzalezLocal(ptsIn: Iterator[(Long, Array[Double])],
+      k: Int): Array[(Int, Long, Option[Double], Array[Double])] = {
+    val pts = ptsIn.toArray.sortBy(_._1)
+    if (pts.isEmpty || k < 1) return Array.empty
+    val n = pts.length
+    val kk = math.min(k, n)
+    val out = new Array[(Int, Long, Option[Double], Array[Double])](kk)
+    out(0) = (1, pts(0)._1, None, pts(0)._2)
+    val taken = new Array[Boolean](n)
+    taken(0) = true
+    val dmin = Array.fill(n)(Double.PositiveInfinity)
+    var last = 0
+    var c = 1
+    while (c < kk) {
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val d = dist6(pts(i)._2, pts(last)._2)
+          if (d < dmin(i)) dmin(i) = d
+          // strict > while scanning ascending id keeps the SMALLEST
+          // id on distance ties — the sequential operator's contract
+          if (dmin(i) > bestD) { bestD = dmin(i); best = i }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(c) = (c + 1, pts(best)._1, Some(bestD), pts(best)._2)
+      last = best
+      c += 1
+    }
+    out
+  }
+
+  /** Distributed k-center selection for k beyond [[kCenterSelect]]'s
+    * sequential reach (thousands to tens of thousands): the two-level
+    * composable Gonzalez of Malkomes et al. ("Fast Distributed
+    * k-Center Clustering with Outliers on Massive Data", NIPS 2015).
+    *
+    *   1. shard the corpus deterministically by `id mod L` and run
+    *      EXACT Gonzalez k-center inside each shard (one executor
+    *      task per shard, zero driver round-trips) — each shard's k
+    *      candidates 2-approximate its own optimum;
+    *   2. repeat on the L·k survivors (levels shrink by ≥2× because
+    *      `maxCandidates ≥ 2k`) until they fit `maxCandidates`;
+    *   3. finish with exact Gonzalez over the surviving candidates
+    *      driver-side, emitting the same (center_rank, vec_id,
+    *      min_dist) shape as [[kCenterSelect]] — min_dist measured
+    *      within the candidate set.
+    *
+    * Each composition level multiplies the approximation factor by at
+    * most 2 (Gonzalez's own bound composes), so the usual one-level
+    * run is a 4-approximation of the true k-center radius — the
+    * quality regime coreset selection needs, at O(log) rounds of ONE
+    * job each instead of k sequential collect round-trips.
+    *
+    * Scale shape: a shard materializes in executor memory
+    * (≈ maxCandidates·dim·8 B ≈ 50 MB at the defaults), the per-level
+    * exchange is one hash shuffle of (id, vector), and level count is
+    * log_{maxCandidates/k}(n/maxCandidates) — 3 levels cover a
+    * trillion rows at the defaults. `shards` pins the FIRST level's
+    * shard count (driver-deterministic twins and oracles want a fixed
+    * L); 0 derives every level from the live row count.
+    *
+    * Trajectory contract: with everything in one shard (corpus ≤
+    * maxCandidates, shards ≤ 1) the result is IDENTICAL to
+    * [[kCenterSelect]] — same seed, same rounding, same tie-breaks.
+    */
+  def kCenterSelectBatch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxCandidates: Int = 100000,
+      shards: Int = 0): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxCandidates >= 2 * k,
+      s"maxCandidates ($maxCandidates) must be >= 2k (${2 * k}) or the " +
+        "per-level reduction cannot make progress")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var level = normalizedSide(corpus, idCol, "id", vecCol, "nv")
+      .select(col("id").cast("long").as("id"), col("nv"))
+      .as[(Long, Seq[Double])]
+      .localCheckpoint()
+    var cnt = level.count()
+    var li = shards
+    while (cnt > maxCandidates || li > 1) {
+      val l = if (li > 1) li else math.max(2,
+        math.ceil(cnt.toDouble / maxCandidates).toInt)
+      li = 0 // the pinned shard count applies to the FIRST level only
+      val prev = level
+      level = prev
+        .groupByKey { case (id, _) => ((id % l) + l) % l }
+        .flatMapGroups { (_, it) =>
+          gonzalezLocal(it.map { case (id, v) => (id, v.toArray) }, k)
+            .iterator.map { case (_, id, _, v) => (id, v.toSeq) }
+        }
+        .localCheckpoint()
+      Blocks.drop(prev.toDF())
+      val next = level.count()
+      // a shard layout that cannot shrink (every shard under k rows)
+      // cannot converge — refuse loudly instead of looping forever
+      if (next >= cnt && next > maxCandidates)
+        throw new IllegalStateException(
+          s"kCenterSelectBatch stalled at $next candidates (> " +
+            s"$maxCandidates) — raise maxCandidates or lower k")
+      cnt = next
+    }
+    val cand = level.collect().map { case (id, v) => (id, v.toArray) }
+    Blocks.drop(level.toDF())
+    if (cand.isEmpty) throw new IllegalArgumentException(
+      "kCenterSelectBatch: no non-zero vectors to select from")
+    gonzalezLocal(cand.iterator, k)
+      .map { case (r, id, d, _) => (r, id, d) }.toSeq
+      .toDF("center_rank", "vec_id", "min_dist")
+      .withColumn("min_dist", round(col("min_dist"), 6))
+  }
 }

@@ -805,6 +805,61 @@ object ProfilingQueries {
       |SELECT rank AS center_rank, id AS vec_id, round(min_dist, 6) AS min_dist
       |FROM sel""".stripMargin
 
+  /** Distributed (batched) k-center
+    * ([[graft.operators.SimilaritySearch.kCenterSelectBatch]]): exact
+    * Gonzalez inside each of 8 `vec_id mod 8` shards (one executor
+    * task each, no driver round-trips), then exact Gonzalez over the
+    * ≤48 shard candidates — the k-regime scale path the sequential
+    * [[diverseSubset]] cannot reach. The oracle replays both phases
+    * in recursive SQL, so the trajectory (seed = min id, 6-dp-rounded
+    * cosine, ties on smaller id, per shard and in the finish) is
+    * pinned end to end.
+    */
+  def diverseSubsetBatch(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.kCenterSelectBatch(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 6,
+      maxCandidates = 48, shards = 8)
+
+  val diverseSubsetBatchSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id AS id, vec_id % 8 AS shard,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |p1(rank, shard, ids) AS (
+      |  SELECT 1, shard, [min(id)] FROM n GROUP BY shard
+      |  UNION ALL
+      |  SELECT s.rank + 1, s.shard, list_append(s.ids, w.id)
+      |  FROM p1 s, LATERAL (
+      |    SELECT p.id, 1 - max(round(list_dot_product(p.nv, c.nv), 6)) AS d
+      |    FROM n p, n c
+      |    WHERE p.shard = s.shard AND c.shard = s.shard
+      |      AND list_contains(s.ids, c.id) AND NOT list_contains(s.ids, p.id)
+      |    GROUP BY p.id ORDER BY d DESC, p.id LIMIT 1) w
+      |  WHERE s.rank < 6),
+      |fin AS (SELECT shard, ids FROM (
+      |  SELECT shard, ids,
+      |    row_number() OVER (PARTITION BY shard ORDER BY rank DESC) AS rn
+      |  FROM p1) WHERE rn = 1),
+      |m AS (SELECT n.id, n.nv FROM n
+      |  JOIN (SELECT DISTINCT unnest(ids) AS id FROM fin) c USING (id)),
+      |sel(rank, id, min_dist, ids) AS (
+      |  SELECT 1, (SELECT min(id) FROM m), CAST(NULL AS DOUBLE),
+      |    [(SELECT min(id) FROM m)]
+      |  UNION ALL
+      |  SELECT s.rank + 1, w.id, w.d, list_append(s.ids, w.id)
+      |  FROM sel s, LATERAL (
+      |    SELECT p.id, 1 - max(round(list_dot_product(p.nv, c.nv), 6)) AS d
+      |    FROM m p, m c
+      |    WHERE list_contains(s.ids, c.id) AND NOT list_contains(s.ids, p.id)
+      |    GROUP BY p.id ORDER BY d DESC, p.id LIMIT 1) w
+      |  WHERE s.rank < 6)
+      |SELECT rank AS center_rank, id AS vec_id, round(min_dist, 6) AS min_dist
+      |FROM sel""".stripMargin
+
   /** Temperature-scaled mixture plan
     * ([[graft.operators.Curation.mixturePlan]]): per-source sampling
     * weights `mass^(1/T)` renormalized (T = 2), plus integer document

@@ -91,6 +91,96 @@ class KCenterSpec extends SparkSpec {
     }
   }
 
+  private def selectBatch(rows: Seq[(Long, Seq[Float])], k: Int,
+      maxCandidates: Int = 100000, shards: Int = 0) =
+    SimilaritySearch.kCenterSelectBatch(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding", k,
+      maxCandidates, shards)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+  test("batch selection in one shard matches the sequential operator exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val seq = select(rows, 15).toSeq
+    val bat = selectBatch(rows, 15).toSeq // corpus fits: zero levels
+    assert(bat == seq, "single-shard batch must follow the exact greedy trajectory")
+  }
+
+  test("sharded batch selection replays the two-phase reference trajectory") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 90L).map { i =>
+      (i, Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val k = 5
+    val l = 4
+    def norm(v: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(_.toDouble / n)
+    }
+    val nv = rows.map { case (id, v) => id -> norm(v) }.toMap
+    def rdist(a: Long, b: Long): Double =
+      1.0 - BigDecimal(nv(a).zip(nv(b)).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference: exact Gonzalez inside each id%l shard, then exact
+    // Gonzalez over the union of shard candidates
+    def greedy(ids: Seq[Long], kk: Int): Seq[(Long, Option[Double])] = {
+      var sel = Vector((ids.min, Option.empty[Double]))
+      while (sel.size < math.min(kk, ids.size)) {
+        val chosen = sel.map(_._1).toSet
+        val (id, d) = ids.filterNot(chosen)
+          .map(id => id -> sel.map(c => rdist(id, c._1)).min)
+          .maxBy { case (id, d) => (d, -id) }
+        sel :+= ((id, Some(d)))
+      }
+      sel
+    }
+    val cand = (0L until l).flatMap(s =>
+      greedy(rows.map(_._1).filter(_ % l == s), k).map(_._1))
+    val want = greedy(cand, k)
+    val got = selectBatch(rows, k, maxCandidates = 2 * k, shards = l)
+    assert(got.map(_._2).toSeq == want.map(_._1),
+      s"got ${got.map(_._2).toSeq}, want ${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, _, gd), (_, wd)) =>
+      (gd, wd) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+        case (a, b) => assert(a == b)
+      }
+    }
+    // determinism across runs (shuffle order must not leak through)
+    assert(selectBatch(rows, k, maxCandidates = 2 * k, shards = l).toSeq
+      == got.toSeq)
+  }
+
+  test("batch selection reaches k=5000 (the sequential wall) in bounded rounds") {
+    // 12 000 deterministic unit vectors; the sequential operator would
+    // need 5 000 driver round-trips here — the batch path does 1 level
+    // (2 shards) plus one driver finish
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 12000L).map { i =>
+      (i, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val got = selectBatch(rows, k = 5000, maxCandidates = 10000)
+    assert(got.length == 5000)
+    assert(got.map(_._2).distinct.length == 5000, "centers must be distinct")
+    // greedy coverage radius is non-increasing along the trajectory
+    val ds = got.toSeq.sortBy(_._1).tail.flatMap(_._3)
+    assert(ds.sliding(2).forall(w => w(0) >= w(1) - 1e-12),
+      "selection distances must be non-increasing")
+  }
+
+  test("batch selection: corpus smaller than k stops early; zero vectors drop") {
+    val got = selectBatch(Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))), 5)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      selectBatch(Seq((0L, Seq(0f, 0f))), 2)
+    }
+  }
+
   test("the registered query returns k deterministic centers") {
     val a = Queries.all("q_diverse_subset")(spark, "/root/testdata/sf0.001")
       .collect().toSeq

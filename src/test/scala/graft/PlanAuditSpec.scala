@@ -133,6 +133,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // built (one TakeOrderedAndProject(1) row per round crossed the
       // driver — bounded by k, like the sketch pair matrix)
       "q_diverse_subset",
+      // final frame is the k-row center table the driver finish built
+      // off ≤maxCandidates collected shard survivors — bounded by
+      // construction (the corpus-sized work ran in the per-shard
+      // Gonzalez jobs at operator time)
+      "q_diverse_subset_batch",
       // the vocab-bounded (source, term) count table feeds four
       // derived aggregates and the keyness join — materialized once
       "q_distinctive_terms",
@@ -278,6 +283,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_source_divergence" -> 6,
       "q_zipf_slope" -> 2, // count agg + rank window (final agg reuses the window's partitioning)
       "q_diverse_subset" -> 0, // k-row driver-built center table (selection jobs ran at construction)
+      "q_diverse_subset_batch" -> 0, // k-row driver finish over collected shard candidates (the one groupByKey exchange ran at construction)
       "q_mixture_plan" -> 2, // corpus agg + the |sources|-row apportionment windows
       "q_group_percentiles_approx" -> 2, // sketch agg + bound-check agg (join side broadcasts)
       "q_salted_agg" -> 2, // salted partial + merge
