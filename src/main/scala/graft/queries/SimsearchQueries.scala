@@ -467,6 +467,112 @@ object SimsearchQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Graph ANN ([[SimilaritySearch.nswTopK]]): navigable-small-world
+    * beam search over per-cluster kNN graphs — the high-recall regime
+    * IVF probe counts can't serve cheaply. The SAME 16-cell iters=0
+    * coarse quantizer as [[simsearchIvf]] shards the corpus (so the
+    * two paths are probe-for-probe comparable), degree-4 symmetrized
+    * graphs, 12-bit-sketch Hamming entries, 6 rounds of beam 2, exact
+    * re-rank of the visited set. Fully deterministic (smallest-id
+    * centroids, sha-256 sketch planes, 6-dp sims, id tie-breaks), so
+    * the walk itself is oracled below, not just the output shape.
+    */
+  def simsearchNsw(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(
+      e, "vec_id", "embedding", k = 16, iters = 0)
+    SimilaritySearch.nswTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+      model, nprobe = 2, degree = 4, beam = 2, rounds = 6)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** DuckDB replay of the whole graph path: same iters=0 centroids
+    * and nearest-cell rule as the IVF oracle, the same symmetrized
+    * in-cell kNN edge table, the same 12-bit sha-256 entry sketches
+    * (seed 9176, Hamming-nearest entry, ties to the smaller id), the
+    * same expanding-beam recursion (top-2 NEW neighbors per round by
+    * 6-dp-rounded cosine then id, 6 rounds, per probed cell), and the
+    * same exact re-rank over everything visited.
+    */
+  val simsearchNswSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) > 0),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:9176:' || CAST(bb.b AS VARCHAR) || ':' ||
+      |          CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 12) AS bb(b) CROSS JOIN d),
+      |esigs AS (
+      |  SELECT n.vec_id,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS esig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id),
+      |assigned AS (SELECT n.vec_id, n.nv, e.esig,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n JOIN esigs e USING (vec_id)),
+      |knn AS (SELECT cell, src, dst FROM (
+      |    SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.cell, a.vec_id
+      |        ORDER BY round(list_dot_product(a.nv, b.nv), 6) DESC,
+      |                 b.vec_id) AS rn
+      |    FROM assigned a JOIN assigned b USING (cell)
+      |    WHERE a.vec_id <> b.vec_id)
+      |  WHERE rn <= 4),
+      |edges AS (SELECT DISTINCT cell, src, dst FROM (
+      |  SELECT cell, src, dst FROM knn
+      |  UNION ALL SELECT cell, dst AS src, src AS dst FROM knn)),
+      |q AS (SELECT n.vec_id AS query_id, n.nv AS qv, e.esig AS qesig
+      |  FROM n JOIN esigs e USING (vec_id) WHERE n.vec_id < 10),
+      |probes AS (SELECT q.query_id, q.qv, q.qesig, p.cell
+      |  FROM q, LATERAL (SELECT c.cell FROM cent c
+      |    ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell LIMIT 2) p),
+      |st(query_id, qv, cell, round, frontier, visited) AS (
+      |  SELECT p.query_id, p.qv, p.cell, 0, [w.node], [w.node]
+      |  FROM probes p, LATERAL (
+      |    SELECT a.vec_id AS node FROM assigned a WHERE a.cell = p.cell
+      |    ORDER BY bit_count(xor(p.qesig, a.esig)), a.vec_id LIMIT 1) w
+      |  UNION ALL
+      |  SELECT s.query_id, s.qv, s.cell, s.round + 1, w.newf,
+      |    list_concat(s.visited, w.newf)
+      |  FROM st s, LATERAL (
+      |    SELECT coalesce(list(dst ORDER BY sim DESC, dst),
+      |                    CAST([] AS BIGINT[])) AS newf FROM (
+      |      SELECT DISTINCT e.dst AS dst,
+      |        round(list_dot_product(s.qv, k2.nv), 6) AS sim
+      |      FROM edges e JOIN assigned k2
+      |        ON k2.vec_id = e.dst AND k2.cell = e.cell
+      |      WHERE e.cell = s.cell AND list_contains(s.frontier, e.src)
+      |        AND NOT list_contains(s.visited, e.dst)
+      |      ORDER BY sim DESC, dst LIMIT 2)) w
+      |  WHERE s.round < 6),
+      |vis AS (SELECT DISTINCT query_id, unnest(visited) AS node FROM (
+      |  SELECT query_id, cell, visited, row_number() OVER (
+      |    PARTITION BY query_id, cell ORDER BY round DESC) AS rn
+      |  FROM st) WHERE rn = 1),
+      |scored AS (SELECT v.query_id, v.node AS neighbor_id,
+      |    round(list_dot_product(qn.nv, cn.nv), 6) AS cos_sim
+      |  FROM vis v JOIN n qn ON qn.vec_id = v.query_id
+      |    JOIN n cn ON cn.vec_id = v.node
+      |  WHERE v.query_id <> v.node),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   val simsearchLshMultiProbeSql: String =
     """WITH n AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

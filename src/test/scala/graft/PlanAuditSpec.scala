@@ -104,6 +104,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // Rows never pass through the driver.
   private val checkpointQueries =
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
+      // NSW: the assigned corpus, edge table, probe set and visited
+      // walk state are all checkpoints; the final frame joins them
+      "q_simsearch_nsw",
       "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
       "q_lm_perplexity", "q_lm_perplexity_kn", "q_collocations",
       "q_dedup_incremental",
@@ -430,6 +433,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_simsearch_ivf" -> 1, // probe-cell equi-join + k-bounded agg
       "q_simsearch_ivfpq" -> 1,
       "q_simsearch_lsh" -> 2, // bucket group + k-bounded agg
+      "q_simsearch_nsw" -> 3, // pair-dedup distinct + probe distinct + rank window, ALL over query-bounded frames (corpus sides ride broadcasts; walk exchanges ran at construction)
       // same shape; only the broadcast query side fans out per probe
       "q_simsearch_lsh_mp" -> 2,
       "q_simsearch_pq" -> 1,
