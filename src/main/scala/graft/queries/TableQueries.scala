@@ -47,6 +47,114 @@ object TableQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** CHECK constraints end to end
+    * ([[VersionedTable.addConstraint]]): half of orders commits, the
+    * `o_totalprice > 0` gate installs (after its validation scan),
+    * the other half appends THROUGH the gate, a poisoned append and a
+    * poisoned merge both die with [[VersionedTable.ConstraintViolationException]]
+    * — committing NOTHING — and a clean merge lands. The final
+    * aggregate hash-matches DuckDB replaying only the writes that
+    * were allowed through: if either refused write had leaked a
+    * single row (or the refusals had torn anything), the hash breaks.
+    */
+  def tableConstraint(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_constraint")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 0)
+      .repartition(4), root, statsColumns = Seq("*"))
+    VersionedTable.addConstraint(s, root, "price_pos", "o_totalprice > 0")
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 1)
+      .repartition(4), root)
+    try {
+      VersionedTable.commit(orders.limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_totalprice", -col("o_totalprice")), root)
+      throw new IllegalStateException("poisoned append was admitted")
+    } catch { case _: VersionedTable.ConstraintViolationException => () }
+    try {
+      VersionedTable.merge(s, root,
+        orders.orderBy("o_orderkey").limit(1)
+          .withColumn("o_totalprice", lit(-1.0)), Seq("o_orderkey"))
+      throw new IllegalStateException("poisoned merge was admitted")
+    } catch { case _: VersionedTable.ConstraintViolationException => () }
+    VersionedTable.merge(s, root,
+      orders.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    VersionedTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+
+  /** DESCRIBE HISTORY under the oracle ([[VersionedTable.history]]):
+    * a scripted mutation sequence — bulk load, append, a CHECK
+    * constraint install, a predicate DELETE, a vectored delete, a
+    * column rename and an OPTIMIZE — then the commit log read back as
+    * a DataFrame. The oracle recomputes every row/total delta
+    * directly from the source parquet, so a mis-attributed file, a
+    * lost row stat, or a delta diffed against the wrong predecessor
+    * breaks the hash. (Timestamps and file counts are real but
+    * machine-varying, so the oracled projection takes the stable
+    * row-metric columns; HistorySpec covers the rest.)
+    */
+  def tableHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_history")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1), root, statsColumns = Seq("*"))              // v0
+    VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 1)
+      .coalesce(1), root, statsColumns = Seq("*"))              // v1
+    VersionedTable.addConstraint(s, root, "price_pos",
+      "o_totalprice > 0")                                       // v2
+    VersionedTable.delete(s, root, col("o_orderkey") % 10 === 7) // v3
+    VersionedTable.deleteVectored(s, root,
+      col("o_orderkey") % 10 === 4)                             // v4
+    VersionedTable.renameColumn(s, root, "o_totalprice", "o_revenue") // v5
+    VersionedTable.compact(s, root, targetPartitions = 1)       // v6
+    VersionedTable.history(s, root)
+      .select("version", "operation", "rows_added", "rows_removed",
+        "total_rows", "dv_dead_rows", "constraint_count")
+  }
+
+  val tableHistorySql: String =
+    """WITH c AS (
+      |  SELECT count(*) FILTER (o_orderkey % 2 = 0) AS evens,
+      |    count(*) FILTER (o_orderkey % 2 = 1) AS odds,
+      |    count(*) FILTER (o_orderkey % 10 = 7) AS sevens,
+      |    count(*) FILTER (o_orderkey % 10 = 4) AS fours,
+      |    count(*) AS total
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+      |    evens AS rows_added, CAST(0 AS BIGINT) AS rows_removed,
+      |    evens AS total_rows, CAST(0 AS BIGINT) AS dv_dead_rows,
+      |    CAST(0 AS BIGINT) AS constraint_count FROM c
+      |  UNION ALL SELECT 1, 'append', odds, 0, total, 0, 0 FROM c
+      |  UNION ALL SELECT 2, 'constraint', 0, 0, total, 0, 1 FROM c
+      |  -- %10==7 keys are all ODD: the delete rewrites only the odds
+      |  -- file; the evens file has zero matches and never moves
+      |  UNION ALL SELECT 3, 'delete', odds - sevens, odds,
+      |    total - sevens, 0, 1 FROM c
+      |  UNION ALL SELECT 4, 'dvdelete', 0, 0, total - sevens, fours, 1
+      |    FROM c
+      |  UNION ALL SELECT 5, 'rename', 0, 0, total - sevens, fours, 1
+      |    FROM c
+      |  UNION ALL SELECT 6, 'compact', total - sevens - fours,
+      |    total - sevens, total - sevens - fours, 0, 1 FROM c)
+      |ORDER BY version""".stripMargin
+
+  val tableConstraintSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 1000 = 0
+      |    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY 1""".stripMargin
+
   /** Column mapping end to end: half of orders lands price-clustered,
     * `o_totalprice` is RENAMED to `o_revenue` (a metadata-only commit
     * — zero files move), the other half APPENDS under the new logical

@@ -151,7 +151,22 @@ object VersionedTable {
       // physical names of DROPPED columns: their bytes still sit in
       // old files, so a later added column may never reuse the name
       // (old data would silently read back as the new column)
-      droppedCols: Seq[String] = Nil)
+      droppedCols: Seq[String] = Nil,
+      // CHECK constraints (the Delta constraints role): name → SQL
+      // predicate over LOGICAL columns, enforced per row inside every
+      // data-adding stage write. SQL semantics: a row violates only
+      // when the predicate is strictly FALSE (NULL passes — add an
+      // IS NOT NULL constraint for NOT NULL columns). Carried forward
+      // by every commit, overwrite included.
+      constraints: Map[String, String] = Map.empty)
+
+  /** A staged write carried a row that falsifies a table CHECK
+    * constraint: the stage is deleted, NOTHING commits, and the
+    * message names the constraint and a sample row — the write-time
+    * gate that keeps one bad producer from poisoning a shared table.
+    */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** A compaction lost its rebase: a racing commit removed or replaced
     * files the compaction had read (overwrite, or another compaction of
@@ -253,17 +268,29 @@ object VersionedTable {
     val abs = new Path(commitsPath(root), ref.path).toString
     val cached = ckptCache.get(abs)
     if (cached != null) return cached
-    val rows = spark.read.parquet(abs)
-      .select("idx", "file", "stats").collect()
-      .sortBy(_.getLong(0))
-    val files = rows.map(_.getString(1)).toSeq
-    val stats = rows.flatMap { r =>
-      if (r.isNullAt(2)) None
-      else Some(r.getString(1) -> parseFileStats(r.getString(2)))
-    }.toMap
+    // STREAMED into the final structures (toLocalIterator over the
+    // idx-sorted frame — partition order = global order), never a
+    // collect(): at the 1M-entry scale point a Row[] intermediate
+    // would transiently double the driver footprint. What remains
+    // resident is the resolved body itself — ~1 GB per 1M files
+    // (file strings + parsed stats), the inherent cost of driver-side
+    // manifest resolution; VersionedTableCheckpointSpec pins the
+    // resolve-time bounds at 100k and 1M.
+    val it = spark.read.parquet(abs)
+      .select("idx", "file", "stats").orderBy("idx")
+      .toLocalIterator()
+    val files = Seq.newBuilder[String]
+    val stats = scala.collection.mutable.HashMap.empty[String, FileStats]
+    while (it.hasNext) {
+      val r = it.next()
+      val fl = r.getString(1)
+      files += fl
+      if (!r.isNullAt(2)) stats(fl) = parseFileStats(r.getString(2))
+    }
+    val resolved = (files.result(), stats.toMap)
     if (ckptCache.size > 8) ckptCache.clear()
-    ckptCache.put(abs, (files, stats))
-    (files, stats)
+    ckptCache.put(abs, resolved)
+    resolved
   }
 
   private[graft] def writeCheckpoint(spark: SparkSession, root: String,
@@ -343,6 +370,64 @@ object VersionedTable {
     commitInternal(df, root, overwrite, Some(writerId -> batchId), statsColumns)
   }
 
+  /** [[streamCommit]] for OFFSET-ADDRESSED sources (the Kafka seam):
+    * the batch's identity is not a monotone batchId but a set of
+    * per-topic-partition offset ranges `tp → [start, end)`. The
+    * manifest's txn map records one `"{writerId}:{tp}" → end` entry
+    * per partition, carried forward commit over commit, so:
+    *
+    *   - an at-least-once REPLAY of a committed range (every
+    *     partition's recorded end ≥ its range end) skips — returns
+    *     None, lands ZERO rows — including replays raced by a
+    *     concurrent retry (the judge re-runs inside the publish
+    *     retry loop against the fresh manifest);
+    *   - a MISALIGNED replay (a recorded end strictly inside a
+    *     range, or a batch where only SOME partitions are already
+    *     committed — impossible from an atomic commit, so it means
+    *     the source re-batched differently) refuses loudly instead
+    *     of guessing which rows are duplicates;
+    *   - crash-before-commit replays the whole batch and lands it
+    *     once, exactly like the batchId ledger.
+    *
+    * Environment note: no broker exists in this harness — the spec
+    * gates the ledger against a simulated offset source; wiring a
+    * real Kafka reader is `ranges = batch offsetRanges` and nothing
+    * else.
+    */
+  def streamCommitOffsets(
+      df: DataFrame, root: String, writerId: String,
+      ranges: Map[String, (Long, Long)],
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    require(!writerId.contains("\""), "writerId must not contain quotes")
+    require(ranges.nonEmpty, "offset commit needs at least one range")
+    ranges.foreach { case (tp, (s, e)) =>
+      require(s <= e, s"offset range for $tp inverted: [$s, $e)")
+      require(!tp.contains("\""), s"topic-partition must not contain quotes")
+    }
+    val keyed = ranges.map { case (tp, se) => s"$writerId:$tp" -> se }
+    def judge(mOpt: Option[Manifest]): Boolean = mOpt.exists { m =>
+      var done = 0
+      keyed.foreach { case (k, (s, e)) =>
+        m.txn.get(k).foreach { r =>
+          if (r > s && r < e) throw new IllegalStateException(
+            s"offset ledger for `$k` stands at $r, strictly inside the " +
+              s"replayed range [$s, $e) — the source re-batched a " +
+              "committed range differently; refusing to guess which " +
+              "rows are duplicates")
+          if (r >= e) done += 1
+        }
+      }
+      if (done != 0 && done != keyed.size) throw new IllegalStateException(
+        s"offset replay for `$writerId` is PARTIALLY committed " +
+          s"($done of ${keyed.size} partitions) — an atomic commit " +
+          "cannot produce this; the source re-batched across partitions")
+      done == keyed.size
+    }
+    commitInternal(df, root, overwrite = false, txn = None, statsColumns,
+      txnAll = keyed.map { case (k, (_, e)) => k -> e },
+      skipIf = judge)
+  }
+
   /** A `foreachBatch` body appending each micro-batch exactly once:
     * {{{ stream.writeStream.foreachBatch(VersionedTable.sink(root, "q1") _) }}}
     */
@@ -411,13 +496,17 @@ object VersionedTable {
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 100000L,
       bloomFpp: Double = 0.01,
-      partitionBy: Seq[String] = Nil): Option[Long] = {
+      partitionBy: Seq[String] = Nil,
+      txnAll: Map[String, Long] = Map.empty,
+      skipIf: Option[Manifest] => Boolean = _ => false): Option[Long] = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     f.mkdirs(commitsPath(root))
     // replay fast-path: skip before paying the stage write
     if (alreadyCommitted(spark, root, txn)) return None
+    if (skipIf(latestVersion(spark, root)
+        .map(v => manifest(spark, root, v)))) return None
     // the partition spec is a TABLE property: an append inherits the
     // predecessor's, may not contradict it, and only an overwrite may
     // change it (same rule as a schema type change)
@@ -479,7 +568,13 @@ object VersionedTable {
           "exact per-file bounds already prune point lookups")
     }
     val physCols = physName(effColMap) _
-    val (stageRel, staged) = stage(df, root, effParts, effColMap)
+    // CHECK constraints are a TABLE property: they survive overwrite
+    // (an overwrite whose schema breaks a predicate must drop the
+    // constraint first — loudly, via the analysis error)
+    val effConstraints: Map[String, String] =
+      prevMeta.map(_.constraints).getOrElse(Map.empty)
+    val (stageRel, staged) = stage(df, root, effParts, effColMap,
+      effConstraints)
     val stagedStats = withPartitionStats(
       collectStats(spark, root, staged, physSchema(df.schema, effColMap),
         if (statsColumns == Seq("*")) statsColumns
@@ -501,7 +596,20 @@ object VersionedTable {
           prevM.map(_.blooms).getOrElse(Map.empty), stagedBlooms),
       linkParts = _ => effParts,
       linkColMap = _ => effColMap,
-      linkDropped = _ => effDropped) { prevM =>
+      linkDropped = _ => effDropped,
+      linkConstraints = _ => effConstraints,
+      txnAll = txnAll, skipIf = skipIf) { prevM =>
+      // constraints drift: the staged rows were only checked against
+      // the PRE-STAGE constraint set; a racing addConstraint would
+      // otherwise let unchecked rows commit (applies to overwrite
+      // too — constraints survive it)
+      if (prevM.map(_.constraints).getOrElse(effConstraints)
+          != effConstraints) {
+        f.delete(new Path(rootP, stageRel), true)
+        throw new CompactionConflictException(
+          s"commit to $root raced a constraint change; rerun against " +
+            "the new snapshot")
+      }
       if (!overwrite) {
         // the staged layout was written against the PRE-STAGE latest's
         // partition spec / column map / dropped tombstones; a racing
@@ -559,18 +667,59 @@ object VersionedTable {
     * subdirectories under the stage dir and the returned rels carry
     * the partition segments (`data/c<token>/p=5/part-*.parquet`).
     */
+  /** `df` with every CHECK constraint enforced PER ROW, inside the
+    * consuming job itself (no second pass, no extra evaluation of a
+    * non-deterministic source): a violating row trips `raise_error`
+    * while the stage write scans it, the job dies, and [[stage]]
+    * translates the marker into [[ConstraintViolationException]].
+    * SQL CHECK semantics — only a strictly-FALSE predicate violates.
+    */
+  private def withConstraintGuard(df: DataFrame,
+      constraints: Map[String, String], root: String): DataFrame =
+    if (constraints.isEmpty) df
+    else constraints.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (nme, pred)) =>
+        d.filter(
+          when(expr(pred) <=> lit(false),
+            raise_error(concat(
+              lit(s"$ConstraintMarker CHECK `$nme` ($pred) violated by "),
+              to_json(struct(df.columns.toSeq.map(col): _*)),
+              lit(s" staged into $root"))).isNotNull)
+            .otherwise(lit(true)))
+    }
+
+  private val ConstraintMarker = "graft-constraint:"
+
+  private def constraintCause(e: Throwable): Option[String] = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && m.contains(ConstraintMarker))
+        return Some(m.substring(m.indexOf(ConstraintMarker)))
+      t = t.getCause
+    }
+    None
+  }
+
   private def stage(df: DataFrame, root: String,
       partitionBy: Seq[String] = Nil,
-      colMap: Map[String, String] = Map.empty): (String, Seq[String]) = {
+      colMap: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): (String, Seq[String]) = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val stageRel = s"data/c$token"
     val stageP = new Path(rootP, stageRel)
-    val w = toPhysicalDf(df, colMap).write.mode(SaveMode.ErrorIfExists)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val w = toPhysicalDf(withConstraintGuard(df, constraints, root), colMap)
+      .write.mode(SaveMode.ErrorIfExists)
+    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stageP.toString)
+    catch {
+      case e: Throwable if constraintCause(e).isDefined =>
+        f.delete(stageP, true)
+        throw new ConstraintViolationException(constraintCause(e).get)
+    }
     val prefix = f.makeQualified(stageP).toString + "/"
     val it = f.listFiles(stageP, true)
     val staged = Iterator.continually(it)
@@ -723,6 +872,135 @@ object VersionedTable {
     }.getOrElse(throw new IllegalStateException("widen cannot replay"))
   }
 
+  /** Install CHECK constraint `name` (a SQL predicate over logical
+    * columns) — a METADATA-ONLY commit (mode `constraint`) after ONE
+    * validation scan proving the EXISTING data satisfies it (zone-map
+    * pruned like any predicate read; Delta's ADD CONSTRAINT does the
+    * same). From this commit on, every data-adding write (append,
+    * overwrite, merge, replaceWhere, stream commit) enforces the
+    * predicate per row inside its stage job and dies with
+    * [[ConstraintViolationException]] — nothing commits — on the
+    * first violating row. SQL CHECK semantics: NULL passes; pair with
+    * `col IS NOT NULL` for NOT NULL columns. Racing commits conflict
+    * (they staged against the old constraint set). Returns the
+    * committed version.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      predicate: String): Long = {
+    require(TagName.matches(name), s"constraint: invalid name `$name`")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    require(!m.constraints.contains(name),
+      s"constraint `$name` already exists (drop it first to replace)")
+    val bad = readWhere(spark, root, expr(predicate) <=> lit(false),
+      version = Some(v)).limit(1).collect()
+    if (bad.nonEmpty) throw new ConstraintViolationException(
+      s"$ConstraintMarker cannot add CHECK `$name` ($predicate) to " +
+        s"$root: existing row violates it: ${bad.head}")
+    publish(spark, root, Nil, Map.empty, mode = "constraint",
+      schemaJsonOf = () => m.schemaJson.getOrElse(
+        throw new java.io.IOException(s"snapshot of $root has no schema")),
+      txn = None,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => m.colMap,
+      linkDropped = _ => m.droppedCols,
+      linkConstraints = _ => m.constraints + (name -> predicate)) { prevM =>
+      // the validation scan read v's data: any racing DATA change may
+      // have added a violating row this commit would then bless
+      if (prevM.map(_.files) != Some(m.files) ||
+          prevM.exists(_.dvs != m.dvs)) throw
+        new CompactionConflictException(
+          s"addConstraint on $root@v$v raced a data change; rerun")
+      (prevM.map(_.files).getOrElse(Nil),
+        prevM.map(_.stats).getOrElse(Map.empty))
+    }.getOrElse(throw new IllegalStateException("constraint cannot replay"))
+  }
+
+  /** Remove CHECK constraint `name` — metadata-only, never fails on
+    * data. Returns the committed version.
+    */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val m = manifest(spark, root, v)
+    require(m.constraints.contains(name),
+      s"no constraint `$name` on $root (have: " +
+        s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+    publish(spark, root, Nil, Map.empty, mode = "constraint",
+      schemaJsonOf = () => m.schemaJson.getOrElse(
+        throw new java.io.IOException(s"snapshot of $root has no schema")),
+      txn = None,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => m.colMap,
+      linkDropped = _ => m.droppedCols,
+      linkConstraints = _ => m.constraints - name) { prevM =>
+      (prevM.map(_.files).getOrElse(Nil),
+        prevM.map(_.stats).getOrElse(Map.empty))
+    }.getOrElse(throw new IllegalStateException("constraint cannot replay"))
+  }
+
+  /** The table's live CHECK constraints, name → predicate. */
+  def constraintsOf(spark: SparkSession, root: String): Map[String, String] =
+    latestVersion(spark, root)
+      .map(v => manifest(spark, root, v).constraints)
+      .getOrElse(Map.empty)
+
+  /** DESCRIBE HISTORY — the commit log as a DataFrame, one row per
+    * RETAINED version (vacuumed history is simply absent): operation,
+    * in-commit timestamp, file/row deltas and running totals, all
+    * read off the manifests the table already keeps — no data file
+    * opens. Row metrics are null when a commit carried no per-file
+    * row stats (commit with `statsColumns` to get them), and the
+    * delta columns are null for the oldest retained version when its
+    * predecessor was vacuumed (nothing to diff against).
+    *
+    * Driver-bounded by construction: one row per retained version —
+    * retention (vacuum's keepVersions + tags) caps it, exactly like
+    * Delta's DESCRIBE HISTORY.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val dir = commitsPath(root)
+    val f = fs(spark, new Path(root))
+    val versions: Seq[Long] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .sorted
+    val ms = versions.map(v => v -> manifest(spark, root, v)).toMap
+    def rowsOf(m: Manifest, rels: Seq[String]): Option[Long] = {
+      val rs = rels.map(rel => m.stats.get(rel).map(_.rows).filter(_ >= 0L))
+      if (rs.isEmpty) Some(0L)
+      else if (rs.exists(_.isEmpty)) None
+      else Some(rs.flatten.sum)
+    }
+    val rows = versions.map { v =>
+      val m = ms(v)
+      val prev = ms.get(v - 1)
+      val prevFiles = prev.map(_.files).getOrElse(Nil)
+      val known = v == 0L || prev.nonEmpty
+      val added = if (known) Some(m.files.filterNot(prevFiles.toSet)) else None
+      val removed =
+        if (known) Some(prevFiles.filterNot(m.files.toSet)) else None
+      (v, m.mode,
+        if (m.ts > 0L) Some(new java.sql.Timestamp(m.ts)) else None,
+        added.map(_.size.toLong), removed.map(_.size.toLong),
+        added.flatMap(a => rowsOf(m, a)),
+        if (v == 0L) Some(0L)
+        else removed.flatMap(r => prev.flatMap(p => rowsOf(p, r))),
+        m.files.size.toLong, rowsOf(m, m.files),
+        m.dvs.values.map(_.dead).sum,
+        m.txn.size.toLong, m.constraints.size.toLong)
+    }
+    rows.toDF("version", "operation", "commit_ts", "files_added",
+      "files_removed", "rows_added", "rows_removed", "total_files",
+      "total_rows", "dv_dead_rows", "txn_writers", "constraint_count")
+  }
+
   /** Drop logical column `name` — a METADATA-ONLY commit (mode
     * `drop`): the manifest schema loses the field and the physical
     * name lands on the dropped-tombstone list; no data file moves
@@ -870,7 +1148,20 @@ object VersionedTable {
         prevM => prevM.map(_.colMap).getOrElse(Map.empty),
       // dropped-column tombstones: carried forward by default
       linkDropped: Option[Manifest] => Seq[String] =
-        prevM => prevM.map(_.droppedCols).getOrElse(Nil))(
+        prevM => prevM.map(_.droppedCols).getOrElse(Nil),
+      // CHECK constraints: carried forward by default (overwrite
+      // included — they are a TABLE property); add/dropConstraint
+      // rewrite them
+      linkConstraints: Option[Manifest] => Map[String, String] =
+        prevM => prevM.map(_.constraints).getOrElse(Map.empty),
+      // multi-entry writer-progress records (the offset-range ledger
+      // writes one entry per topic-partition) — merged after `txn`
+      txnAll: Map[String, Long] = Map.empty,
+      // replay judge beyond the single-entry `txn` check: evaluated
+      // against the FRESH latest on every retry; true = this batch
+      // already landed, skip (stage deleted). May throw to refuse a
+      // torn/misaligned replay loudly.
+      skipIf: Option[Manifest] => Boolean = _ => false)(
       link: Option[Manifest] => (Seq[String], Map[String, FileStats]))
       : Option[Long] = {
     val rootP = new Path(root)
@@ -886,7 +1177,8 @@ object VersionedTable {
       // race-safe replay check: a concurrent retry of the SAME batch
       // may have published while we staged
       if (txn.exists { case (wid, bid) =>
-          prevM.exists(_.txn.get(wid).exists(_ >= bid)) }) {
+          prevM.exists(_.txn.get(wid).exists(_ >= bid)) } ||
+          skipIf(prevM)) {
         stageDir.foreach(f.delete(_, true)) // our staged copy is the duplicate
         return None
       }
@@ -894,7 +1186,8 @@ object VersionedTable {
       val (files, stats) = link(prevM)
       // writer progress is metadata about the STREAM, not the data:
       // it survives an overwrite commit
-      val txnMap = prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
+      val txnMap =
+        prevM.map(_.txn).getOrElse(Map.empty) ++ txn.toMap ++ txnAll
       // in-commit timestamp, clamped strictly increasing against the
       // predecessor: versionAsOf stays monotone even under writer
       // clock skew or object-store rename-as-copy mtimes
@@ -907,7 +1200,8 @@ object VersionedTable {
           // extend the predecessor's delta chain when one exists
           ckpt = prevM.flatMap(_.ckpt),
           colMap = linkColMap(prevM),
-          droppedCols = linkDropped(prevM)))
+          droppedCols = linkDropped(prevM),
+          constraints = linkConstraints(prevM)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(commitsPath(root), s".v$next-$token.json.tmp")
       val out = f.create(tmp, true)
@@ -1613,9 +1907,15 @@ object VersionedTable {
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap)
+    // a statted table KEEPS its stats through OPTIMIZE (same fallback
+    // as delete/merge/compactFiles) — compacting must never silently
+    // disable pruning and the metadata COUNT(*)
+    val keepStats =
+      if (statsColumns.nonEmpty) statsColumns
+      else if (m.stats.nonEmpty) Seq("*") else Nil
     val stagedStats = withPartitionStats(
       collectStats(spark, root, staged, physSchema(snapshot.schema, m.colMap),
-        mapStatsCols(statsColumns, m.colMap), m.partitionBy),
+        mapStatsCols(keepStats, m.colMap), m.partitionBy),
       staged, m.partitionBy, snapshot.schema)
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
@@ -2229,7 +2529,8 @@ object VersionedTable {
       else out
         .repartitionByRange(touched.size + 1, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap)
+    val (stageRel, staged) = stage(arranged, root, m.partitionBy, m.colMap,
+      m.constraints)
     val stagedStats = withPartitionStats(
       collectStats(spark, root, staged, physSchema(out.schema, m.colMap),
         mapStatsCols(keepStats, m.colMap), m.partitionBy),
@@ -2239,6 +2540,13 @@ object VersionedTable {
     publish(spark, root, staged, stagedStats, mode = "merge",
       schemaJsonOf = () => schema.json, txn = txn) { prevM =>
       val prevFiles = prevM.map(_.files).getOrElse(Nil)
+      if (prevM.map(_.constraints).getOrElse(m.constraints)
+          != m.constraints) {
+        f.delete(new Path(new Path(root), stageRel), true)
+        throw new CompactionConflictException(
+          s"merge into $root@v$v raced a constraint change; rerun " +
+            "against the new snapshot")
+      }
       if (!removedSet.subsetOf(prevFiles.toSet) ||
           dvsChanged(m, prevM, candidates)) {
         f.delete(new Path(new Path(root), stageRel), true)
@@ -2341,7 +2649,8 @@ object VersionedTable {
     val out: DataFrame =
       if (rewrite.isEmpty) repl
       else readFilesLive(spark, root, m, rewrite).filter(!hit).unionByName(repl)
-    val (stageRel, staged) = stage(out, root, m.partitionBy, m.colMap)
+    val (stageRel, staged) = stage(out, root, m.partitionBy, m.colMap,
+      m.constraints)
     val stagedStats = withPartitionStats(
       collectStats(spark, root, staged, physSchema(out.schema, m.colMap),
         mapStatsCols(keepStats, m.colMap), m.partitionBy),
@@ -2588,7 +2897,8 @@ object VersionedTable {
     val schemas = ((fromVersion + 1) to toVersion).flatMap { v =>
       val cur = manifests(v)
       cur.mode match {
-        case "compact" | "stats" | "rename" | "drop" | "widen" => Nil
+        case "compact" | "stats" | "rename" | "drop" | "widen"
+          | "constraint" => Nil
         case "append" | "dvdelete" => cur.schemaJson.toSeq
         case _ => // delete/merge/replace/overwrite read v-1 before-images
           cur.schemaJson.toSeq ++
@@ -2606,7 +2916,8 @@ object VersionedTable {
       cur.mode match {
         // data-identical by contract (rename/drop/widen ranges are
         // additionally refused by the schema-stability guard above)
-        case "compact" | "stats" | "rename" | "drop" | "widen" => None
+        case "compact" | "stats" | "rename" | "drop" | "widen"
+          | "constraint" => None
         case "append" =>
           val added = cur.files.filterNot(prevFiles.toSet)
           if (added.isEmpty) None
@@ -3039,6 +3350,12 @@ object VersionedTable {
       val dc = root.putArray("droppedCols")
       m.droppedCols.sorted.foreach(dc.add)
     }
+    if (m.constraints.nonEmpty) {
+      val cs = root.putObject("constraints")
+      m.constraints.toSeq.sortBy(_._1).foreach { case (nme, p) =>
+        cs.put(nme, p)
+      }
+    }
     m.schemaJson.foreach { sj =>
       root.set[ObjectNode]("schema", mapper.readTree(sj)); ()
     }
@@ -3140,7 +3457,9 @@ object VersionedTable {
       ckpt = ckpt,
       colMap = fields(n.get("colMap"))
         .map { case (l, p) => l -> p.asText() }.toMap,
-      droppedCols = strArr("droppedCols")), delta)
+      droppedCols = strArr("droppedCols"),
+      constraints = fields(n.get("constraints"))
+        .map { case (nme, p) => nme -> p.asText() }.toMap), delta)
   }
 
   /** Legacy entry point for self-contained JSONs (specs); a delta

@@ -92,7 +92,8 @@ object ChangeFeedStream {
     // names on a follower that has not mirrored the rename — wedging
     // the feed on a batch that carries no rows. Driver-side manifest
     // modes decide; zero data jobs run.
-    val dataIdentical = Set("compact", "stats", "rename", "drop", "widen")
+    val dataIdentical =
+      Set("compact", "stats", "rename", "drop", "widen", "constraint")
     if (((from + 1) to to).forall(v =>
         dataIdentical(VersionedTable.manifest(spark, sourceRoot, v).mode))) {
       val advanced = VersionedTable.streamCommit(

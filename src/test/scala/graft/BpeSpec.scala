@@ -69,6 +69,47 @@ class BpeSpec extends SparkSpec {
     assert(b <= a)
   }
 
+  test("collected and distributed training produce identical merges") {
+    // a richer corpus (distinct frequencies, shared stems) so the two
+    // paths face real tie-breaks and incremental-count updates
+    val rich = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim, ("newest " * 6).trim,
+      ("widest " * 3).trim, ("lowest " * 4).trim, ("newer " * 7).trim,
+      ("wider " * 2).trim, ("news " * 5).trim).toDF("text")
+    val local = Bpe.train(rich, "text", numMerges = 24)
+    val dist = Bpe.train(rich, "text", numMerges = 24, collectThreshold = 0L)
+    assert(local.merges.nonEmpty && local.merges.length >= 20)
+    assert(local.merges === dist.merges,
+      "the in-memory loop must replay the distributed trajectory exactly")
+    // minCount parity too (the heap-top early stop vs the filter)
+    val l3 = Bpe.train(rich, "text", numMerges = 24, minCount = 5L)
+    val d3 = Bpe.train(rich, "text", numMerges = 24, minCount = 5L,
+      collectThreshold = 0L)
+    assert(l3.merges === d3.merges)
+  }
+
+  test("the collected path runs O(1) Spark jobs regardless of merge count") {
+    val rich = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim, ("newest " * 6).trim,
+      ("widest " * 3).trim, ("lowest " * 4).trim, ("newer " * 7).trim,
+      ("wider " * 2).trim, ("news " * 5).trim).toDF("text")
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-local-gate", "bpe job-count gate")
+    val m = try Bpe.train(rich, "text", numMerges = 24)
+    finally sc.clearJobGroup()
+    assert(m.merges.length >= 20)
+    // listener-fed tracker: give the bus a beat to drain
+    var jobs = -1
+    var tries = 0
+    while (tries < 50 &&
+        { jobs = sc.statusTracker.getJobIdsForGroup("bpe-local-gate").length
+          jobs == 0 }) { Thread.sleep(100); tries += 1 }
+    // word-table build + count + collect — a handful of jobs, versus
+    // >= 2 per merge on the distributed path (the r16 'weak at scale')
+    assert(jobs > 0 && jobs <= 8,
+      s"collected BPE training ran $jobs jobs for 24 merges")
+  }
+
   test("minCount stops training when no pair is frequent enough") {
     val tiny = Seq("ab").toDF("text")
     val m = Bpe.train(tiny, "text", numMerges = 10, minCount = 2L)

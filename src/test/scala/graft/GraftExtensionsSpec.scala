@@ -56,6 +56,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_compression_ratio(repeat('ab', 200)) AS c")
         .head().getDouble(0)
       assert(cr > 0.0 && cr < 0.2, s"repetitive text must compress hard: $cr")
+
+      // ---- TABLE functions: the PySpark/SQL driving surface --------
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ext_vt").toString + "/t"
+      graft.sources.VersionedTable.commit(
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), root,
+        statsColumns = Seq("*"))
+      graft.sources.VersionedTable.commit(
+        Seq((3L, 30L)).toDF("id", "v"), root, statsColumns = Seq("*"))
+      assert(spark.sql(
+        s"SELECT id FROM graft_table_snapshot('$root') ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(spark.sql(
+        s"SELECT id FROM graft_table_snapshot('$root', 0) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(spark.sql(
+        s"SELECT id, _change_type FROM graft_table_changes('$root', 0, 1)")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((3L, "insert")))
+      assert(spark.sql(
+        s"SELECT version, operation, total_rows FROM " +
+          s"graft_table_history('$root') ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq === Seq((0L, "append", 2L), (1L, "append", 3L)))
+      // the SCD pipeline from pure SQL, against the reference inputs
+      val inp = java.nio.file.Files
+        .createTempDirectory("graft_ext_scd").toString
+      val refIn = new java.io.File("/root/reference/data/input")
+      if (refIn.isDirectory) {
+        refIn.listFiles().filter(_.getName.endsWith(".csv")).foreach(f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(inp, f.getName)))
+        val all = spark.sql(
+          s"SELECT * FROM graft_scd_employee_all('$inp')")
+        assert(all.count() === 494L)
+        assert(all.columns.contains("change_status"))
+        val cur = spark.sql(
+          s"SELECT * FROM graft_scd_employee_current('$inp')")
+        assert(cur.count() === 50L)
+      }
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

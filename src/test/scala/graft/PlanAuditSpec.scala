@@ -132,6 +132,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // the vocab-bounded unigram count table feeds the self-join,
       // vocab sizes and totals — materialized once, executor-resident
       "q_source_divergence",
+      // the commit-log frame: one driver-built row per RETAINED
+      // version (vacuum retention caps it) off manifests the driver
+      // already parses — no data file opens, like DESCRIBE HISTORY
+      "q_table_history",
       // final frame is the k-row center table the greedy traversal
       // built (one TakeOrderedAndProject(1) row per round crossed the
       // driver — bounded by k, like the sketch pair matrix)
@@ -688,6 +692,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_table_rename" -> 1,
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
+      // plain snapshot read + ONE rollup exchange; the constraint
+      // installs, gated appends/merges and refusals all ran at
+      // table-build time
+      "q_table_constraint" -> 1,
+      // retention-bounded driver-built commit-log rows (the scripted
+      // table mutations ran at build time)
+      "q_table_history" -> 0,
       // checkpoint-resolved pruned read + ONE rollup exchange; the
       // log churn (5 appends, delete, checkpoint writes) at build time
       "q_table_ckpt" -> 1,

@@ -60,7 +60,7 @@ class VersionedTableModelSpec extends SparkSpec {
       var nextId = 1000L
 
       (1 to StepsPerSeed).foreach { step =>
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(12)
         val ids = model.keys.toSeq.sorted
         def someId(): Long =
           if (ids.isEmpty) 0L else ids(rnd.nextInt(ids.size))
@@ -131,6 +131,17 @@ class VersionedTableModelSpec extends SparkSpec {
             val lo = someId()
             VersionedTable.compactWhere(spark, root,
               col("id") >= lo && col("id") < lo + 10L)
+          case 11 => // CHECK constraint round trip: install (every
+            // committed value satisfies it), refuse a poisoned
+            // append — which must commit NOTHING — then drop
+            VersionedTable.addConstraint(spark, root, "v_nonneg", "v >= 0")
+            intercept[VersionedTable.ConstraintViolationException] {
+              VersionedTable.commit(Seq((nextId, -5L)).toDF("id", "v"),
+                root, statsColumns = Seq("*"))
+            }
+            assert(snapshot(root) === model,
+              s"seed $seed step $step: refused write leaked rows")
+            VersionedTable.dropConstraint(spark, root, "v_nonneg")
         }
         val got = snapshot(root)
         assert(got === model,
@@ -146,6 +157,12 @@ class VersionedTableModelSpec extends SparkSpec {
       // end of sequence: a full compact + vacuum leaves a clean,
       // exportable table that still equals the model
       VersionedTable.compact(spark, root, targetPartitions = 2)
+      // the commit log agrees with the model where stats are known
+      val hist = VersionedTable.history(spark, root)
+        .orderBy(col("version").desc).limit(1).collect().head
+      if (!hist.isNullAt(hist.fieldIndex("total_rows")))
+        assert(hist.getAs[Long]("total_rows") === model.size.toLong,
+          s"seed $seed: history total_rows diverged")
       VersionedTable.vacuum(spark, root, keepVersions = 1)
       assert(snapshot(root) === model, s"seed $seed: post-vacuum divergence")
       VersionedTable.exportSnapshot(spark, root)
