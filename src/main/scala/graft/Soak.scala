@@ -74,7 +74,17 @@ object Soak {
     // pipeline and the deletion-vector path (position scan, sidecar
     // write, anti-join read, compact purge) — the takedown/upsert
     // story at scale is these two staying linear
-    "q_table_merge", "q_table_dv")
+    "q_table_merge", "q_table_dv",
+    // the r17 additions: the write-time CHECK gate (install scan +
+    // two gated bulk writes + a refused append/merge pair), the
+    // commit-log frame over a 7-commit mutation script, and the
+    // sharded k-center reduction (per-shard Gonzalez is O(k·n_shard),
+    // linear in the corpus at pinned shards) — each must stay linear.
+    // q_simsearch_nsw is deliberately NOT soaked: its in-cell kNN
+    // build is quadratic at FIXED cell count — the operator's
+    // contract is cells ≈ √n, which the oracle pins at fixture scale
+    // (see nswTopK's scaladoc), the same exclusion as q_bitext_mine
+    "q_table_constraint", "q_table_history", "q_diverse_subset_batch")
 
   /** The second scale point (default 20×) for the iterative graph
     * pair: k-core peel depth can grow with the scaled graph's

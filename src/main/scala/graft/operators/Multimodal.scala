@@ -72,8 +72,16 @@ object Multimodal {
     * is the contract (never a silent wrong frame).
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) =
-    throw new UnsupportedOperationException(
-      "video codec not available in this build; use fakeDecode for tests")
+    // r17: the seam is OPERATIONAL, not just documented — when a
+    // deployment carries ffmpeg/ffprobe (PATH or config), general
+    // codecs decode through [[FfmpegShim]]; without them this stays
+    // the loud contract (the shim's refusal names the knobs), and
+    // fakeDecode remains the deterministic test double
+    if (FfmpegShim.available) FfmpegShim.probe(payload)
+    else throw new UnsupportedOperationException(
+      "video codec not available in this build (and no ffmpeg/ffprobe " +
+        "shim found — see FfmpegShim for the PATH/config knobs); use " +
+        "fakeDecode for tests")
 
   /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
     * ship with the JVM — no external dependency). Reads ONLY the header
