@@ -374,19 +374,39 @@ object SimilaritySearch {
       beam: Int = 2,
       rounds: Int = 6,
       entryBits: Int = 12): DataFrame = {
-    require(k >= 1 && degree >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
-    require(entryBits >= 1 && entryBits <= 62)
+    val (nodes, edges) = nswIndex(candidates, idCol, vecCol, model,
+      degree, entryBits)
+    nswSearchIndex(queries, nodes, edges, idCol, vecCol, model, k,
+      nprobe, beam, rounds, entryBits)
+  }
+
+  private def nswEsig(vec: Column, entryBits: Int): Column =
+    NativeVector.hyperplaneSig(vec, entryBits, seed = 9176L)
+
+  /** Build the REUSABLE half of [[nswTopK]]: the assigned + sketched
+    * node table `(bucket, neighbor_id, c_vec, esig)` and the
+    * symmetrized per-cell kNN edge table `(bucket, src, dst)` — both
+    * checkpointed. Build once per corpus version, [[nswSave]] it, and
+    * amortize over query batches ([[nswSearchIndex]]); `entryBits`
+    * must match between build and search (the sketch seed is fixed).
+    */
+  def nswIndex(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      degree: Int = 4,
+      entryBits: Int = 12): (DataFrame, DataFrame) = {
+    require(degree >= 1 && entryBits >= 1 && entryBits <= 62)
     // the ENTRY sketch: a finer independent SRP signature stored with
     // each node; the walk enters a shard at the node whose sketch is
     // Hamming-closest to the query's — index METADATA bit-ops, zero
     // vector-distance evaluations
-    def esig(vec: Column) =
-      NativeVector.hyperplaneSig(vec, entryBits, seed = 9176L)
     val c = IvfIndex.assign(candidates, idCol, vecCol, model)
       .select(col("id").as("neighbor_id"), col("nv").as("c_vec"),
-        esig(col("nv")).as("esig"), col("cell").as("bucket"))
+        nswEsig(col("nv"), entryBits).as("esig"), col("cell").as("bucket"))
       .localCheckpoint()
-    // ---- index: symmetrized exact kNN graph inside each shard
+    // symmetrized exact kNN graph inside each shard
     val l = c.select(col("bucket"), col("neighbor_id").as("src"),
       col("c_vec").as("s_vec"))
     val r = c.select(col("bucket"), col("neighbor_id").as("dst"),
@@ -405,6 +425,72 @@ object SimilaritySearch {
         col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    (c, edges)
+  }
+
+  /** Persist a built NSW index (the IvfIndex.save convention: atomic
+    * swap dir, centroids + node/edge tables PARTITIONED BY cell — a
+    * search that probes nprobe of k cells prunes the rest at the
+    * scan).
+    */
+  def nswSave(nodes: DataFrame, edges: DataFrame, model: IvfIndex.Model,
+      dir: String): Unit = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = graft.sources.AtomicDir.tmpPath(dest)
+    fs.delete(tmp, true)
+    model.centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "centroids").toString)
+    nodes.write.mode("overwrite").partitionBy("bucket")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "nodes").toString)
+    edges.write.mode("overwrite").partitionBy("bucket")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
+    graft.sources.AtomicDir.commit(fs, dest)
+  }
+
+  /** Load a [[nswSave]]d index: (nodes, edges, model). The only
+    * driver-side materialization is the k-row centroid table.
+    */
+  def nswLoad(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, IvfIndex.Model) = {
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicDir.recover(fs, dest)
+    val centroids = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(dest, "centroids").toString)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, s"no centroids under $dir")
+    def withCell(name: String) = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(dest, name).toString)
+      .withColumn("bucket", col("bucket").cast("int"))
+    (withCell("nodes"), withCell("edges"), IvfIndex.Model(centroids))
+  }
+
+  /** Search a pre-built NSW index (reuse across query batches); same
+    * contract and trajectory as [[nswTopK]].
+    */
+  def nswSearchIndex(
+      queries: DataFrame,
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      k: Int,
+      nprobe: Int = 2,
+      beam: Int = 2,
+      rounds: Int = 6,
+      entryBits: Int = 12): DataFrame = {
+    require(k >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
+    require(entryBits >= 1 && entryBits <= 62)
+    val c = nodes
+    def esig(vec: Column) = nswEsig(vec, entryBits)
     // ---- search: probe the nprobe nearest cells, walk each graph
     val probes = IvfIndex.normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("nv").as("q_vec"),

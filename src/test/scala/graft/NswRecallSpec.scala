@@ -101,6 +101,27 @@ class NswRecallSpec extends SparkSpec {
       s"probing more cells can only raise recall: $wide < $narrow")
   }
 
+  test("a saved index reloads and searches identically (pruned by cell)") {
+    val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 16,
+      iters = 0)
+    val (nodes, edges) = SimilaritySearch.nswIndex(
+      corpus, "vec_id", "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString +
+      "/idx"
+    SimilaritySearch.nswSave(nodes, edges, model, dir)
+    val (n2, e2, m2) = SimilaritySearch.nswLoad(spark, dir)
+    val direct = SimilaritySearch.nswTopK(queries, corpus, "vec_id",
+      "embedding", k = 10, model, nprobe = 3).collect().toSeq
+    val loaded = SimilaritySearch.nswSearchIndex(queries, n2, e2,
+      "vec_id", "embedding", m2, k = 10, nprobe = 3).collect().toSeq
+    assert(loaded === direct,
+      "searching the reloaded index must replay the direct trajectory")
+    // the stored layout is cell-partitioned: a probe prunes the scan
+    val f = new java.io.File(dir + "/nodes")
+    assert(f.listFiles().exists(_.getName.startsWith("bucket=")),
+      "nodes must be partitioned by cell for scan pruning")
+  }
+
   test("output contract: ranks are dense per query, sims exact") {
     val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 16,
       iters = 0)
