@@ -522,10 +522,14 @@ object SimilaritySearch {
     // disk-resident graph store pays per traversal level (and a
     // stored cell-partitioned layout would prune those scans to the
     // probed cells)
+    // `visited` is a LAZY union of the per-round frontier checkpoints
+    // — each round adds one tiny, query-bounded checkpointed leaf and
+    // never a materialization job of its own, so the walk costs ONE
+    // job per round (the frontier checkpoint) instead of two; the
+    // frontier blocks stay alive for the union and free at session GC
+    // with the other index checkpoints.
     var round_ = 0
     while (round_ < rounds) {
-      val prevF = frontier
-      val prevV = visited
       val expanded = edges
         .join(broadcast(frontier.withColumnRenamed("node", "src")),
           Seq("bucket", "src"))
@@ -543,9 +547,7 @@ object SimilaritySearch {
         .filter(col("rn") <= beam)
         .select("query_id", "bucket", "node")
         .localCheckpoint()
-      visited = prevV.unionByName(frontier).localCheckpoint()
-      Blocks.drop(prevF)
-      Blocks.drop(prevV)
+      visited = visited.unionByName(frontier)
       round_ += 1
     }
     // ---- exact re-rank of everything visited (across probed shards)
