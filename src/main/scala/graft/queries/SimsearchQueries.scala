@@ -487,6 +487,30 @@ object SimsearchQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** The PERSISTED graph-index path ([[SimilaritySearch.nswSave]] /
+    * [[SimilaritySearch.nswLoad]] / [[SimilaritySearch.nswSearchIndex]]):
+    * the index builds once, round-trips through the cell-partitioned
+    * store (atomic swap dir), and the search runs off the RELOADED
+    * tables — it must hash-match the same oracle as the direct
+    * [[simsearchNsw]] path, so a lost edge, a mis-typed partition
+    * column, or a sketch that didn't survive the round trip breaks
+    * the driver gate.
+    */
+  def simsearchNswStored(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(
+      e, "vec_id", "embedding", k = 16, iters = 0)
+    val (nodes, edges) = SimilaritySearch.nswIndex(
+      e, "vec_id", "embedding", model, degree = 4, entryBits = 12)
+    val idxDir = StreamGateQueries.tempRoot("graft_q_nsw_idx") + "/idx"
+    SimilaritySearch.nswSave(nodes, edges, model, idxDir)
+    val (n2, e2, m2) = SimilaritySearch.nswLoad(s, idxDir)
+    SimilaritySearch.nswSearchIndex(
+      e.filter(col("vec_id") < 10), n2, e2, "vec_id", "embedding", m2,
+      k = 5, nprobe = 2, beam = 2, rounds = 6)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** DuckDB replay of the whole graph path: same iters=0 centroids
     * and nearest-cell rule as the IVF oracle, the same symmetrized
     * in-cell kNN edge table, the same 12-bit sha-256 entry sketches

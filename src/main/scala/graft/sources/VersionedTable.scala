@@ -259,9 +259,18 @@ object VersionedTable {
 
   // checkpoints are immutable once referenced — cache the parsed body
   // so repeated manifest() resolutions cost zero I/O (bounded: the
-  // handful of tables a driver touches; cleared wholesale when full)
-  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[String], Map[String, FileStats])]()
+  // handful of tables a driver touches; LRU-evicted past the cap so a
+  // session cycling many tables keeps its HOT checkpoints instead of
+  // dumping all of them at once)
+  private val CkptCacheMax = 8
+  private val ckptCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (Seq[String], Map[String, FileStats])](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, (Seq[String], Map[String, FileStats])]): Boolean =
+        size() > CkptCacheMax
+    })
 
   private[graft] def loadCheckpoint(spark: SparkSession, root: String,
       ref: CkptRef): (Seq[String], Map[String, FileStats]) = {
@@ -288,7 +297,6 @@ object VersionedTable {
       if (!r.isNullAt(2)) stats(fl) = parseFileStats(r.getString(2))
     }
     val resolved = (files.result(), stats.toMap)
-    if (ckptCache.size > 8) ckptCache.clear()
     ckptCache.put(abs, resolved)
     resolved
   }
