@@ -75,6 +75,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence the "WindowExec: No Partition Defined" warning: every
+    // unpartitioned window in this repo is DELIBERATE and bounded —
+    // the buckets-row histogram curve (CorpusGrowth), the
+    // |sensitive-domain| rank (Privacy.tCloseness), the |sources|-row
+    // apportionment (Curation.mixturePlan), and the opt-in SCD legacy
+    // lit(1) mode — all audited in PlanAuditSpec; the warning would
+    // read as a scale-killer to anyone skimming a 245-query log
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .setLevel(org.apache.log4j.Level.ERROR)
     spark
   }
 
