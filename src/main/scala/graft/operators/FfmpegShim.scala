@@ -74,8 +74,21 @@ object FfmpegShim {
 
   private def exec(cmd: Seq[String]): Array[Byte] = {
     val p = new ProcessBuilder(cmd: _*).start()
+    // Drain stderr CONCURRENTLY with stdout: ffmpeg on corrupt input
+    // can emit more than the OS pipe buffer (~64 KB) of diagnostics;
+    // a sequential stdout-then-stderr read deadlocks (process blocked
+    // writing stderr, exec blocked reading stdout).
+    val errBuf = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](
+      Array.emptyByteArray)
+    val drain = new Thread(() =>
+      try errBuf.set(p.getErrorStream.readAllBytes())
+      catch { case _: java.io.IOException => () },
+      "graft-ffmpeg-stderr-drain")
+    drain.setDaemon(true)
+    drain.start()
     val out = p.getInputStream.readAllBytes()
-    val err = new String(p.getErrorStream.readAllBytes(),
+    drain.join()
+    val err = new String(errBuf.get,
       java.nio.charset.StandardCharsets.UTF_8)
     val code = p.waitFor()
     if (code != 0) throw new java.io.IOException(

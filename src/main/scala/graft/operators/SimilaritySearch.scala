@@ -827,7 +827,11 @@ object SimilaritySearch {
     * log_{maxCandidates/k}(n/maxCandidates) — 3 levels cover a
     * trillion rows at the defaults. `shards` pins the FIRST level's
     * shard count (driver-deterministic twins and oracles want a fixed
-    * L); 0 derives every level from the live row count.
+    * L) up to the memory wall — a pin that would pack more than
+    * 4·maxCandidates rows into one task is raised to the safe count,
+    * so the trajectory contract holds only while
+    * n ≤ 4·maxCandidates·shards; 0 derives every level from the live
+    * row count.
     *
     * Trajectory contract: with everything in one shard (corpus ≤
     * maxCandidates, shards ≤ 1) the result is IDENTICAL to
@@ -853,7 +857,14 @@ object SimilaritySearch {
     var cnt = level.count()
     var li = shards
     while (cnt > maxCandidates || li > 1) {
-      val l = if (li > 1) li else math.max(2,
+      // a pinned first-level shard count holds the oracle trajectory,
+      // but never past the memory wall: each shard materializes in one
+      // executor task, so once the pin would pack more than 4x the
+      // documented ~maxCandidates-row footprint into a task the count
+      // is raised — a small pinned `shards` against a huge corpus must
+      // degrade to more shards, not an executor OOM
+      val l = if (li > 1) math.max(li, math.ceil(
+        cnt.toDouble / (4.0 * maxCandidates)).toInt) else math.max(2,
         math.ceil(cnt.toDouble / maxCandidates).toInt)
       li = 0 // the pinned shard count applies to the FIRST level only
       val prev = level

@@ -412,7 +412,15 @@ object VersionedTable {
       require(s <= e, s"offset range for $tp inverted: [$s, $e)")
       require(!tp.contains("\""), s"topic-partition must not contain quotes")
     }
-    val keyed = ranges.map { case (tp, se) => s"$writerId:$tp" -> se }
+    // Kafka micro-batches routinely carry [e, e) ranges for partitions
+    // that were idle (caught up) this batch: they bring no rows and
+    // need no ledger advance, and counting them as "committed" would
+    // flip a legitimate new batch into a false PARTIAL refusal. Judge
+    // done/partial over the non-empty ranges only; an all-idle batch
+    // is a no-op skip.
+    val nonEmpty = ranges.filter { case (_, (s, e)) => s < e }
+    if (nonEmpty.isEmpty) return None
+    val keyed = nonEmpty.map { case (tp, se) => s"$writerId:$tp" -> se }
     def judge(mOpt: Option[Manifest]): Boolean = mOpt.exists { m =>
       var done = 0
       keyed.foreach { case (k, (s, e)) =>
@@ -687,13 +695,18 @@ object VersionedTable {
     if (constraints.isEmpty) df
     else constraints.toSeq.sortBy(_._1).foldLeft(df) {
       case (d, (nme, pred)) =>
-        d.filter(
-          when(expr(pred) <=> lit(false),
-            raise_error(concat(
-              lit(s"$ConstraintMarker CHECK `$nme` ($pred) violated by "),
-              to_json(struct(df.columns.toSeq.map(col): _*)),
-              lit(s" staged into $root"))).isNotNull)
-            .otherwise(lit(true)))
+        // NonPushable pins the guard ABOVE the caller's plan: a plain
+        // deterministic filter would be pushed through any join inside
+        // `df` and raise on rows the join was about to drop.
+        d.filter(org.apache.spark.sql.classic.GraftPlanApi.column(
+          graft.plans.NonPushable(
+            org.apache.spark.sql.classic.GraftPlanApi.expression(
+              when(expr(pred) <=> lit(false),
+                raise_error(concat(
+                  lit(s"$ConstraintMarker CHECK `$nme` ($pred) violated by "),
+                  to_json(struct(df.columns.toSeq.map(col): _*)),
+                  lit(s" staged into $root"))).isNotNull)
+                .otherwise(lit(true))))))
     }
 
   private val ConstraintMarker = "graft-constraint:"
@@ -914,12 +927,18 @@ object VersionedTable {
       linkColMap = _ => m.colMap,
       linkDropped = _ => m.droppedCols,
       linkConstraints = _ => m.constraints + (name -> predicate)) { prevM =>
-      // the validation scan read v's data: any racing DATA change may
-      // have added a violating row this commit would then bless
+      // the validation scan read v's data under v's SPEC: a racing
+      // data change may have added a violating row, and a racing
+      // metadata change (renameColumn/evolve) can strand the predicate
+      // on a stale logical name — either would bless a constraint the
+      // current snapshot never validated
       if (prevM.map(_.files) != Some(m.files) ||
-          prevM.exists(_.dvs != m.dvs)) throw
+          prevM.exists(_.dvs != m.dvs) ||
+          prevM.exists(_.schemaJson != m.schemaJson) ||
+          prevM.exists(_.colMap != m.colMap) ||
+          prevM.exists(_.droppedCols != m.droppedCols)) throw
         new CompactionConflictException(
-          s"addConstraint on $root@v$v raced a data change; rerun")
+          s"addConstraint on $root@v$v raced a data or schema change; rerun")
       (prevM.map(_.files).getOrElse(Nil),
         prevM.map(_.stats).getOrElse(Map.empty))
     }.getOrElse(throw new IllegalStateException("constraint cannot replay"))

@@ -42,6 +42,27 @@ class VersionedTableConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 3L)
   }
 
+  test("the guard is never pushed below a join in the writer's plan") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, 10.0)).toDF("id", "price"),
+      root, statsColumns = Seq("*"))
+    VersionedTable.addConstraint(spark, root, "price_pos", "price > 0")
+    // the violating row (-5.0) is DROPPED by the join before the
+    // write; a deterministic guard filter would be pushed to the
+    // join's left side and raise on it anyway — the NonPushable
+    // barrier pins the check to the rows actually written
+    val left = Seq((2L, 20.0), (99L, -5.0)).toDF("id", "price")
+    val right = Seq(Tuple1(2L)).toDF("id")
+    VersionedTable.commit(left.join(right, "id"), root)
+    assert(VersionedTable.read(spark, root).count() === 2L)
+    // and a violating row that SURVIVES the join still refuses
+    val badRight = Seq(Tuple1(99L)).toDF("id")
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(left.join(badRight, "id"), root)
+    }
+    assert(VersionedTable.read(spark, root).count() === 2L)
+  }
+
   test("SQL CHECK semantics: NULL passes; IS NOT NULL gates nulls") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, Some(10.0))).toDF("id", "price"), root)

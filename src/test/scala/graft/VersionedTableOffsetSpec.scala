@@ -67,6 +67,24 @@ class VersionedTableOffsetSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 8L)
   }
 
+  test("idle (empty) partition ranges neither block nor advance the ledger") {
+    val root = freshRoot()
+    assert(commit(root, Map("t-0" -> (0L, 5L), "t-1" -> (0L, 3L))).nonEmpty)
+    // the Kafka shape: a caught-up partition contributes [e, e) while
+    // others carry rows — this must be a normal commit, not a
+    // false-positive PARTIAL refusal
+    assert(commit(root, Map("t-0" -> (5L, 5L), "t-1" -> (3L, 6L))).nonEmpty)
+    assert(VersionedTable.read(spark, root).count() === 11L)
+    val m = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(m.txn === Map("w1:t-0" -> 5L, "w1:t-1" -> 6L),
+      "an empty range must not advance its ledger entry")
+    // an all-idle batch is a no-op skip, not a version bump
+    val vBefore = VersionedTable.latestVersion(spark, root)
+    assert(commit(root, Map("t-0" -> (5L, 5L), "t-1" -> (6L, 6L))).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root) === vBefore)
+  }
+
   test("distinct writers keep independent ledgers; batchId ledger coexists") {
     val root = freshRoot()
     assert(commit(root, Map("t-0" -> (0L, 5L))).nonEmpty)
