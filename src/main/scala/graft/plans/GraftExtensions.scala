@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator plans
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL DML over graft tables (INSERT/DELETE/MERGE/OPTIMIZE/VACUUM
+    // on graft.`root` targets); everything else delegates untouched
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectFunction((
       FunctionIdentifier(NativeVector.DotName),
       info(NativeVector.DotName, "dot product of two array<double>"),

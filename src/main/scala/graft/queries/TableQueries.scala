@@ -1169,4 +1169,61 @@ object TableQueries {
       |  max(l_orderkey) AS max_key
       |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
       |GROUP BY 1""".stripMargin
+
+  /** The SQL DML write surface end to end
+    * ([[graft.plans.GraftSqlDml]]): the whole table lifecycle —
+    * INSERT, row-level DELETE, keyed MERGE with a delete branch,
+    * OPTIMIZE, VACUUM, then the snapshot read-back — runs through
+    * `spark.sql` ALONE (the PySpark audience's surface; zero Scala
+    * API calls touch the table). The oracle replays the mutation
+    * algebra in plain SQL: survivors of the delete that no merge row
+    * claims, matched merge rows below the tombstone threshold, and
+    * unmatched merge rows below it (an unmatched tombstone inserts
+    * nothing — engine semantics), so any drift in the parser, the
+    * command routing, or the underlying ops breaks the hash.
+    */
+  def tableSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_sql_dml")
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("sql_dml_orders")
+    s.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT * FROM sql_dml_orders WHERE o_orderkey % 2 = 0")
+    s.sql(s"DELETE FROM graft.`$root` WHERE o_totalprice < 50000.0")
+    s.sql(
+      s"""MERGE INTO graft.`$root` AS t
+         |USING (SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+         |         o_totalprice
+         |       FROM sql_dml_orders WHERE o_orderkey % 5 = 0) AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice > 200000.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"OPTIMIZE graft.`$root`")
+    s.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS")
+    s.sql("SELECT o_orderpriority, count(*) AS n, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+      s"FROM graft_table_snapshot('$root') GROUP BY o_orderpriority")
+  }
+
+  val tableSqlDmlSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0 AND o_totalprice >= 50000.0),
+      |src AS (
+      |  SELECT o_orderkey, 'MERGED' AS o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |fin AS (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL
+      |  SELECT s.* FROM src s JOIN base b ON s.o_orderkey = b.o_orderkey
+      |  WHERE NOT (s.o_totalprice > 200000.0)
+      |  UNION ALL
+      |  SELECT s.* FROM src s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+      |    AND NOT (s.o_totalprice > 200000.0))
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM fin GROUP BY 1""".stripMargin
 }

@@ -1924,19 +1924,24 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String,
       targetPartitions: Int = 1, clusterBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
-      pinVersion: Option[Long] = None): Option[Long] = {
+      pinVersion: Option[Long] = None,
+      zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8): Option[Long] = {
     require(targetPartitions >= 1, "targetPartitions must be >= 1")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "compact takes clusterBy (range) OR zOrderBy (z-curve), not both")
     val v = pinVersion
       .orElse(latestVersion(spark, root)).getOrElse(return None)
     val m = manifest(spark, root, v)
     // outstanding deletion vectors always compact (the purge that
     // re-earns plain scans and lets vacuum destroy the dead bytes)
     if (m.files.size <= targetPartitions && clusterBy.isEmpty &&
-      m.dvs.isEmpty) return None
+      zOrderBy.isEmpty && m.dvs.isEmpty) return None
     val source = m.files.toSet
     val snapshot = readManifest(spark, root, m, None)
     val arranged =
-      if (clusterBy.isEmpty) snapshot.coalesce(targetPartitions)
+      if (zOrderBy.nonEmpty) graft.operators.ZOrder.cluster(
+        snapshot, zOrderBy, zOrderBits, targetPartitions)
+      else if (clusterBy.isEmpty) snapshot.coalesce(targetPartitions)
       else snapshot
         .repartitionByRange(targetPartitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)

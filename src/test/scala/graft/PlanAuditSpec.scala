@@ -691,6 +691,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // zone-map-pruned read through the column map + ONE rollup
       // exchange; rename is metadata-only, commits at build time
       "q_table_rename" -> 1,
+      // the measured statement is the snapshot TVF read + ONE rollup
+      // exchange; every DML statement (insert/delete/merge/optimize/
+      // vacuum) ran eagerly at build time as its own command
+      "q_table_sql_dml" -> 1,
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
       // plain snapshot read + ONE rollup exchange; the constraint

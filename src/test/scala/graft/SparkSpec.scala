@@ -15,6 +15,14 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production deployment line — tests run what users run.
+      // BOTH routes on purpose: the config string is what a cluster
+      // sets, but it is a STATIC conf read off the SparkContext's
+      // SparkConf — if another suite created the context first the
+      // string is silently ignored, so withExtensions (context-
+      // independent) guarantees the surface is always present
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,10 @@ Exercises end to end:
      reference input CSVs, compared cell-for-cell against the
      reference's committed golden outputs;
   2. a VersionedTable round trip through pure SQL: snapshot read,
-     time travel, CDC slice, DESCRIBE HISTORY.
+     time travel, CDC slice, DESCRIBE HISTORY;
+  3. the SQL DML WRITE surface through pure spark.sql: INSERT INTO /
+     OVERWRITE, DELETE, MERGE (upsert + delete branch), OPTIMIZE,
+     VACUUM — the table is built and mutated without one py4j call.
 
 Run from the repo root after `sbt compile`:
     python3 tools/pyspark_smoke.py
@@ -130,6 +133,41 @@ def check_table(spark):
     return ok
 
 
+def check_dml(spark):
+    """The write surface, pure spark.sql end to end."""
+    root = tempfile.mkdtemp(prefix="graft_pysmoke_dml_") + "/t"
+    ok = True
+
+    def expect(sql, want, what):
+        nonlocal ok
+        got = sorted(tuple(r) for r in spark.sql(sql).collect())
+        match = got == sorted(want)
+        ok &= match
+        print(f"[dml] {what}: {'MATCH' if match else 'MISMATCH'} {got}")
+
+    spark.sql("SELECT * FROM VALUES (1, 10), (2, 20), (3, 30) AS t(id, v)") \
+        .createOrReplaceTempView("dml_seed")
+    spark.sql(f"INSERT INTO graft.`{root}` SELECT * FROM dml_seed")
+    spark.sql(f"DELETE FROM graft.`{root}` WHERE v >= 30")
+    spark.sql(f"MERGE INTO graft.`{root}` AS t "
+              "USING (SELECT * FROM VALUES (2, 21), (4, 40), (1, -1) "
+              "AS s(id, v)) AS s ON t.id = s.id "
+              "WHEN MATCHED AND s.v < 0 THEN DELETE "
+              "WHEN MATCHED THEN UPDATE SET * "
+              "WHEN NOT MATCHED THEN INSERT *")
+    spark.sql(f"OPTIMIZE graft.`{root}`")
+    spark.sql(f"VACUUM graft.`{root}` RETAIN 1 VERSIONS")
+    # id 1 deleted by the merge tombstone, 2 updated, 3 deleted by
+    # DELETE, 4 inserted
+    expect(f"SELECT id, v FROM graft_table_snapshot('{root}') ORDER BY id",
+           [(2, 21), (4, 40)], "insert+delete+merge+optimize+vacuum")
+    spark.sql(f"INSERT OVERWRITE graft.`{root}` "
+              "SELECT id, v * 100 AS v FROM dml_seed WHERE id = 1")
+    expect(f"SELECT id, v FROM graft_table_snapshot('{root}')",
+           [(1, 1000)], "insert overwrite")
+    return ok
+
+
 def main():
     if not os.path.isdir(CLASSES):
         sys.exit(f"compiled classes not found at {CLASSES}; run sbt compile")
@@ -137,6 +175,7 @@ def main():
     try:
         ok = check_scd(spark)
         ok &= check_table(spark)
+        ok &= check_dml(spark)
     finally:
         spark.stop()
     print("[pyspark-smoke]", "ALL GREEN" if ok else "FAILURES")
