@@ -47,6 +47,39 @@ object TableQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** [[tableSkipping]] re-run through the STANDARD connector API
+    * ([[graft.sources.v2.GraftDataSource]]): the same range-clustered
+    * statted table, but the measured read is
+    * `spark.read.format("graft")` with a plain `.filter` — Spark's
+    * V2 pushdown hands the ship-date window to the source, the source
+    * plans the same zone-map-pruned file list `readWhere` would
+    * (spec-gated parity in GraftV2Spec), and the aggregate must equal
+    * the SAME DuckDB oracle as the native path. Proves a foreign
+    * Spark user needs zero graft classes for a pruned read.
+    */
+  def tableDsv2(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_dsv2")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate"),
+      root, statsColumns = Seq("l_shipdate", "l_orderkey"))
+    s.read.format("graft").load(root)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") <= "1996-12-31")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+  }
+
   /** CHECK constraints end to end
     * ([[VersionedTable.addConstraint]]): half of orders commits, the
     * `o_totalprice > 0` gate installs (after its validation scan),

@@ -695,6 +695,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // exchange; every DML statement (insert/delete/merge/optimize/
       // vacuum) ran eagerly at build time as its own command
       "q_table_sql_dml" -> 1,
+      // V2-connector read (RowDataSourceScanExec over the V1 bridge's
+      // pruned-scan RDD) + ONE rollup exchange; the range-clustered
+      // commit shuffled at table-build time
+      "q_table_dsv2" -> 1,
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
       // plain snapshot read + ONE rollup exchange; the constraint
