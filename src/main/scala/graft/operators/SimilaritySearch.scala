@@ -489,7 +489,6 @@ object SimilaritySearch {
       entryBits: Int = 12): DataFrame = {
     require(k >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
     require(entryBits >= 1 && entryBits <= 62)
-    val c = nodes
     def esig(vec: Column) = nswEsig(vec, entryBits)
     // ---- search: probe the nprobe nearest cells, walk each graph
     val probes = IvfIndex.normalized(queries, idCol, vecCol)
@@ -497,6 +496,17 @@ object SimilaritySearch {
         esig(col("nv")).as("qesig"),
         explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
       .localCheckpoint()
+    // prune BOTH corpus-scale frames to the probed cells before any
+    // hop touches them: the probed-bucket set is query-bounded
+    // (≤ queries × nprobe values, collected off the checkpointed
+    // probes in one tiny job), and on a [[nswSave]]d layout —
+    // partitionBy("bucket") — the IN-filter is a PARTITION filter, so
+    // every per-hop scan opens only the probed cells' files instead
+    // of the whole index (plan-audited in NswRecallSpec)
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val c = nodes.filter(col("bucket").isin(probedBuckets: _*))
+    val prunedEdges = edges.filter(col("bucket").isin(probedBuckets: _*))
     // entry per (query, probed shard): Hamming-nearest stored sketch
     // (ties on the smaller id) — one equi-join on the cell and a
     // popcount per (query, member) pair, no dot products
@@ -518,10 +528,12 @@ object SimilaritySearch {
       col("c_vec"))
     // every join below broadcasts the QUERY-BOUNDED side, so the
     // corpus-scale frames (edges, nodeVecs) are only ever scanned
-    // map-side — one bounded scan per hop, the same IO profile a
-    // disk-resident graph store pays per traversal level (and a
-    // stored cell-partitioned layout would prune those scans to the
-    // probed cells)
+    // map-side — one bounded scan per hop, and on a [[nswSave]]d
+    // layout the probed-cell partition filter above caps each of
+    // those scans at the probed cells' files (the whole-index scan
+    // is gone; at fixture scale the saving is noise, at a
+    // million-cell store it is the difference between O(probed) and
+    // O(index) IO per hop)
     // `visited` is a LAZY union of the per-round frontier checkpoints
     // — each round adds one tiny, query-bounded checkpointed leaf and
     // never a materialization job of its own, so the walk costs ONE
@@ -530,7 +542,7 @@ object SimilaritySearch {
     // with the other index checkpoints.
     var round_ = 0
     while (round_ < rounds) {
-      val expanded = edges
+      val expanded = prunedEdges
         .join(broadcast(frontier.withColumnRenamed("node", "src")),
           Seq("bucket", "src"))
         .select(col("query_id"), col("bucket"), col("dst").as("node"))

@@ -120,6 +120,22 @@ class NswRecallSpec extends SparkSpec {
     val f = new java.io.File(dir + "/nodes")
     assert(f.listFiles().exists(_.getName.startsWith("bucket=")),
       "nodes must be partitioned by cell for scan pruning")
+    // and the probed-cell IN-filter the search applies is a PARTITION
+    // filter over that layout — the scan plans only the probed cells'
+    // partitions, not the whole index
+    val totalCells = f.listFiles().count(_.getName.startsWith("bucket="))
+    val prunedDf = n2.filter(org.apache.spark.sql.functions.col("bucket")
+      .isin(0, 1))
+    prunedDf.collect()
+    val scan = prunedDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.headOption.getOrElse(fail("no FileSourceScanExec under the filter"))
+    assert(scan.partitionFilters.nonEmpty,
+      "bucket IN (...) must reach the scan as a partition filter")
+    assert(scan.selectedPartitions.partitionCount < totalCells,
+      s"partition pruning read ${scan.selectedPartitions.partitionCount} of " +
+        s"$totalCells cells")
+    assert(scan.selectedPartitions.partitionCount <= 2)
   }
 
   test("output contract: ranks are dense per query, sims exact") {
