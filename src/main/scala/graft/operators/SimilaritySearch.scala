@@ -581,6 +581,235 @@ object SimilaritySearch {
     // over many nswTopK calls should materialize between calls
   }
 
+  /** Deterministic HNSW layer assignment: node `id` lives on layers
+    * 0..lvl where lvl is the largest l ≤ maxLayer with
+    * H(id) ≡ 0 (mod branch^l), H = the first 8 hex chars of
+    * sha-256("hnsw:" + id) — an unsigned 32-bit value both Spark and
+    * DuckDB reproduce bit-for-bit (the same portability trick the SRP
+    * planes use). Expected layer population is geometric (1/branch per
+    * level): the log-scale hierarchy of Malkov & Yashunin 2018 §4
+    * without any RNG state to persist.
+    */
+  private def hnswLvl(id: Column, branch: Int, maxLayer: Int): Column = {
+    val h = conv(substring(sha2(concat(lit("hnsw:"),
+      id.cast("string")), 256), 1, 8), 16, 10).cast("long")
+    (maxLayer to 1 by -1).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(h, lit(math.pow(branch, l).toLong)) === 0, lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  /** Build a HIERARCHICAL navigable-small-world index (HNSW, Malkov &
+    * Yashunin 2018) sharded by the same coarse quantizer as [[nswIndex]]:
+    * layer 0 is the full per-cell kNN graph; each upper layer l keeps a
+    * deterministic ~1/branch^l subset of the cell ([[hnswLvl]]) with its
+    * OWN in-cell kNN graph among the survivors. Upper layers are the
+    * long-range shortcuts: a walk enters at the cell's sparsest layer
+    * and greedy-descends, so it starts layer 0 already near the query
+    * and needs fewer expensive wide-beam rounds there.
+    *
+    * Returns (nodes, edges): nodes carry `lvl`, edges carry `layer`.
+    * Build cost over [[nswIndex]] is the geometric tail of the per-cell
+    * quadratic kNN joins — Σ 1/branch^2l ≈ +7% at branch=4. Both frames
+    * persist through [[nswSave]] unchanged (the extra columns ride
+    * along; the layout stays cell-partitioned).
+    */
+  def hnswIndex(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      degree: Int = 4,
+      entryBits: Int = 12,
+      branch: Int = 4,
+      maxLayer: Int = 2): (DataFrame, DataFrame) = {
+    require(degree >= 1 && entryBits >= 1 && entryBits <= 62)
+    require(branch >= 2 && maxLayer >= 1)
+    val c = IvfIndex.assign(candidates, idCol, vecCol, model)
+      .select(col("id").as("neighbor_id"), col("nv").as("c_vec"),
+        nswEsig(col("nv"), entryBits).as("esig"), col("cell").as("bucket"),
+        hnswLvl(col("id"), branch, maxLayer).as("lvl"))
+      .localCheckpoint()
+    val wKnn = Window.partitionBy("bucket", "src")
+      .orderBy(col("sim").desc, col("dst"))
+    val perLayer = (0 to maxLayer).map { l =>
+      val m = c.filter(col("lvl") >= l)
+      val lft = m.select(col("bucket"), col("neighbor_id").as("src"),
+        col("c_vec").as("s_vec"))
+      val rgt = m.select(col("bucket"), col("neighbor_id").as("dst"),
+        col("c_vec").as("d_vec"))
+      val knn = lft.join(rgt, Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("bucket"), col("src"), col("dst"),
+          round(NativeVector.dot(col("s_vec"), col("d_vec")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wKnn))
+        .filter(col("rn") <= degree)
+        .select("bucket", "src", "dst")
+      knn.unionByName(knn.select(col("bucket"),
+          col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .withColumn("layer", lit(l))
+    }
+    val edges = perLayer.reduce(_ unionByName _).localCheckpoint()
+    (c, edges)
+  }
+
+  /** Search a [[hnswIndex]]: probe `nprobe` cells, enter each at the
+    * Hamming-nearest sketch ON THE CELL'S SPARSEST LAYER, greedy-descend
+    * (`roundsUpper` step(s) of beam `beamUpper` per upper layer — the
+    * frontier may KEEP its current node when no out-neighbor improves,
+    * the classic HNSW ef=1 descent), then run `rounds` expanding-beam
+    * rounds on layer 0 and exactly re-rank everything visited.
+    *
+    * Vs [[nswSearchIndex]] at equal candidate budget: the descent lands
+    * the layer-0 walk inside the query's neighborhood, so layer-0
+    * `rounds` drops (6 → 4 at the spec's operating point) and the saved
+    * budget buys more probed cells — the recall ceiling, which is
+    * probe-bound, rises (NswRecallSpec: ≥0.9 recall@10 within 2× the
+    * nsw budget). Per-query-cell candidates ≤ 1 + maxLayer·roundsUpper·
+    * beamUpper + rounds·beam; every corpus-scale scan is pruned to the
+    * probed cells (partition filter on a [[nswSave]]d layout) and every
+    * join broadcasts the query-bounded side, exactly like the nsw path.
+    * Deterministic: 6-dp sims, id tie-breaks, sha-256 sketches and
+    * layer draws — the full walk is DuckDB-replayable (q_simsearch_hnsw).
+    */
+  def hnswSearchIndex(
+      queries: DataFrame,
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      k: Int,
+      nprobe: Int = 2,
+      beam: Int = 2,
+      rounds: Int = 4,
+      maxLayer: Int = 2,
+      beamUpper: Int = 1,
+      roundsUpper: Int = 1,
+      entryBits: Int = 12): DataFrame = {
+    require(k >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
+    require(maxLayer >= 1 && beamUpper >= 1 && roundsUpper >= 1)
+    require(entryBits >= 1 && entryBits <= 62)
+    def esig(vec: Column) = nswEsig(vec, entryBits)
+    val probes = IvfIndex.normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("q_vec"),
+        esig(col("nv")).as("qesig"),
+        explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
+      .localCheckpoint()
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val c = nodes.filter(col("bucket").isin(probedBuckets: _*))
+    val prunedEdges = edges.filter(col("bucket").isin(probedBuckets: _*))
+    val nodeVecs = c.select(col("bucket"), col("neighbor_id").as("node"),
+      col("c_vec"))
+    def score(fr: DataFrame): DataFrame = nodeVecs
+      .join(broadcast(fr), Seq("bucket", "node"))
+      .join(broadcast(probes), Seq("query_id", "bucket"))
+      .select(col("query_id"), col("bucket"), col("node"),
+        round(NativeVector.dot(col("q_vec"), col("c_vec")), 6).as("sim"))
+    // entry: the cell's TOP layer (lvl desc), Hamming-nearest sketch
+    // within it (ham asc, node asc) — then scored once so the descent
+    // can compare it against its out-neighbors
+    val wEntry = Window.partitionBy("query_id", "bucket")
+      .orderBy(col("lvl").desc, col("ham"), col("node"))
+    val entry = c.select(col("bucket"), col("neighbor_id").as("node"),
+        col("esig"), col("lvl"))
+      .join(broadcast(probes.select("query_id", "bucket", "qesig")),
+        Seq("bucket"))
+      .withColumn("ham", bit_count(col("qesig").bitwiseXOR(col("esig"))))
+      .withColumn("rn", row_number().over(wEntry))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("bucket"), col("node"))
+    var frontier = score(entry).localCheckpoint()
+    // `visited` is EVERYTHING EVER SCORED, with its sim: beam losers
+    // cost their dot product regardless, so discarding them from the
+    // answer pool (what a frontier-only re-rank does) throws recall
+    // away for free. Keeping their sims also makes the final top-k a
+    // pure sort — no re-rank pass recomputing dots over the visited
+    // set. It doubles as the walk's exact cost meter: searched with
+    // k = ∞ the output IS the scored set, so the recall spec measures
+    // the true per-query candidate budget off the result instead of
+    // trusting a worst-case formula.
+    var visited = frontier
+    val wBeam = Window.partitionBy("query_id", "bucket")
+      .orderBy(col("sim").desc, col("node"))
+    // greedy descent through the upper layers: the pool the next
+    // frontier is drawn from INCLUDES the current frontier (a node with
+    // no better out-neighbor stays put — layers a cell lacks are a
+    // no-op because it has no edges there)
+    for (l <- maxLayer to 1 by -1; _ <- 0 until roundsUpper) {
+      val expanded = prunedEdges.filter(col("layer") === l)
+        .join(broadcast(frontier.select(col("query_id"), col("bucket"),
+          col("node").as("src"))), Seq("bucket", "src"))
+        .select(col("query_id"), col("bucket"), col("dst").as("node"))
+        .distinct()
+        .join(broadcast(visited.select("query_id", "bucket", "node")),
+          Seq("query_id", "bucket", "node"), "left_anti")
+      val stepped = score(expanded).localCheckpoint()
+      frontier = frontier.unionByName(stepped)
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beamUpper)
+        .select("query_id", "bucket", "node", "sim")
+      visited = visited.unionByName(stepped)
+    }
+    // layer 0: the expanding-beam walk of [[nswSearchIndex]], seeded by
+    // the descent's winners instead of a raw sketch entry
+    var round_ = 0
+    while (round_ < rounds) {
+      val expanded = prunedEdges.filter(col("layer") === 0)
+        .join(broadcast(frontier.select(col("query_id"), col("bucket"),
+          col("node").as("src"))), Seq("bucket", "src"))
+        .select(col("query_id"), col("bucket"), col("dst").as("node"))
+        .distinct()
+        .join(broadcast(visited.select("query_id", "bucket", "node")),
+          Seq("query_id", "bucket", "node"), "left_anti")
+      val stepped = score(expanded).localCheckpoint()
+      frontier = stepped
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam)
+        .select("query_id", "bucket", "node", "sim")
+      visited = visited.unionByName(stepped)
+      round_ += 1
+    }
+    // final top-k: the sims in `visited` ARE the exact 6-dp cosines, so
+    // this is a dedup (a node can be scored in several probed cells)
+    // plus one per-query sort — no second scoring pass
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    visited
+      .filter(col("query_id") =!= col("node"))
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("sim").as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** One-shot HNSW: [[hnswIndex]] + [[hnswSearchIndex]]. */
+  def hnswTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: IvfIndex.Model,
+      nprobe: Int = 2,
+      degree: Int = 4,
+      beam: Int = 2,
+      rounds: Int = 4,
+      branch: Int = 4,
+      maxLayer: Int = 2,
+      beamUpper: Int = 1,
+      roundsUpper: Int = 1,
+      entryBits: Int = 12): DataFrame = {
+    val (nodes, edges) = hnswIndex(candidates, idCol, vecCol, model,
+      degree, entryBits, branch, maxLayer)
+    hnswSearchIndex(queries, nodes, edges, idCol, vecCol, model, k,
+      nprobe, beam, rounds, maxLayer, beamUpper, roundsUpper, entryBits)
+  }
+
   /** Embedding-based near-duplicate detection: per row, how many OTHER
     * vectors exceed `threshold` cosine similarity (0 for unique rows).
     * Exact all-pairs within the provided frame — small-scale truth for

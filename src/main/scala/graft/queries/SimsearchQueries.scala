@@ -597,6 +597,132 @@ object SimsearchQueries {
       |SELECT query_id, neighbor_id, cos_sim, rn AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Hierarchical graph ANN ([[SimilaritySearch.hnswTopK]]): HNSW
+    * layers over the same 16-cell quantizer — deterministic sha-256
+    * layer draws ("hnsw:"+id, branch 4, 1 upper layer here), a
+    * lvl-desc/Hamming entry, one greedy descent step on layer 1 (the
+    * frontier may keep its node), then 4 expanding-beam rounds on
+    * layer 0; the answer pool is EVERYTHING the walk scored (beam
+    * losers already paid their dot product). Fully deterministic, so
+    * the layered walk replays in DuckDB below.
+    */
+  def simsearchHnsw(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfIndex.train(
+      e, "vec_id", "embedding", k = 16, iters = 0)
+    SimilaritySearch.hnswTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+      model, nprobe = 2, degree = 4, beam = 2, rounds = 4,
+      branch = 4, maxLayer = 1, beamUpper = 1, roundsUpper = 1)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** DuckDB replay of the hierarchical walk: the nsw oracle's centroid
+    * / sketch / kNN machinery plus per-layer edge tables (layer l keeps
+    * nodes with sha-256("hnsw:"+id) ≡ 0 mod 4^l), a lvl-desc entry,
+    * one pool-rule descent step (step 0→1: best of frontier ∪ its
+    * layer-1 out-neighbors), 4 expanding layer-0 rounds (steps 1→5),
+    * visited accumulating EVERY scored node, exact re-rank at the end
+    * (recomputed sims equal the stored ones — same 6-dp rounding).
+    */
+  val simsearchHnswSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS nv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) > 0),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, nv AS cv
+      |  FROM n ORDER BY vec_id LIMIT 16),
+      |d AS (SELECT max(len(nv)) AS dim FROM n),
+      |planes AS (
+      |  SELECT bb.b AS b,
+      |    list_transform(range(0, d.dim), j ->
+      |      CAST(('0x' || substr(sha256(
+      |          'srp:9176:' || CAST(bb.b AS VARCHAR) || ':' ||
+      |          CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 2147483648.0 - 1.0) AS prow
+      |  FROM range(0, 12) AS bb(b) CROSS JOIN d),
+      |esigs AS (
+      |  SELECT n.vec_id,
+      |    CAST(sum(CASE WHEN list_dot_product(n.nv, p.prow) >= 0
+      |      THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS esig
+      |  FROM n CROSS JOIN planes p GROUP BY n.vec_id),
+      |assigned AS (SELECT n.vec_id, n.nv, e.esig,
+      |    CASE WHEN CAST(('0x' || substr(sha256(
+      |      'hnsw:' || CAST(n.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+      |      THEN 1 ELSE 0 END AS lvl,
+      |    (SELECT c.cell FROM cent c
+      |     ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell LIMIT 1) AS cell
+      |  FROM n JOIN esigs e USING (vec_id)),
+      |knn AS (SELECT layer, cell, src, dst FROM (
+      |    SELECT ll.layer, a.cell, a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY ll.layer, a.cell, a.vec_id
+      |        ORDER BY round(list_dot_product(a.nv, b.nv), 6) DESC,
+      |                 b.vec_id) AS rn
+      |    FROM (VALUES (0), (1)) ll(layer)
+      |      JOIN assigned a ON a.lvl >= ll.layer
+      |      JOIN assigned b ON b.cell = a.cell AND b.lvl >= ll.layer
+      |        AND a.vec_id <> b.vec_id)
+      |  WHERE rn <= 4),
+      |edges AS (SELECT DISTINCT layer, cell, src, dst FROM (
+      |  SELECT layer, cell, src, dst FROM knn
+      |  UNION ALL SELECT layer, cell, dst AS src, src AS dst FROM knn)),
+      |q AS (SELECT n.vec_id AS query_id, n.nv AS qv, e.esig AS qesig
+      |  FROM n JOIN esigs e USING (vec_id) WHERE n.vec_id < 10),
+      |probes AS (SELECT q.query_id, q.qv, q.qesig, p.cell
+      |  FROM q, LATERAL (SELECT c.cell FROM cent c
+      |    ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell LIMIT 2) p),
+      |st(query_id, qv, cell, step, frontier, visited) AS (
+      |  SELECT p.query_id, p.qv, p.cell, 0, [w.node], [w.node]
+      |  FROM probes p, LATERAL (
+      |    SELECT a.vec_id AS node FROM assigned a WHERE a.cell = p.cell
+      |    ORDER BY a.lvl DESC, bit_count(xor(p.qesig, a.esig)), a.vec_id
+      |    LIMIT 1) w
+      |  UNION ALL
+      |  SELECT s.query_id, s.qv, s.cell, s.step + 1, w.newf,
+      |    list_concat(s.visited, w.news)
+      |  FROM st s, LATERAL (
+      |    SELECT
+      |      coalesce(list(nd ORDER BY sim DESC, nd) FILTER (is_new),
+      |        CAST([] AS BIGINT[])) AS news,
+      |      coalesce(list_slice(list(nd ORDER BY sim DESC, nd), 1,
+      |        CASE WHEN s.step = 0 THEN 1 ELSE 2 END),
+      |        CAST([] AS BIGINT[])) AS newf
+      |    FROM (
+      |      SELECT DISTINCT e.dst AS nd,
+      |        round(list_dot_product(s.qv, k2.nv), 6) AS sim,
+      |        true AS is_new
+      |      FROM edges e JOIN assigned k2
+      |        ON k2.vec_id = e.dst AND k2.cell = e.cell
+      |      WHERE e.cell = s.cell
+      |        AND e.layer = (CASE WHEN s.step = 0 THEN 1 ELSE 0 END)
+      |        AND list_contains(s.frontier, e.src)
+      |        AND NOT list_contains(s.visited, e.dst)
+      |      UNION ALL
+      |      SELECT f.node AS nd,
+      |        round(list_dot_product(s.qv, a2.nv), 6) AS sim,
+      |        false AS is_new
+      |      FROM unnest(s.frontier) AS f(node)
+      |        JOIN assigned a2 ON a2.vec_id = f.node
+      |      WHERE s.step = 0) pool) w
+      |  WHERE s.step < 5),
+      |vis AS (SELECT DISTINCT query_id, unnest(visited) AS node FROM (
+      |  SELECT query_id, cell, visited, row_number() OVER (
+      |    PARTITION BY query_id, cell ORDER BY step DESC) AS rn
+      |  FROM st) WHERE rn = 1),
+      |scored AS (SELECT v.query_id, v.node AS neighbor_id,
+      |    round(list_dot_product(qn.nv, cn.nv), 6) AS cos_sim
+      |  FROM vis v JOIN n qn ON qn.vec_id = v.query_id
+      |    JOIN n cn ON cn.vec_id = v.node
+      |  WHERE v.query_id <> v.node),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rn AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   val simsearchLshMultiProbeSql: String =
     """WITH n AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

@@ -106,7 +106,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Set("q_simsearch_ivf", "q_simsearch_pq", "q_simsearch_ivfpq",
       // NSW: the assigned corpus, edge table, probe set and visited
       // walk state are all checkpoints; the final frame joins them
-      "q_simsearch_nsw", "q_simsearch_nsw_stored",
+      "q_simsearch_nsw", "q_simsearch_nsw_stored", "q_simsearch_hnsw",
       "q_dedup_clusters", "q_dedup_clusters_stars", "q_semantic_dedup",
       "q_lm_perplexity", "q_lm_perplexity_kn", "q_collocations",
       "q_dedup_incremental",
@@ -439,6 +439,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q_simsearch_lsh" -> 2, // bucket group + k-bounded agg
       "q_simsearch_nsw" -> 3, // pair-dedup distinct + probe distinct + rank window, ALL over query-bounded frames (corpus sides ride broadcasts; walk exchanges ran at construction)
       "q_simsearch_nsw_stored" -> 3, // same rerank shape off the reloaded index
+      "q_simsearch_hnsw" -> 3, // same rerank shape; the layered walk's sims ride the visited checkpoints (no second scoring pass)
       // same shape; only the broadcast query side fans out per probe
       "q_simsearch_lsh_mp" -> 2,
       "q_simsearch_pq" -> 1,
