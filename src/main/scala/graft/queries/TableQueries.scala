@@ -447,6 +447,61 @@ object TableQueries {
       |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate <= DATE '1996-12-31'
       |GROUP BY 1""".stripMargin
 
+  /** SUB-FILE skipping ([[VersionedTable.commit]] `rowGroupStats` +
+    * the parquet reader's own row-group pruning): the lineitem slice
+    * commits SORTED into a single multi-row-group file (tiny
+    * `parquet.block.size` for the fixture; a real compaction output
+    * at scale) with per-row-group zone maps read off the footer at
+    * commit time. The narrow orderkey range then (a) prunes at FILE
+    * granularity through the row-group-refined manifest maps and
+    * (b) skips the non-matching row groups INSIDE the kept file via
+    * the pushed-down residual predicate — RowGroupStatsSpec gates the
+    * scan's output-row metric; this query gates the ANSWER against
+    * the DuckDB twin.
+    */
+  def tableRowgroup(s: SparkSession, dir: String): DataFrame = {
+    val root = StreamGateQueries.tempRoot("graft_q_table_rowgroup")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val conf = s.sparkContext.hadoopConfiguration
+    val prevB = Option(conf.get("parquet.block.size"))
+    val prevP = Option(conf.get("parquet.page.size"))
+    conf.set("parquet.block.size", "262144")
+    conf.set("parquet.page.size", "65536")
+    try {
+      VersionedTable.commit(li.orderBy("l_orderkey").coalesce(1), root,
+        statsColumns = Seq("*"), rowGroupStats = true)
+    } finally {
+      prevB.fold(conf.unset("parquet.block.size"))(
+        conf.set("parquet.block.size", _))
+      prevP.fold(conf.unset("parquet.page.size"))(
+        conf.set("parquet.page.size", _))
+    }
+    VersionedTable.readWhere(s, root,
+        col("l_orderkey").between(10000L, 20000L))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        min(col("l_orderkey")).as("first_key"),
+        max(col("l_orderkey")).as("last_key"))
+  }
+
+  val tableRowgroupSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  min(l_orderkey) AS first_key,
+      |  max(l_orderkey) AS last_key
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 10000 AND 20000
+      |GROUP BY 1""".stripMargin
+
   /** The change feed (CDC) across a three-commit history: v0 seeds the
     * pre-1998 orders, v1 APPENDS the rest (streamed from the append's
     * own files — zero diffing, the 100 TB fast path), v2 OVERWRITES

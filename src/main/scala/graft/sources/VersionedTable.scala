@@ -79,8 +79,22 @@ object VersionedTable {
   final case class ColStats(t: String, min: Option[String],
       max: Option[String], nulls: Long)
 
-  /** Zone map for one data file: row count + per-column [[ColStats]]. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** Zone map for one data file: row count + per-column [[ColStats]].
+    * `rgs` (opt-in, `rowGroupStats = true` at commit/compact) carries
+    * one nested entry PER PARQUET ROW GROUP, read off the file's footer
+    * at commit time: after compaction produces few LARGE files, the
+    * file-level envelope goes wide (min..max spans the whole file) but
+    * the row-group envelopes stay tight — a predicate no row group
+    * admits drops the FILE from the plan even though the file-level
+    * interval admits it (the classic sorted-then-concatenated case:
+    * a file holding keys 1..100 and 9000..9100 never matches key=5000).
+    * Inside kept files the parquet reader performs the per-row-group
+    * skip itself from the same footer stats via the pushed-down filter
+    * (readWhere always applies the predicate residually) — gated in
+    * RowGroupStatsSpec by the scan's output-row metric.
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      rgs: Seq[FileStats] = Nil)
 
   /** Per-commit Bloom sidecar references: column name → the sidecar
     * files (one per contributing commit) whose indexes cover that
@@ -358,9 +372,11 @@ object VersionedTable {
       statsColumns: Seq[String] = Nil, mergeSchema: Boolean = false,
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 100000L, bloomFpp: Double = 0.01,
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil,
+      rowGroupStats: Boolean = false): Long =
     commitInternal(df, root, overwrite, None, statsColumns, mergeSchema,
-      bloomColumns, bloomExpectedItems, bloomFpp, partitionBy).get
+      bloomColumns, bloomExpectedItems, bloomFpp, partitionBy,
+      rowGroupStats = rowGroupStats).get
 
   /** [[commit]] under a streaming writer's exactly-once contract: the
     * manifest records the last committed `batchId` per `writerId`
@@ -514,7 +530,11 @@ object VersionedTable {
       bloomFpp: Double = 0.01,
       partitionBy: Seq[String] = Nil,
       txnAll: Map[String, Long] = Map.empty,
-      skipIf: Option[Manifest] => Boolean = _ => false): Option[Long] = {
+      skipIf: Option[Manifest] => Boolean = _ => false,
+      rowGroupStats: Boolean = false): Option[Long] = {
+    require(!rowGroupStats || statsColumns.nonEmpty,
+      "rowGroupStats needs statsColumns (the row-group maps cover the " +
+        "same column set as the file-level zone maps)")
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -594,11 +614,22 @@ object VersionedTable {
       prevMeta.map(_.constraints).getOrElse(Map.empty)
     val (stageRel, staged) = stage(df, root, effParts, effColMap,
       effConstraints)
-    val stagedStats = withPartitionStats(
+    val physStatsCols =
+      if (statsColumns == Seq("*")) statsColumns
+      else statsColumns.map(physCols)
+    val stagedStats0 = withPartitionStats(
       collectStats(spark, root, staged, physSchema(df.schema, effColMap),
-        if (statsColumns == Seq("*")) statsColumns
-        else statsColumns.map(physCols), effParts),
+        physStatsCols, effParts),
       staged, effParts, df.schema)
+    val stagedStats =
+      if (!rowGroupStats) stagedStats0
+      else {
+        val rgs = collectRowGroupStats(spark, root, staged,
+          physSchema(df.schema, effColMap), physStatsCols, effParts)
+        stagedStats0.map { case (rel, fsSt) =>
+          rel -> fsSt.copy(rgs = rgs.getOrElse(rel, Nil))
+        }
+      }
     val stagedBlooms = collectBlooms(spark, root, stageRel, staged,
       physSchema(df.schema, effColMap), bloomColumns.map(physCols),
       bloomExpectedItems, bloomFpp, effParts)
@@ -1616,6 +1647,122 @@ object VersionedTable {
     withRows ++ staged.filterNot(withRows.contains).map(_ -> emptyStats)
   }
 
+  /** Per-row-group zone maps, read off the staged parquet FOOTERS (no
+    * data pages opened) on the executors — one footer per task, so a
+    * million-file commit collects in parallel like the scan-based
+    * [[collectStats]]. Only stats whose parquet encoding maps exactly
+    * onto the manifest's string domains are kept (INT32/INT64 → long,
+    * FLOAT/DOUBLE → double, UTF8 binary → string in unsigned-byte
+    * order — the same order [[lower]] compares with, DATE int32 days,
+    * TIMESTAMP int64 ONLY at MICROS — an INT96 or millis column yields
+    * no entry); anything uncertain (unset null counts, legacy
+    * statistics parquet-mr refuses to trust, decimals) is simply
+    * omitted, which [[mayMatch]] treats as "keep". Sound by
+    * construction.
+    */
+  private def collectRowGroupStats(
+      spark: SparkSession, root: String, staged: Seq[String],
+      schema: StructType, statsColumns: Seq[String],
+      partitionBy: Seq[String] = Nil): Map[String, Seq[FileStats]] = {
+    if (statsColumns.isEmpty || staged.isEmpty) return Map.empty
+    val cols0: Seq[StructField] =
+      if (statsColumns == Seq("*"))
+        schema.fields.toSeq.filter(f => statTag(f.dataType).isDefined)
+      else statsColumns.flatMap(c => schema.fields.find(_.name == c))
+    val wanted: Map[String, String] = cols0
+      .filterNot(f => partitionBy.contains(f.name))
+      .flatMap(f => statTag(f.dataType).map(f.name -> _)).toMap
+    if (wanted.isEmpty) return Map.empty
+    val rootStr = root
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1,
+      math.min(staged.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(staged, slices).map { rel =>
+      import scala.jdk.CollectionConverters._
+      val p = new Path(new Path(rootStr), rel)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, serConf.value))
+      try {
+        rel -> reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val colStats = b.getColumns.asScala.flatMap { cc =>
+            val name = cc.getPath.toDotString
+            for {
+              tag <- wanted.get(name)
+              cs <- encodeParquetStats(tag, cc, b.getRowCount)
+            } yield name -> cs
+          }.toMap
+          FileStats(b.getRowCount, colStats)
+        }
+      } finally reader.close()
+    }.collect().toMap
+  }
+
+  /** One column chunk's parquet statistics lowered into the manifest's
+    * [[ColStats]] string domain; None whenever the mapping is not
+    * EXACT (missing/untrusted stats, unset null count, a logical type
+    * outside the supported set) — absence keeps the row group.
+    */
+  private def encodeParquetStats(tag: String,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      rgRows: Long): Option[ColStats] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = cc.getStatistics
+    if (st == null || !st.isNumNullsSet) return None
+    val nulls = st.getNumNulls
+    if (!st.hasNonNullValue) {
+      // stats carry no value bounds: trustworthy only as the all-null
+      // marker; a partially-populated chunk without bounds judges keep
+      return if (nulls >= rgRows) Some(ColStats(tag, None, None, nulls))
+      else None
+    }
+    val prim = cc.getPrimitiveType
+    val logical = prim.getLogicalTypeAnnotation
+    def micros: Boolean = logical match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
+    def dateAnn: Boolean =
+      logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+    def stringAnn: Boolean =
+      logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    val bounds: Option[(String, String)] =
+      (tag, prim.getPrimitiveTypeName) match {
+        case ("long", INT32 | INT64) =>
+          Some((st.genericGetMin.toString, st.genericGetMax.toString))
+        case ("long", BOOLEAN) =>
+          def b(v: Any) = if (v == java.lang.Boolean.TRUE) "1" else "0"
+          Some((b(st.genericGetMin), b(st.genericGetMax)))
+        case ("double", DOUBLE | FLOAT) =>
+          def d(v: Any): Option[String] = v match {
+            case x: java.lang.Double
+              if !x.isNaN && !x.isInfinite => Some(x.toString)
+            case x: java.lang.Float if !x.isNaN && !x.isInfinite =>
+              Some(x.doubleValue().toString)
+            case _ => None
+          }
+          for { mn <- d(st.genericGetMin); mx <- d(st.genericGetMax) }
+            yield (mn, mx)
+        case ("string", BINARY) if stringAnn =>
+          val mn = st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary]
+          val mx = st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary]
+          Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+        case ("date", INT32) if dateAnn =>
+          Some((st.genericGetMin.toString, st.genericGetMax.toString))
+        case ("timestamp", INT64) if micros =>
+          Some((st.genericGetMin.toString, st.genericGetMax.toString))
+        case _ => None // decimals, INT96 timestamps, exotic encodings
+      }
+    bounds.map { case (mn, mx) =>
+      ColStats(tag, Some(mn), Some(mx), nulls)
+    }
+  }
+
   // ---- predicate → file pruning ---------------------------------------
 
   /** A literal lowered into a stat column's orderable domain, for
@@ -1803,8 +1950,18 @@ object VersionedTable {
       blooms.get(c).flatMap { case (tag, byFile) =>
         byFile.get(rel).map(tag -> _)
       }
-    m.files.filter(rel =>
-      mayMatch(e, m.stats.getOrElse(rel, NoStats), bloomFor(rel)))
+    m.files.filter { rel =>
+      val fsSt = m.stats.getOrElse(rel, NoStats)
+      mayMatch(e, fsSt, bloomFor(rel)) &&
+        // row-group refinement: with per-row-group maps recorded, the
+        // file survives only if SOME row group admits a match — a wide
+        // post-compaction envelope no longer shields internally-sorted
+        // files (bloom filters are file-scoped: passing the file's
+        // filter to each group is sound, a bloom miss refutes every
+        // group)
+        (fsSt.rgs.isEmpty || fsSt.rgs.exists(rg =>
+          mayMatch(e, rg, bloomFor(rel))))
+    }
   }
 
   /** Metadata-only COUNT(*): the snapshot's row count summed off the
@@ -1925,7 +2082,8 @@ object VersionedTable {
       targetPartitions: Int = 1, clusterBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
       pinVersion: Option[Long] = None,
-      zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8): Option[Long] = {
+      zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8,
+      rowGroupStats: Boolean = false): Option[Long] = {
     require(targetPartitions >= 1, "targetPartitions must be >= 1")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "compact takes clusterBy (range) OR zOrderBy (z-curve), not both")
@@ -1952,10 +2110,25 @@ object VersionedTable {
     val keepStats =
       if (statsColumns.nonEmpty) statsColumns
       else if (m.stats.nonEmpty) Seq("*") else Nil
-    val stagedStats = withPartitionStats(
+    val stagedStats1 = withPartitionStats(
       collectStats(spark, root, staged, physSchema(snapshot.schema, m.colMap),
         mapStatsCols(keepStats, m.colMap), m.partitionBy),
       staged, m.partitionBy, snapshot.schema)
+    // a row-group-mapped table KEEPS its maps through OPTIMIZE — the
+    // compaction that produces the large files is exactly where the
+    // per-group envelopes start paying
+    val keepRg = rowGroupStats ||
+      m.stats.valuesIterator.exists(_.rgs.nonEmpty)
+    val stagedStats =
+      if (!keepRg || keepStats.isEmpty) stagedStats1
+      else {
+        val rgs = collectRowGroupStats(spark, root, staged,
+          physSchema(snapshot.schema, m.colMap),
+          mapStatsCols(keepStats, m.colMap), m.partitionBy)
+        stagedStats1.map { case (rel, fsSt) =>
+          rel -> fsSt.copy(rgs = rgs.getOrElse(rel, Nil))
+        }
+      }
     val f = fs(spark, new Path(root))
     publish(spark, root, staged, stagedStats, mode = "compact",
       schemaJsonOf = () => m.schemaJson.getOrElse(snapshot.schema.json),
@@ -3330,6 +3503,11 @@ object VersionedTable {
   private def putFileStats(parent: ObjectNode, file: String,
       fsStats: FileStats): Unit = {
     val fn = parent.putObject(file)
+    putFileStatsBody(fn, fsStats)
+  }
+
+  private def putFileStatsBody(fn: ObjectNode,
+      fsStats: FileStats): Unit = {
     fn.put("rows", fsStats.rows)
     val colsN = fn.putObject("cols")
     fsStats.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -3338,6 +3516,10 @@ object VersionedTable {
       cs.min.foreach(cn.put("min", _))
       cs.max.foreach(cn.put("max", _))
       cn.put("nulls", cs.nulls)
+    }
+    if (fsStats.rgs.nonEmpty) {
+      val arr = fn.putArray("rgs")
+      fsStats.rgs.foreach(rg => putFileStatsBody(arr.addObject(), rg))
     }
   }
 
@@ -3358,7 +3540,11 @@ object VersionedTable {
         Option(cn.get("max")).map(_.asText()),
         Option(cn.get("nulls")).map(_.asLong()).getOrElse(0L))
     }.toMap
-    FileStats(Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols)
+    val rgs = Option(fn.get("rgs")).toSeq.flatMap { arr =>
+      (0 until arr.size()).map(i => parseFileStatsNode(arr.get(i)))
+    }
+    FileStats(Option(fn.get("rows")).map(_.asLong()).getOrElse(0L), cols,
+      rgs)
   }
 
   private[graft] def parseFileStats(s: String): FileStats =

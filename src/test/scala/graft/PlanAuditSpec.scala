@@ -700,6 +700,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // pruned-scan RDD) + ONE rollup exchange; the range-clustered
       // commit shuffled at table-build time
       "q_table_dsv2" -> 1,
+      "q_table_rowgroup" -> 1, // one agg exchange over the row-group-pruned single-file scan
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
       // plain snapshot read + ONE rollup exchange; the constraint
