@@ -502,6 +502,54 @@ object TableQueries {
       |WHERE l_orderkey BETWEEN 10000 AND 20000
       |GROUP BY 1""".stripMargin
 
+  /** SHALLOW CLONE ([[VersionedTable.cloneTable]]): the orders table
+    * commits in two versions, forks zero-copy into a branch, then BOTH
+    * sides diverge with different deletes and BOTH get vacuumed at
+    * retention 1 — if the branch's manifest lost a shared file, a
+    * vacuum crossed roots, or the source's pin tag failed to hold the
+    * cloned bytes, one side's aggregate (or the whole read) breaks
+    * against the DuckDB twin, which derives each side's surviving rows
+    * straight from the base table.
+    */
+  def tableClone(s: SparkSession, dir: String): DataFrame = {
+    val src = StreamGateQueries.tempRoot("graft_q_table_clone_src")
+    val dst = StreamGateQueries.tempRoot("graft_q_table_clone_dst") + "/t"
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    VersionedTable.commit(o.filter(col("o_orderdate") < "1996-01-01"),
+      src, statsColumns = Seq("*"))
+    VersionedTable.commit(o.filter(col("o_orderdate") >= "1996-01-01"),
+      src, statsColumns = Seq("*"))
+    VersionedTable.cloneTable(s, src, dst)
+    // diverge: the branch drops urgent orders, the source drops the
+    // expensive ones — then both vacuum hard
+    VersionedTable.delete(s, dst, col("o_orderpriority") === "1-URGENT")
+    VersionedTable.delete(s, src, col("o_totalprice") > 200000.0)
+    VersionedTable.vacuum(s, src, keepVersions = 1)
+    VersionedTable.vacuum(s, dst, keepVersions = 1)
+    def side(root: String, name: String) =
+      VersionedTable.read(s, root).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+        .withColumn("side", lit(name))
+        .select("side", "n", "total", "first_key", "last_key")
+    side(src, "source").unionByName(side(dst, "branch"))
+  }
+
+  val tableCloneSql: String =
+    """SELECT 'source' AS side, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+      |FROM orders WHERE NOT (o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT 'branch' AS side, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+      |FROM orders WHERE NOT (o_orderpriority = '1-URGENT')""".stripMargin
+
   /** The change feed (CDC) across a three-commit history: v0 seeds the
     * pre-1998 orders, v1 APPENDS the rest (streamed from the append's
     * own files — zero diffing, the 100 TB fast path), v2 OVERWRITES

@@ -2392,12 +2392,13 @@ object VersionedTable {
       .groupBy(col(DvRelCol).as("_file"))
       .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
       .collect()
-    // DvRelCol IS the manifest rel (partition segments included)
-    val known = candidates.toSet
+    // DvRelCol is the manifest rel for root-relative entries; a
+    // clone's absolute references resolve through their tails
+    val known = entryByTail(m, candidates)
     var fullDrop = Vector.empty[String]
     var rewrite = Vector.empty[String]
     counts.foreach { r =>
-      Some(r.getAs[String]("_file")).filter(known).foreach { rel =>
+      known.get(r.getAs[String]("_file")).foreach { rel =>
         val matches = r.getAs[Long]("_matches")
         if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
         else if (matches > 0L) rewrite :+= rel
@@ -2705,12 +2706,12 @@ object VersionedTable {
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
-        val known = candidates.toSet
+        val known = entryByTail(m, candidates)
         readFilesLivePos(spark, root, m, candidates)
           .withColumnRenamed(DvRelCol, "_file")
           .join(srcKeys, keys.toSeq, "left_semi")
           .select("_file").distinct().collect()
-          .map(_.getString(0)).filter(known).toSeq
+          .flatMap(r => known.get(r.getString(0))).toSeq
       }
 
     // phase 3: rewrite touched files; route source rows
@@ -2849,9 +2850,9 @@ object VersionedTable {
         .groupBy(col(DvRelCol).as("_file"))
         .agg(count(when(hit, 1)).as("_matches"), count(lit(1)).as("_total"))
         .collect()
-      val known = candidates.toSet
+      val known = entryByTail(m, candidates)
       counts.foreach { r =>
-        Some(r.getAs[String]("_file")).filter(known).foreach { rel =>
+        known.get(r.getAs[String]("_file")).foreach { rel =>
           val matches = r.getAs[Long]("_matches")
           if (matches == r.getAs[Long]("_total")) fullDrop :+= rel
           else if (matches > 0L) rewrite :+= rel
@@ -3063,6 +3064,84 @@ object VersionedTable {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     (outP.toString, abs)
+  }
+
+  /** SHALLOW CLONE (the Delta CLONE role): fork `sourceRoot`'s pinned
+    * snapshot into a NEW table at `destRoot` without copying a byte of
+    * data — the clone's v0 manifest references the source's data files
+    * by ABSOLUTE qualified path (zone maps re-key and keep pruning),
+    * so a 100 TB corpus branches for an experiment in one metadata
+    * write. Both sides then diverge freely: the clone's commits stage
+    * under its OWN root, its vacuum sweeps only its own `data/` dir
+    * (foreign absolute references can never name a local commit dir),
+    * and the source never observes the clone.
+    *
+    * Byte-lifetime contract, ENFORCED rather than documented: the
+    * clone pins the source version with a table [[tag]]
+    * (`graft-clone-<12 hex of the dest root>`), and tagged versions
+    * survive the source's vacuum with their files forever — so source
+    * maintenance cannot destroy bytes the clone still references.
+    * `pinSource = false` skips the tag for callers managing retention
+    * themselves (Delta's caveat applies then: a source vacuum past the
+    * cloned version breaks the clone).
+    *
+    * Carried: schema, partition spec, column mapping, dropped-column
+    * tombstones, CHECK constraints, zone maps (re-keyed, row-group
+    * maps included). NOT carried: bloom sidecars (file-keyed — they
+    * would stop matching anyway; they rebuild on the clone's own
+    * commits) and the writer txn ledger (a branch is a new stream
+    * target). Outstanding deletion vectors REFUSE the clone — their
+    * sidecar rows key by root-relative rel, which an absolute
+    * reference can never match; run [[purgeVectors]] first (pays only
+    * the dirty files). Same rule for [[deleteVectored]] ON the clone
+    * while files are still shared: it refuses loudly (rel/abs key
+    * mismatch surfaces as its rebase conflict) — [[compact]] localizes
+    * every shared file and re-enables it.
+    */
+  def cloneTable(spark: SparkSession, sourceRoot: String, destRoot: String,
+      version: Option[Long] = None, pinSource: Boolean = true): Long = {
+    val v = version.orElse(latestVersion(spark, sourceRoot)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $sourceRoot"))
+    val m = manifest(spark, sourceRoot, v)
+    if (m.dvs.nonEmpty) throw new java.io.IOException(
+      s"snapshot $sourceRoot@v$v has outstanding deletion vectors; " +
+        "purgeVectors before cloning (a clone's absolute file " +
+        "references can never match the vectors' root-relative keys)")
+    require(m.schemaJson.isDefined,
+      s"snapshot $sourceRoot@v$v has no recorded schema")
+    val srcP = { val p = new Path(sourceRoot); fs(spark, p).makeQualified(p) }
+    val dstP = { val p = new Path(destRoot); fs(spark, p).makeQualified(p) }
+    require(srcP != dstP, "clone target equals the source")
+    require(!(dstP.toString + "/").startsWith(srcP.toString + "/") &&
+      !(srcP.toString + "/").startsWith(dstP.toString + "/"),
+      s"clone target $dstP nests inside the source (or vice versa) — " +
+        "either side's vacuum would sweep the other")
+    if (latestVersion(spark, destRoot).isDefined)
+      throw new IllegalArgumentException(
+        s"clone target $destRoot already has commits")
+    def abs(rel: String): String =
+      if (new Path(rel).isAbsolute) rel
+      else new Path(srcP, rel).toString
+    if (pinSource) {
+      val tagName = "graft-clone-" + java.security.MessageDigest
+        .getInstance("SHA-256").digest(dstP.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      // idempotent under re-clone to the same (cleaned) destination
+      if (!listTags(spark, sourceRoot).contains(tagName))
+        tag(spark, sourceRoot, tagName, Some(v))
+    }
+    publish(spark, destRoot, staged = Nil, stagedStats = Map.empty,
+      mode = "clone", schemaJsonOf = () => m.schemaJson.get, txn = None,
+      linkBlooms = _ => Map.empty,
+      linkDvs = (_, _) => Map.empty,
+      linkParts = _ => m.partitionBy,
+      linkColMap = _ => m.colMap,
+      linkDropped = _ => m.droppedCols,
+      linkConstraints = _ => m.constraints) { prevM =>
+      if (prevM.isDefined) throw new IllegalArgumentException(
+        s"clone target $destRoot already has commits")
+      (m.files.map(abs), m.stats.map { case (k, s) => abs(k) -> s })
+    }.get
   }
 
   // ---- change feed -----------------------------------------------------
@@ -3309,6 +3388,26 @@ object VersionedTable {
   private def decodeFilePath(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"),
       java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Scan-side provenance ([[fileRelOf]]'s trailing `data/...` form)
+    * mapped back to the manifest ENTRY naming the file. Identity for
+    * root-relative entries (the common case — "DvRelCol IS the
+    * manifest rel"); for a [[cloneTable]]'s ABSOLUTE references the
+    * entry is the absolute path whose tail matches. Commit-dir tokens
+    * are random per commit, so tails are unique across roots; the
+    * require turns the astronomically-unlikely collision into a loud
+    * stop instead of a mis-attributed rewrite.
+    */
+  private def entryByTail(m: Manifest, entries: Seq[String])
+      : Map[String, String] = {
+    val depth = 3 + m.partitionBy.size
+    val idx = entries.map(e =>
+      e.split("/").takeRight(depth).mkString("/") -> e)
+    require(idx.map(_._1).distinct.size == idx.size,
+      "two snapshot files share a trailing path — scan provenance " +
+        "cannot be attributed")
+    idx.toMap
+  }
 
   /** The manifest-rel of a file off its absolute path: the trailing
     * `data/c<token>/[col=value/…]file` segments — depth 3 plus one

@@ -701,6 +701,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // commit shuffled at table-build time
       "q_table_dsv2" -> 1,
       "q_table_rowgroup" -> 1, // one agg exchange over the row-group-pruned single-file scan
+      "q_table_clone" -> 2, // one single-partition agg exchange per side (source + branch)
       // mixed int/long files upcast in-scan + ONE rollup exchange
       "q_table_widen" -> 1,
       // plain snapshot read + ONE rollup exchange; the constraint

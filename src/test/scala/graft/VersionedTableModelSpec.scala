@@ -60,7 +60,7 @@ class VersionedTableModelSpec extends SparkSpec {
       var nextId = 1000L
 
       (1 to StepsPerSeed).foreach { step =>
-        val op = rnd.nextInt(12)
+        val op = rnd.nextInt(13)
         val ids = model.keys.toSeq.sorted
         def someId(): Long =
           if (ids.isEmpty) 0L else ids(rnd.nextInt(ids.size))
@@ -142,6 +142,29 @@ class VersionedTableModelSpec extends SparkSpec {
             assert(snapshot(root) === model,
               s"seed $seed step $step: refused write leaked rows")
             VersionedTable.dropConstraint(spark, root, "v_nonneg")
+          case 12 => // shallow clone: branch, diverge the branch, the
+            // SOURCE must not move (and the branch sees model + delta)
+            if (VersionedTable.manifest(spark, root,
+                VersionedTable.latestVersion(spark, root).get)
+                .dvs.nonEmpty)
+              VersionedTable.purgeVectors(spark, root)
+            val branch = java.nio.file.Files
+              .createTempDirectory(s"graft_vt_model_clone_$seed").toString +
+              "/b"
+            VersionedTable.cloneTable(spark, root, branch)
+            val cloneGot = VersionedTable.read(spark, branch)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(cloneGot === model,
+              s"seed $seed step $step: clone snapshot diverged at birth")
+            val extra = { val id = nextId; nextId += 1; Seq(id -> id * 10L) }
+            VersionedTable.commit(extra.toDF("id", "v"), branch,
+              statsColumns = Seq("*"))
+            val branchGot = VersionedTable.read(spark, branch)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(branchGot === model ++ extra,
+              s"seed $seed step $step: diverged clone lost rows")
+            // the branch's append must be INVISIBLE to the source
+            // (asserted by the step-end snapshot === model below)
         }
         val got = snapshot(root)
         assert(got === model,
