@@ -30,6 +30,8 @@ import graft.sources.VersionedTable
   *   - `OPTIMIZE graft.`/root`` [WHERE pred] [ZORDER BY (c, ...)]
   *        [INTO n FILES]`
   *   - `VACUUM graft.`/root`` [RETAIN n VERSIONS]`
+  *   - `CREATE TABLE graft.`/dst`` SHALLOW CLONE graft.`/src``
+  *        [VERSION AS OF n]`                      — zero-copy branch
   *
   * The grammar is the ENGINE-FAITHFUL subset, enforced loudly: MERGE
   * is [[VersionedTable.merge]]'s upsert contract (`UPDATE SET *` +
@@ -73,6 +75,13 @@ object GraftSqlDml {
     "(?:\\s+INTO\\s+(\\d+)\\s+FILES?)?\\s*;?\\s*$$")
   private val MergeHead =
     pat(s"^\\s*MERGE\\s+INTO\\s+$T(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+)$$")
+  // gate requires the SHALLOW CLONE verb so ordinary CREATE TABLE ...
+  // USING graft statements keep flowing to Spark's parser (the V2
+  // catalog path)
+  private val CloneGate =
+    pat(s"^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s")
+  private val Clone = pat(s"^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE" +
+    s"\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$")
 
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft SQL DML: $msg")
@@ -115,6 +124,13 @@ object GraftSqlDml {
           "z-order rewrite would widen the z-curve past the selected files")
       GraftOptimizeCommand(mm.group(1), where, zorder,
         Option(mm.group(4)).map(_.toInt))
+    }
+    else if (CloneGate.matcher(sqlText).find()) Some {
+      val mm = m(Clone).getOrElse(bad(
+        "expected CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` " +
+          "[VERSION AS OF <n>]"))
+      GraftCloneCommand(mm.group(2), mm.group(1),
+        Option(mm.group(3)).map(_.toLong))
     }
     else if (MergeGate.matcher(sqlText).find()) Some(parseMerge(sqlText))
     else None
@@ -323,6 +339,18 @@ case class GraftOptimizeCommand(root: String, where: Option[String],
       }
     row("OPTIMIZE", v)
   }
+}
+
+/** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src`` — the
+  * zero-copy branch ([[VersionedTable.cloneTable]], Delta's CLONE
+  * syntax); the source version is tag-pinned so its vacuum cannot
+  * destroy the branch's bytes.
+  */
+case class GraftCloneCommand(sourceRoot: String, destRoot: String,
+    version: Option[Long]) extends GraftDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    row("CLONE", Some(VersionedTable.cloneTable(
+      spark, sourceRoot, destRoot, version)))
 }
 
 case class GraftVacuumCommand(root: String,

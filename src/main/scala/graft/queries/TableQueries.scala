@@ -479,7 +479,7 @@ object TableQueries {
         conf.set("parquet.page.size", _))
     }
     VersionedTable.readWhere(s, root,
-        col("l_orderkey").between(10000L, 20000L))
+        col("l_orderkey").between(100L, 2000L))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -499,7 +499,7 @@ object TableQueries {
       |  min(l_orderkey) AS first_key,
       |  max(l_orderkey) AS last_key
       |FROM lineitem
-      |WHERE l_orderkey BETWEEN 10000 AND 20000
+      |WHERE l_orderkey BETWEEN 100 AND 2000
       |GROUP BY 1""".stripMargin
 
   /** SHALLOW CLONE ([[VersionedTable.cloneTable]]): the orders table

@@ -152,6 +152,33 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE branches through pure SQL") {
+    val src = freshRoot()
+    spark.sql(s"INSERT INTO graft.`$src` SELECT id, id * 10 AS v " +
+      "FROM range(0, 20)")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT id, id * 10 AS v " +
+      "FROM range(100, 120)")
+    val dst = freshRoot() + "/branch"
+    val r = spark.sql(
+      s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`").collect()
+    assert(r.head.getString(0) === "CLONE" && r.head.getLong(1) === 0L)
+    assert(snap(dst).count() === 40L)
+    // the branch diverges via SQL DML; the source must not move
+    spark.sql(s"DELETE FROM graft.`$dst` WHERE id >= 100")
+    assert(snap(dst).count() === 20L)
+    assert(snap(src).count() === 40L)
+    // VERSION AS OF clones the pinned history point
+    val dst0 = freshRoot() + "/b0"
+    spark.sql(s"CREATE TABLE graft.`$dst0` SHALLOW CLONE graft.`$src` " +
+      "VERSION AS OF 0").collect()
+    assert(snap(dst0).count() === 20L)
+    // ordinary CREATE TABLE statements still delegate to Spark
+    intercept[Exception] {
+      spark.sql("CREATE TABLE not_graft_definitely_missing_loc " +
+        "SHALLOW CLONE whatever")
+    }
+  }
+
   test("the engine-faithful subset refuses loudly, with the shape") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, 1.0)).toDF("id", "v"), root)
