@@ -472,6 +472,33 @@ object SimilaritySearch {
     (withCell("nodes"), withCell("edges"), IvfIndex.Model(centroids))
   }
 
+  /** Shared search prologue for both graph walks ([[nswSearchIndex]],
+    * [[hnswSearchIndex]]): the checkpointed probe set, plus BOTH
+    * corpus-scale frames pruned to the probed cells before any hop
+    * touches them. The probed-bucket set is query-bounded (≤ queries ×
+    * nprobe values, collected off the checkpointed probes in one tiny
+    * job), and on a [[nswSave]]d layout — partitionBy("bucket") — the
+    * IN-filter is a PARTITION filter, so every per-hop scan opens only
+    * the probed cells' files instead of the whole index (plan-audited
+    * in NswRecallSpec).
+    */
+  private def nswProbesAndPrune(
+      queries: DataFrame, nodes: DataFrame, edges: DataFrame,
+      idCol: String, vecCol: String, model: IvfIndex.Model,
+      nprobe: Int, entryBits: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val probes = IvfIndex.normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("q_vec"),
+        nswEsig(col("nv"), entryBits).as("qesig"),
+        explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
+      .localCheckpoint()
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    (probes,
+      nodes.filter(col("bucket").isin(probedBuckets: _*)),
+      edges.filter(col("bucket").isin(probedBuckets: _*)))
+  }
+
   /** Search a pre-built NSW index (reuse across query batches); same
     * contract and trajectory as [[nswTopK]].
     */
@@ -489,24 +516,9 @@ object SimilaritySearch {
       entryBits: Int = 12): DataFrame = {
     require(k >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
     require(entryBits >= 1 && entryBits <= 62)
-    def esig(vec: Column) = nswEsig(vec, entryBits)
     // ---- search: probe the nprobe nearest cells, walk each graph
-    val probes = IvfIndex.normalized(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("nv").as("q_vec"),
-        esig(col("nv")).as("qesig"),
-        explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
-      .localCheckpoint()
-    // prune BOTH corpus-scale frames to the probed cells before any
-    // hop touches them: the probed-bucket set is query-bounded
-    // (≤ queries × nprobe values, collected off the checkpointed
-    // probes in one tiny job), and on a [[nswSave]]d layout —
-    // partitionBy("bucket") — the IN-filter is a PARTITION filter, so
-    // every per-hop scan opens only the probed cells' files instead
-    // of the whole index (plan-audited in NswRecallSpec)
-    val probedBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val c = nodes.filter(col("bucket").isin(probedBuckets: _*))
-    val prunedEdges = edges.filter(col("bucket").isin(probedBuckets: _*))
+    val (probes, c, prunedEdges) = nswProbesAndPrune(
+      queries, nodes, edges, idCol, vecCol, model, nprobe, entryBits)
     // entry per (query, probed shard): Hamming-nearest stored sketch
     // (ties on the smaller id) — one equi-join on the cell and a
     // popcount per (query, member) pair, no dot products
@@ -593,7 +605,10 @@ object SimilaritySearch {
   private def hnswLvl(id: Column, branch: Int, maxLayer: Int): Column = {
     val h = conv(substring(sha2(concat(lit("hnsw:"),
       id.cast("string")), 256), 1, 8), 16, 10).cast("long")
-    (maxLayer to 1 by -1).foldLeft(lit(0)) { (acc, l) =>
+    // fold 1..maxLayer so the LARGEST matching layer is the outermost
+    // branch (folding downward would let the always-implied l=1 test
+    // shadow the higher layers)
+    (1 to maxLayer).foldLeft(lit(0)) { (acc, l) =>
       when(pmod(h, lit(math.pow(branch, l).toLong)) === 0, lit(l))
         .otherwise(acc)
     }
@@ -691,16 +706,8 @@ object SimilaritySearch {
     require(k >= 1 && beam >= 1 && rounds >= 1 && nprobe >= 1)
     require(maxLayer >= 1 && beamUpper >= 1 && roundsUpper >= 1)
     require(entryBits >= 1 && entryBits <= 62)
-    def esig(vec: Column) = nswEsig(vec, entryBits)
-    val probes = IvfIndex.normalized(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("nv").as("q_vec"),
-        esig(col("nv")).as("qesig"),
-        explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
-      .localCheckpoint()
-    val probedBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val c = nodes.filter(col("bucket").isin(probedBuckets: _*))
-    val prunedEdges = edges.filter(col("bucket").isin(probedBuckets: _*))
+    val (probes, c, prunedEdges) = nswProbesAndPrune(
+      queries, nodes, edges, idCol, vecCol, model, nprobe, entryBits)
     val nodeVecs = c.select(col("bucket"), col("neighbor_id").as("node"),
       col("c_vec"))
     def score(fr: DataFrame): DataFrame = nodeVecs

@@ -86,6 +86,49 @@ object GraftSqlDml {
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft SQL DML: $msg")
 
+  /** `sql` split into segments tagged isLiteral: single-quoted string
+    * literals ('' escaping included) come back verbatim so grammar
+    * surgery (alias stripping, qualifier checks, paren balancing)
+    * never rewrites or miscounts text INSIDE a literal.
+    */
+  private def splitLiterals(s: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (i > start) out += ((s.substring(start, i), false))
+        var j = i + 1
+        var closed = false
+        while (j < s.length && !closed) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        out += ((s.substring(i, j), true))
+        i = j
+        start = j
+      } else i += 1
+    }
+    if (start < s.length) out += ((s.substring(start), false))
+    out.result()
+  }
+
+  /** `f` applied to the non-literal segments only; literals ride
+    * through byte-identical.
+    */
+  private def mapOutsideLiterals(s: String)(f: String => String): String =
+    splitLiterals(s).map { case (seg, lit) => if (lit) seg else f(seg) }
+      .mkString
+
+  /** The statement text with literal CONTENTS blanked (quotes kept) —
+    * what qualifier/shape checks should look at.
+    */
+  private def outsideLiterals(s: String): String =
+    splitLiterals(s).map { case (seg, lit) => if (lit) "''" else seg }
+      .mkString
+
   /** The graft DML plan for `sqlText`, or None when the statement's
     * target is not a graft table (→ delegate to Spark's parser).
     * A graft-targeted statement that fails the subset grammar throws.
@@ -154,6 +197,19 @@ object GraftSqlDml {
         var depth = 0; var i = s; var end = -1
         while (i < rest.length && end < 0) {
           rest.charAt(i) match {
+            case '\'' =>
+              // skip the string literal ('' escapes) so parens inside
+              // it never move the depth counter
+              var j = i + 1
+              var closed = false
+              while (j < rest.length && !closed) {
+                if (rest.charAt(j) == '\'') {
+                  if (j + 1 < rest.length && rest.charAt(j + 1) == '\'')
+                    j += 2
+                  else closed = true
+                } else j += 1
+              }
+              i = if (closed) j else rest.length
             case '(' => depth += 1
             case ')' => depth -= 1; if (depth == 0) end = i
             case _ =>
@@ -231,13 +287,17 @@ object GraftSqlDml {
     // flags source rows as tombstones); target-side references are
     // unexpressible there, so they refuse loudly
     val delCond = deleteCond.map { c =>
+      // qualifier checks and alias stripping look only OUTSIDE string
+      // literals — `... AND s.note = 'per s. smith'` must neither
+      // refuse on the literal's "t." nor rewrite its "s."
       tgtAlias.foreach { a =>
-        if (pat(s"\\b$a\\s*\\.").matcher(c).find()) bad(
+        if (pat(s"\\b$a\\s*\\.").matcher(outsideLiterals(c)).find()) bad(
           s"the DELETE condition may reference only SOURCE columns " +
             s"(engine semantics: a flagged source row deletes its " +
             s"match); strip `$a.` references")
       }
-      srcAlias.fold(c)(a => c.replaceAll(s"(?i)\\b$a\\s*\\.\\s*", ""))
+      srcAlias.fold(c)(a => mapOutsideLiterals(c)(
+        _.replaceAll(s"(?i)\\b$a\\s*\\.\\s*", "")))
     }
     GraftMergeCommand(root, source, keys, delCond)
   }
@@ -335,7 +395,14 @@ case class GraftOptimizeCommand(root: String, where: Option[String],
       } else where match {
         case Some(w) => VersionedTable.compactWhere(spark, root, expr(w),
           targetPartitions = intoFiles.getOrElse(1))
-        case None => VersionedTable.compactSmall(spark, root)
+        // a bare INTO n FILES pins the whole-table layout — honoring
+        // it needs the full compact, not the small-file bin-pack
+        // (which would silently ignore the user's explicit count)
+        case None => intoFiles match {
+          case Some(n) =>
+            VersionedTable.compact(spark, root, targetPartitions = n)
+          case None => VersionedTable.compactSmall(spark, root)
+        }
       }
     row("OPTIMIZE", v)
   }

@@ -3126,9 +3126,12 @@ object VersionedTable {
       val tagName = "graft-clone-" + java.security.MessageDigest
         .getInstance("SHA-256").digest(dstP.toString.getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-      // idempotent under re-clone to the same (cleaned) destination
-      if (!listTags(spark, sourceRoot).contains(tagName))
-        tag(spark, sourceRoot, tagName, Some(v))
+      // ALWAYS (re)tag — tag() is an atomic overwrite-retag, so a
+      // re-clone to a previously-used (deleted) destination moves the
+      // pin to the NEW cloned version; skipping on an existing name
+      // would leave the fresh clone unpinned and the byte-lifetime
+      // contract silently void
+      tag(spark, sourceRoot, tagName, Some(v))
     }
     publish(spark, destRoot, staged = Nil, stagedStats = Map.empty,
       mode = "clone", schemaJsonOf = () => m.schemaJson.get, txn = None,

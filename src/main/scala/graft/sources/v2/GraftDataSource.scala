@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.VersionedTable
@@ -153,31 +153,51 @@ private[graft] class GraftRelation(context: SQLContext, root: String,
   private val predicate: Option[Column] =
     pushed.flatMap(GraftFilters.toColumn).reduceOption(_ && _)
 
+  // the snapshot is PINNED once at construction: plannedFiles, schema
+  // and buildScan all read the same version, so a commit landing
+  // between plan time and execution can never hand the scan a file
+  // list from one snapshot under another's schema (version JSONs are
+  // O(1)-file reads and the checkpoint parquet is driver-cached, so
+  // the repeated manifest parses below stay metadata-cheap)
+  private val pinnedVersion: Long = version
+    .orElse(VersionedTable.latestVersion(spark, root))
+    .getOrElse(throw new java.io.IOException(
+      s"no committed version under $root"))
+  private val pinnedManifest =
+    VersionedTable.manifest(spark, root, pinnedVersion)
+
   /** The zone-map/bloom-pruned file list this scan plans — by
     * construction identical to what [[VersionedTable.readWhere]] with
     * the same predicate plans ([[VersionedTable.pruneFiles]] parity
     * is spec-gated).
     */
   val plannedFiles: Seq[String] = predicate match {
-    case Some(p) => VersionedTable.pruneFiles(spark, root, p, version)._1
-    case None =>
-      val v = version.orElse(VersionedTable.latestVersion(spark, root))
-        .getOrElse(throw new java.io.IOException(
-          s"no committed version under $root"))
-      VersionedTable.manifest(spark, root, v).files
+    case Some(p) =>
+      VersionedTable.pruneFiles(spark, root, p, Some(pinnedVersion))._1
+    case None => pinnedManifest.files
   }
 
   override def sqlContext: SQLContext = context
   override lazy val schema: StructType = {
-    val full = VersionedTable.read(spark, root, version).schema
+    // the recorded snapshot schema is already LOGICAL (commit stores
+    // df.schema.json) — no scan relation needs constructing just to
+    // answer the schema question. Nullability normalizes to the scan's
+    // view (a parquet read reports every field nullable), or Spark's
+    // v1-fallback consistency check refuses the plan.
+    val full = pinnedManifest.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .map(s => StructType(s.fields.map(_.copy(nullable = true))))
+      .getOrElse(VersionedTable.read(spark, root, Some(pinnedVersion))
+        .schema)
     StructType(requiredCols.map(c => full(full.fieldIndex(c))))
   }
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] = {
     val base = predicate match {
-      case Some(p) => VersionedTable.readWhere(spark, root, p, version)
-      case None => VersionedTable.read(spark, root, version)
+      case Some(p) =>
+        VersionedTable.readWhere(spark, root, p, Some(pinnedVersion))
+      case None => VersionedTable.read(spark, root, Some(pinnedVersion))
     }
     val projected =
       if (requiredCols.isEmpty) base.select()

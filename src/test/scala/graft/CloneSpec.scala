@@ -119,6 +119,32 @@ class CloneSpec extends SparkSpec {
     assert(ids(dst) === (0L until 20L))
   }
 
+  test("re-clone to a recycled destination re-pins the NEW version") {
+    val src = freshDir("graft_clone_t_src")
+    VersionedTable.commit((0L until 10L).toDF("id"), src,
+      statsColumns = Seq("*"))
+    val dstDir = freshDir("graft_clone_t_dst")
+    val dst = dstDir + "/t"
+    VersionedTable.cloneTable(spark, src, dst) // pins v0
+    val tagName = VersionedTable.listTags(spark, src).keys
+      .find(_.startsWith("graft-clone-")).get
+    assert(VersionedTable.tagVersion(spark, src, tagName) === Some(0L))
+    // destroy the branch, advance the source, re-clone to the SAME path
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dst))
+    VersionedTable.commit((100L until 110L).toDF("id"), src,
+      statsColumns = Seq("*")) // v1
+    VersionedTable.cloneTable(spark, src, dst)
+    // the pin must MOVE to the newly cloned version — a skipped retag
+    // would leave v1 unprotected from the source's vacuum
+    assert(VersionedTable.tagVersion(spark, src, tagName) === Some(1L))
+    VersionedTable.vacuum(spark, src, keepVersions = 1)
+    assert(ids(dst) === (0L until 10L) ++ (100L until 110L))
+  }
+
   test("refusals: occupied target, nested roots, outstanding vectors") {
     val src = freshDir("graft_clone_r_src")
     VersionedTable.commit((0L until 10L).toDF("id"), src,

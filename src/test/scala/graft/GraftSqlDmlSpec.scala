@@ -152,6 +152,45 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("string literals are opaque to the MERGE grammar surgery") {
+    val root = freshRoot()
+    Seq((1L, "per s. smith"), (2L, "keep :-)"), (3L, "x"))
+      .toDF("id", "note").createOrReplaceTempView("lit_base")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM lit_base")
+    // (a) parens inside a source-subquery literal must not unbalance
+    // the scanner; (b) the delete condition's literal containing
+    // "s. " must survive the source-alias strip AND "t." inside a
+    // literal must not trip the target-alias refusal
+    Seq((1L, "per s. smith"), (2L, "t. still here"), (9L, "new"))
+      .toDF("id", "note").createOrReplaceTempView("lit_src")
+    spark.sql(
+      s"MERGE INTO graft.`$root` AS t USING " +
+        "(SELECT id, note FROM lit_src WHERE note <> ':-)' AND id < 10) " +
+        "AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.note = 'per s. smith' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val got = snap(root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1 deleted (its literal matched EXACTLY), id 2 updated to the
+    // "t. still here" note, id 9 inserted, id 3 untouched
+    assert(got === Map(2L -> "t. still here", 3L -> "x", 9L -> "new"),
+      s"literal-blind grammar surgery corrupted the merge: $got")
+  }
+
+  test("OPTIMIZE INTO n FILES without WHERE honors the pinned count") {
+    val root = freshRoot()
+    (0 until 6).foreach(k => spark.sql(
+      s"INSERT INTO graft.`$root` SELECT id, id * 2 AS v " +
+        s"FROM range(${k * 10}, ${k * 10 + 10})"))
+    spark.sql(s"OPTIMIZE graft.`$root` INTO 3 FILES")
+    val m = VersionedTable.manifest(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(m.files.size === 3,
+      s"INTO 3 FILES must yield exactly 3 files, got ${m.files.size}")
+    assert(snap(root).count() === 60L)
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE branches through pure SQL") {
     val src = freshRoot()
     spark.sql(s"INSERT INTO graft.`$src` SELECT id, id * 10 AS v " +

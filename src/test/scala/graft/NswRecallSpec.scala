@@ -192,6 +192,12 @@ class NswRecallSpec extends SparkSpec {
     assert(byLvl.getOrElse(0, 0L) > byLvl.getOrElse(1, 0L) &&
       byLvl.getOrElse(1, 0L) > byLvl.getOrElse(2, 0L),
       s"layer sizes must shrink: $byLvl")
+    // the TOP layer must actually populate (~1/16 of 480 nodes): a
+    // draw that never reaches maxLayer would silently degrade the
+    // hierarchy to one upper layer (regression: the lvl fold once
+    // checked l=1 outermost, shadowing every higher layer)
+    assert(byLvl.getOrElse(2, 0L) > 0L,
+      s"no node drew the top layer: $byLvl")
     // layer-2 members are ~1/16 of each cell — at fixture scale most
     // cells hold at most one, so layer-2 EDGES may legitimately be
     // empty; layers 0 and 1 must both materialize
