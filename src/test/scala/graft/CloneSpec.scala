@@ -119,6 +119,28 @@ class CloneSpec extends SparkSpec {
     assert(ids(dst) === (0L until 20L))
   }
 
+  test("the change feed bootstraps a clone as v0 inserts") {
+    val src = freshDir("graft_clone_cdc_src")
+    VersionedTable.commit((0L until 5L).toDF("id"), src,
+      statsColumns = Seq("*"))
+    val dst = freshDir("graft_clone_cdc_dst") + "/t"
+    VersionedTable.cloneTable(spark, src, dst)
+    VersionedTable.commit((100L until 103L).toDF("id"), dst,
+      statsColumns = Seq("*"))
+    // startingVersion = -1 replays the branch's whole history: the
+    // clone's v0 snapshot streams as inserts (the bootstrap a CDC
+    // follower needs), the append as v1 inserts
+    val feed = VersionedTable.changes(spark, dst, -1L, 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+    assert(feed.forall(_._2 == "insert"))
+    assert(feed.filter(_._3 == 0L).map(_._1).sorted.toSeq ===
+      (0L until 5L))
+    assert(feed.filter(_._3 == 1L).map(_._1).sorted.toSeq ===
+      (100L until 103L))
+  }
+
   test("re-clone to a recycled destination re-pins the NEW version") {
     val src = freshDir("graft_clone_t_src")
     VersionedTable.commit((0L until 10L).toDF("id"), src,
