@@ -22,15 +22,20 @@ object QueryProfiler {
       var started: Long = 0L, var finished: Long = 0L,
       var stages: Int = 0)
 
+  final case class StageRec(id: Int, name: String, var tasks: Int = 0,
+      var runMs: Long = 0L, var gcMs: Long = 0L, var cpuMs: Long = 0L,
+      var deserMs: Long = 0L, var wall: Long = 0L)
+
   private class L extends SparkListener {
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    val stages = mutable.LinkedHashMap.empty[Int, StageRec]
     var shuffleRead = 0L
     var shuffleWrite = 0L
     var inputBytes = 0L
     var tasks = 0
     override def onJobStart(j: SparkListenerJobStart): Unit = {
-      val site = Option(j.properties)
-        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+      val site = j.stageInfos.lastOption.map(_.name.linesIterator.next()
+        .take(70)).getOrElse("")
       val desc = Option(j.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
       jobs(j.jobId) = JobRec(j.jobId, desc, site,
@@ -38,10 +43,23 @@ object QueryProfiler {
     }
     override def onJobEnd(j: SparkListenerJobEnd): Unit =
       jobs.get(j.jobId).foreach(_.finished = j.time)
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val si = s.stageInfo
+      val rec = stages.getOrElseUpdate(si.stageId,
+        StageRec(si.stageId, si.name.linesIterator.next().take(70)))
+      rec.wall = (for {a <- si.completionTime; b <- si.submissionTime}
+        yield a - b).getOrElse(0L)
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       tasks += 1
+      val rec = stages.getOrElseUpdate(t.stageId, StageRec(t.stageId, "?"))
+      rec.tasks += 1
       val m = t.taskMetrics
       if (m != null) {
+        rec.runMs += m.executorRunTime
+        rec.gcMs += m.jvmGCTime
+        rec.cpuMs += m.executorCpuTime / 1000000L
+        rec.deserMs += m.executorDeserializeTime
         shuffleRead += m.shuffleReadMetrics.totalBytesRead
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         inputBytes += m.inputMetrics.bytesRead
@@ -84,6 +102,11 @@ object QueryProfiler {
           val what = if (j.desc.nonEmpty) j.desc else j.site
           err.println(f"   job ${j.id}%4d ${el}%7.3f s  stages=${j.stages}%2d  $what")
         }
+      l.stages.values.toSeq.sortBy(-_.wall).take(15).foreach { s =>
+        err.println(f"   stage ${s.id}%4d wall=${s.wall / 1e3}%7.3f s tasks=${s.tasks}%3d " +
+          f"run=${s.runMs / 1e3}%7.3f cpu=${s.cpuMs / 1e3}%7.3f gc=${s.gcMs / 1e3}%6.3f " +
+          f"deser=${s.deserMs / 1e3}%6.3f  ${s.name}")
+      }
     }
     spark.stop()
   }

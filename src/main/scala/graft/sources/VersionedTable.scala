@@ -208,6 +208,18 @@ object VersionedTable {
   private val CommitsDir = "_commits"
   private val MaxRetries = 20
 
+  /** Label the Spark jobs a phase submits (guide §1.5) so profilers and
+    * the UI attribute commit/merge time to the phase that spent it.
+    * Restores the caller's description on exit (descriptions are
+    * thread-local, so concurrent writers stay correctly labeled).
+    */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   private def commitsPath(root: String) = new Path(root, CommitsDir)
   private def versionFile(root: String, v: Long) =
     new Path(commitsPath(root), f"v$v%012d.json")
@@ -227,6 +239,25 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  // committed version JSONs are immutable (the rename arbiter means a
+  // version file is written exactly once), so the PARSE is cacheable:
+  // every table op re-reads the latest manifest several times per call
+  // chain (replay gate, inheritance, publish rebase), and at commit
+  // frequency the repeated JSON parse was measurable driver time. The
+  // (mtime, len) guard is belt and braces for tests that rewrite
+  // fixture trees in place; entries are small (self-contained
+  // manifests hold < checkpointThreshold files; bigger ones are
+  // checkpoint + delta, and the checkpoint body has its own cache).
+  private val ManifestCacheMax = 64
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (Long, Long, Manifest, Option[CkptDelta])](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, (Long, Long, Manifest, Option[CkptDelta])]): Boolean =
+        size() > ManifestCacheMax
+    })
+
   /** Parse one committed manifest, resolving through its parquet
     * checkpoint when the version JSON is a delta (read cost: one
     * small JSON + one cached immutable parquet — O(1) files).
@@ -234,16 +265,28 @@ object VersionedTable {
   def manifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = versionFile(root, version)
     val f = fs(spark, p)
-    if (!f.exists(p)) throw new java.io.IOException(
-      s"version $version of $root does not exist (never committed, or vacuumed)")
-    val in = f.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-      out.toByteArray
-    } finally in.close()
-    val (m, delta) = parseManifestParts(
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val st = try f.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => throw new java.io.IOException(
+        s"version $version of $root does not exist (never committed, or vacuumed)")
+    }
+    val key = f.makeQualified(p).toString
+    val hit = manifestCache.get(key)
+    val (m, delta) =
+      if (hit != null && hit._1 == st.getModificationTime &&
+          hit._2 == st.getLen) (hit._3, hit._4)
+      else {
+        val in = f.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+          out.toByteArray
+        } finally in.close()
+        val parsed = parseManifestParts(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        manifestCache.put(key,
+          (st.getModificationTime, st.getLen, parsed._1, parsed._2))
+        parsed
+      }
     delta match {
       case None => m
       case Some(d) =>
@@ -768,8 +811,10 @@ object VersionedTable {
     val stageP = new Path(rootP, stageRel)
     val w = toPhysicalDf(withConstraintGuard(df, constraints, root), colMap)
       .write.mode(SaveMode.ErrorIfExists)
-    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(stageP.toString)
+    try labeled(spark, s"graft: stage write $stageRel") {
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(stageP.toString)
+    }
     catch {
       case e: Throwable if constraintCause(e).isDefined =>
         f.delete(stageP, true)
@@ -1574,6 +1619,28 @@ object VersionedTable {
     // stats come off the path in [[withPartitionStats]]
     val cols = cols0.filterNot(f => partitionBy.contains(f.name))
     if (cols.isEmpty && partitionBy.isEmpty) return Map.empty
+    // Footer path (guide §1.2: remove passes; §6: metadata over data):
+    // the staged files' parquet FOOTERS already carry exact per-chunk
+    // min/max/null-count for every supported type, so the file-level
+    // zone maps aggregate off O(files) footers instead of re-scanning
+    // O(bytes) of just-written data pages — at commit frequency the
+    // stats pass stops costing a second read of the table. Exactness:
+    // parquet-mr truncates only column-INDEX stats (64 B), never chunk
+    // statistics (default limit 2^31-1); values past the 4 KB metadata
+    // cap drop their stats entirely and the column is simply omitted,
+    // which every consumer treats as "keep" ([[mayMatch]]) — bounds
+    // stay sound, row counts stay exact. Decimals keep the scan (their
+    // footer encoding is not lowered into the manifest domain).
+    val footerable = spark.conf
+      .get("spark.graft.stats.viaFooters", "true").toBoolean &&
+      cols.forall(f => statTag(f.dataType).get != "decimal")
+    if (footerable) {
+      val wanted = cols.flatMap(f => statTag(f.dataType).map(f.name -> _)).toMap
+      collectStatsFooters(spark, root, staged, wanted) match {
+        case Some(r) => return r
+        case None => () // unreadable footer → the scan below stays correct
+      }
+    }
     def orderable(f: StructField): Column = f.dataType match {
       case BooleanType => col(f.name).cast("long")
       // floats are WIDENED TO DOUBLE before min/max so the stored bound
@@ -1604,12 +1671,14 @@ object VersionedTable {
     // url_decode of the encoded form costs real scan time at commit
     // frequency; the decode runs driver-side over the collected keys
     // instead (one per FILE, not one per row)
-    val byFile = spark.read.schema(schema)
-      .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
-      .groupBy(substring_index(input_file_name(), "/", -tailDepth)
-        .as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val byFile = labeled(spark, "graft: stats scan") {
+      spark.read.schema(schema)
+        .parquet(staged.map(rel => new Path(rootP, rel).toString): _*)
+        .groupBy(substring_index(input_file_name(), "/", -tailDepth)
+          .as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
     val byName = staged
       .map(rel => rel.split("/").takeRight(tailDepth).mkString("/") -> rel)
       .toMap
@@ -1673,17 +1742,25 @@ object VersionedTable {
       .filterNot(f => partitionBy.contains(f.name))
       .flatMap(f => statTag(f.dataType).map(f.name -> _)).toMap
     if (wanted.isEmpty) return Map.empty
+    readFootersPerFile(spark, root, staged, wanted)
+  }
+
+  /** Per-row-group [[FileStats]] read off each staged file's FOOTER —
+    * no data pages opened. Small commits read on the driver through a
+    * bounded pool (no Spark job at all — the commit-path common case);
+    * commits past `spark.graft.stats.footerDriverMaxFiles` fan out one
+    * footer per task, the million-file shape.
+    */
+  private def readFootersPerFile(
+      spark: SparkSession, root: String, staged: Seq[String],
+      wanted: Map[String, String]): Map[String, Seq[FileStats]] = {
     val rootStr = root
-    val serConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1,
-      math.min(staged.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(staged, slices).map { rel =>
+    def one(rel: String, conf: org.apache.hadoop.conf.Configuration)
+        : (String, Seq[FileStats]) = {
       import scala.jdk.CollectionConverters._
       val p = new Path(new Path(rootStr), rel)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          p, serConf.value))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try {
         rel -> reader.getFooter.getBlocks.asScala.toSeq.map { b =>
           val colStats = b.getColumns.asScala.flatMap { cc =>
@@ -1696,8 +1773,95 @@ object VersionedTable {
           FileStats(b.getRowCount, colStats)
         }
       } finally reader.close()
-    }.collect().toMap
+    }
+    val driverMax = spark.conf
+      .get("spark.graft.stats.footerDriverMaxFiles", "64").toInt
+    if (staged.size <= driverMax) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      if (staged.size <= 4) staged.map(one(_, conf)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, staged.size))
+        try staged.map(rel => pool.submit(
+            new java.util.concurrent.Callable[(String, Seq[FileStats])] {
+              def call(): (String, Seq[FileStats]) = one(rel, conf)
+            })).map(_.get()).toMap
+        catch {
+          // surface the real footer failure, not the future wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        } finally pool.shutdown()
+      }
+    } else {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1,
+        math.min(staged.size, spark.sparkContext.defaultParallelism))
+      labeled(spark, "graft: footer stats") {
+        spark.sparkContext.parallelize(staged, slices)
+          .map(rel => one(rel, serConf.value)).collect().toMap
+      }
+    }
   }
+
+  /** Domain comparator for manifest stat strings (the encodings
+    * [[encodeParquetStats]] and the stats scan share): integer order
+    * for long/date/timestamp, double order for double, UTF8 binary
+    * order for string — the same orders [[lower]] compares with.
+    * Decimals never reach the footer path ([[collectStats]] dispatch).
+    */
+  private def statLeq(tag: String, a: String, b: String): Boolean = tag match {
+    case "string" =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
+    case "double" =>
+      java.lang.Double.parseDouble(a) <= java.lang.Double.parseDouble(b)
+    case _ => java.lang.Long.parseLong(a) <= java.lang.Long.parseLong(b)
+  }
+
+  /** File-level stats folded from one file's per-row-group stats: rows
+    * sum over blocks; a column qualifies only when EVERY row group
+    * carries a trusted entry for it (min of mins, max of maxes, summed
+    * null counts — exact, because chunk stats are exact); a zero-block
+    * (empty) file reproduces the scan path's backfilled empty-stats
+    * shape so [[rowCount]] and pruned reads behave identically.
+    */
+  private def combineFileStats(wanted: Map[String, String],
+      blocks: Seq[FileStats]): FileStats = {
+    if (blocks.isEmpty)
+      return FileStats(0L,
+        wanted.map { case (n, t) => n -> ColStats(t, None, None, 0L) })
+    val rows = blocks.map(_.rows).sum
+    val colStats = wanted.flatMap { case (name, tag) =>
+      val chunks = blocks.flatMap(_.cols.get(name))
+      if (chunks.size != blocks.size) None // an untrusted chunk ⇒ no claim
+      else {
+        val nulls = chunks.map(_.nulls).sum
+        val bounded = chunks.filter(_.min.isDefined)
+        if (bounded.isEmpty) Some(name -> ColStats(tag, None, None, nulls))
+        else Some(name -> ColStats(tag,
+          Some(bounded.map(_.min.get).reduce((x, y) =>
+            if (statLeq(tag, x, y)) x else y)),
+          Some(bounded.map(_.max.get).reduce((x, y) =>
+            if (statLeq(tag, x, y)) y else x)),
+          nulls))
+      }
+    }
+    FileStats(rows, colStats)
+  }
+
+  /** The footer-based file-level stats pass, or None when any footer
+    * is unreadable (the caller falls back to the scan — correctness
+    * never depends on this path).
+    */
+  private def collectStatsFooters(
+      spark: SparkSession, root: String, staged: Seq[String],
+      wanted: Map[String, String]): Option[Map[String, FileStats]] =
+    try {
+      val perFile = readFootersPerFile(spark, root, staged, wanted)
+      if (perFile.size != staged.size) None
+      else Some(perFile.map { case (rel, blocks) =>
+        rel -> combineFileStats(wanted, blocks) })
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One column chunk's parquet statistics lowered into the manifest's
     * [[ColStats]] string domain; None whenever the mapping is not
@@ -2640,9 +2804,11 @@ object VersionedTable {
     // gate yet route different rows per phase — silently losing or
     // duplicating rows. Delta's MERGE materializes for the same
     // reason. Blocks are freed on every exit path.
-    val src = source.withColumn(DelFlag, isDel)
-      .select(schema.fieldNames.map(col).toSeq :+ col(DelFlag): _*)
-      .localCheckpoint()
+    val src = labeled(spark, "graft: merge source materialize") {
+      source.withColumn(DelFlag, isDel)
+        .select(schema.fieldNames.map(col).toSeq :+ col(DelFlag): _*)
+        .localCheckpoint()
+    }
     try mergePinned(spark, root, src, keys, statsColumns, txn, clusterBy,
       v, m, schema)
     finally graft.operators.Blocks.drop(src)
@@ -2656,38 +2822,56 @@ object VersionedTable {
       txn: Option[(String, Long)], clusterBy: Seq[String],
       v: Long, m: Manifest, schema: StructType): Option[Long] = {
     val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    // uniqueness gate: ambiguous multi-match merges fail loudly
-    val dup = src.filter(keyNotNull).groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"merge source is not unique on keys ${keys.mkString(",")}: " +
-        dup.head.toSeq.init.mkString("(", ",", ")") + " appears " +
-        dup.head.getLong(dup.head.length - 1) + " times")
     val keepStats =
       if (statsColumns.nonEmpty) statsColumns
       else if (m.stats.nonEmpty) Seq("*") else Nil
 
+    // ONE job serves the uniqueness gate AND phase 1's key-bounds
+    // aggregate: per-key counts reduce to (max multiplicity, per-key
+    // min/max) in a single pass over the materialized source — bounds
+    // over the distinct keys equal bounds over the rows, and the two
+    // separate jobs this used to run (dup gate, then bounds) each paid
+    // a full job launch at every merge (guide §1.2: remove passes).
+    val prunable = keys.filter(k =>
+      statTag(schema(schema.fieldIndex(k)).dataType).isDefined)
+    val cntCol = "__graft_merge_n"
+    val gAggs = max(col(cntCol)).as(cntCol) +: prunable.flatMap(k =>
+      Seq(min(col(k)).as(s"_min_$k"), max(col(k)).as(s"_max_$k")))
+    val g = labeled(spark, "graft: merge gate+bounds") {
+      src.filter(keyNotNull).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(cntCol))
+        .agg(gAggs.head, gAggs.tail: _*)
+        .collect().head
+    }
+    val maxMult =
+      if (g.isNullAt(g.fieldIndex(cntCol))) 0L
+      else g.getLong(g.fieldIndex(cntCol))
+    if (maxMult > 1L) {
+      // ambiguous multi-match merges fail loudly; the offending key is
+      // looked up on this (rare) failure path only
+      val dup = src.filter(keyNotNull).groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      throw new IllegalArgumentException(
+        s"merge source is not unique on keys ${keys.mkString(",")}: " +
+          dup.head.toSeq.init.mkString("(", ",", ")") + " appears " +
+          dup.head.getLong(dup.head.length - 1) + " times")
+    }
+
     // phase 1: zone-map prune on the source's key bounds. The
     // resolved bounds expression is also the racing-append overlap
     // judge at publish time, so it is computed once here.
-    val prunable = keys.filter(k =>
-      statTag(schema(schema.fieldIndex(k)).dataType).isDefined)
     // noKeyedRows: the source has no non-null-key rows at all — no
     // file can contain a match and no append can collide
     var noKeyedRows = false
     val keyBounds: Option[Expression] =
       if (prunable.isEmpty) None
       else {
-        val aggs = prunable.flatMap(k =>
-          Seq(min(col(k)).as(s"_min_$k"), max(col(k)).as(s"_max_$k")))
-        val b = src.filter(keyNotNull).agg(aggs.head, aggs.tail: _*)
-          .collect().head
-        noKeyedRows = prunable.forall(k => b.isNullAt(b.fieldIndex(s"_min_$k")))
+        noKeyedRows = prunable.forall(k => g.isNullAt(g.fieldIndex(s"_min_$k")))
         if (noKeyedRows) None
         else {
           val pred = prunable.flatMap { k =>
-            val lo = b.get(b.fieldIndex(s"_min_$k"))
-            val hi = b.get(b.fieldIndex(s"_max_$k"))
+            val lo = g.get(g.fieldIndex(s"_min_$k"))
+            val hi = g.get(g.fieldIndex(s"_max_$k"))
             if (lo == null) None
             else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
           }.reduceOption(_ && _)
@@ -2707,11 +2891,12 @@ object VersionedTable {
       if (candidates.isEmpty) Nil
       else {
         val known = entryByTail(m, candidates)
-        readFilesLivePos(spark, root, m, candidates)
-          .withColumnRenamed(DvRelCol, "_file")
-          .join(srcKeys, keys.toSeq, "left_semi")
-          .select("_file").distinct().collect()
-          .flatMap(r => known.get(r.getString(0))).toSeq
+        labeled(spark, "graft: merge touch probe") {
+          readFilesLivePos(spark, root, m, candidates)
+            .withColumnRenamed(DvRelCol, "_file")
+            .join(srcKeys, keys.toSeq, "left_semi")
+            .select("_file").distinct().collect()
+        }.flatMap(r => known.get(r.getString(0))).toSeq
       }
 
     // phase 3: rewrite touched files; route source rows
@@ -2729,7 +2914,9 @@ object VersionedTable {
           .filter(!col(DelFlag)).drop(DelFlag)
         survivors.unionByName(updates).unionByName(inserts)
       }
-    if (touched.isEmpty && out.isEmpty) return None // pure-tombstone no-op
+    if (touched.isEmpty && labeled(spark, "graft: merge no-op probe") {
+      out.isEmpty
+    }) return None // pure-tombstone no-op
     // clusterBy keeps a key-clustered table SHARP under trickle merges:
     // without it every rewrite would interleave survivors, updates and
     // inserts into key-overlapping files, widening zone maps merge

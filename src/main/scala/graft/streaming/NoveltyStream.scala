@@ -90,10 +90,14 @@ object NoveltyStream {
     val report = perDoc.select(col("doc_id"), col("n_ngrams"), col("n_novel"),
       round(col("n_novel").cast("double") /
         col("n_ngrams").cast("double"), 6).as("novelty"))
-    report.write.mode(SaveMode.Overwrite)
-      .parquet(s"$reportDir/batch_id=$batchId")
-    freshFirst.select("h").write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, stateDir, batchId))
+    // report and state write are independent (both read only the pre
+    // checkpoints + the pre-batch store): land them concurrently
+    // (guide §2.6); replay overwrites both byte-identical
+    graft.operators.Par.actions(
+      () => report.write.mode(SaveMode.Overwrite)
+        .parquet(s"$reportDir/batch_id=$batchId"),
+      () => freshFirst.select("h").write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, stateDir, batchId)))
     // batch-lifetime checkpoints: drop their blocks now, not at
     // stream shutdown — a long-running monitor must not accumulate
     // one batch's worth of blocks per micro-batch

@@ -124,12 +124,18 @@ object ScorecardStream {
     // stores with the batch's OWN partition excluded, and freshFirst
     // pinned the pre-batch gram store at its checkpoint — so writing
     // the supporting stores first cannot feed this batch's scoring.)
-    freshFirst.select("h").write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, gramsDir(rootDir), batchId))
-    freshFps.write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, fpsDir(rootDir), batchId))
-    langCounts.write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, langsDir(rootDir), batchId))
+    // the three supporting stores are independent of each other (all
+    // derive from the slim/pre checkpoints + prior stores), so they
+    // land CONCURRENTLY (guide §2.6); sums/ — the commit point — is
+    // only submitted after all three returned, preserving the crash
+    // contract above
+    graft.operators.Par.actions(
+      () => freshFirst.select("h").write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, gramsDir(rootDir), batchId)),
+      () => freshFps.write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, fpsDir(rootDir), batchId)),
+      () => langCounts.write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, langsDir(rootDir), batchId)))
     partial.write.mode(SaveMode.Overwrite)
       .parquet(BatchState.batchDir(spark, sumsDir(rootDir), batchId))
     graft.operators.SimilaritySearch.dropCheckpointBlocks(freshFirst)

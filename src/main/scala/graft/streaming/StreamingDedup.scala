@@ -84,9 +84,17 @@ object StreamingDedup {
       .localCheckpoint(false)
     val (pairs, dropped) =
       Dedup.incrementalCandidatesFromSigs(store, sigs, maxBucket)
-    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    dropped.write.mode("overwrite").parquet(s"$pairsDir/__dropped__/batch_id=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    // three independent partition dirs (pairs/dropped derive from the
+    // pre-batch store + the sigs checkpoint; sigs from the checkpoint
+    // alone): land them concurrently (guide §2.6) — replay overwrites
+    // all three byte-identical, so no write orders another
+    graft.operators.Par.actions(
+      () => pairs.write.mode("overwrite")
+        .parquet(s"$pairsDir/batch_id=$batchId"),
+      () => dropped.write.mode("overwrite")
+        .parquet(s"$pairsDir/__dropped__/batch_id=$batchId"),
+      () => sigs.write.mode("overwrite")
+        .parquet(s"$storeDir/batch_id=$batchId"))
   }
 
   /** Attach dedup signatures on ingest: exact fingerprint, simhash, and

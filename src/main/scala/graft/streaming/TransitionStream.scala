@@ -60,18 +60,21 @@ object TransitionStream {
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n_trans")))
 
-    boundary.foldLeft(inBatch)(_ unionByName _)
-      .groupBy("prev_type", "next_type")
-      .agg(sum("n_trans").as("n_trans"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, pairsDir, batchId))
-
-    evs.groupBy("user")
-      .agg(max(struct(col("ts"), col("tie"), col("etype"))).as("__l"))
-      .select(col("user"), col("__l.ts").as("ts"),
-        col("__l.tie").as("tie"), col("__l.etype").as("etype"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(BatchState.batchDir(spark, lastDir, batchId))
+    // the pairs write reads only batches < N of lastDir (partition-
+    // pruned) and the last-event write only this batch's events, so
+    // the two land concurrently (guide §2.6); replay overwrites both
+    graft.operators.Par.actions(
+      () => boundary.foldLeft(inBatch)(_ unionByName _)
+        .groupBy("prev_type", "next_type")
+        .agg(sum("n_trans").as("n_trans"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, pairsDir, batchId)),
+      () => evs.groupBy("user")
+        .agg(max(struct(col("ts"), col("tie"), col("etype"))).as("__l"))
+        .select(col("user"), col("__l.ts").as("ts"),
+          col("__l.tie").as("tie"), col("__l.etype").as("etype"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(BatchState.batchDir(spark, lastDir, batchId)))
   }
 
   /** Wire the monitor onto a streaming event source. */
