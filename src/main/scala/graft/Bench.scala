@@ -60,8 +60,15 @@ object Bench {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val s = (System.nanoTime() - t0) / 1e9
+    // BLOCKING unpersist (r18): the async drop let a heavy
+    // checkpointing query's blocks linger into its alphabetic
+    // NEIGHBORS' measurements — the r18-build sweep showed the q_s*
+    // cluster right after the two new NSW checkpointers inflated
+    // 25-95% while the rest of the suite held its floors. The drop
+    // runs AFTER the timer stops, so measured values are untouched;
+    // each query now just starts from a clean block manager.
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     s
   }
 

@@ -441,16 +441,21 @@ object SimilaritySearch {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = graft.sources.AtomicDir.tmpPath(dest)
     fs.delete(tmp, true)
-    model.centroids.zipWithIndex
-      .map { case (cv, i) => (i, cv.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "centroids").toString)
-    nodes.write.mode("overwrite").partitionBy("bucket")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "nodes").toString)
-    edges.write.mode("overwrite").partitionBy("bucket")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
+    // three independent subdirectories of the SAME uncommitted tmp dir
+    // (atomicity comes from the final dir swap, not write order): land
+    // them concurrently (guide §2.6) so the nodes write's task tail is
+    // back-filled by the edges/centroids jobs
+    Par.actions(
+      () => model.centroids.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "centroids").toString),
+      () => nodes.write.mode("overwrite").partitionBy("bucket")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "nodes").toString),
+      () => edges.write.mode("overwrite").partitionBy("bucket")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString))
     graft.sources.AtomicDir.commit(fs, dest)
   }
 
@@ -492,11 +497,27 @@ object SimilaritySearch {
         nswEsig(col("nv"), entryBits).as("qesig"),
         explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
       .localCheckpoint()
-    val probedBuckets = probes.select("bucket").distinct()
+    // the probed-cell IN-filter only pays for itself where it can PRUNE
+    // — a [[nswSave]]d bucket-partitioned file layout, where it is a
+    // partition filter that skips the unprobed cells' files entirely
+    // (O(probed) instead of O(index) IO per hop; plan-audited in
+    // NswRecallSpec). On the in-memory [[nswTopK]] path the frames are
+    // localCheckpoint blocks — nothing to skip, and carrying the filter
+    // through every hop's replan measured ~2x the whole walk at fixture
+    // scale (+24 jobs; r18 bisect) — so file-backed frames prune and
+    // checkpointed frames pass through untouched.
+    def fileBacked(df: DataFrame): Boolean =
+      df.queryExecution.logical.exists {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+        case _ => false
+      }
+    lazy val probedBuckets = probes.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    (probes,
-      nodes.filter(col("bucket").isin(probedBuckets: _*)),
-      edges.filter(col("bucket").isin(probedBuckets: _*)))
+    def pruned(df: DataFrame): DataFrame =
+      if (fileBacked(df)) df.filter(col("bucket").isin(probedBuckets: _*))
+      else df
+    (probes, pruned(nodes), pruned(edges))
   }
 
   /** Search a pre-built NSW index (reuse across query batches); same

@@ -49,12 +49,15 @@ object LinkageStream {
     if (batch.isEmpty) return
     val (scored, dropped) = RecordLinkage.link(
       reference, batch, blockOn, fields, keep, upper, lower, maxBlock)
-    scored.write.mode(SaveMode.Overwrite)
-      .parquet(s"$pairsDir/batch_id=$batchId")
-    if (maxBlock > 0L) {
-      dropped.write.mode(SaveMode.Overwrite)
-        .parquet(s"$pairsDir/__dropped__/batch_id=$batchId")
-    }
+    // two independent partition dirs off the same batch: land them
+    // concurrently (guide §2.6); replay overwrites both byte-identical
+    graft.operators.Par.actions(
+      () => scored.write.mode(SaveMode.Overwrite)
+        .parquet(s"$pairsDir/batch_id=$batchId"),
+      if (maxBlock > 0L)
+        () => dropped.write.mode(SaveMode.Overwrite)
+          .parquet(s"$pairsDir/__dropped__/batch_id=$batchId")
+      else null)
   }
 
   /** Every verdict scored so far (None before the first batch). */

@@ -145,16 +145,23 @@ object TrainingCorpusStreaming {
     // resolve when a mixed-session plan is analyzed
     val spark = batch.sparkSession
     // materialize the micro-batch once: the corrupt-column-only filter
-    // is illegal on a lazy json scan, and every branch below reuses it
-    val rows = batch.localCheckpoint(true)
-    val bad = rows.filter(col(JsonLines.CorruptCol).isNotNull)
-      .select(col(JsonLines.CorruptCol).as("raw_line"))
+    // is illegal on a lazy json scan, and every branch below reuses it.
+    // The corrupt-row count rides the SAME checkpoint job via observe
+    // (guide §1.2: remove passes) — the clean-batch common case pays
+    // zero extra jobs for the quarantine probe.
+    val obs = org.apache.spark.sql.Observation()
+    val rows = batch
+      .observe(obs, count(col(JsonLines.CorruptCol)).as("n_bad"))
+      .localCheckpoint(true)
+    val nBad = obs.get("n_bad").asInstanceOf[Long]
     // batchId-keyed partition dir + overwrite: a checkpoint replay of
     // this batch rewrites the same subdirectory instead of appending a
     // second copy of the same corrupt lines (mode("append") here was
     // the one non-idempotent write in an otherwise replay-safe merge)
-    if (!bad.isEmpty)
-      bad.write.mode("overwrite")
+    if (nBad > 0)
+      rows.filter(col(JsonLines.CorruptCol).isNotNull)
+        .select(col(JsonLines.CorruptCol).as("raw_line"))
+        .write.mode("overwrite")
         .parquet(s"$outDir/quarantine/batch_id=$batchId")
 
     val incoming = rows
@@ -271,17 +278,23 @@ object TrainingCorpusStreaming {
     val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicDir.recover(fs, fpsPath)
     val staged = packed.localCheckpoint(false)
-    val newFps = staged.groupBy(col("shard"))
+    // ONE job materializes staged AND lands the per-shard fingerprints
+    // on the driver (bounded by cfg.shards); the fps table commit below
+    // is rebuilt from these rows, so the old ckpt+collect+write triple
+    // (3 jobs, one re-agg) collapses to collect+tiny-write (guide §1.2)
+    val newFpAgg = staged.groupBy(col("shard"))
       .agg(expr(
         "bit_xor(xxhash64(doc_id, text, quality, n_tokens, pack_id, pack_pos))")
         .as("fp"))
-      .localCheckpoint(true) // bounded: one row per shard
+    val newFpRows = newFpAgg.collect()
+    val newFps = spark.createDataFrame(
+      spark.sparkContext.parallelize(newFpRows.toSeq, 1), newFpAgg.schema)
     val oldFps =
       if (fs.exists(fpsPath)) spark.read.parquet(fpsPath.toString)
       else newFps.limit(0)
     // driver-bounded by cfg.shards, like every shard table here
     val old = oldFps.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val neu = newFps.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val neu = newFpRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val changed = neu.filter { case (s, f) => !old.get(s).contains(f) }.keys.toSeq
     if (changed.nonEmpty) {
       val key = "spark.sql.sources.partitionOverwriteMode"
