@@ -655,7 +655,25 @@ object VersionedTable {
     // constraint first — loudly, via the analysis error)
     val effConstraints: Map[String, String] =
       prevMeta.map(_.constraints).getOrElse(Map.empty)
-    val (stageRel, staged) = stage(df, root, effParts, effColMap,
+    // Hive-layout commits cluster by the partition columns BEFORE the
+    // stage write (guide §6; the Iceberg write.distribution-mode=hash
+    // role): without it every input task opens a writer per partition
+    // value it happens to hold — task-count × value-count small files,
+    // written at the scan's parallelism (a 3-task scan writing 48
+    // months measured 1.9 s / 144 files; distributed: one file per
+    // month at full parallelism). REBALANCE is AQE-managed, so an
+    // oversized partition value is SPLIT across tasks instead of
+    // serialized through one (the plain repartition(cols) hot-partition
+    // trap, guide §2.5). Applies ONLY to the user-facing commit — the
+    // maintenance paths (compact/zorder/merge rewrite) arrange their
+    // own layout deliberately and stage it untouched.
+    // spark.graft.write.distribute=false restores the raw layout.
+    val stagedDf =
+      if (effParts.nonEmpty && spark.conf
+          .get("spark.graft.write.distribute", "true").toBoolean)
+        df.hint("rebalance", effParts: _*)
+      else df
+    val (stageRel, staged) = stage(stagedDf, root, effParts, effColMap,
       effConstraints)
     val physStatsCols =
       if (statsColumns == Seq("*")) statsColumns
