@@ -192,6 +192,15 @@ object Bench {
       "written_at" -> ("\"" + java.time.Instant.now().toString + "\"")))
     java.nio.file.Files.write(path,
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ALSO write a per-core-count copy (additions-only provenance, r19):
+    // the driver benches at two core counts and the second run used to
+    // overwrite last_run.json, destroying the first run's per-query
+    // record — last_run_c<cpus>.json preserves both so round-over-round
+    // per-query comparison never depends on a mutable side file.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      .filter(c => c.isLetterOrDigit || c == '_' || c == '-')
+    java.nio.file.Files.write(dir.resolve(s"last_run_c$cpus.json"),
+      (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Some(path.toString)
   }
 

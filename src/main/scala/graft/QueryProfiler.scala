@@ -85,8 +85,13 @@ object QueryProfiler {
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      // let straggling listener events drain before reading
-      Thread.sleep(300)
+      // let straggling listener events drain before reading: poll until
+      // every started job has its end event (fixed sleeps undercount on
+      // a loaded machine), with a bounded timeout
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (l.jobs.values.exists(_.finished == 0L) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
       spark.sparkContext.removeSparkListener(l)
       val err = System.err
       err.println(f"== $name wall=$wall%.3f s jobs=${l.jobs.size} tasks=${l.tasks}")

@@ -38,6 +38,22 @@ private[graft] object Par {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure == null)
               firstFailure = Option(e.getCause).getOrElse(e)
+          case e: Throwable =>
+            // an interrupt (e.g. a streaming-query stop) must not leave
+            // bodies running detached — a prompt replay of the same
+            // batch could then overwrite the same directories
+            // concurrently with the orphaned jobs. Cancel everything,
+            // drain the pool, THEN rethrow, so no body outlives the
+            // call ("commit point only after all bodies finished").
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            try pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
+            catch {
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt()
+            }
+            throw e
         }
       }
       if (firstFailure != null) throw firstFailure

@@ -444,7 +444,15 @@ object SimilaritySearch {
     // three independent subdirectories of the SAME uncommitted tmp dir
     // (atomicity comes from the final dir swap, not write order): land
     // them concurrently (guide §2.6) so the nodes write's task tail is
-    // back-filled by the edges/centroids jobs
+    // back-filled by the edges/centroids jobs. Each frame is
+    // REBALANCEd by the partition column first (guide §6, the
+    // write.distribution-mode=hash role): a Hive-layout write of N
+    // input partitions × k cells otherwise opens N·k writers and lands
+    // N files per cell — the search-side partition filter then pays
+    // per-file open cost for every probed cell, and the commit/rename
+    // fan-out dominates the save at fixture scale. One file per cell,
+    // AQE splitting any oversized cell (the hot-partition trap, §2.5).
+    def byCell(df: DataFrame): DataFrame = df.hint("rebalance", col("bucket"))
     Par.actions(
       () => model.centroids.zipWithIndex
         .map { case (cv, i) => (i, cv.toSeq) }.toSeq
@@ -452,9 +460,9 @@ object SimilaritySearch {
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "centroids").toString),
-      () => nodes.write.mode("overwrite").partitionBy("bucket")
+      () => byCell(nodes).write.mode("overwrite").partitionBy("bucket")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "nodes").toString),
-      () => edges.write.mode("overwrite").partitionBy("bucket")
+      () => byCell(edges).write.mode("overwrite").partitionBy("bucket")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString))
     graft.sources.AtomicDir.commit(fs, dest)
   }
@@ -492,10 +500,14 @@ object SimilaritySearch {
       idCol: String, vecCol: String, model: IvfIndex.Model,
       nprobe: Int, entryBits: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    // the probed-bucket set rides the probe checkpoint job via observe
+    // (guide §1.2: remove passes) — no separate distinct+collect job
+    val obs = org.apache.spark.sql.Observation()
     val probes = IvfIndex.normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("nv").as("q_vec"),
         nswEsig(col("nv"), entryBits).as("qesig"),
         explode(IvfIndex.probeCells(col("nv"), model, nprobe)).as("bucket"))
+      .observe(obs, collect_set(col("bucket")).as("buckets"))
       .localCheckpoint()
     // the probed-cell IN-filter only pays for itself where it can PRUNE
     // — a [[nswSave]]d bucket-partitioned file layout, where it is a
@@ -512,12 +524,29 @@ object SimilaritySearch {
         case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
         case _ => false
       }
-    lazy val probedBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    def pruned(df: DataFrame): DataFrame =
-      if (fileBacked(df)) df.filter(col("bucket").isin(probedBuckets: _*))
-      else df
-    (probes, pruned(nodes), pruned(edges))
+    lazy val probedBuckets = obs.get("buckets").asInstanceOf[Seq[_]]
+      .map { case n: Number => n.intValue }.sorted
+    // the pruned frames are read every hop (rounds + entry + re-rank
+    // jobs); left lazy, each hop re-PLANS the file scan — re-listing
+    // and re-opening the probed cells' files and re-deriving the
+    // partition pruning per job, which measured ~1 s over the walk at
+    // fixture scale and is O(rounds) repeated metadata work at a
+    // million-cell store. Materialize the pruned scan ONCE per search
+    // (executor-resident, spills via MEMORY_AND_DISK): every hop then
+    // reads cached blocks, exactly the shape the in-memory [[nswTopK]]
+    // path already has. IO is O(probed cells) either way — this just
+    // stops paying it (and the plan) per hop. Both frames land
+    // concurrently (guide §2.6).
+    var pn = nodes
+    var pe = edges
+    Par.actions(
+      if (!fileBacked(nodes)) null else () =>
+        pn = nodes.filter(col("bucket").isin(probedBuckets: _*))
+          .localCheckpoint(true),
+      if (!fileBacked(edges)) null else () =>
+        pe = edges.filter(col("bucket").isin(probedBuckets: _*))
+          .localCheckpoint(true))
+    (probes, pn, pe)
   }
 
   /** Search a pre-built NSW index (reuse across query batches); same

@@ -258,6 +258,18 @@ object VersionedTable {
         size() > ManifestCacheMax
     })
 
+  /** Test-visible cache reset: the (mtime, len) guard cannot see a
+    * same-length in-place rewrite inside the filesystem's mtime
+    * granularity (a fixture-rebuild-only scenario — the rename arbiter
+    * writes committed version files exactly once), and entries for
+    * vacuumed/deleted paths linger harmlessly until evicted. Fixture
+    * teardown calls this so no spec can observe either.
+    */
+  private[graft] def clearManifestCaches(): Unit = {
+    manifestCache.clear()
+    ckptCache.clear()
+  }
+
   /** Parse one committed manifest, resolving through its parquet
     * checkpoint when the version JSON is a delta (read cost: one
     * small JSON + one cached immutable parquet — O(1) files).
@@ -829,6 +841,20 @@ object VersionedTable {
     val stageP = new Path(rootP, stageRel)
     val w = toPhysicalDf(withConstraintGuard(df, constraints, root), colMap)
       .write.mode(SaveMode.ErrorIfExists)
+    // Timestamps stage as INT64 MICROS, not Spark's INT96 default:
+    // INT96 carries footer stats parquet-mr refuses to order, so the
+    // footer-based stats pass ([[collectStatsFooters]]) would make "no
+    // claim" for every TimestampType column and the manifest would
+    // silently lose its timestamp zone maps — readWhere/pruneFiles
+    // then stop pruning on timestamp predicates (r18 advisor finding).
+    // MICROS is the exact unix_micros domain the manifest encodes and
+    // every engine reads; scoped set/restore because the conf is
+    // session-level (a concurrent foreign write observing MICROS for
+    // the window writes identical values in a saner encoding).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val hasTs = df.schema.exists(_.dataType == TimestampType)
+    val tsPrev = if (hasTs) spark.conf.getOption(tsKey) else None
+    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try labeled(spark, s"graft: stage write $stageRel") {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(stageP.toString)
@@ -837,6 +863,10 @@ object VersionedTable {
       case e: Throwable if constraintCause(e).isDefined =>
         f.delete(stageP, true)
         throw new ConstraintViolationException(constraintCause(e).get)
+    }
+    finally if (hasTs) tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
     }
     val prefix = f.makeQualified(stageP).toString + "/"
     val it = f.listFiles(stageP, true)
@@ -1876,9 +1906,22 @@ object VersionedTable {
       wanted: Map[String, String]): Option[Map[String, FileStats]] =
     try {
       val perFile = readFootersPerFile(spark, root, staged, wanted)
-      if (perFile.size != staged.size) None
-      else Some(perFile.map { case (rel, blocks) =>
-        rel -> combineFileStats(wanted, blocks) })
+      if (perFile.size != staged.size) return None
+      val combined = perFile.map { case (rel, blocks) =>
+        rel -> combineFileStats(wanted, blocks) }
+      // a wanted TIMESTAMP column with zero claims across EVERY file is
+      // the INT96-encoding signature (legacy/foreign files predating the
+      // MICROS stage pin — INT96 footer stats are untrusted by design,
+      // so the omission is deterministic, not a 4 KB-cap one-off): fall
+      // back to the scan rather than commit a manifest whose timestamp
+      // zone maps are silently empty forever (r18 advisor finding)
+      val tsDark = wanted.exists { case (name, tag) =>
+        tag == "timestamp" && {
+          val nonEmpty = combined.valuesIterator.filter(_.rows > 0).toSeq
+          nonEmpty.nonEmpty && nonEmpty.forall(!_.cols.contains(name))
+        }
+      }
+      if (tsDark) None else Some(combined)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One column chunk's parquet statistics lowered into the manifest's

@@ -1,13 +1,26 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local SparkSession for all suites (UTC, small shuffle
   * partition count for local mode).
   */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** The manifest parse cache's (mtime, len) guard cannot see a
+    * same-length in-place rewrite within the filesystem's mtime
+    * granularity — impossible for committed tables (the rename arbiter
+    * writes a version file once) but reachable by a test that rebuilds
+    * a fixture tree in place quickly. Start every test cold so no spec
+    * can observe a stale parse.
+    */
+  override protected def beforeEach(): Unit = {
+    graft.sources.VersionedTable.clearManifestCaches()
+    super.beforeEach()
+  }
 }
 
 object SparkSpec {

@@ -212,6 +212,16 @@ class VersionedTableSpec extends SparkSpec {
       .count() === 1L)
     assert(VersionedTable.readWhere(
       spark, root, col("ts") < "2024-02-01 00:00:00").count() === 1L)
+    // the TIMESTAMP zone map must ALSO prune files, not just filter
+    // rows — the footer-based stats pass makes "no claim" for INT96
+    // timestamps, so before timestamps staged as MICROS (r19) every
+    // footer-statted commit silently lost its ts bounds and this
+    // predicate kept both files (the r18 advisor finding)
+    val (keptTs, droppedTs) = VersionedTable.pruneFiles(
+      spark, root, col("ts") < "2024-02-01 00:00:00")
+    assert(keptTs.size === 1 && droppedTs.size === 1,
+      s"timestamp predicate must drop the other month's file: " +
+        s"kept=$keptTs dropped=$droppedTs")
   }
 
   test("float zone maps live in the double grid: a float-literal equality keeps its file") {
@@ -810,11 +820,18 @@ class VersionedTableSpec extends SparkSpec {
   test("merge rejects ambiguous sources and schema drift; races conflict") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), root)
-    // duplicate keys in the source are ambiguous — fail loudly
-    intercept[IllegalArgumentException] {
+    // duplicate keys in the source are ambiguous — fail loudly, and
+    // the message must name the exact offending key with its count
+    // (the lookup lives on a rarely-exercised failure branch since the
+    // r18 gate+bounds fusion; this pins it)
+    val dupErr = intercept[IllegalArgumentException] {
       VersionedTable.merge(spark, root,
         Seq((1L, "x"), (1L, "y")).toDF("id", "s"), Seq("id"))
     }
+    assert(dupErr.getMessage.contains("not unique on keys id"),
+      s"merge dup error lost the key names: ${dupErr.getMessage}")
+    assert(dupErr.getMessage.contains("(1) appears 2 times"),
+      s"merge dup error lost the offending key: ${dupErr.getMessage}")
     // a missing table column fails loudly
     intercept[java.io.IOException] {
       VersionedTable.merge(spark, root, Seq(1L).toDF("id"), Seq("id"))
