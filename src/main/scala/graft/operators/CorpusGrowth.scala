@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,16 @@ object CorpusGrowth {
     * dropped. The shared front half of [[ngramNovelty]] and
     * [[graft.streaming.NoveltyStream]].
     */
+  /** The per-document shingle-hash expression [[docShingleHashes]]
+    * selects — exposed so a caller that already pays a text pass
+    * (e.g. the scorecard's fingerprint checkpoint) can compute `gs`
+    * in the SAME pass instead of a second one. One definition, every
+    * consumer.
+    */
+  private[graft] def shingleHashCol(textCol: Column, n: Int): Column =
+    array_distinct(graft.plans.NativeText.shingleHash32(
+      split(TextFunctions.normalizeText(textCol), " "), n))
+
   private[graft] def docShingleHashes(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
@@ -38,8 +48,7 @@ object CorpusGrowth {
       .filter(TextFunctions.tokenCount(
         TextFunctions.normalizeText(col(textCol))) >= n)
       .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(graft.plans.NativeText.shingleHash32(
-          split(TextFunctions.normalizeText(col(textCol)), " "), n)).as("gs"))
+        shingleHashCol(col(textCol), n).as("gs"))
   }
 
   /** Per-document n-gram novelty: the fraction of the document's

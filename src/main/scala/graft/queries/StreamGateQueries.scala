@@ -1081,10 +1081,22 @@ object StreamGateQueries {
       .option("maxFilesPerTrigger", 1).parquet(src).drop("__arrival")
     val qn = uniqueName("graft_live_scd_")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing (guide §5): by default every micro-batch
+    // uploads a FULL RocksDB snapshot per state partition to the
+    // checkpoint — O(state) per batch. The changelog mode persists only
+    // the batch's changes and defers snapshots to the maintenance
+    // thread — O(batch) per commit, the documented production setting
+    // for state that outgrows a batch (at 100 TB the SCD entity state
+    // is the whole customer dimension; per-batch O(state) uploads are
+    // the scale-killer this gate exists to rule out).
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = s.conf.getOption(providerKey)
+    val prevChangelog = s.conf.getOption(changelogKey)
     try {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(changelogKey, "true")
       withShufflePartitions(s, 8) {
         graft.streaming.ScdStateStore
           .classifiedStream(stream, entityCol = "o_custkey")
@@ -1098,6 +1110,10 @@ object StreamGateQueries {
       prevProvider match {
         case Some(p) => s.conf.set(providerKey, p)
         case None => s.conf.unset(providerKey)
+      }
+      prevChangelog match {
+        case Some(p) => s.conf.set(changelogKey, p)
+        case None => s.conf.unset(changelogKey)
       }
     }
     graft.streaming.ScdStateStore.withDeletedFlips(

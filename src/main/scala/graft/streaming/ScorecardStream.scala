@@ -59,18 +59,30 @@ object ScorecardStream {
     val spark = batch.sparkSession
     import spark.implicits._
 
+    // ONE text pass, ONE checkpoint: fingerprint, token count and
+    // shingle hashes all come off the same scan of the batch (guide
+    // §1.2 — the gs/ntok columns used to be a SECOND checkpointed pass
+    // re-normalizing the just-checkpointed text). The shingle
+    // expression is [[CorpusGrowth.shingleHashCol]], the same
+    // definition docShingleHashes selects, so the scoring core stays
+    // single-sourced.
+    graft.plans.NativeText.register(spark)
     val slim = batch.select(
       col(idCol).cast("long").as("doc_id"),
       col(sourceCol).as("source"), col(langCol).as("lang"),
       col(textCol).as("__text"),
-      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      TextFunctions.tokenCount(
+        TextFunctions.normalizeText(col(textCol))).as("__ntok"),
+      CorpusGrowth.shingleHashCol(col(textCol), cfg.n).as("__gs"))
       .localCheckpoint() // read by fp, entropy, novelty and count legs
 
     // --- novelty per doc, against everything before this batch — the
     // SAME scoring core as NoveltyStream (one replay/attribution
-    // contract, not two copies)
-    val pre = CorpusGrowth.docShingleHashes(slim, "doc_id", "__text", cfg.n)
-      .localCheckpoint()
+    // contract, not two copies). The < n-token drop mirrors
+    // docShingleHashes' filter, over the checkpointed token count.
+    val pre = slim.filter(col("__ntok") >= cfg.n)
+      .select(col("doc_id"), col("__gs").as("gs"))
     val (novPerDoc, freshFirst) = NoveltyStream.scoreAgainstStore(
       pre, spark, gramsDir(rootDir), batchId)
     val novelty = novPerDoc.select(col("doc_id"),
@@ -82,16 +94,31 @@ object ScorecardStream {
       .select(col("doc_id"), col("n_tokens"), col("entropy"))
 
     // --- duplicate flag vs the fingerprint first-owner store -------
-    val priorFps = readFps(spark, rootDir, excludeBatchId = Some(batchId))
+    // Per-batch consumers only test MEMBERSHIP in the prior-fp set
+    // (the argmin attribution readFps resolves is read-side only), so
+    // the store is read ONCE as a distinct single-column set and
+    // checkpointed: the three actions that join against it (dup flag
+    // feeding partial AND langCounts, plus freshFps) used to each
+    // re-read and re-aggregate the whole store per micro-batch
+    // (guide §1.2: remove passes).
+    val priorFpSet = (BatchState.read(spark, fpsDir(rootDir)) match {
+      case None => Seq.empty[String].toDF("fp")
+      case Some(state) => state.filter(col("batch_id") =!= batchId)
+        .select("fp").distinct()
+    }).localCheckpoint()
     val batchFirst = slim.groupBy("__fp")
       .agg(min("doc_id").as("__bfirst"))
+    // the dup flag feeds TWO store writes (partial and langCounts):
+    // checkpoint it once (O(batch) narrow rows) so neither write
+    // re-runs the prior-fp and batch-first joins
     val flagged = slim
-      .join(priorFps.select(col("fp").as("__fp"), lit(1).as("__prior")),
+      .join(priorFpSet.select(col("fp").as("__fp"), lit(1).as("__prior")),
         Seq("__fp"), "left")
       .join(batchFirst, Seq("__fp"))
       .select(col("doc_id"), col("source"), col("lang"),
         when(col("__prior").isNotNull || col("doc_id") =!= col("__bfirst"),
           1.0).otherwise(0.0).as("__dup"))
+      .localCheckpoint()
 
     // --- per-source additive partials ------------------------------
     val partial = flagged
@@ -111,7 +138,7 @@ object ScorecardStream {
     // fingerprints FIRST seen in this batch, with their owning doc —
     // `min_by` keeps attribution exact when a fp repeats in the batch
     val freshFps = slim
-      .join(priorFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .join(priorFpSet.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .groupBy(col("__fp").as("fp"))
       .agg(min("doc_id").as("first_doc"),
         expr("min_by(source, doc_id)").as("first_source"))
@@ -139,7 +166,8 @@ object ScorecardStream {
     partial.write.mode(SaveMode.Overwrite)
       .parquet(BatchState.batchDir(spark, sumsDir(rootDir), batchId))
     graft.operators.SimilaritySearch.dropCheckpointBlocks(freshFirst)
-    graft.operators.SimilaritySearch.dropCheckpointBlocks(pre)
+    graft.operators.SimilaritySearch.dropCheckpointBlocks(flagged)
+    graft.operators.SimilaritySearch.dropCheckpointBlocks(priorFpSet)
     graft.operators.SimilaritySearch.dropCheckpointBlocks(slim)
   }
 

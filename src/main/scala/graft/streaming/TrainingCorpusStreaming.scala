@@ -218,7 +218,13 @@ object TrainingCorpusStreaming {
     val docs = prev.unionByName(newRows)
 
     // ---- global re-resolution over metadata-weight state ----
-    // exact reps: min id per fingerprint — identical to Dedup.exactDedup
+    // exact reps: min id per fingerprint — identical to Dedup.exactDedup.
+    // (A rep-id checkpoint + doc_id semi-join rewrite — resolve min
+    // per fp once, re-attach by id — was tried in r19 and REVERTED:
+    // the extra checkpoint and per-consumer broadcast builds inflated
+    // the fold from 89 to 125 jobs and the isolated query by ~1.5 s;
+    // at fixture scale the window's exchange is cheaper than the added
+    // job fan-out, and shuffle bytes barely moved.)
     val reps = docs
       .withColumn("__rep", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("__rep"))
