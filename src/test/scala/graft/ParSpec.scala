@@ -44,4 +44,45 @@ class ParSpec extends org.scalatest.funsuite.AnyFunSuite {
     Par.actions(null, () => { ran.incrementAndGet(): Unit }, null)
     assert(ran.get() == 1)
   }
+
+  test("an interrupted caller leaves no body running detached") {
+    // the r18 advisor finding: an InterruptedException while draining
+    // futures used to propagate immediately with pool.shutdown() only
+    // — still-running bodies kept writing after the caller unwound.
+    // Par must cancel + drain before rethrowing, so a body that
+    // swallows its cancellation interrupt is still COMPLETE (never
+    // in-flight) by the time the call exits.
+    val bodyDone = new AtomicInteger(0)
+    val bodyEntered = new java.util.concurrent.CountDownLatch(1)
+    val outcome =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val caller = new Thread(() => {
+      try Par.actions(
+        () => {
+          bodyEntered.countDown()
+          // simulate a write that ignores interrupts for a while
+          val t0 = System.nanoTime()
+          while (System.nanoTime() - t0 < 700L * 1000 * 1000) {}
+          bodyDone.incrementAndGet(): Unit
+        },
+        () => {
+          val t0 = System.nanoTime()
+          while (System.nanoTime() - t0 < 700L * 1000 * 1000) {}
+          bodyDone.incrementAndGet(): Unit
+        })
+      catch { case t: Throwable => outcome.set(t) }
+    })
+    caller.start()
+    assert(bodyEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    caller.interrupt() // lands in f.get() while bodies still run
+    caller.join(10000)
+    assert(!caller.isAlive, "caller must return")
+    assert(outcome.get().isInstanceOf[InterruptedException],
+      s"interrupt must rethrow, got ${outcome.get()}")
+    // the drain ran: both bodies finished before the call exited
+    // (they ignore the cancellation interrupt, so "finished" is the
+    // only way out — a detached body would still be mid-spin here)
+    assert(bodyDone.get() == 2,
+      s"bodies must not outlive the call: ${bodyDone.get()} of 2 done")
+  }
 }
