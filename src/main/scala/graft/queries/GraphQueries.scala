@@ -21,7 +21,19 @@ object GraphQueries {
     * explode losing to the codegen'd sort-merge self-join.)
     */
   private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    // repartition by the join key BEFORE the self-join (guide §2.5,
+    // input skew): without it Spark broadcast-hash-joins the
+    // (estimated-small) scan, and the broadcast BUILD is a serial
+    // re-scan of the fixture file whose row-group layout caps it at 3
+    // tasks — one carrying almost all bytes — profiled at 1.25 s
+    // serial inside every graph query's first job. Behind the
+    // exchange the build reads the shuffle at full parallelism, AQE
+    // reuses the one exchange for both self-join sides, and a forced
+    // sort-merge alternative measured slower (family 15.9 s vs
+    // 17.4 s isolated min-of-3) — the adjudicated shape is
+    // repartition + broadcast.
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .repartition(col("l_orderkey"))
     li.as("x")
       .join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
